@@ -1,0 +1,115 @@
+package graft.analysis
+
+import scala.collection.mutable.ArrayBuffer
+
+/** A token with its position (position = index in the token stream). */
+final case class Token(term: String, pos: Int)
+
+/**
+ * StandardAnalyzer-equivalent analysis chain: UAX#29-style word
+ * segmentation + full-Unicode lowercasing + empty stop set, with the
+ * 255-char max-token chop.
+ *
+ * Reference behavior being matched (not ported):
+ *  - lucene/core/src/java/org/apache/lucene/analysis/standard/
+ *    StandardTokenizer.java:39,80-97,154-164 — UAX#29 word break; tokens
+ *    longer than maxTokenLength (255) are chopped into <=255-char chunks
+ *    by the scanner buffer.
+ *  - LowerCaseFilter.java:27,42 — Character.toLowerCase-based lowering.
+ *  - StandardAnalyzer.java:50-53 — default stop set is EMPTY.
+ *
+ * This is a documented UAX#29 *subset* faithful for source-code/ASCII
+ * corpora (SURVEY.md §7.4.2): word chars are Unicode letters/digits;
+ * '_' (ExtendNumLet) joins words; MidLetter/MidNumLet/MidNum characters
+ * ('.', ':', '\'' between letters; '.'/',' between digits) join when
+ * flanked by word chars on both sides. Everything else breaks.
+ */
+object Analyzer extends Serializable {
+  val MaxTokenLength = 255
+
+  @inline private def isWordChar(cp: Int): Boolean =
+    Character.isLetter(cp) || Character.isDigit(cp)
+
+  @inline private def isExtend(cp: Int): Boolean = cp == '_'
+
+  /** MidLetter/MidNumLet for letters; MidNum/MidNumLet for digits. */
+  @inline private def joins(mid: Int, prev: Int, next: Int): Boolean = {
+    val pl = Character.isLetter(prev); val nl = Character.isLetter(next)
+    val pd = Character.isDigit(prev);  val nd = Character.isDigit(next)
+    mid match {
+      case '.' | ':'  => (pl && nl) || (pd && nd)
+      case '\''       => pl && nl
+      case ','        => pd && nd
+      case _          => false
+    }
+  }
+
+  /** Segment into raw (not lowercased) tokens with positions. */
+  def segment(text: String): Seq[Token] = {
+    val out = new ArrayBuffer[Token]()
+    val n = text.length
+    var i = 0
+    var pos = 0
+    val sb = new java.lang.StringBuilder(32)
+    def flush(): Unit = {
+      var s = 0
+      // scanner-buffer chop: emit <=255-char chunks, each its own position
+      while (s < sb.length) {
+        val e = math.min(s + MaxTokenLength, sb.length)
+        out += Token(sb.substring(s, e), pos)
+        pos += 1
+        s = e
+      }
+      sb.setLength(0)
+    }
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (isWordChar(cp) || (isExtend(cp) && sb.length > 0)) {
+        sb.appendCodePoint(cp)
+        i += w
+      } else if (sb.length > 0 && i + w < n && joins(cp, sb.codePointBefore(sb.length), text.codePointAt(i + w))) {
+        sb.appendCodePoint(cp)
+        i += w
+      } else {
+        if (sb.length > 0) flush()
+        i += w
+      }
+    }
+    if (sb.length > 0) flush()
+    // trailing '_' or mid chars that never got a following word char stay in the
+    // token only if followed by word chars; strip any trailing joiners now.
+    out.map { t =>
+      var e = t.term.length
+      while (e > 0 && { val c = t.term.charAt(e - 1); c == '_' || c == '.' || c == ':' || c == '\'' || c == ',' }) e -= 1
+      if (e == t.term.length) t else t.copy(term = t.term.substring(0, e))
+    }.filter(_.term.nonEmpty).toSeq
+  }
+
+  /** Full-Unicode lowercase, per code point (Character.toLowerCase semantics). */
+  def lowercase(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  /** The full chain: segment -> lowercase. Stop set is empty by contract. */
+  def analyze(text: String): Seq[Token] =
+    segment(text).map(t => t.copy(term = lowercase(t.term)))
+
+  /** Terms only (no positions). */
+  def terms(text: String): Seq[String] = analyze(text).map(_.term)
+
+  /** Per-doc term frequencies and doc length in one pass. */
+  def termFreqs(text: String): (Map[String, Int], Int) = {
+    val toks = analyze(text)
+    val m = scala.collection.mutable.HashMap.empty[String, Int]
+    toks.foreach(t => m.update(t.term, m.getOrElse(t.term, 0) + 1))
+    (m.toMap, toks.length)
+  }
+}

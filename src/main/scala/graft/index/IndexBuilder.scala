@@ -1,0 +1,144 @@
+package graft.index
+
+import graft.analysis.Analyzer
+import graft.codec.{PostingsCodec, SmallFloat}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One (term, doc) posting before packing; normByte rides along so query
+  * scoring never joins the (potentially 10^12-row) docstats table. */
+final case class PostingRow(term: String, docId: Long, tf: Int, normByte: Byte)
+
+/** A packed <=128-doc postings block — one DataFrame row (Appendix B shape). */
+final case class BlockRow(
+    term: String, minDoc: Long, maxDoc: Long, n: Int, sumTf: Long,
+    wDocs: Int, wFreqs: Int,
+    docGaps: Array[Byte], freqs: Array[Byte], norms: Array[Byte],
+    impactFreqs: Array[Int], impactNorms: Array[Byte])
+
+/** Per-doc stats (norms + the sha256 per-row invariant vs the source table). */
+final case class DocStat(docId: Long, dl: Int, normByte: Byte, contentSha256: String)
+
+final case class CorpusStats(docCount: Long, sumTotalTermFreq: Long) {
+  def avgdl: Float = (sumTotalTermFreq / docCount.toDouble).toFloat
+}
+
+/**
+ * Inverted-index construction as a Catalyst-planned Dataset pipeline
+ * (capability match of the reference indexing chain,
+ * lucene/core/src/java/org/apache/lucene/index/DefaultIndexingChain.java:386,
+ * FreqProxTermsWriter.java:69-79, Lucene50PostingsWriter.java:207-376):
+ *
+ *   corpus --flatMap analyze--> PostingRow(term, docId, tf, normByte)
+ *          --repartitionByRange(term, docId)--> sortWithinPartitions
+ *          --mapPartitions pack--> BlockRow (128-doc FOR blocks + impacts)
+ *
+ * Skew: range partitioning on the composite (term, docId) splits mega-term
+ * posting lists (`public`, `import`, ...) across MANY partitions — the
+ * deterministic equivalent of salting (each partition gets a contiguous
+ * docId slice of the hot term), so no reducer ever holds a whole stop-word
+ * posting list. Blocks are self-contained, so a term split across
+ * partitions just yields more (still <=128-doc) blocks — exactly Lucene's
+ * multi-segment shape, merged logically at query time.
+ *
+ * The inversion "in-memory hash + flush" of the reference is replaced by
+ * Spark's sort-shuffle (which spills); per-doc tf aggregation happens
+ * in-memory per document inside flatMap (docs are small), so the shuffle
+ * carries one row per (doc, distinct term), not per token.
+ */
+object IndexBuilder {
+
+  /** Tokenize + per-doc aggregate: one PostingRow per (doc, distinct term). */
+  def invert(spark: SparkSession, corpus: DataFrame,
+             idCol: String = "docId", contentCol: String = "content"): Dataset[PostingRow] = {
+    import spark.implicits._
+    corpus.select(col(idCol).cast("long"), col(contentCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (docId, content) =>
+        val (tfs, dl) = Analyzer.termFreqs(content)
+        val nb = SmallFloat.intToByte4(dl)
+        tfs.iterator.map { case (t, f) => PostingRow(t, docId, f, nb) }
+      }
+  }
+
+  /** Positions table for phrase queries: (docId, term, poss ARRAY<INT> asc).
+    * The Spark shape of Lucene's .pos data (SURVEY.md §2.3 phrase rows);
+    * positions are aggregated per doc inside flatMap, so no extra shuffle
+    * beyond the term repartition a caller may add. */
+  def invertPositions(spark: SparkSession, corpus: DataFrame,
+                      idCol: String = "docId", contentCol: String = "content"): DataFrame = {
+    import spark.implicits._
+    corpus.select(col(idCol).cast("long"), col(contentCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (docId, content) =>
+        val m = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+        Analyzer.analyze(content).foreach(t => m.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer[Int]()) += t.pos)
+        m.iterator.map { case (t, ps) => (docId, t, ps.toArray) }
+      }
+      .toDF(idCol, "term", "poss")
+  }
+
+  /** Per-doc stats in a single narrow pass (no shuffle). */
+  def docStats(spark: SparkSession, corpus: DataFrame,
+               idCol: String = "docId", contentCol: String = "content"): Dataset[DocStat] = {
+    import spark.implicits._
+    corpus.select(col(idCol).cast("long"), col(contentCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (docId, content) =>
+        val dl = Analyzer.analyze(content).length
+        val sha = graft.util.Digest.sha256Hex(content)
+        DocStat(docId, dl, SmallFloat.intToByte4(dl), sha)
+      }
+  }
+
+  /** Sort-shuffle inversion + streaming block pack. Constant memory per task:
+    * the packer buffers at most 128 postings. */
+  def packBlocks(spark: SparkSession, postings: Dataset[PostingRow],
+                 shufflePartitions: Int): Dataset[BlockRow] = {
+    import spark.implicits._
+    postings
+      .repartitionByRange(shufflePartitions, $"term", $"docId")
+      .sortWithinPartitions($"term", $"docId")
+      .mapPartitions { it => new BlockPacker(it) }
+  }
+
+  /** Streaming packer: emits a BlockRow per <=128 same-term postings. */
+  private final class BlockPacker(it: Iterator[PostingRow]) extends Iterator[BlockRow] {
+    private val docs = new Array[Long](PostingsCodec.BlockSize)
+    private val tfs = new Array[Int](PostingsCodec.BlockSize)
+    private val nbs = new Array[Byte](PostingsCodec.BlockSize)
+    private var n = 0
+    private var term: String = null
+    private var pending: BlockRow = null
+    private def flush(): Unit = {
+      if (n > 0) {
+        val b = PostingsCodec.encodeBlock(term, docs, tfs, nbs, 0, n)
+        pending = BlockRow(b.term, b.minDoc, b.maxDoc, b.n, b.sumTf, b.wDocs.toInt, b.wFreqs.toInt,
+          b.docGaps, b.freqs, b.norms, b.impactFreqs, b.impactNorms)
+        n = 0
+      }
+    }
+    override def hasNext: Boolean = {
+      while (pending == null && it.hasNext) {
+        val p = it.next()
+        if (term != null && (p.term != term || n == PostingsCodec.BlockSize)) flush()
+        term = p.term
+        docs(n) = p.docId; tfs(n) = p.tf; nbs(n) = p.normByte; n += 1
+      }
+      if (pending == null && n > 0) flush()
+      pending != null
+    }
+    override def next(): BlockRow = { val r = pending; pending = null; r }
+  }
+
+  /** Global term stats from packed blocks (1/128th of the posting rows). */
+  def termStats(blocks: Dataset[BlockRow]): DataFrame =
+    blocks.groupBy("term").agg(
+      sum("n").as("df"),
+      sum("sumTf").as("ttf"))
+
+  def corpusStats(docstats: Dataset[DocStat]): CorpusStats = {
+    val r = docstats.agg(count("*"), sum(col("dl").cast("long"))).head()
+    CorpusStats(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+}

@@ -1,0 +1,129 @@
+package graft.index
+
+import graft.query.QueryEngine
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/**
+ * Segmented, resumable on-disk index (Iceberg-shaped; Parquet in this
+ * sandbox — the layout is a drop-in for an Iceberg catalog, see SURVEY.md
+ * §7.0). Mirrors Lucene's segment model (reference:
+ * lucene/core/src/java/org/apache/lucene/index/SegmentMerger.java:97 — an
+ * index is a set of immutable segments; queries merge them logically):
+ *
+ *   <dir>/segments/seg=K/postings/   packed BlockRow parquet, term-sorted
+ *   <dir>/segments/seg=K/docstats/   DocStat parquet
+ *   <dir>/segments/seg=K/MANIFEST.json  commit marker + lineage + metrics
+ *   <dir>/stats/termstats/           global (term, df, ttf)   [finalize]
+ *   <dir>/stats/corpus.json          docCount, sumTotalTermFreq [finalize]
+ *
+ * Resumability (north rule): each segment is an independent, idempotent
+ * unit of work over a contiguous docId slice. The MANIFEST.json write is
+ * the commit point (written last, after data lands in a temp dir that is
+ * atomically renamed); a restarted build skips any segment whose manifest
+ * exists and re-runs the rest — no committed work is lost or duplicated.
+ * Manifests carry rowCount + an order-independent xor of per-row content
+ * sha256 (the per-row invariant vs the source table) + lineage.
+ */
+object IndexStore {
+
+  final case class Manifest(segId: Int, docLo: Long, docHi: Long, docCount: Long,
+                            sumDl: Long, blockCount: Long, shaXor: String,
+                            source: String, appId: String, wallMs: Long)
+
+  private def manifestPath(dir: String, seg: Int) = Paths.get(s"$dir/segments/seg=$seg/MANIFEST.json")
+
+  def isCommitted(dir: String, seg: Int): Boolean = Files.exists(manifestPath(dir, seg))
+
+  private def writeManifest(dir: String, m: Manifest): Unit = {
+    val json =
+      s"""{"segId":${m.segId},"docLo":${m.docLo},"docHi":${m.docHi},"docCount":${m.docCount},
+         |"sumDl":${m.sumDl},"blockCount":${m.blockCount},"shaXor":"${m.shaXor}",
+         |"source":"${m.source}","appId":"${m.appId}","wallMs":${m.wallMs}}""".stripMargin
+    val tmp = Paths.get(s"$dir/segments/seg=${m.segId}/MANIFEST.json.tmp")
+    Files.createDirectories(tmp.getParent)
+    Files.writeString(tmp, json)
+    Files.move(tmp, manifestPath(dir, m.segId), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def readManifests(dir: String): Seq[String] = {
+    val segs = Paths.get(s"$dir/segments")
+    if (!Files.exists(segs)) return Nil
+    val it = Files.list(segs).iterator()
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val p = it.next().resolve("MANIFEST.json")
+      if (Files.exists(p)) out += Files.readString(p)
+    }
+    out.toSeq
+  }
+
+  /**
+   * Build (or resume) a segmented index from a corpus that already carries
+   * deterministic docIds. Each segment covers a contiguous docId slice.
+   */
+  def build(spark: SparkSession, corpusWithIds: DataFrame, dir: String,
+            numSegments: Int, shufflePartitions: Int, source: String = "corpus"): Unit = {
+    import spark.implicits._
+    val chk = corpusWithIds.agg(max("docId"), count("*"), countDistinct("docId")).head()
+    val n = chk.getLong(0) + 1
+    require(chk.getLong(1) == n && chk.getLong(2) == n,
+      s"docIds must be dense [0,$n): count=${chk.getLong(1)} distinct=${chk.getLong(2)} — " +
+        "nondeterministic id assignment would silently corrupt segment slicing")
+    val per = math.max(1L, (n + numSegments - 1) / numSegments)
+    for (seg <- 0 until numSegments) {
+      val lo = seg * per
+      val hi = math.min(n, lo + per)
+      if (lo < n && !isCommitted(dir, seg)) {
+        val t0 = System.nanoTime()
+        val slice = corpusWithIds.filter($"docId" >= lo && $"docId" < hi)
+        val ds = IndexBuilder.docStats(spark, slice).cache()
+        val blocks = IndexBuilder.packBlocks(spark, IndexBuilder.invert(spark, slice), shufflePartitions)
+        val segDir = s"$dir/segments/seg=$seg"
+        blocks.write.mode("overwrite").parquet(s"$segDir/postings")
+        ds.write.mode("overwrite").parquet(s"$segDir/docstats")
+        val m = ds.agg(count("*"), sum(col("dl").cast("long")),
+          bit_xor(xxhash64(col("contentSha256")))).head()
+        val blockCount = spark.read.parquet(s"$segDir/postings").count()
+        ds.unpersist()
+        writeManifest(dir, Manifest(seg, lo, hi, m.getLong(0),
+          if (m.isNullAt(1)) 0L else m.getLong(1), blockCount,
+          f"${m.getLong(2)}%016x", source, spark.sparkContext.applicationId,
+          (System.nanoTime() - t0) / 1000000))
+      }
+    }
+    finalizeStats(spark, dir)
+  }
+
+  /** Aggregate global stats over all committed segments (Lucene's
+    * IndexSearcher-level collection stats across leaves). */
+  def finalizeStats(spark: SparkSession, dir: String): Unit = {
+    val blocks = spark.read.parquet(s"$dir/segments/*/postings")
+    import spark.implicits._
+    IndexBuilder.termStats(blocks.as[BlockRow])
+      .write.mode("overwrite").parquet(s"$dir/stats/termstats")
+    val ds = spark.read.parquet(s"$dir/segments/*/docstats")
+    val r = ds.agg(count("*"), sum(col("dl").cast("long"))).head()
+    val json = s"""{"docCount":${r.getLong(0)},"sumTotalTermFreq":${if (r.isNullAt(1)) 0L else r.getLong(1)}}"""
+    Files.createDirectories(Paths.get(s"$dir/stats"))
+    Files.writeString(Paths.get(s"$dir/stats/corpus.json"), json)
+  }
+
+  /** Open a committed index for querying. */
+  final case class OpenIndex(spark: SparkSession, dir: String) {
+    import spark.implicits._
+    lazy val blocks: Dataset[BlockRow] = spark.read.parquet(s"$dir/segments/*/postings").as[BlockRow]
+    lazy val docstats: DataFrame = spark.read.parquet(s"$dir/segments/*/docstats")
+    lazy val termstats: DataFrame = spark.read.parquet(s"$dir/stats/termstats")
+    lazy val stats: CorpusStats = {
+      val s = Files.readString(Paths.get(s"$dir/stats/corpus.json"))
+      val dc = """"docCount":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+      val st = """"sumTotalTermFreq":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+      CorpusStats(dc, st)
+    }
+    def topK(terms: Seq[String], k: Int, mode: QueryEngine.Mode = QueryEngine.Or,
+             mustNot: Seq[String] = Nil, prune: Boolean = false): DataFrame =
+      QueryEngine.topK(spark, blocks, termstats, stats, terms, k, mode, mustNot, prune)
+  }
+}

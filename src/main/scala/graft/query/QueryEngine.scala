@@ -1,0 +1,185 @@
+package graft.query
+
+import graft.index.{BlockRow, CorpusStats}
+import graft.codec.PostingsCodec
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One scored posting: `ti` is the query-term index (fixed summation order). */
+final case class ScoredPosting(docId: Long, ti: Int, score: Float)
+
+/**
+ * BM25 top-k query execution over the packed postings table, mirroring the
+ * reference's query lifecycle (SURVEY.md §3.1) Spark-first:
+ *
+ *  - "rewrite + createWeight" = driver-side: look up per-term stats with a
+ *    pushed-down filter on the postings/termstats tables (a few rows), build
+ *    [[BM25.TermScorer]]s once, ship them in closures (broadcast stats).
+ *  - "per-leaf scorers" = `filter(term IN qs)` on the blocks DataFrame
+ *    (Parquet min/max pruning skips non-matching row groups because blocks
+ *    are written term-sorted), then a typed mapPartitions decodes blocks to
+ *    (docId, termIdx, score).
+ *  - "TopScoreDocCollector + TopDocs.merge" = orderBy(score DESC, docId ASC)
+ *    .limit(k): Spark's TakeOrderedAndProject runs a bounded per-partition
+ *    heap and merges on the driver — the per-executor-heap pattern.
+ *  - "block-max WAND" = a rank-identity-safe two-phase prune: phase A scores
+ *    the single highest-upper-bound block per term (achieved partial scores
+ *    are lower bounds of true doc scores), takes the k-th best as theta;
+ *    phase B skips blocks whose upper bound (block max + other terms' global
+ *    max) cannot reach theta. Surviving scores are unchanged, so ranks are
+ *    identical to the exhaustive path (cf. reference WANDScorer.java:45,
+ *    MaxScoreCache.java:61-105 — pruning only skips non-competitive docs).
+ *
+ * Summation contract for multi-term scores: per-term float scores are summed
+ * in query-term order as double, cast to float at the end (the reference's
+ * DisjunctionSumScorer sums sub-scorer floats into a double).
+ */
+object QueryEngine {
+
+  sealed trait Mode
+  case object Or extends Mode
+  case object And extends Mode
+
+  final case class TermInfo(term: String, ti: Int, scorer: BM25.TermScorer, globalMaxScore: Float)
+
+  /** Look up (df, ttf) for query terms and build scorers. Terms absent from
+    * the index are dropped (they match nothing). */
+  def plan(termstats: DataFrame, stats: CorpusStats, terms: Seq[String],
+           k1: Float = BM25.DefaultK1, b: Float = BM25.DefaultB, boost: Float = 1f): Seq[TermInfo] = {
+    val qs = terms.distinct
+    val found = termstats.filter(col("term").isin(qs: _*))
+      .select("term", "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    qs.zipWithIndex.collect { case (t, i) if found.contains(t) =>
+      val scorer = BM25.termScorer(boost, k1, b, found(t), stats.docCount, stats.sumTotalTermFreq)
+      // global max score of a term: tf -> inf, shortest doc (norm byte 0..)
+      // conservative: score with the best possible impact (freq=Int.Max, norm=0)
+      TermInfo(t, i, scorer, scorer.score(Int.MaxValue.toFloat, 0.toByte))
+    }
+  }
+
+  /** Upper bound of any doc's score within a block, from competitive impacts. */
+  def blockBound(scorer: BM25.TermScorer, impactFreqs: Array[Int], impactNorms: Array[Byte]): Float = {
+    var m = 0f
+    var i = 0
+    while (i < impactFreqs.length) {
+      val s = scorer.score(impactFreqs(i).toFloat, impactNorms(i))
+      if (s > m) m = s
+      i += 1
+    }
+    m
+  }
+
+  /** Decode + score matching blocks into (docId, ti, score) rows.
+    * `boundFilter` (bound, term) => keep is applied before decoding. */
+  private def scoredPostings(spark: SparkSession, blocks: Dataset[BlockRow], infos: Seq[TermInfo],
+                             theta: Float): Dataset[ScoredPosting] = {
+    import spark.implicits._
+    val byTerm = infos.map(ti => ti.term -> ti).toMap
+    val sumOtherMax = infos.map(_.globalMaxScore).sum // upper bound helper
+    blocks
+      .filter($"term".isin(infos.map(_.term): _*))
+      .mapPartitions { it =>
+        it.flatMap { b =>
+          val info = byTerm(b.term)
+          val bound = blockBound(info.scorer, b.impactFreqs, b.impactNorms)
+          // block can contribute to a >= theta doc only if its own bound plus
+          // every other term's global max reaches theta
+          if (theta > 0f && bound + (sumOtherMax - info.globalMaxScore) < theta) Iterator.empty
+          else {
+            val (docs, tfs) = PostingsCodec.decodeBlock(b.minDoc, b.n, b.wDocs, b.wFreqs, b.docGaps, b.freqs)
+            (0 until b.n).iterator.map { i =>
+              ScoredPosting(docs(i), info.ti, info.scorer.score(tfs(i).toFloat, b.norms(i)))
+            }
+          }
+        }
+      }
+  }
+
+  /** Sum per-term float scores in term order as double, cast float. */
+  private def combinedScore: Column =
+    aggregate(
+      sort_array(col("parts")),
+      lit(0.0d),
+      (acc, x) => acc + x.getField("score").cast("double")
+    ).cast("float").as("score")
+
+  /**
+   * Top-k BM25. Returns (docId LONG, score FLOAT), ordered
+   * (score DESC, docId ASC), exactly k rows or fewer.
+   */
+  def topK(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame, stats: CorpusStats,
+           terms: Seq[String], k: Int, mode: Mode = Or, mustNot: Seq[String] = Nil,
+           prune: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val infos = plan(termstats, stats, terms)
+    if (infos.isEmpty || (mode == And && infos.size < terms.distinct.size))
+      return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
+
+    val theta = if (prune && mode == Or) estimateTheta(spark, blocks, infos, k) else 0f
+    val scored = scoredPostings(spark, blocks, infos, theta)
+
+    val grouped = scored
+      .groupBy("docId")
+      .agg(collect_list(struct($"ti", $"score")).as("parts"))
+    val filtered = mode match {
+      case Or  => grouped
+      case And => grouped.filter(size($"parts") === infos.size)
+    }
+    val withScore = filtered.select($"docId", combinedScore)
+
+    val excluded = if (mustNot.isEmpty) withScore else {
+      val negInfos = plan(termstats, stats, mustNot)
+      if (negInfos.isEmpty) withScore
+      else {
+        val negDocs = scoredPostings(spark, blocks, negInfos, 0f).select("docId").distinct()
+        withScore.join(negDocs, Seq("docId"), "left_anti")
+      }
+    }
+    excluded.orderBy(desc("score"), asc("docId")).limit(k)
+  }
+
+  /** Phase A of the prune: fully score the single best block per term; the
+    * k-th best achieved partial score is a valid lower bound of the true
+    * k-th score (partial <= true). */
+  private def estimateTheta(spark: SparkSession, blocks: Dataset[BlockRow],
+                            infos: Seq[TermInfo], k: Int): Float = {
+    import spark.implicits._
+    val byTerm = infos.map(ti => ti.term -> ti).toMap
+    // per term, the (minDoc) key of the block with the highest upper bound
+    val bounds = blocks
+      .filter($"term".isin(infos.map(_.term): _*))
+      .select($"term", $"minDoc", $"impactFreqs", $"impactNorms")
+      .as[(String, Long, Array[Int], Array[Byte])]
+      .map { case (t, minDoc, fs, ns) => (t, minDoc, blockBound(byTerm(t).scorer, fs, ns)) }
+      .toDF("term", "minDoc", "bound")
+    val bestKeys = bounds.groupBy("term").agg(max_by(col("minDoc"), col("bound")).as("minDoc"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    if (bestKeys.isEmpty) return 0f
+    val bestBlocks = blocks.filter($"term".isin(infos.map(_.term): _*))
+      .filter(b => bestKeys.contains((b.term, b.minDoc)))
+    val partials = scoredPostings(spark, bestBlocks, infos, 0f)
+      .groupBy("docId").agg(sum(col("score").cast("double")).cast("float").as("s"))
+      .orderBy(desc("s")).limit(k)
+      .collect()
+    if (partials.length < k) 0f else partials.last.getFloat(1)
+  }
+
+  /**
+   * Exact-phrase match over a positions table (docId, term, poss ARRAY<INT>):
+   * docs where the terms occur at consecutive positions. Returns docIds.
+   * (Reference semantics: ExactPhraseMatcher — SURVEY.md §2.3.)
+   */
+  def phraseMatch(positions: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty)
+    val parts = terms.zipWithIndex.map { case (t, i) =>
+      positions.filter(col("term") === t)
+        .select(col("docId"), transform(col("poss"), p => p - i).as(s"p$i"))
+    }
+    val joined = parts.reduceLeft((a, b) => a.join(b, "docId"))
+    val starts = (1 until terms.length).foldLeft(col("p0")) { (acc, i) =>
+      array_intersect(acc, col(s"p$i"))
+    }
+    joined.filter(size(starts) > 0).select("docId")
+  }
+}

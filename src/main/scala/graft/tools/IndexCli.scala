@@ -1,0 +1,72 @@
+package graft.tools
+
+import graft.corpus.CorpusGen
+import graft.index.{DocIds, IndexStore}
+import graft.query.QueryEngine
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Minimal CLI surface for the engine:
+ *
+ *   build <indexDir> <numDocs> [segments]         build/resume an index over the
+ *                                                 deterministic synthetic corpus
+ *   buildParquet <indexDir> <parquet> <idCol> <contentCol> [segments]
+ *   query <indexDir> <k> [--and] [--prune] [--not t1,t2] term...
+ *   manifests <indexDir>
+ */
+object IndexCli {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toList) finally spark.stop()
+  }
+
+  def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "build" :: dir :: n :: rest =>
+      val segs = rest.headOption.map(_.toInt).getOrElse(4)
+      val corpus = CorpusGen.corpus(spark, n.toLong, math.max(8, spark.sparkContext.defaultParallelism)).toDF()
+      val withIds = DocIds.assign(corpus, Seq("repo", "path", "commit"), math.max(8, spark.sparkContext.defaultParallelism))
+      val t0 = System.nanoTime()
+      IndexStore.build(spark, withIds, dir, segs, spark.sparkContext.defaultParallelism)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val idx = IndexStore.OpenIndex(spark, dir)
+      println(f"built: docs=${idx.stats.docCount} sumTtf=${idx.stats.sumTotalTermFreq} terms=${idx.termstats.count()} blocks=${idx.blocks.count()} in $secs%.1fs (${n.toLong / secs}%.0f files/s)")
+
+    case "buildParquet" :: dir :: parquet :: idCol :: contentCol :: rest =>
+      val segs = rest.headOption.map(_.toInt).getOrElse(4)
+      val corpus = spark.read.parquet(parquet)
+        .withColumnRenamed(idCol, "docId").withColumnRenamed(contentCol, "content")
+      IndexStore.build(spark, corpus, dir, segs, spark.sparkContext.defaultParallelism)
+      val idx = IndexStore.OpenIndex(spark, dir)
+      println(s"built: docs=${idx.stats.docCount} terms=${idx.termstats.count()}")
+
+    case "query" :: dir :: k :: rest =>
+      val (flags, terms0) = rest.partition(a => a.startsWith("--"))
+      val notIdx = rest.indexOf("--not")
+      val (mustNot, terms) =
+        if (notIdx >= 0 && notIdx + 1 < rest.length)
+          (rest(notIdx + 1).split(",").toSeq, terms0.filterNot(_ == rest(notIdx + 1)))
+        else (Nil, terms0)
+      val mode = if (flags.contains("--and")) QueryEngine.And else QueryEngine.Or
+      val idx = IndexStore.OpenIndex(spark, dir)
+      val t0 = System.nanoTime()
+      val hits = idx.topK(terms, k.toInt, mode, mustNot, prune = flags.contains("--prune")).collect()
+      val ms = (System.nanoTime() - t0) / 1e6
+      println(f"top-${k} for ${terms.mkString(" ")} (mode=$mode prune=${flags.contains("--prune")}) in $ms%.0f ms:")
+      hits.foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)}"))
+
+    case "manifests" :: dir :: Nil =>
+      IndexStore.readManifests(dir).foreach(println)
+
+    case other =>
+      System.err.println(s"unknown args: $other"); sys.exit(2)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.index
+
+import graft.SparkSpec
+import graft.corpus.CorpusGen
+import graft.query.{OracleScorer, QueryEngine}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end: build index from the deterministic synthetic source-code
+  * corpus, run the reference-style query set, assert rank- AND
+  * score-identity vs the brute-force oracle (exact float arithmetic). */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  val N = 600
+  lazy val corpusLocal: Seq[OracleScorer.Doc] = {
+    // oracle docIds = position in (repo, path, commit) total order
+    (0L until N).map(CorpusGen.genFile)
+      .sortBy(f => (f.repo, f.path, f.commit))
+      .zipWithIndex.map { case (f, i) => OracleScorer.Doc(i.toLong, f.content) }
+  }
+  lazy val withIds: DataFrame =
+    DocIds.assign(CorpusGen.corpus(spark, N, 7).toDF(), Seq("repo", "path", "commit"), 6).cache()
+  lazy val blocks = IndexBuilder.packBlocks(spark, IndexBuilder.invert(spark, withIds), 8).cache()
+  lazy val termstats = IndexBuilder.termStats(blocks).cache()
+  lazy val stats = IndexBuilder.corpusStats(IndexBuilder.docStats(spark, withIds))
+
+  def engineTopK(terms: Seq[String], k: Int, mode: QueryEngine.Mode = QueryEngine.Or,
+                 mustNot: Seq[String] = Nil, prune: Boolean = false): Seq[(Long, Float)] =
+    QueryEngine.topK(spark, blocks, termstats, stats, terms, k, mode, mustNot, prune)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+
+  val queries: Seq[(Seq[String], QueryEngine.Mode, Seq[String])] = Seq(
+    (Seq("public"), QueryEngine.Or, Nil),                       // mega term
+    (Seq("uniq_5_0"), QueryEngine.Or, Nil),                     // singleton-ish
+    (Seq("parseconfig", "handler7"), QueryEngine.Or, Nil),
+    (Seq("import", "return", "uniq_10_1"), QueryEngine.Or, Nil),
+    (Seq("import", "handler3"), QueryEngine.And, Nil),
+    (Seq("class"), QueryEngine.Or, Seq("uniq_1_0")),
+    (Seq("nosuchterm"), QueryEngine.Or, Nil),
+    (Seq("public", "nosuchterm"), QueryEngine.And, Nil),
+    (Seq("12", "buildindex", "def", "queryengine", "val"), QueryEngine.Or, Nil))
+
+  test("docIds are deterministic and dense regardless of input partitioning") {
+    val a = DocIds.assign(CorpusGen.corpus(spark, N, 3).toDF(), Seq("repo", "path", "commit"), 4)
+      .select("docId", "commit").collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val b = DocIds.assign(CorpusGen.corpus(spark, N, 11).toDF(), Seq("repo", "path", "commit"), 9)
+      .select("docId", "commit").collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    assert(a.map(_._1).toSeq === (0L until N))
+    // and matches the local oracle order
+    val local = corpusLocal.map(_.docId)
+    assert(a.map(_._1).toSeq === local)
+  }
+
+  test("engine matches brute-force oracle: identical docIds AND float scores, all query classes") {
+    for (((terms, mode, neg), qi) <- queries.zipWithIndex; k <- Seq(1, 10, 100)) {
+      val got = engineTopK(terms, k, mode, neg)
+      val want = OracleScorer.topK(corpusLocal, terms, k, mode, neg)
+      assert(got === want, s"query #$qi terms=$terms mode=$mode k=$k")
+    }
+  }
+
+  test("block-max pruning is rank- and score-identical to the exhaustive path") {
+    for ((terms, mode, neg) <- queries.filter(_._2 == QueryEngine.Or); k <- Seq(1, 10, 50)) {
+      val exhaustive = engineTopK(terms, k, mode, neg, prune = false)
+      val pruned = engineTopK(terms, k, mode, neg, prune = true)
+      assert(pruned === exhaustive, s"terms=$terms k=$k")
+    }
+  }
+
+  test("per-row invariant: docstats sha256 == sha256 of source content") {
+    val ds = IndexBuilder.docStats(spark, withIds)
+    val src = withIds.select($"docId", sha2($"content", 256).as("srcSha"))
+    val joined = ds.toDF().join(src, "docId")
+    assert(joined.filter($"contentSha256" =!= $"srcSha").count() === 0)
+    assert(joined.count() === N.toLong)
+  }
+
+  test("termstats from blocks equal direct aggregation") {
+    val direct = IndexBuilder.invert(spark, withIds)
+      .groupBy("term").agg(count("*").as("df2"), sum("tf").as("ttf2"))
+    val j = termstats.join(direct, "term")
+    assert(j.filter($"df" =!= $"df2" || $"ttf" =!= $"ttf2").count() === 0)
+    assert(termstats.count() === direct.count())
+  }
+
+  test("phrase match finds consecutive terms") {
+    val pos = IndexBuilder.invertPositions(spark, withIds)
+    // phrase from a known doc: take first two tokens of doc 0's content
+    val toks = graft.analysis.Analyzer.terms(corpusLocal.head.content).take(2)
+    val got = QueryEngine.phraseMatch(pos, toks).collect().map(_.getLong(0)).toSet
+    val expect = corpusLocal.filter { d =>
+      graft.analysis.Analyzer.terms(d.content).sliding(2).exists(_.toSeq == toks)
+    }.map(_.docId).toSet
+    assert(got === expect)
+    assert(got.contains(0L))
+  }
+}
