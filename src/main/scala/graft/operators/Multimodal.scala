@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column plumbing for training-data pipelines: image/audio/video
+ * payloads ride as opaque BINARY columns with a typed metadata struct; the
+ * Spark-side schema / partitioning / batch shape is real and tested, while
+ * the actual media decode is a clearly-marked deterministic STUB (the
+ * sandbox has no media libraries — at deploy time the stub body is replaced
+ * by a real decoder with the same signature).
+ *
+ * Batch shape: decode/feature-extract run as typed mapPartitions over
+ * Iterator[Row] — per-partition batching, constant memory, the Scala
+ * analogue of mapInPandas batches. Payload columns stay out of shuffle keys;
+ * repartition before decode is by (asset id) only.
+ */
+object Multimodal {
+
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Wrap a documents-like table into the media shape: payload = utf8 bytes
+    * of the text (the deterministic stand-in for real image/audio bytes). */
+  def asMediaTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("asset_id"),
+      concat(lit("application/x-fake-"),
+        substring(md5(col(textCol)), 1, 4)).as("mime"),
+      encode(col(textCol), "UTF-8").as("payload"))
+
+  /** STUB media decode: derives deterministic pseudo-metadata (width/height/
+    * frames/duration) from the payload bytes. Replace with a real decoder
+    * (same signature) in production; everything downstream is unchanged. */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int, Double) = {
+    // ??? <- real decoder goes here; deterministic fake below
+    val n = payload.length
+    val w = 16 + (n % 1024)
+    val h = 16 + ((n / 7) % 1024)
+    val frames = 1 + n / 1000
+    (w, h, frames, frames / 30.0)
+  }
+
+  /** Decode metadata for every asset (mapPartitions batch shape). */
+  def decodeMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(media.schema.filterNot(_.name == "payload") ++ Seq(
+      StructField("n_bytes", IntegerType), StructField("width", IntegerType),
+      StructField("height", IntegerType), StructField("n_frames", IntegerType),
+      StructField("duration_s", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val (w, h, f, d) = decodeStub(payload)
+        Row.fromSeq(r.toSeq.take(2) ++ Seq[Any](payload.length, w, h, f, d))
+      }
+    }(enc)
+  }
+
+  /** STUB frame sampler: every `stride`-th frame index up to n_frames —
+    * the plumbing (explode to one row per sampled frame) is real. */
+  def sampleFrames(meta: DataFrame, stride: Int): DataFrame =
+    meta.select(col("asset_id"), col("n_frames"),
+      explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** STUB feature extraction: fixed-width feature vector per asset derived
+    * from payload bytes (deterministic); real model inference drops in with
+    * the same (binary) => Array[Float] signature. */
+  def featureStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      out(i % dim) += (payload(i) & 0xFF) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  def extractFeatures(media: DataFrame, dim: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, featureStub(p, dim)) })
+      .toDF("asset_id", "features")
+  }
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The reference's relational dataflow surface (Solr streaming expressions,
+ * solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/ — see
+ * SURVEY.md §2.4) re-expressed as a Spark-first library. Each operator is a
+ * thin, named combinator over DataFrames so Catalyst plans/optimizes the
+ * whole pipeline (predicate pushdown, partial aggregation, broadcast joins,
+ * AQE) — nothing here hand-schedules what the optimizer already does.
+ *
+ * Scale notes (100 TB design intent):
+ *  - join operators leave strategy choice to Catalyst; [[hashJoin]] and
+ *    [[fetch]] add an explicit broadcast hint for dimension-sized inputs so
+ *    the big fact side never shuffles.
+ *  - [[rollup]]/[[facet]]/[[stats]] are plain groupBy.agg → partial (map-side)
+ *    + final aggregation, the distributed equivalent of Solr's two-phase
+ *    facet refinement.
+ *  - [[rank]] is orderBy(...).limit(k) → TakeOrderedAndProject: per-partition
+ *    bounded heaps merged on the driver, never a global sort.
+ */
+object Relational {
+
+  /** innerJoin (InnerJoinStream.java:35) — sort-merge/hash equi-join. */
+  def innerJoin(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
+    l.join(r, keys, "inner")
+
+  /** leftOuterJoin (LeftOuterJoinStream.java:35). */
+  def leftOuterJoin(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
+    l.join(r, keys, "left_outer")
+
+  /** hashJoin (HashJoinStream.java:36-58) — build side broadcast, probe side
+    * streams; Spark analogue = broadcast hash join of a dimension table. */
+  def hashJoin(probe: DataFrame, build: DataFrame, keys: Seq[String]): DataFrame =
+    probe.join(broadcast(build), keys, "inner")
+
+  /** outerHashJoin (OuterHashJoinStream.java:41). */
+  def outerHashJoin(probe: DataFrame, build: DataFrame, keys: Seq[String]): DataFrame =
+    probe.join(broadcast(build), keys, "left_outer")
+
+  /** intersect (IntersectStream.java:37-43) — semi-join: rows of A whose keys
+    * appear in B, A's columns only. */
+  def intersectOn(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.join(b, keys, "left_semi")
+
+  /** complement (ComplementStream.java:37-43) — anti-join. */
+  def complementOn(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.join(b, keys, "left_anti")
+
+  /** fetch (FetchStream.java:47-55) — batched lookup-join enrichment of a
+    * stream from a (small) collection: broadcast left-outer join. */
+  def fetch(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left_outer")
+
+  /** cartesianProduct (CartesianProductStream.java:47) — UNNEST of a
+    * multivalued field into one tuple per value. */
+  def cartesianProduct(df: DataFrame, arrayCol: Column, as: String): DataFrame =
+    df.withColumn(as, explode(arrayCol))
+
+  /** merge (MergeStream.java:35-41) — k-way ordered merge of sorted streams. */
+  def mergeSorted(sortCols: Seq[Column], streams: DataFrame*): DataFrame =
+    streams.reduce(_.unionByName(_)).orderBy(sortCols: _*)
+
+  /** sort (SortStream.java:39-43). */
+  def sortBy(df: DataFrame, cols: Column*): DataFrame = df.orderBy(cols: _*)
+
+  /** top/rank (RankStream.java:42-48) — bounded top-N: per-partition heap +
+    * driver merge (TakeOrderedAndProject). */
+  def rank(df: DataFrame, n: Int, cols: Column*): DataFrame =
+    df.orderBy(cols: _*).limit(n)
+
+  /** unique (UniqueStream.java:41-46) — dedup on fields, keeping the first
+    * row per key in `order`. Deterministic (unlike dropDuplicates). */
+  def uniqueBy(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** distinct facade. */
+  def distinctOn(df: DataFrame, cols: String*): DataFrame =
+    df.select(cols.map(col): _*).distinct()
+
+  /** reduce (ReducerStream.java:49-58) — one row per group with the grouped
+    * values gathered (deterministically sorted). */
+  def reduceGroups(df: DataFrame, keys: Seq[String], valueCol: Column, as: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(array_sort(collect_list(valueCol)).as(as))
+
+  /** rollup / hashRollup (RollupStream.java:46, HashRollupStream.java:44) —
+    * bucketed aggregation; Spark's hash-agg with partial+final phases covers
+    * both the sorted-stream and hash variants. */
+  def rollup(df: DataFrame, buckets: Seq[String], metrics: Column*): DataFrame =
+    df.groupBy(buckets.map(col): _*).agg(metrics.head, metrics.tail: _*)
+
+  /** facet with nested totals (FacetStream.java:56-62 + JSON facet nesting) —
+    * CUBE produces every bucket combination plus grand totals in one pass. */
+  def facetCube(df: DataFrame, buckets: Seq[String], metrics: Column*): DataFrame =
+    df.cube(buckets.map(col): _*).agg(metrics.head, metrics.tail: _*)
+
+  /** having (HavingStream.java:37-41). */
+  def having(df: DataFrame, predicate: Column): DataFrame = df.filter(predicate)
+
+  /** stats (StatsStream.java:53) — global, bucket-less aggregates. */
+  def stats(df: DataFrame, metrics: Column*): DataFrame =
+    df.agg(metrics.head, metrics.tail: _*)
+
+  /** timeseries (TimeSeriesStream.java:57-113) — fixed-gap time buckets.
+    * `gap` is a Spark window duration like "1 hour". */
+  def timeseries(df: DataFrame, timeCol: Column, gap: String, metrics: Column*): DataFrame =
+    df.groupBy(window(timeCol, gap)).agg(metrics.head, metrics.tail: _*)
+      .select(col("window.start").as("bucket_start"), col("*")).drop("window")
+
+  /** grouping (lucene/grouping two-pass GroupingSearch) — top-n rows per
+    * group by an explicit order. */
+  def topPerGroup(df: DataFrame, groupCols: Seq[String], order: Seq[Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
+  /** significantTerms (SignificantTermsStream.java:59) — foreground vs
+    * background over-representation of values of `termCol`.
+    * Returns (term, fg, bg, score) with score = (fg/fgTotal)/(bg/bgTotal). */
+  def significantTerms(fg: DataFrame, bg: DataFrame, termCol: String, minDf: Long = 1): DataFrame = {
+    val f = fg.groupBy(termCol).agg(count("*").as("fg"))
+    val b = bg.groupBy(termCol).agg(count("*").as("bg"))
+    val ft = fg.count().toDouble
+    val bt = bg.count().toDouble
+    f.join(b, Seq(termCol), "inner")
+      .filter(col("bg") >= minDf)
+      .withColumn("score", (col("fg") / ft) / (col("bg") / bt))
+  }
+
+  /** parallel (ParallelStream.java:42-48) — hash-repartition a sub-plan on
+    * its keys; the Spark shuffle IS this operator. */
+  def parallelOn(df: DataFrame, n: Int, keys: String*): DataFrame =
+    df.repartition(n, keys.map(col): _*)
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (ARRAY<FLOAT>): brute-force
+ * cosine top-k as the exact baseline, and a random-hyperplane (sign-LSH)
+ * bucketed variant as the scale path — candidates only within matching
+ * sketch buckets, so the join is keyed, never all-pairs.
+ *
+ * All arithmetic is double-accumulated in array order (zip_with + aggregate,
+ * codegen'd) — deterministic across partitionings.
+ */
+object Similarity {
+
+  /** dot(a,b) accumulated in double, in element order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm2(a) * norm2(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /**
+   * Brute-force cosine top-k against one query vector: broadcast the query
+   * in the plan (it is a literal array), score every row, bounded-heap
+   * top-k (TakeOrderedAndProject). Exact baseline for ANN recall tests.
+   */
+  def bruteForceTopK(embs: DataFrame, idCol: String, vecCol: String,
+                     query: Array[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    embs.select(col(idCol), cosine(col(vecCol), q).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
+  /** All-rows cosine against one query vector (no top-k; oracle-friendly). */
+  def cosineAll(embs: DataFrame, idCol: String, vecCol: String,
+                query: Array[Float]): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    embs.select(col(idCol), round(cosine(col(vecCol), q), 5).as("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 mapped to [-1, 1). Pure column arithmetic, no RNG state. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /**
+   * Sign sketch: `planes` bits, bit p = sign(v · h_p) for pseudo-random
+   * hyperplane h_p. Docs with equal sketches are cosine-similar candidates.
+   */
+  def withSignSketch(embs: DataFrame, vecCol: String, planes: Int): DataFrame = {
+    val sketchBits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
+          (v, i) => v.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    embs.withColumn("sketch", sketchBits.reduce((a, b) => a.bitwiseOR(b)))
+  }
+
+  /**
+   * ANN top-k via sign-LSH with multi-probe fallback: query's bucket plus
+   * all buckets at hamming distance 1 in sketch space. Returns candidates
+   * rescored exactly — recall < 1 but scored values are exact cosines.
+   */
+  def annTopK(embs: DataFrame, idCol: String, vecCol: String,
+              query: Array[Float], planes: Int, k: Int): DataFrame = {
+    val sketched = withSignSketch(embs, vecCol, planes)
+    // compute the query's sketch with the SAME column arithmetic to avoid
+    // any driver/executor hash divergence: single-row DataFrame
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val qDf = Seq(Tuple1(query)).toDF(vecCol)
+    val qRow = withSignSketch(qDf, vecCol, planes).select("sketch").head().getLong(0)
+    val probeBuckets = qRow +: (0 until planes).map(p => qRow ^ (1L << p))
+    sketched.filter(col("sketch").isin(probeBuckets: _*))
+      .select(col(idCol), cosine(col(vecCol), array(query.map(lit(_)): _*)).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
+  /** Pairwise cosine for co-bucketed pairs (see Dedup.embeddingNearDup). */
+  def bucketedPairs(embs: DataFrame, idCol: String, vecCol: String,
+                    planes: Int): DataFrame = {
+    val sk = withSignSketch(embs, vecCol, planes)
+    sk.as("a").join(sk.as("b"),
+        col("a.sketch") === col("b.sketch") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 5).as("cos"))
+  }
+}

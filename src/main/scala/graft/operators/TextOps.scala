@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis + fulltext scoring over a documents table, expressed with
+ * Spark built-in functions only (whole-stage-codegen friendly — no UDFs in
+ * any hot path). Tokenization here is the documented "SQL-expressible" regex
+ * analyzer (`[a-z0-9]+` runs over the lowercased text); the rank-identical
+ * Lucene analysis chain lives in [[graft.analysis.Analyzer]] and is used by
+ * the index/query engine — this module is the declarative surface used for
+ * oracle-checked query parity and large-scale text pipelines.
+ *
+ * Reference capabilities covered (SURVEY.md §2):
+ *  - BM25 scoring path (search/similarities/BM25Similarity.java:37) as a
+ *    pure DataFrame pipeline: tokenize → tf → dl → df → idf → score.
+ *  - TermQuery / BooleanQuery AND-OR-NOT / minShouldMatch / DisjunctionMax
+ *    (search/TermQuery.java:43, Boolean2ScorerSupplier.java,
+ *    MinShouldMatchSumScorer.java, DisjunctionMaxQuery.java:45).
+ *  - Prefix/regexp/fuzzy/term-set expansion (search/PrefixQuery.java:31,
+ *    RegexpQuery.java:48, FuzzyQuery.java:54, TermInSetQuery.java:67).
+ *  - IVrixDB search-time field extraction (FieldExtractionStream.java:37) =
+ *    schema-on-read projection with regexp/json extraction.
+ */
+object TextOps {
+
+  /** Token pattern shared with the DuckDB oracles: maximal [a-z0-9]+ runs. */
+  val TokenPattern = "[a-z0-9]+"
+
+  /** Tokens of a text column as an array (lowercased). */
+  def tokensOf(textCol: String): Column =
+    regexp_extract_all(lower(col(textCol)), lit(TokenPattern), lit(0))
+
+  /** Exploded token table: (idCol, tok), one row per token occurrence.
+    * The narrow flatMap stage of the index pipeline — no shuffle. */
+  def tokenTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(tokensOf(textCol)).as("tok"))
+
+  /** Token table with positions (posexplode) for phrase matching. */
+  def tokenPosTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), posexplode(tokensOf(textCol)).as(Seq("pos", "tok")))
+
+  /** Per-doc term frequencies: (id, tok, tf). */
+  def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenTable(docs, idCol, textCol).groupBy(idCol, "tok").agg(count("*").as("tf"))
+
+  /**
+   * BM25 scores of every matching doc for an OR query, computed declaratively
+   * in double precision (the driver-oracle-parity path; the float-exact
+   * Lucene arithmetic lives in graft.query.BM25).
+   *
+   *   idf  = ln(1 + (N - df + 0.5)/(df + 0.5))
+   *   score(d) = Σ_t idf_t * tf/(tf + k1*(1 - b + b*dl/avgdl))
+   *
+   * Plan shape at scale: tf/dl aggregations are partial+final; the query-term
+   * filter is pushed below the tf aggregation (only q-term postings shuffle);
+   * stats (N, avgdl, df) are single-row/broadcast joins.
+   */
+  def bm25All(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+              k1: Double = 1.2, b: Double = 0.75,
+              mode: String = "or", mustNot: Seq[String] = Nil): DataFrame = {
+    val tf = termFreqs(docs, idCol, textCol)
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val stats = docs.agg(count("*").as("n"))
+      .crossJoin(dl.agg((sum("dl") / count("*")).as("avgdl")))
+    val qtf = tf.filter(col("tok").isin(terms: _*))
+    val dfs = qtf.groupBy("tok").agg(count("*").as("df"))
+    val scored = qtf
+      .join(broadcast(dfs), "tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("s", col("idf") * col("tf") /
+        (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+    val agg = scored.groupBy(idCol)
+      .agg(sum("s").as("score_raw"), count("*").as("nMatched"))
+    val filtered = mode match {
+      case "and" => agg.filter(col("nMatched") === terms.distinct.size)
+      case _     => agg
+    }
+    val anti =
+      if (mustNot.isEmpty) filtered
+      else filtered.join(
+        tokenTable(docs, idCol, textCol).filter(col("tok").isin(mustNot: _*))
+          .select(idCol).distinct(),
+        Seq(idCol), "left_anti")
+    anti.select(col(idCol), round(col("score_raw"), 5).as("score"))
+  }
+
+  /** minShouldMatch (MinShouldMatchSumScorer): docs matching >= n of terms. */
+  def minShouldMatch(docs: DataFrame, idCol: String, textCol: String,
+                     terms: Seq[String], n: Int): DataFrame =
+    termFreqs(docs, idCol, textCol)
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(idCol).agg(count("*").as("n_matched"), sum("tf").as("sum_tf"))
+      .filter(col("n_matched") >= n)
+
+  /** DisjunctionMax over per-term tf: max + tiebreak*(sum-max). */
+  def disjunctionMax(docs: DataFrame, idCol: String, textCol: String,
+                     terms: Seq[String], tiebreak: Double): DataFrame =
+    termFreqs(docs, idCol, textCol)
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(idCol)
+      .agg(round(max("tf") + lit(tiebreak) * (sum("tf") - max("tf")), 5).as("dmax_score"))
+
+  /** Exact phrase match (ExactPhraseMatcher): docs where the terms occur at
+    * consecutive token positions. Position-array intersection per doc. */
+  def phraseMatch(docs: DataFrame, idCol: String, textCol: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty)
+    val pos = tokenPosTable(docs, idCol, textCol)
+    val parts = phrase.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("tok") === t)
+        .groupBy(idCol).agg(collect_list(col("pos") - i).as(s"p$i"))
+    }
+    val joined = parts.reduceLeft((a, b) => a.join(b, idCol))
+    val starts = (1 until phrase.length).foldLeft(col("p0")) { (acc, i) =>
+      array_intersect(acc, col(s"p$i"))
+    }
+    joined.withColumn("n_occurrences", size(starts))
+      .filter(col("n_occurrences") > 0)
+      .select(col(idCol), col("n_occurrences"))
+  }
+
+  /** Multi-term expansion queries: df of terms selected by a predicate on
+    * the term itself (prefix/regexp/fuzzy/set — PrefixQuery, RegexpQuery,
+    * FuzzyQuery, TermInSetQuery). Returns (term, df, ttf). */
+  def expandTerms(docs: DataFrame, idCol: String, textCol: String,
+                  termPred: Column => Column): DataFrame =
+    termFreqs(docs, idCol, textCol)
+      .filter(termPred(col("tok")))
+      .groupBy(col("tok").as("term"))
+      .agg(count("*").as("df"), sum("tf").as("ttf"))
+
+  // ---------------------------------------------------------------------
+  // Text analysis for training-data pipelines
+  // ---------------------------------------------------------------------
+
+  /** Token count + basic quality stats per doc, all codegen built-ins. */
+  def qualityStats(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String]): DataFrame = {
+    val toks = tokensOf(textCol)
+    docs.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      round(size(filter(toks, t => t.isin(stopwords: _*))) /
+        greatest(size(toks), lit(1)).cast("double"), 5).as("stopword_ratio"),
+      round(aggregate(transform(toks, t => length(t)), lit(0),
+        (acc, x) => acc + x).cast("double") /
+        greatest(size(toks), lit(1)), 5).as("mean_token_len"),
+      round(size(array_distinct(toks)) /
+        greatest(size(toks), lit(1)).cast("double"), 5).as("distinct_ratio"))
+  }
+
+  /** Language-ID by stopword-hit voting: argmax over per-language marker
+    * lists (deterministic n-gram-free heuristic, SQL-expressible). */
+  def languageId(docs: DataFrame, idCol: String, textCol: String,
+                 markers: Seq[(String, Seq[String])]): DataFrame = {
+    val toks = tokensOf(textCol)
+    val hitCols = markers.map { case (lang, words) =>
+      size(filter(toks, t => t.isin(words: _*))).as(s"hits_$lang")
+    }
+    val base = docs.select(col(idCol) +: hitCols: _*)
+    // argmax with deterministic tie-break: first language in list order wins
+    val pred = markers.map(_._1).foldRight(lit("und")) { (lang, els) =>
+      when(col(s"hits_$lang") > 0 &&
+        markers.map(m => col(s"hits_$lang") >= col(s"hits_${m._1}")).reduce(_ && _),
+        lit(lang)).otherwise(els)
+    }
+    base.withColumn("lang_pred", pred)
+  }
+
+  /** Document fingerprint: md5 of the sorted distinct token set — the
+    * canonical "fingerprint" normalization (case/punct/order-insensitive). */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      md5(concat_ws(" ", array_sort(array_distinct(tokensOf(textCol))))).as("fp"))
+
+  /** IVrixDB-style search-time field extraction: k:v pairs pulled out of a
+    * raw string with regex, typed by cast attempt (FieldExtractionStream). */
+  def extractField(raw: Column, key: String): Column =
+    regexp_extract(raw, "\"" + key + "\"\\s*:\\s*(\\d+)", 1).cast("long")
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-library semantics tests on tiny in-memory data. */
+class OperatorsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "spark query join the fast spark"),
+    (1L, "query data the the a slow"),
+    (2L, "spark spark spark join"),
+    (3L, "unrelated words only here"),
+    (4L, "spark query join the fast spark") // exact dup of doc 0
+  ).toDF("doc_id", "text")
+
+  test("tokenTable explodes lowercase alnum runs") {
+    val t = TextOps.tokenTable(docs, "doc_id", "text")
+    assert(t.count() === 26)
+    assert(t.filter($"doc_id" === 0 && $"tok" === "spark").count() === 2)
+  }
+
+  test("bm25All OR ranks higher-tf doc higher, AND requires all terms") {
+    val or = TextOps.bm25All(docs, "doc_id", "text", Seq("spark", "query"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(or.keySet === Set(0L, 1L, 2L, 4L))
+    // doc 0 and its dup 4 must score identically
+    assert(or(0L) === or(4L))
+    val and = TextOps.bm25All(docs, "doc_id", "text", Seq("spark", "query"), mode = "and")
+      .select("doc_id").as[Long].collect().toSet
+    assert(and === Set(0L, 4L))
+    val not = TextOps.bm25All(docs, "doc_id", "text", Seq("query"), mustNot = Seq("slow"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(not === Set(0L, 4L))
+  }
+
+  test("bm25 idf is computed from full-corpus df (rarer term scores higher at equal tf)") {
+    val d = Seq((0L, "alpha beta"), (1L, "alpha gamma"), (2L, "alpha delta"), (3L, "beta x"))
+      .toDF("doc_id", "text")
+    val s = TextOps.bm25All(d, "doc_id", "text", Seq("gamma", "beta"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // df(gamma)=1 < df(beta)=2 -> doc1 (gamma, dl=2) > doc0 (beta, dl=2)
+    assert(s(1L) > s(0L))
+  }
+
+  test("phraseMatch finds consecutive tokens only") {
+    val m = TextOps.phraseMatch(docs, "doc_id", "text", Seq("query", "join"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(m === Set(0L, 4L)) // doc2 has 'spark join'; doc1 has query but not followed by join
+  }
+
+  test("minShouldMatch and disjunctionMax") {
+    val msm = TextOps.minShouldMatch(docs, "doc_id", "text", Seq("spark", "query", "data"), 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(msm === Set(0L, 1L, 4L))
+    val dmax = TextOps.disjunctionMax(docs, "doc_id", "text", Seq("spark", "query"), 0.1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dmax(2L) === 3.0) // only spark: max=3, no tiebreak
+    assert(dmax(0L) === 2.0 + 0.1 * 1) // spark tf2 + 0.1*query tf1
+  }
+
+  test("exact dedup marks duplicate groups and keeps first") {
+    val d = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(d(0L) === ((2L, true)))
+    assert(d(4L) === ((2L, false)))
+    assert(d(1L) === ((1L, true)))
+  }
+
+  test("minhash LSH finds the exact-dup pair with est_jaccard 1") {
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", 64)
+    val cands = Dedup.minHashCandidates(sigs, "doc_id", bands = 16, rowsPerBand = 4, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cands.exists { case (a, b, j) => a == 0L && b == 4L && j == 1.0 })
+  }
+
+  test("simhash: identical docs have hamming 0, candidates found") {
+    val sh = Dedup.simHash(docs, "doc_id", "text")
+    val cands = Dedup.simHashCandidates(sh, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    assert(cands.exists { case (a, b, h) => a == 0L && b == 4L && h == 0L })
+  }
+
+  test("ngram jaccard: identical=1, disjoint~0") {
+    val d = Seq((0L, "abcdefg", "abcdefg"), (1L, "abcdefg", "zzzzyyy"))
+      .toDF("id", "a", "b")
+    val j = d.select($"id", Dedup.ngramJaccard($"a", $"b", 3).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(j(0L) === 1.0)
+    assert(j(1L) === 0.0)
+  }
+
+  test("cosine similarity: self=1, orthogonal=0; brute-force top-k ordered") {
+    val embs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f)),
+      (2L, Array(1f, 1f, 0f)),
+      (3L, Array(-1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(embs, "vec_id", "embedding", Array(1f, 0f, 0f), 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.head._1 === 0L && math.abs(top.head._2 - 1.0) < 1e-12)
+    assert(top.map(_._1).toSeq === Seq(0L, 2L, 1L))
+  }
+
+  test("ANN sign-sketch recall: query's nearest neighbor found via bucket probe") {
+    val embs = (0L until 50L).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0.1f, 0f) else Array(0f, 1f, 0.3f)
+      (i, base.map(_ + (i % 7) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val q = Array(1f, 0.1f, 0f)
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSet
+    val ann = Similarity.annTopK(embs, "vec_id", "embedding", q, planes = 6, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    // multi-probe LSH on clearly-separated clusters: recall should be high
+    assert(ann.intersect(exact).size >= 3)
+  }
+
+  test("multimodal: media table schema, decode stub, frame sampling") {
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq === Seq("asset_id", "mime", "payload"))
+    val meta = Multimodal.decodeMeta(media)
+    val r = meta.filter($"asset_id" === 0).head()
+    val nBytes = "spark query join the fast spark".getBytes("UTF-8").length
+    assert(r.getAs[Int]("n_bytes") === nBytes)
+    assert(r.getAs[Int]("width") === 16 + nBytes % 1024)
+    val frames = Multimodal.sampleFrames(meta, 2)
+    assert(frames.filter($"asset_id" === 0).count() === 1) // 1 frame, stride 2 -> idx 0
+    val feats = Multimodal.extractFeatures(media, 8)
+    assert(feats.head().getAs[Seq[Float]]("features").length === 8)
+  }
+
+  test("relational: uniqueBy keeps first by order, topPerGroup bounded") {
+    val df = Seq((1, "a", 10), (1, "b", 5), (2, "c", 7)).toDF("k", "v", "x")
+    val u = Relational.uniqueBy(df, Seq("k"), Seq(desc("x")))
+      .select("k", "v").as[(Int, String)].collect().toSet
+    assert(u === Set((1, "a"), (2, "c")))
+    val t = Relational.topPerGroup(df, Seq("k"), Seq(asc("x")), 1)
+      .select("k", "v").as[(Int, String)].collect().toSet
+    assert(t === Set((1, "b"), (2, "c")))
+  }
+
+  test("significantTerms: overrepresented fg term scores > 1") {
+    val tok = TextOps.tokenTable(docs, "doc_id", "text")
+    val fg = TextOps.tokenTable(docs.filter($"doc_id" === 2), "doc_id", "text")
+    val st = Relational.significantTerms(fg, tok, "tok")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(st("spark") > 1.0)
+  }
+
+  test("languageId votes by marker hits with deterministic ties") {
+    val d = Seq((0L, "the cat and the dog"), (1L, "el perro de la casa"), (2L, "xyz")).toDF("doc_id", "text")
+    val markers = Seq("en" -> Seq("the", "and"), "es" -> Seq("el", "de", "la"))
+    val out = TextOps.languageId(d, "doc_id", "text", markers)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(out(0L) === "en")
+    assert(out(1L) === "es")
+    assert(out(2L) === "und")
+  }
+}
