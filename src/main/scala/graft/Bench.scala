@@ -1,24 +1,147 @@
 package graft
+
+import graft.corpus.CorpusGen
+import graft.index.IndexStore
+import graft.query.QueryEngine
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Per-round benchmark. Two parts:
+ *
+ * 1. North-rule scaling evidence: the SAME index-build + query workload on
+ *    the SAME deterministic corpus at two parallelism levels (local[8] vs
+ *    local[32], standing in for N vs 4N executors — driver instruction),
+ *    reporting files/sec at both plus scaling efficiency
+ *    = throughput@32 / (4 × throughput@8).
+ * 2. Headline driver queries on SPARK_GRAFT_SF_DIR (per-query seconds).
+ *
+ * Emits ONE JSON line on stdout.
+ */
 object Bench {
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // shuffle on tmpfs: the sandbox has ONE virtio disk; a real 4N-executor
+      // cluster has per-node shuffle disks, so measuring compute scaling
+      // against a single shared disk would conflate the two
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rm)
+    f.delete(): Unit
+  }
+
+  /** The fixed query workload (EnwikiQueryMaker-style reference set over the
+    * synthetic corpus vocabulary: hot keywords, mid idents, rare uniques). */
+  private val QuerySet: Seq[(Seq[String], QueryEngine.Mode, Boolean)] = Seq(
+    (Seq("public"), QueryEngine.Or, false),
+    (Seq("import"), QueryEngine.Or, false),
+    (Seq("parseconfig"), QueryEngine.Or, false),
+    (Seq("public", "static", "void"), QueryEngine.Or, false),
+    (Seq("public", "static", "void"), QueryEngine.Or, true),
+    (Seq("import", "handler7"), QueryEngine.And, false),
+    (Seq("mergepolicy", "checkpoint"), QueryEngine.Or, true),
+    (Seq("scoredocs", "readblock", "writeshard"), QueryEngine.Or, false),
+    (Seq("class", "object"), QueryEngine.And, false),
+    (Seq("uniq_42_1"), QueryEngine.Or, false))
+
+  /** Materialize the corpus table once (untimed): the north-rule input is a
+    * STORED source-code table, so the timed build reads parquet, not a
+    * generator. spark.range partitions are contiguous docId ranges, so the
+    * written files are docId-clustered and segment slices prune to their
+    * own files (Parquet min/max on docId). */
+  private def writeCorpus(numDocs: Long, files: Int): String = {
+    val path = s"target/bench-corpus-$numDocs"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val root = new java.io.File(path)
+      if (root.exists()) rm(root)
+      val spark = session(32)
+      try CorpusGen.corpusWithIds(spark, numDocs, files)
+        .write.mode("overwrite").parquet(path)
+      finally spark.stop()
+    }
+    path
+  }
+
+  /** Build + query the corpus table at one parallelism level.
+    * Returns (buildFilesPerSec, queryQps). */
+  private def runAtLevel(cores: Int, numDocs: Long, corpusPath: String): (Double, Double) = {
+    val spark = session(cores)
+    try {
+      val dir = s"/dev/shm/graft-bench-idx-$cores"
+      // JIT/classload warmup so the first-measured level isn't penalized
+      val warmDir = s"/dev/shm/graft-bench-warm-$cores"
+      val warmRoot = new java.io.File(warmDir)
+      if (warmRoot.exists()) rm(warmRoot)
+      IndexStore.build(spark, CorpusGen.corpusWithIds(spark, 2000, cores),
+        warmDir, numSegments = 1, shufflePartitions = cores)
+      rm(new java.io.File(warmDir))
+      val corpus = spark.read.parquet(corpusPath)
+      val segs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEGS", "1").toInt
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+      // several timed rounds, keep the best: the sandbox VM sees multi-second
+      // host stalls that would otherwise dominate a single measurement
+      val buildSecs = (1 to rounds).map { _ =>
+        val root2 = new java.io.File(dir)
+        if (root2.exists()) rm(root2)
+        val t0 = System.nanoTime()
+        IndexStore.build(spark, corpus, dir, numSegments = segs, shufflePartitions = cores * 2)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val idx = IndexStore.OpenIndex(spark, dir)
+      // warm the reader path once, then time the query set
+      idx.topK(Seq("public"), 10).collect()
+      val q0 = System.nanoTime()
+      QuerySet.foreach { case (terms, mode, prune) =>
+        idx.topK(terms, 10, mode, prune = prune).collect(): Unit
+      }
+      val querySecs = (System.nanoTime() - q0) / 1e9
+      (numDocs / buildSecs, QuerySet.size / querySecs)
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val numDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "120000").toLong
+    val loCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_LO", "8").toInt
+    val hiCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_HI", "32").toInt
+
+    val corpusPath = writeCorpus(numDocs, files = 64)
+    val (bLo, qLo) = runAtLevel(loCores, numDocs, corpusPath)
+    val (bHi, qHi) = runAtLevel(hiCores, numDocs, corpusPath)
+    val ratio = hiCores.toDouble / loCores
+    val buildEff = bHi / (ratio * bLo)
+    val queryEff = qHi / (ratio * qLo)
+
+    // headline driver queries at the high parallelism level
+    val spark = session(hiCores)
+    val headline = Seq("q1_agg", "q2_join_inner", "q3_join_broadcast", "q7_topk",
+      "q13_timeseries", "q16_sig_terms", "ft_bm25_or", "ft_engine_topk",
+      "dd_minhash", "dd_simhash", "sim_cosine", "ta_quality", "mm_decode")
+    val qs = SparkEntry.queries
+    val results = headline.flatMap { name =>
+      qs.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    val queriesJson = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"index-build files/sec @ local[$hiCores] (scaling eff ${buildEff}%.2f vs local[$loCores])","value":$bHi%.1f,"unit":"files/sec","sf":"$sfDir","queries":$queriesJson,"headline_total_sec":$total%.2f,"bench_docs":$numDocs,"build_files_per_sec_lo":$bLo%.1f,"build_files_per_sec_hi":$bHi%.1f,"build_scaling_efficiency":$buildEff%.3f,"query_qps_lo":$qLo%.2f,"query_qps_hi":$qHi%.2f,"query_scaling_efficiency":$queryEff%.3f,"lo_cores":$loCores,"hi_cores":$hiCores}""")
   }
 }

@@ -105,11 +105,60 @@ object Analyzer extends Serializable {
   /** Terms only (no positions). */
   def terms(text: String): Seq[String] = analyze(text).map(_.term)
 
-  /** Per-doc term frequencies and doc length in one pass. */
-  def termFreqs(text: String): (Map[String, Int], Int) = {
-    val toks = analyze(text)
-    val m = scala.collection.mutable.HashMap.empty[String, Int]
-    toks.foreach(t => m.update(t.term, m.getOrElse(t.term, 0) + 1))
-    (m.toMap, toks.length)
+  /**
+   * Allocation-light hot path: stream lowercased terms into `f` without
+   * materializing Token objects or intermediate Seqs. Semantics identical
+   * to `analyze(text).foreach(t => f(t.term))` (property-tested) — this is
+   * the per-doc kernel of the index build, where 32 concurrent tasks are
+   * memory-bandwidth-bound, so garbage per token directly costs scaling.
+   */
+  def foreachTerm(text: String)(f: String => Unit): Unit = {
+    val n = text.length
+    var i = 0
+    val sb = new java.lang.StringBuilder(32)
+    def flush(): Unit = {
+      // chop into <=255-char chunks first (scanner-buffer semantics), then
+      // strip trailing joiners per chunk and lowercase — exactly
+      // segment() + the per-token strip + lowercase() of analyze()
+      var s = 0
+      val len = sb.length
+      while (s < len) {
+        val end = math.min(s + MaxTokenLength, len)
+        var e = end
+        while (e > s && { val c = sb.charAt(e - 1); c == '_' || c == '.' || c == ':' || c == '\'' || c == ',' }) e -= 1
+        if (e > s) f(lowercase(sb.substring(s, e)))
+        s = end
+      }
+      sb.setLength(0)
+    }
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (isWordChar(cp) || (isExtend(cp) && sb.length > 0)) {
+        sb.appendCodePoint(cp)
+        i += w
+      } else if (sb.length > 0 && i + w < n && joins(cp, sb.codePointBefore(sb.length), text.codePointAt(i + w))) {
+        sb.appendCodePoint(cp)
+        i += w
+      } else {
+        if (sb.length > 0) flush()
+        i += w
+      }
+    }
+    if (sb.length > 0) flush()
+  }
+
+  /** Per-doc term frequencies and doc length in one allocation-light pass. */
+  def termFreqs(text: String): (scala.collection.Map[String, Int], Int) = {
+    val m = new java.util.HashMap[String, Integer](64)
+    var dl = 0
+    foreachTerm(text) { t =>
+      dl += 1
+      val prev = m.getOrDefault(t, 0)
+      m.put(t, prev + 1)
+    }
+    val out = scala.collection.mutable.HashMap.empty[String, Int]
+    m.forEach((k, v) => out.update(k, v))
+    (out, dl)
   }
 }

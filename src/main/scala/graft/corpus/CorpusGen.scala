@@ -58,14 +58,16 @@ object CorpusGen {
     f"$a%016x$b%016x$c%08x"
   }
 
-  /** Pure function of the row index -> one source file. */
-  def genFile(i: Long): SourceFile = {
+  /** Pure function of the row index -> one source file. `sizeScale`
+    * multiplies the token budget (1 = test default; Bench uses larger
+    * files, realistic for source corpora, to weight analysis CPU). */
+  def genFile(i: Long, sizeScale: Int = 1): SourceFile = {
     val rng = new Rng(mix(Seed ^ i))
     val repo = f"org${i % 37}%04d/repo${(i / 37) % 101}%04d"
     val path = s"src/main/pkg${i % 13}/File${i % 997}.${langs((i % 5).toInt)}"
     val commit = hex40(i)
     // 3 size classes: ~0.5KB, ~5KB, ~50KB of tokens
-    val sizeClass = (i % 10) match { case 0 | 1 | 2 | 3 | 4 | 5 => 80; case 6 | 7 | 8 => 800; case _ => 8000 }
+    val sizeClass = sizeScale * ((i % 10) match { case 0 | 1 | 2 | 3 | 4 | 5 => 80; case 6 | 7 | 8 => 800; case _ => 8000 })
     val nTokens = sizeClass + rng.nextInt(sizeClass / 2 + 1)
     val sb = new java.lang.StringBuilder(nTokens * 8)
     var t = 0
@@ -89,5 +91,16 @@ object CorpusGen {
   def corpus(spark: SparkSession, numDocs: Long, partitions: Int = 32): Dataset[SourceFile] = {
     import spark.implicits._
     spark.range(0L, numDocs, 1L, partitions).map(i => genFile(i))
+  }
+
+  /** Corpus with deterministic dense docIds (= row index): content is a pure
+    * function of i, so ids are identical at ANY partitioning/parallelism —
+    * the invariant rank-identity across local[8]/local[32] depends on. */
+  def corpusWithIds(spark: SparkSession, numDocs: Long, partitions: Int = 32,
+                    sizeScale: Int = 1): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(0L, numDocs, 1L, partitions)
+      .map { i => val f = genFile(i, sizeScale); (i, f.repo, f.path, f.commit, f.lang, f.content) }
+      .toDF("docId", "repo", "path", "commit", "lang", "content")
   }
 }

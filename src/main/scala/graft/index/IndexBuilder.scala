@@ -46,20 +46,48 @@ final case class CorpusStats(docCount: Long, sumTotalTermFreq: Long) {
  * in-memory per document inside flatMap (docs are small), so the shuffle
  * carries one row per (doc, distinct term), not per token.
  */
+/** One analyzed doc: everything the index needs, content dropped. Produced
+  * in a SINGLE analysis pass (tokenization is the dominant CPU cost of the
+  * build — computing postings and doc stats from one pass instead of two
+  * nearly halves build time; see Bench). */
+final case class DocInverted(docId: Long, dl: Int, normByte: Byte, sha: String,
+                             terms: Array[String], tfs: Array[Int])
+
 object IndexBuilder {
 
-  /** Tokenize + per-doc aggregate: one PostingRow per (doc, distinct term). */
-  def invert(spark: SparkSession, corpus: DataFrame,
-             idCol: String = "docId", contentCol: String = "content"): Dataset[PostingRow] = {
+  /** The single analysis pass: tokenize + per-doc aggregate + sha256. */
+  def invertDocs(spark: SparkSession, corpus: DataFrame,
+                 idCol: String = "docId", contentCol: String = "content"): Dataset[DocInverted] = {
     import spark.implicits._
     corpus.select(col(idCol).cast("long"), col(contentCol).cast("string"))
       .as[(Long, String)]
-      .flatMap { case (docId, content) =>
+      .map { case (docId, content) =>
         val (tfs, dl) = Analyzer.termFreqs(content)
-        val nb = SmallFloat.intToByte4(dl)
-        tfs.iterator.map { case (t, f) => PostingRow(t, docId, f, nb) }
+        val terms = new Array[String](tfs.size)
+        val freqs = new Array[Int](tfs.size)
+        var i = 0
+        tfs.foreach { case (t, f) => terms(i) = t; freqs(i) = f; i += 1 }
+        DocInverted(docId, dl, SmallFloat.intToByte4(dl),
+          graft.util.Digest.sha256Hex(content), terms, freqs)
       }
   }
+
+  def postingsOf(inv: Dataset[DocInverted]): Dataset[PostingRow] = {
+    import inv.sparkSession.implicits._
+    inv.flatMap { d =>
+      d.terms.indices.iterator.map(i => PostingRow(d.terms(i), d.docId, d.tfs(i), d.normByte))
+    }
+  }
+
+  def statsOf(inv: Dataset[DocInverted]): Dataset[DocStat] = {
+    import inv.sparkSession.implicits._
+    inv.map(d => DocStat(d.docId, d.dl, d.normByte, d.sha))
+  }
+
+  /** Tokenize + per-doc aggregate: one PostingRow per (doc, distinct term). */
+  def invert(spark: SparkSession, corpus: DataFrame,
+             idCol: String = "docId", contentCol: String = "content"): Dataset[PostingRow] =
+    postingsOf(invertDocs(spark, corpus, idCol, contentCol))
 
   /** Positions table for phrase queries: (docId, term, poss ARRAY<INT> asc).
     * The Spark shape of Lucene's .pos data (SURVEY.md §2.3 phrase rows);
@@ -80,16 +108,8 @@ object IndexBuilder {
 
   /** Per-doc stats in a single narrow pass (no shuffle). */
   def docStats(spark: SparkSession, corpus: DataFrame,
-               idCol: String = "docId", contentCol: String = "content"): Dataset[DocStat] = {
-    import spark.implicits._
-    corpus.select(col(idCol).cast("long"), col(contentCol).cast("string"))
-      .as[(Long, String)]
-      .map { case (docId, content) =>
-        val dl = Analyzer.analyze(content).length
-        val sha = graft.util.Digest.sha256Hex(content)
-        DocStat(docId, dl, SmallFloat.intToByte4(dl), sha)
-      }
-  }
+               idCol: String = "docId", contentCol: String = "content"): Dataset[DocStat] =
+    statsOf(invertDocs(spark, corpus, idCol, contentCol))
 
   /** Sort-shuffle inversion + streaming block pack. Constant memory per task:
     * the packer buffers at most 128 postings. */

@@ -78,15 +78,20 @@ object IndexStore {
       if (lo < n && !isCommitted(dir, seg)) {
         val t0 = System.nanoTime()
         val slice = corpusWithIds.filter($"docId" >= lo && $"docId" < hi)
-        val ds = IndexBuilder.docStats(spark, slice).cache()
-        val blocks = IndexBuilder.packBlocks(spark, IndexBuilder.invert(spark, slice), shufflePartitions)
+        // ONE analysis pass per segment: postings and doc stats both derive
+        // from the cached inverted form (content already dropped — the
+        // persisted intermediate is term/tf arrays, far smaller than input)
+        val inv = IndexBuilder.invertDocs(spark, slice)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ds = IndexBuilder.statsOf(inv)
+        val blocks = IndexBuilder.packBlocks(spark, IndexBuilder.postingsOf(inv), shufflePartitions)
         val segDir = s"$dir/segments/seg=$seg"
         blocks.write.mode("overwrite").parquet(s"$segDir/postings")
         ds.write.mode("overwrite").parquet(s"$segDir/docstats")
         val m = ds.agg(count("*"), sum(col("dl").cast("long")),
           bit_xor(xxhash64(col("contentSha256")))).head()
         val blockCount = spark.read.parquet(s"$segDir/postings").count()
-        ds.unpersist()
+        inv.unpersist()
         writeManifest(dir, Manifest(seg, lo, hi, m.getLong(0),
           if (m.isNullAt(1)) 0L else m.getLong(1), blockCount,
           f"${m.getLong(2)}%016x", source, spark.sparkContext.applicationId,

@@ -33,3 +33,31 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(tfs === Map("a" -> 3, "b" -> 2, "c" -> 1))
   }
 }
+
+class FastPathSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.analysis.Analyzer
+
+  test("foreachTerm is exactly analyze().map(_.term) on random mixed text") {
+    val rnd = new scala.util.Random(42)
+    val pool = "abcXYZ019 \n\t(){};.:'_,\u00c4\u00df\u4e2d\u00e9\u03a3"
+    for (trial <- 0 until 500) {
+      val len = rnd.nextInt(120)
+      val sb = new StringBuilder
+      for (_ <- 0 until len) sb += pool(rnd.nextInt(pool.length))
+      if (trial % 50 == 0) sb ++= " " + ("x" * (250 + rnd.nextInt(350))) + "." + sb.toString
+      val s = sb.toString
+      val slow = Analyzer.analyze(s).map(_.term)
+      val fast = scala.collection.mutable.ArrayBuffer[String]()
+      Analyzer.foreachTerm(s)(fast += _)
+      assert(slow == fast.toSeq, s"mismatch on: [$s]")
+    }
+  }
+
+  test("termFreqs matches analyze-derived counts") {
+    val s = "Foo.bar foo_bar 1,234 a.b.c 'quoted' x. . ABC abc"
+    val (tfs, dl) = Analyzer.termFreqs(s)
+    val toks = Analyzer.analyze(s).map(_.term)
+    assert(dl === toks.length)
+    assert(tfs.toMap === toks.groupBy(identity).view.mapValues(_.size).toMap)
+  }
+}
