@@ -44,7 +44,8 @@ object SparkEntry {
       val corpus = rd(s, dir, "documents")
         .select(col("doc_id").as("docId"), col("text").as("content"))
       IndexStore.build(s, corpus, idxDir, numSegments = 2,
-        shufflePartitions = s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        shufflePartitions = s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        withPositions = true)
       IndexStore.OpenIndex(s, idxDir)
     })
   }
@@ -271,6 +272,66 @@ object SparkEntry {
     "ft_engine_topk" -> ((s, d) => docIndex(s, d)
       .topK(Seq("spark", "query", "join"), 20)),
 
+    "ft_engine_phrase" -> ((s, d) => docIndex(s, d)
+      .phrase(Seq("data", "group")).select(col("docId").as("doc_id"))),
+
+    // ---- more aggregation / query-operator surface ----
+    // approx distinct (HLLAgg parity via Spark's HLL++): approximate by
+    // design, so no value-equality oracle — rows-only check + ScalaTest
+    // bound assertions
+    "q30_hll" -> ((s, d) => rd(s, d, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("approx_users"))),
+
+    // IVrixDB topValues field summary: top values with counts + percentages
+    "q31_topvalues" -> ((s, d) => {
+      val ev = rd(s, d, "events")
+      val total = ev.count().toDouble
+      ev.groupBy(col("event_type").as("value"))
+        .agg(count("*").as("cnt"))
+        .withColumn("pct", round(col("cnt") / total, 5))
+        .orderBy(desc("cnt"), asc("value")).limit(10)
+    }),
+
+    // SynonymQuery: terms scored as ONE pseudo-term (summed tf here;
+    // integer outputs keep the oracle exact)
+    "q32_synonym" -> ((s, d) => TextOps.termFreqs(rd(s, d, "documents"), "doc_id", "text")
+      .filter(col("tok").isin("spark", "query"))
+      .groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("syn_tf"))),
+
+    // windowed (sloppy-style) phrase: 'data' then 'group' within 3 positions
+    "q33_window_phrase" -> ((s, d) => {
+      val pos = TextOps.tokenPosTable(rd(s, d, "documents"), "doc_id", "text")
+      val a = pos.filter(col("tok") === "data").select(col("doc_id"), col("pos").as("pa"))
+      val b = pos.filter(col("tok") === "group").select(col("doc_id"), col("pos").as("pb"))
+      a.join(b, "doc_id")
+        .filter((col("pb") - col("pa")).between(1, 3))
+        .groupBy("doc_id").agg(count("*").as("n_pairs"))
+    }),
+
+    // more-like-this (KnnStream parity): docs ranked by shared-distinct-token
+    // count with doc 0
+    "q37_mlt" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+      val toks = TextOps.tokenTable(docs, "doc_id", "text").distinct()
+      val q = toks.filter(col("doc_id") === 0).select(col("tok"))
+      toks.filter(col("doc_id") =!= 0)
+        .join(broadcast(q), "tok")
+        .groupBy("doc_id").agg(count("*").as("shared"))
+        .filter(col("shared") >= 20)
+    }),
+
+    // timeseries with gap-fill: every hour bucket in the data's range,
+    // zero-filled (TimeSeriesStream start/end/gap semantics)
+    "q38_gapfill" -> ((s, d) => {
+      val ev = rd(s, d, "events").withColumn("bucket", date_trunc("hour", col("ts")))
+      val range = ev.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      val buckets = range.select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("bucket"))
+      buckets.join(ev.groupBy("bucket").agg(count("*").as("cnt")), Seq("bucket"), "left_outer")
+        .select(col("bucket").cast("string").as("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    }),
+
     // ---- text analysis (training-data pipeline ops) ----
     "ta_quality" -> ((s, d) => TextOps.qualityStats(rd(s, d, "documents"),
       "doc_id", "text", Stopwords)),
@@ -471,6 +532,42 @@ object SparkEntry {
       "ft_engine_and" ->
         s"""WITH tf AS (SELECT doc_id, tok FROM ($tok) WHERE tok IN ('spark','query') GROUP BY doc_id, tok)
            | SELECT doc_id FROM tf GROUP BY doc_id HAVING count(*) = 2""".stripMargin,
+      "ft_engine_phrase" ->
+        """WITH t AS (SELECT doc_id,
+          |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          |  FROM documents)
+          | SELECT DISTINCT a.doc_id FROM t a JOIN t b
+          |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          | WHERE a.tok = 'data' AND b.tok = 'group'""".stripMargin,
+      "q31_topvalues" ->
+        """WITH c AS (SELECT event_type AS value, count(*) AS cnt FROM events GROUP BY 1),
+          | t AS (SELECT count(*) AS n FROM events)
+          | SELECT value, cnt, round(cnt / CAST(n AS DOUBLE), 5) AS pct FROM c, t
+          | ORDER BY cnt DESC, value ASC LIMIT 10""".stripMargin,
+      "q32_synonym" ->
+        s"""SELECT doc_id, CAST(count(*) AS BIGINT) AS syn_tf FROM ($tok)
+           | WHERE tok IN ('spark','query') GROUP BY doc_id""".stripMargin,
+      "q33_window_phrase" ->
+        """WITH t AS (SELECT doc_id,
+          |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          |  FROM documents)
+          | SELECT a.doc_id, count(*) AS n_pairs FROM t a JOIN t b
+          |  ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+          | WHERE a.tok = 'data' AND b.tok = 'group' GROUP BY a.doc_id""".stripMargin,
+      "q37_mlt" ->
+        s"""WITH toks AS (SELECT DISTINCT doc_id, tok FROM ($tok)),
+           | q AS (SELECT tok FROM toks WHERE doc_id = 0)
+           | SELECT toks.doc_id, count(*) AS shared FROM toks JOIN q ON toks.tok = q.tok
+           | WHERE toks.doc_id <> 0 GROUP BY toks.doc_id HAVING count(*) >= 20""".stripMargin,
+      "q38_gapfill" ->
+        """WITH ev AS (SELECT date_trunc('hour', ts) AS bucket FROM events),
+          | r AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM ev),
+          | buckets AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM r),
+          | c AS (SELECT bucket, count(*) AS cnt FROM ev GROUP BY bucket)
+          | SELECT CAST(buckets.bucket AS VARCHAR) AS bucket, COALESCE(c.cnt, 0) AS cnt
+          | FROM buckets LEFT JOIN c ON buckets.bucket = c.bucket""".stripMargin,
       "ta_quality" ->
         """SELECT doc_id, length(text) AS n_chars,
           | len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,

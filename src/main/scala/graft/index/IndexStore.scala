@@ -64,7 +64,8 @@ object IndexStore {
    * deterministic docIds. Each segment covers a contiguous docId slice.
    */
   def build(spark: SparkSession, corpusWithIds: DataFrame, dir: String,
-            numSegments: Int, shufflePartitions: Int, source: String = "corpus"): Unit = {
+            numSegments: Int, shufflePartitions: Int, source: String = "corpus",
+            withPositions: Boolean = false): Unit = {
     import spark.implicits._
     val chk = corpusWithIds.agg(max("docId"), count("*"), countDistinct("docId")).head()
     val n = chk.getLong(0) + 1
@@ -88,6 +89,13 @@ object IndexStore {
         val segDir = s"$dir/segments/seg=$seg"
         blocks.write.mode("overwrite").parquet(s"$segDir/postings")
         ds.write.mode("overwrite").parquet(s"$segDir/docstats")
+        // optional .pos analogue (phrase queries): (docId, term, poss ASC),
+        // term-bucketed so phrase term lookups prune files
+        if (withPositions)
+          IndexBuilder.invertPositions(spark, slice)
+            .repartitionByRange(shufflePartitions, $"term")
+            .sortWithinPartitions($"term", $"docId")
+            .write.mode("overwrite").parquet(s"$segDir/positions")
         val m = ds.agg(count("*"), sum(col("dl").cast("long")),
           bit_xor(xxhash64(col("contentSha256")))).head()
         val blockCount = spark.read.parquet(s"$segDir/postings").count()
@@ -130,5 +138,11 @@ object IndexStore {
     def topK(terms: Seq[String], k: Int, mode: QueryEngine.Mode = QueryEngine.Or,
              mustNot: Seq[String] = Nil, prune: Boolean = false): DataFrame =
       QueryEngine.topK(spark, blocks, termstats, stats, terms, k, mode, mustNot, prune)
+
+    lazy val positions: DataFrame = spark.read.parquet(s"$dir/segments/*/positions")
+
+    /** Exact-phrase docIds via the stored positions table. */
+    def phrase(terms: Seq[String]): DataFrame =
+      QueryEngine.phraseMatch(positions, terms)
   }
 }
