@@ -15,7 +15,7 @@ class EngineSpec extends SparkSpec {
   val N = 600
   lazy val corpusLocal: Seq[OracleScorer.Doc] = {
     // oracle docIds = position in (repo, path, commit) total order
-    (0L until N).map(CorpusGen.genFile)
+    (0L until N).map(i => CorpusGen.genFile(i))
       .sortBy(f => (f.repo, f.path, f.commit))
       .zipWithIndex.map { case (f, i) => OracleScorer.Doc(i.toLong, f.content) }
   }
