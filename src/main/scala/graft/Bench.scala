@@ -44,17 +44,19 @@ object Bench {
 
   /** The fixed query workload (EnwikiQueryMaker-style reference set over the
     * synthetic corpus vocabulary: hot keywords, mid idents, rare uniques). */
-  private val QuerySet: Seq[(Seq[String], QueryEngine.Mode, Boolean)] = Seq(
-    (Seq("public"), QueryEngine.Or, false),
-    (Seq("import"), QueryEngine.Or, false),
-    (Seq("parseconfig"), QueryEngine.Or, false),
-    (Seq("public", "static", "void"), QueryEngine.Or, false),
-    (Seq("public", "static", "void"), QueryEngine.Or, true),
-    (Seq("import", "handler7"), QueryEngine.And, false),
-    (Seq("mergepolicy", "checkpoint"), QueryEngine.Or, true),
-    (Seq("scoredocs", "readblock", "writeshard"), QueryEngine.Or, false),
-    (Seq("class", "object"), QueryEngine.And, false),
-    (Seq("uniq_42_1"), QueryEngine.Or, false))
+  /** (terms, mode, prune, wand) */
+  private val QuerySet: Seq[(Seq[String], QueryEngine.Mode, Boolean, Boolean)] = Seq(
+    (Seq("public"), QueryEngine.Or, false, false),
+    (Seq("import"), QueryEngine.Or, false, false),
+    (Seq("parseconfig"), QueryEngine.Or, false, false),
+    (Seq("public", "static", "void"), QueryEngine.Or, false, false),
+    (Seq("public", "static", "void"), QueryEngine.Or, true, false),
+    (Seq("public", "static", "void"), QueryEngine.Or, false, true),
+    (Seq("import", "handler7"), QueryEngine.And, false, false),
+    (Seq("mergepolicy", "checkpoint"), QueryEngine.Or, true, false),
+    (Seq("scoredocs", "readblock", "writeshard"), QueryEngine.Or, false, true),
+    (Seq("class", "object"), QueryEngine.And, false, true),
+    (Seq("uniq_42_1"), QueryEngine.Or, false, false))
 
   /** Materialize the corpus table once (untimed): the north-rule input is a
     * STORED source-code table, so the timed build reads parquet, not a
@@ -103,8 +105,8 @@ object Bench {
       // warm the reader path once, then time the query set
       idx.topK(Seq("public"), 10).collect()
       val q0 = System.nanoTime()
-      QuerySet.foreach { case (terms, mode, prune) =>
-        idx.topK(terms, 10, mode, prune = prune).collect(): Unit
+      QuerySet.foreach { case (terms, mode, prune, wand) =>
+        idx.topK(terms, 10, mode, prune = prune, wand = wand).collect(): Unit
       }
       val querySecs = (System.nanoTime() - q0) / 1e9
       (numDocs / buildSecs, QuerySet.size / querySecs)

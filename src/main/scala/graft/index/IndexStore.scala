@@ -136,8 +136,9 @@ object IndexStore {
       CorpusStats(dc, st)
     }
     def topK(terms: Seq[String], k: Int, mode: QueryEngine.Mode = QueryEngine.Or,
-             mustNot: Seq[String] = Nil, prune: Boolean = false): DataFrame =
-      QueryEngine.topK(spark, blocks, termstats, stats, terms, k, mode, mustNot, prune)
+             mustNot: Seq[String] = Nil, prune: Boolean = false,
+             wand: Boolean = false): DataFrame =
+      QueryEngine.topK(spark, blocks, termstats, stats, terms, k, mode, mustNot, prune, wand)
 
     lazy val positions: DataFrame = spark.read.parquet(s"$dir/segments/*/positions")
 

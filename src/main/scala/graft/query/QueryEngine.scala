@@ -110,11 +110,13 @@ object QueryEngine {
    */
   def topK(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame, stats: CorpusStats,
            terms: Seq[String], k: Int, mode: Mode = Or, mustNot: Seq[String] = Nil,
-           prune: Boolean = false): DataFrame = {
+           prune: Boolean = false, wand: Boolean = false): DataFrame = {
     import spark.implicits._
     val infos = plan(termstats, stats, terms)
     if (infos.isEmpty || (mode == And && infos.size < terms.distinct.size))
       return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
+    if (wand && mustNot.isEmpty)
+      return Wand.topK(spark, blocks, infos, k, requireAll = mode == And)
 
     val theta = if (prune && mode == Or) estimateTheta(spark, blocks, infos, k) else 0f
     val scored = scoredPostings(spark, blocks, infos, theta)

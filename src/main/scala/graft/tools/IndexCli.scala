@@ -58,9 +58,10 @@ object IndexCli {
       val mode = if (flags.contains("--and")) QueryEngine.And else QueryEngine.Or
       val idx = IndexStore.OpenIndex(spark, dir)
       val t0 = System.nanoTime()
-      val hits = idx.topK(terms, k.toInt, mode, mustNot, prune = flags.contains("--prune")).collect()
+      val hits = idx.topK(terms, k.toInt, mode, mustNot,
+        prune = flags.contains("--prune"), wand = flags.contains("--wand")).collect()
       val ms = (System.nanoTime() - t0) / 1e6
-      println(f"top-${k} for ${terms.mkString(" ")} (mode=$mode prune=${flags.contains("--prune")}) in $ms%.0f ms:")
+      println(f"top-${k} for ${terms.mkString(" ")} (mode=$mode prune=${flags.contains("--prune")} wand=${flags.contains("--wand")}) in $ms%.0f ms:")
       hits.foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)}"))
 
     case "manifests" :: dir :: Nil =>

@@ -69,6 +69,21 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("WAND kernel is rank- and score-identical to the exhaustive path (Or and And)") {
+    for ((terms, mode, neg) <- queries if neg.isEmpty; k <- Seq(1, 10, 50)) {
+      val exhaustive = engineTopK(terms, k, mode, neg)
+      val wand = QueryEngine.topK(spark, blocks, termstats, stats, terms, k, mode, wand = true)
+        .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      assert(wand === exhaustive, s"terms=$terms mode=$mode k=$k")
+    }
+    // small bucket size forces boundary-spanning replication + many buckets
+    val exhaustive = engineTopK(Seq("public", "import", "return"), 25, QueryEngine.Or, Nil)
+    val infos = QueryEngine.plan(termstats, stats, Seq("public", "import", "return"))
+    val tiny = graft.query.Wand.topK(spark, blocks, infos, 25, requireAll = false, bucketDocs = 64)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(tiny === exhaustive)
+  }
+
   test("per-row invariant: docstats sha256 == sha256 of source content") {
     val ds = IndexBuilder.docStats(spark, withIds)
     val src = withIds.select($"docId", sha2($"content", 256).as("srcSha"))
