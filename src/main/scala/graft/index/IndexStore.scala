@@ -109,6 +109,38 @@ object IndexStore {
     finalizeStats(spark, dir)
   }
 
+  /**
+   * Segment compaction (TieredMergePolicy analogue, reference
+   * index/SegmentMerger.java:97 — k-way sort-merge of segments): unpack all
+   * committed segments' blocks to posting rows, re-shuffle by (term, docId)
+   * range, repack into ONE new segment in `outDir`. The shuffle IS the
+   * merge (SURVEY §2.2); docIds are global so no remapping is needed.
+   * The input index is immutable; `outDir` is a fresh index directory.
+   */
+  def compact(spark: SparkSession, dir: String, outDir: String,
+              shufflePartitions: Int): Unit = {
+    import spark.implicits._
+    val blocks = spark.read.parquet(s"$dir/segments/*/postings").as[BlockRow]
+    val rows: Dataset[PostingRow] = blocks.flatMap { b =>
+      val (docs, tfs) = graft.codec.PostingsCodec.decodeBlock(
+        b.minDoc, b.n, b.wDocs, b.wFreqs, b.docGaps, b.freqs)
+      (0 until b.n).iterator.map(i => PostingRow(b.term, docs(i), tfs(i), b.norms(i)))
+    }
+    val repacked = IndexBuilder.packBlocks(spark, rows, shufflePartitions)
+    val t0 = System.nanoTime()
+    repacked.write.mode("overwrite").parquet(s"$outDir/segments/seg=0/postings")
+    val ds = spark.read.parquet(s"$dir/segments/*/docstats")
+    ds.write.mode("overwrite").parquet(s"$outDir/segments/seg=0/docstats")
+    val m = ds.agg(count("*"), sum(col("dl").cast("long")),
+      bit_xor(xxhash64(col("contentSha256"))), max("docId")).head()
+    val blockCount = spark.read.parquet(s"$outDir/segments/seg=0/postings").count()
+    writeManifest(outDir, Manifest(0, 0L, m.getLong(3) + 1, m.getLong(0),
+      if (m.isNullAt(1)) 0L else m.getLong(1), blockCount,
+      f"${m.getLong(2)}%016x", s"compact($dir)", spark.sparkContext.applicationId,
+      (System.nanoTime() - t0) / 1000000))
+    finalizeStats(spark, outDir)
+  }
+
   /** Aggregate global stats over all committed segments (Lucene's
     * IndexSearcher-level collection stats across leaves). */
   def finalizeStats(spark: SparkSession, dir: String): Unit = {

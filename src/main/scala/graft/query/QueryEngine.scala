@@ -168,6 +168,58 @@ object QueryEngine {
   }
 
   /**
+   * Federated top-k over the packed main index PLUS un-packed HOT posting
+   * rows from the streaming sink (IVrixDB's HOT->WARM->COLD search order,
+   * reference MultipleBucketsSearchStream — search results are independent
+   * of arrival order). Collection stats (N, avgdl, df) are merged across
+   * both tiers before scorer construction, so scores are bit-identical to
+   * a from-scratch build over the combined corpus (asserted in tests).
+   *
+   * `hot` schema: (term, docId, tf, normByte, dl) — StreamOps.hotIndexSink.
+   */
+  def topKWithHot(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame,
+                  stats: CorpusStats, hot: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
+    val qs = terms.distinct
+    // merged collection stats: hot docs counted once each
+    val hotDocs = hot.select("docId", "dl").distinct()
+    val hr = hotDocs.agg(count("*"), sum(col("dl").cast("long"))).head()
+    val mergedStats = CorpusStats(
+      stats.docCount + hr.getLong(0),
+      stats.sumTotalTermFreq + (if (hr.isNullAt(1)) 0L else hr.getLong(1)))
+    // merged per-term df
+    val mainDf = termstats.filter(col("term").isin(qs: _*))
+      .select("term", "df").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hotDf = hot.filter(col("term").isin(qs: _*))
+      .groupBy("term").agg(count("*").as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val infos = qs.zipWithIndex.collect {
+      case (t, i) if mainDf.contains(t) || hotDf.contains(t) =>
+        val df = mainDf.getOrElse(t, 0L) + hotDf.getOrElse(t, 0L)
+        val scorer = BM25.termScorer(1f, BM25.DefaultK1, BM25.DefaultB,
+          df, mergedStats.docCount, mergedStats.sumTotalTermFreq)
+        TermInfo(t, i, scorer, scorer.score(Int.MaxValue.toFloat, 0.toByte))
+    }
+    if (infos.isEmpty)
+      return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
+    val byTerm = infos.map(ti => ti.term -> ti).toMap
+    val mainScored = scoredPostings(spark, blocks, infos, 0f)
+    val hotScored = hot.filter(col("term").isin(infos.map(_.term): _*))
+      .select(col("term"), col("docId").cast("long"), col("tf").cast("int"),
+        col("normByte").cast("byte"))
+      .as[(String, Long, Int, Byte)]
+      .map { case (t, docId, tf, nb) =>
+        val info = byTerm(t)
+        ScoredPosting(docId, info.ti, info.scorer.score(tf.toFloat, nb))
+      }
+    mainScored.union(hotScored)
+      .groupBy("docId")
+      .agg(collect_list(struct($"ti", $"score")).as("parts"))
+      .select($"docId", combinedScore)
+      .orderBy(desc("score"), asc("docId")).limit(k)
+  }
+
+  /**
    * Exact-phrase match over a positions table (docId, term, poss ARRAY<INT>):
    * docs where the terms occur at consecutive positions. Returns docIds.
    * (Reference semantics: ExactPhraseMatcher — SURVEY.md §2.3.)

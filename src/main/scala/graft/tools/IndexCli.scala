@@ -64,6 +64,11 @@ object IndexCli {
       println(f"top-${k} for ${terms.mkString(" ")} (mode=$mode prune=${flags.contains("--prune")} wand=${flags.contains("--wand")}) in $ms%.0f ms:")
       hits.foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)}"))
 
+    case "compact" :: dir :: out :: Nil =>
+      IndexStore.compact(spark, dir, out, spark.sparkContext.defaultParallelism)
+      val idx = IndexStore.OpenIndex(spark, out)
+      println(s"compacted: docs=${idx.stats.docCount} segments=${IndexStore.readManifests(out).size}")
+
     case "manifests" :: dir :: Nil =>
       IndexStore.readManifests(dir).foreach(println)
 
