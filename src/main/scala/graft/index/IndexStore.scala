@@ -172,6 +172,11 @@ object IndexStore {
              wand: Boolean = false): DataFrame =
       QueryEngine.topK(spark, blocks, termstats, stats, terms, k, mode, mustNot, prune, wand)
 
+    /** Multi-term (prefix/wildcard/fuzzy/set) constant-score query against
+      * the dictionary — see QueryEngine.multiTermTopK. */
+    def multiTermTopK(termPred: org.apache.spark.sql.Column, k: Int): DataFrame =
+      QueryEngine.multiTermTopK(spark, blocks, termstats, termPred, k)
+
     lazy val positions: DataFrame = spark.read.parquet(s"$dir/segments/*/positions")
 
     /** Exact-phrase docIds via the stored positions table. */

@@ -40,6 +40,10 @@ object QueryEngine {
   case object Or extends Mode
   case object And extends Mode
 
+  /** BooleanQuery.maxClauseCount / IndexSearcher default (reference
+    * search/IndexSearcher.java getMaxClauseCount). */
+  val MaxClauseCount = 1024
+
   final case class TermInfo(term: String, ti: Int, scorer: BM25.TermScorer, globalMaxScore: Float)
 
   /** Look up (df, ttf) for query terms and build scorers. Terms absent from
@@ -168,6 +172,36 @@ object QueryEngine {
   }
 
   /**
+   * Multi-term query rewrite (PrefixQuery / WildcardQuery / RegexpQuery /
+   * FuzzyQuery / TermInSetQuery — SURVEY §2.3): expand a term predicate
+   * against the dictionary (a pushed-down filter on the small termstats
+   * table), cap at [[MaxClauseCount]] keeping the highest-df expansions
+   * (TopTermsRewrite keeps top terms; overflow past the cap raises in the
+   * reference — here the cap is applied deterministically), then run a
+   * CONSTANT-SCORE union: score = boost for every doc matching ANY
+   * expansion (MultiTermQuery CONSTANT_SCORE rewrite). Ordered docId ASC.
+   */
+  def multiTermTopK(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame,
+                    termPred: Column, k: Int, boost: Float = 1f): DataFrame = {
+    import spark.implicits._
+    val expanded = termstats.filter(termPred)
+      .orderBy(desc("df"), asc("term")).limit(MaxClauseCount)
+      .select("term").as[String].collect().toSeq
+    if (expanded.isEmpty)
+      return spark.range(0).select($"id".as("docId"), lit(boost).as("score"))
+    blocks.filter($"term".isin(expanded: _*))
+      .mapPartitions { it =>
+        it.flatMap { b =>
+          val (docs, _) = PostingsCodec.decodeBlock(b.minDoc, b.n, b.wDocs, b.wFreqs, b.docGaps, b.freqs)
+          docs.iterator.take(b.n)
+        }
+      }
+      .toDF("docId").distinct()
+      .orderBy(asc("docId")).limit(k)
+      .withColumn("score", lit(boost))
+  }
+
+  /**
    * Federated top-k over the packed main index PLUS un-packed HOT posting
    * rows from the streaming sink (IVrixDB's HOT->WARM->COLD search order,
    * reference MultipleBucketsSearchStream — search results are independent
@@ -202,16 +236,15 @@ object QueryEngine {
     }
     if (infos.isEmpty)
       return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
-    val byTerm = infos.map(ti => ti.term -> ti).toMap
     val mainScored = scoredPostings(spark, blocks, infos, 0f)
-    val hotScored = hot.filter(col("term").isin(infos.map(_.term): _*))
-      .select(col("term"), col("docId").cast("long"), col("tf").cast("int"),
-        col("normByte").cast("byte"))
-      .as[(String, Long, Int, Byte)]
-      .map { case (t, docId, tf, nb) =>
-        val info = byTerm(t)
-        ScoredPosting(docId, info.ti, info.scorer.score(tf.toFloat, nb))
-      }
+    // HOT rows are already columnar -> score with the codegen Bm25Score
+    // expression (whole-stage codegen; the term filter pushes to the scan)
+    val hotScored = infos.map { info =>
+      hot.filter(col("term") === info.term)
+        .select(col("docId").cast("long").as("docId"), lit(info.ti).as("ti"),
+          graft.functions.Bm25Score(col("tf").cast("int"), col("normByte").cast("byte"),
+            info.scorer.weight, info.scorer.cache).as("score"))
+    }.reduce(_.unionByName(_)).as[ScoredPosting]
     mainScored.union(hotScored)
       .groupBy("docId")
       .agg(collect_list(struct($"ti", $"score")).as("parts"))

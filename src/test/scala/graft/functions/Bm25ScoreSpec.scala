@@ -1,0 +1,42 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.query.BM25
+import org.apache.spark.sql.functions._
+
+/** The codegen Bm25Score expression must be bit-identical to the kernel's
+  * TermScorer arithmetic (same float/double casts), in both interpreted and
+  * whole-stage-codegen evaluation. */
+class Bm25ScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("expression == TermScorer.score for random (tf, norm) under random stats") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 10) {
+      val df = 1 + rnd.nextInt(5000)
+      val n = df + rnd.nextInt(100000)
+      val sumTtf = n.toLong * (1 + rnd.nextInt(500))
+      val scorer = BM25.termScorer(1f, BM25.DefaultK1, BM25.DefaultB, df.toLong, n.toLong, sumTtf)
+      val rows = Seq.fill(64)((1 + rnd.nextInt(200), rnd.nextInt(256).toByte))
+      val got = rows.toDF("tf", "nb")
+        .select(Bm25Score(col("tf"), col("nb"), scorer.weight, scorer.cache).as("s"))
+        .as[Float].collect()
+      val want = rows.map { case (tf, nb) => scorer.score(tf.toFloat, nb) }
+      assert(got.toSeq === want)
+    }
+  }
+
+  test("expression participates in whole-stage codegen") {
+    val scorer = BM25.termScorer(1f, 1.2f, 0.75f, 10L, 1000L, 50000L)
+    // spark.range (not a local relation, which the optimizer pre-evaluates)
+    val df = spark.range(1, 9)
+      .select(Bm25Score((col("id") % 7 + 1).cast("int"), (col("id") % 256).cast("byte"),
+        scorer.weight, scorer.cache).as("s"))
+    // "*(1)" marks a WholeStageCodegen stage in the simple plan string
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    val got = df.as[Float].collect().toSeq
+    val want = (1L until 9L).map(i => scorer.score((i % 7 + 1).toFloat, (i % 256).toByte))
+    assert(got === want)
+  }
+}

@@ -84,6 +84,32 @@ class EngineSpec extends SparkSpec {
     assert(tiny === exhaustive)
   }
 
+  test("multi-term expansion: prefix/fuzzy/set constant-score matches brute force") {
+    import org.apache.spark.sql.functions.{col, levenshtein, lit}
+    def brute(pred: String => Boolean, k: Int): Seq[Long] =
+      corpusLocal.filter(d => graft.analysis.Analyzer.terms(d.content).exists(pred))
+        .map(_.docId).sorted.take(k)
+    val cases: Seq[(org.apache.spark.sql.Column, String => Boolean)] = Seq(
+      (col("term").startsWith("handler"), (t: String) => t.startsWith("handler")),
+      (levenshtein(col("term"), lit("import")) <= 1, (t: String) => {
+        // brute levenshtein<=1 via simple DP
+        def lev(a: String, b: String): Int = {
+          val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+          for (i <- 1 to a.length; j <- 1 to b.length)
+            d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+              d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          d(a.length)(b.length)
+        }
+        lev(t, "import") <= 1
+      }),
+      (col("term").isin("val", "var", "def"), (t: String) => Set("val", "var", "def")(t)))
+    for (((pred, bpred), i) <- cases.zipWithIndex; k <- Seq(5, 50)) {
+      val got = QueryEngine.multiTermTopK(spark, blocks, termstats, pred, k)
+        .select("docId").collect().map(_.getLong(0)).toSeq
+      assert(got === brute(bpred, k), s"case $i k=$k")
+    }
+  }
+
   test("per-row invariant: docstats sha256 == sha256 of source content") {
     val ds = IndexBuilder.docStats(spark, withIds)
     val src = withIds.select($"docId", sha2($"content", 256).as("srcSha"))
