@@ -65,7 +65,7 @@ object IndexStore {
    */
   def build(spark: SparkSession, corpusWithIds: DataFrame, dir: String,
             numSegments: Int, shufflePartitions: Int, source: String = "corpus",
-            withPositions: Boolean = false): Unit = {
+            withPositions: Boolean = false, segmentConcurrency: Int = 1): Unit = {
     import spark.implicits._
     val chk = corpusWithIds.agg(max("docId"), count("*"), countDistinct("docId")).head()
     val n = chk.getLong(0) + 1
@@ -73,7 +73,10 @@ object IndexStore {
       s"docIds must be dense [0,$n): count=${chk.getLong(1)} distinct=${chk.getLong(2)} — " +
         "nondeterministic id assignment would silently corrupt segment slicing")
     val per = math.max(1L, (n + numSegments - 1) / numSegments)
-    for (seg <- 0 until numSegments) {
+    // segments are independent idempotent units; building a few concurrently
+    // (SparkSession is thread-safe for job submission) overlaps one
+    // segment's driver-side latency with another's cluster work
+    def buildSegment(seg: Int): Unit = {
       val lo = seg * per
       val hi = math.min(n, lo + per)
       if (lo < n && !isCommitted(dir, seg)) {
@@ -106,6 +109,13 @@ object IndexStore {
           (System.nanoTime() - t0) / 1000000))
       }
     }
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, segmentConcurrency))
+    val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = for (seg <- 0 until numSegments) yield
+      scala.concurrent.Future(buildSegment(seg))(ec)
+    try futures.foreach(f => scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+    finally pool.shutdown()
     finalizeStats(spark, dir)
   }
 

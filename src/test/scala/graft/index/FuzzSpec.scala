@@ -1,0 +1,59 @@
+package graft.index
+
+import graft.SparkSpec
+import graft.query.{OracleScorer, QueryEngine, Wand}
+
+/** Randomized engine-vs-oracle equivalence (the RandomPostingsTester /
+  * CheckHits analogue): random corpora with adversarial shapes — empty
+  * docs, single-term docs, a term in every doc, huge tf — random queries,
+  * all evaluation paths (exhaustive / pruned / WAND). */
+class FuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("random corpora: exhaustive, pruned and WAND paths all match the oracle") {
+    val rnd = new scala.util.Random(12345)
+    for (trial <- 0 until 3) {
+      val n = 40 + rnd.nextInt(120)
+      val vocab = (0 until (5 + rnd.nextInt(20))).map(i => s"w$i")
+      def doc(i: Int): String = {
+        val len = rnd.nextInt(5) match {
+          case 0 => 0                      // empty doc
+          case 1 => 1                      // single token
+          case _ => 1 + rnd.nextInt(60)
+        }
+        val sb = new StringBuilder
+        sb ++= "everydoc "                 // a term present in every doc
+        for (_ <- 0 until len) { sb ++= vocab(rnd.nextInt(vocab.size)); sb += ' ' }
+        if (i == 0) sb ++= ("hugetf " * 300) // pathological tf
+        sb.toString
+      }
+      val contents = (0 until n).map(doc)
+      val corpusLocal = contents.zipWithIndex.map { case (c, i) => OracleScorer.Doc(i.toLong, c) }
+      val df = contents.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toDF("docId", "content")
+      val blocks = IndexBuilder.packBlocks(spark, IndexBuilder.invert(spark, df), 4).cache()
+      val termstats = IndexBuilder.termStats(blocks).cache()
+      val stats = IndexBuilder.corpusStats(IndexBuilder.docStats(spark, df))
+
+      for (q <- 0 until 6) {
+        val nTerms = 1 + rnd.nextInt(3)
+        val terms = (0 until nTerms).map(_ => rnd.nextInt(10) match {
+          case 0 => "everydoc"
+          case 1 => "hugetf"
+          case 2 => "absentterm"
+          case _ => vocab(rnd.nextInt(vocab.size))
+        })
+        val mode = if (rnd.nextBoolean()) QueryEngine.Or else QueryEngine.And
+        val k = Seq(1, 7, n)(rnd.nextInt(3))
+        val want = OracleScorer.topK(corpusLocal, terms, k, mode)
+        def run(prune: Boolean, wand: Boolean) =
+          QueryEngine.topK(spark, blocks, termstats, stats, terms, k, mode, Nil, prune, wand)
+            .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+        assert(run(prune = false, wand = false) === want, s"trial=$trial q=$q exhaustive terms=$terms mode=$mode k=$k")
+        assert(run(prune = false, wand = true) === want, s"trial=$trial q=$q wand terms=$terms mode=$mode k=$k")
+        if (mode == QueryEngine.Or)
+          assert(run(prune = true, wand = false) === want, s"trial=$trial q=$q pruned terms=$terms mode=$mode k=$k")
+      }
+      blocks.unpersist(); termstats.unpersist()
+    }
+  }
+}

@@ -42,4 +42,20 @@ class ResumeSpec extends SparkSpec {
     assert(manifests.forall(m => m.contains("shaXor") && m.contains("docCount") && m.contains("appId")))
     rmTree(Paths.get(dir))
   }
+
+  test("concurrent segment builds produce the same index as sequential") {
+    val seqDir = Files.createTempDirectory("graft-seq").toString
+    val conDir = Files.createTempDirectory("graft-con").toString
+    val withIds = DocIds.assign(CorpusGen.corpus(spark, 300, 4).toDF(), Seq("repo", "path", "commit"), 4).cache()
+    IndexStore.build(spark, withIds, seqDir, numSegments = 3, shufflePartitions = 4)
+    IndexStore.build(spark, withIds, conDir, numSegments = 3, shufflePartitions = 4,
+      segmentConcurrency = 3)
+    val a = IndexStore.OpenIndex(spark, seqDir)
+    val b = IndexStore.OpenIndex(spark, conDir)
+    assert(a.stats === b.stats)
+    val ra = a.topK(Seq("public", "import"), 25).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val rb = b.topK(Seq("public", "import"), 25).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(ra === rb)
+    rmTree(Paths.get(seqDir)); rmTree(Paths.get(conDir))
+  }
 }
