@@ -275,6 +275,13 @@ object SparkEntry {
     "ft_engine_phrase" -> ((s, d) => docIndex(s, d)
       .phrase(Seq("data", "group")).select(col("docId").as("doc_id"))),
 
+    "ft_engine_prefix" -> ((s, d) => docIndex(s, d)
+      .multiTermTopK(col("term").startsWith("s"), 1000000)
+      .select(col("docId").as("doc_id"))),
+
+    "ft_engine_wand" -> ((s, d) => docIndex(s, d)
+      .topK(Seq("spark", "query", "join"), 20, wand = true)),
+
     // ---- more aggregation / query-operator surface ----
     // approx distinct (HLLAgg parity via Spark's HLL++): approximate by
     // design, so no value-equality oracle — rows-only check + ScalaTest
@@ -532,6 +539,8 @@ object SparkEntry {
       "ft_engine_and" ->
         s"""WITH tf AS (SELECT doc_id, tok FROM ($tok) WHERE tok IN ('spark','query') GROUP BY doc_id, tok)
            | SELECT doc_id FROM tf GROUP BY doc_id HAVING count(*) = 2""".stripMargin,
+      "ft_engine_prefix" ->
+        s"""SELECT DISTINCT doc_id FROM ($tok) WHERE tok LIKE 's%'""",
       "ft_engine_phrase" ->
         """WITH t AS (SELECT doc_id,
           |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
