@@ -282,6 +282,24 @@ object SparkEntry {
     "ft_engine_wand" -> ((s, d) => docIndex(s, d)
       .topK(Seq("spark", "query", "join"), 20, wand = true)),
 
+    // grouped search (lucene/grouping two-pass): top-2 docs per lang for a
+    // term query, ranked by tf (integer-exact) with docId tie-break; the
+    // engine provides postings, the metadata join provides the group field
+    "ft_engine_grouped" -> ((s, d) => {
+      import s.implicits._
+      val idx = docIndex(s, d)
+      val tf = idx.blocks.filter(col("term") === "spark")
+        .mapPartitions { it =>
+          it.flatMap { b =>
+            val (docs, tfs) = PostingsCodec.decodeBlock(b.minDoc, b.n, b.wDocs, b.wFreqs, b.docGaps, b.freqs)
+            (0 until b.n).iterator.map(i => (docs(i), tfs(i)))
+          }
+        }.toDF("doc_id", "tf")
+      val withLang = tf.join(rd(s, d, "documents").select("doc_id", "lang"), "doc_id")
+      R.topPerGroup(withLang, Seq("lang"), Seq(desc("tf"), asc("doc_id")), 2)
+        .select("lang", "doc_id", "tf", "rn")
+    }),
+
     // ---- more aggregation / query-operator surface ----
     // approx distinct (HLLAgg parity via Spark's HLL++): approximate by
     // design, so no value-equality oracle — rows-only check + ScalaTest
@@ -541,6 +559,13 @@ object SparkEntry {
            | SELECT doc_id FROM tf GROUP BY doc_id HAVING count(*) = 2""".stripMargin,
       "ft_engine_prefix" ->
         s"""SELECT DISTINCT doc_id FROM ($tok) WHERE tok LIKE 's%'""",
+      "ft_engine_grouped" ->
+        s"""WITH tf AS (SELECT doc_id, CAST(count(*) AS INT) AS tf FROM ($tok)
+           |  WHERE tok = 'spark' GROUP BY doc_id),
+           | j AS (SELECT d.lang, tf.doc_id, tf.tf,
+           |   row_number() OVER (PARTITION BY d.lang ORDER BY tf.tf DESC, tf.doc_id ASC) AS rn
+           |  FROM tf JOIN documents d ON tf.doc_id = d.doc_id)
+           | SELECT lang, doc_id, tf, CAST(rn AS INT) AS rn FROM j WHERE rn <= 2""".stripMargin,
       "ft_engine_phrase" ->
         """WITH t AS (SELECT doc_id,
           |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
