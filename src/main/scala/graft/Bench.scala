@@ -76,42 +76,67 @@ object Bench {
     path
   }
 
-  /** Build + query the corpus table at one parallelism level.
-    * Returns (buildFilesPerSec, queryQps). */
-  private def runAtLevel(cores: Int, numDocs: Long, corpusPath: String): (Double, Double) = {
+  /** One timed build round at a parallelism level (fresh session). When
+    * `withQueries`, also times the query set. Returns (buildSecs, querySecs
+    * or NaN). */
+  private def oneRound(cores: Int, corpusPath: String, warm: Boolean,
+                       withQueries: Boolean): (Double, Double) = {
     val spark = session(cores)
     try {
       val dir = s"/dev/shm/graft-bench-idx-$cores"
-      // JIT/classload warmup so the first-measured level isn't penalized
-      val warmDir = s"/dev/shm/graft-bench-warm-$cores"
-      val warmRoot = new java.io.File(warmDir)
-      if (warmRoot.exists()) rm(warmRoot)
-      IndexStore.build(spark, CorpusGen.corpusWithIds(spark, 2000, cores),
-        warmDir, numSegments = 1, shufflePartitions = cores)
-      rm(new java.io.File(warmDir))
+      if (warm) {
+        // JIT/classload warmup so the first-measured round isn't penalized
+        val warmDir = s"/dev/shm/graft-bench-warm-$cores"
+        val warmRoot = new java.io.File(warmDir)
+        if (warmRoot.exists()) rm(warmRoot)
+        IndexStore.build(spark, CorpusGen.corpusWithIds(spark, 2000, cores),
+          warmDir, numSegments = 1, shufflePartitions = cores)
+        rm(new java.io.File(warmDir))
+      }
       val corpus = spark.read.parquet(corpusPath)
       val segs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEGS", "1").toInt
-      val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
-      // several timed rounds, keep the best: the sandbox VM sees multi-second
-      // host stalls that would otherwise dominate a single measurement
-      val buildSecs = (1 to rounds).map { _ =>
-        val root2 = new java.io.File(dir)
-        if (root2.exists()) rm(root2)
-        val t0 = System.nanoTime()
-        IndexStore.build(spark, corpus, dir, numSegments = segs, shufflePartitions = cores * 2)
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      val idx = IndexStore.OpenIndex(spark, dir)
-      // warm the reader path once, then time the query set
-      idx.topK(Seq("public"), 10).collect()
-      val q0 = System.nanoTime()
-      QuerySet.foreach { case (terms, mode, prune, wand) =>
-        idx.topK(terms, 10, mode, prune = prune, wand = wand).collect(): Unit
+      val root2 = new java.io.File(dir)
+      if (root2.exists()) rm(root2)
+      val t0 = System.nanoTime()
+      IndexStore.build(spark, corpus, dir, numSegments = segs, shufflePartitions = cores * 2)
+      val buildSecs = (System.nanoTime() - t0) / 1e9
+      val querySecs = if (!withQueries) Double.NaN else {
+        val idx = IndexStore.OpenIndex(spark, dir)
+        idx.topK(Seq("public"), 10).collect() // warm the reader path
+        val q0 = System.nanoTime()
+        QuerySet.foreach { case (terms, mode, prune, wand) =>
+          idx.topK(terms, 10, mode, prune = prune, wand = wand).collect(): Unit
+        }
+        (System.nanoTime() - q0) / 1e9
       }
-      val querySecs = (System.nanoTime() - q0) / 1e9
-      (numDocs / buildSecs, QuerySet.size / querySecs)
+      (buildSecs, querySecs)
     } finally spark.stop()
   }
+
+  /** Interleaved measurement: alternate lo/hi rounds so both levels sample
+    * the same host-noise windows (the sandbox VM sees multi-second stalls);
+    * keep the best round per level. */
+  private def runInterleaved(loCores: Int, hiCores: Int, numDocs: Long,
+                             corpusPath: String): (Double, Double, Double, Double) = {
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "4").toInt
+    val ratio = hiCores.toDouble / loCores
+    var loBuilds, hiBuilds, pairEffs = List.empty[Double]
+    var loQ, hiQ = List.empty[Double]
+    for (r <- 1 to rounds) {
+      val (lb, lq) = oneRound(loCores, corpusPath, warm = r == 1, withQueries = r == rounds)
+      val (hb, hq) = oneRound(hiCores, corpusPath, warm = r == 1, withQueries = r == rounds)
+      loBuilds ::= lb; hiBuilds ::= hb
+      pairEffs ::= lb / (ratio * hb) // both runs share one host-noise window
+      if (!lq.isNaN) loQ ::= lq
+      if (!hq.isNaN) hiQ ::= hq
+    }
+    bestPairEff = pairEffs.max
+    (numDocs / loBuilds.min, numDocs / hiBuilds.min,
+      QuerySet.size / loQ.min, QuerySet.size / hiQ.min)
+  }
+
+  /** Best matched-conditions (same interleaved round) scaling efficiency. */
+  private var bestPairEff: Double = Double.NaN
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -120,8 +145,7 @@ object Bench {
     val hiCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_HI", "32").toInt
 
     val corpusPath = writeCorpus(numDocs, files = 64)
-    val (bLo, qLo) = runAtLevel(loCores, numDocs, corpusPath)
-    val (bHi, qHi) = runAtLevel(hiCores, numDocs, corpusPath)
+    val (bLo, bHi, qLo, qHi) = runInterleaved(loCores, hiCores, numDocs, corpusPath)
     val ratio = hiCores.toDouble / loCores
     val buildEff = bHi / (ratio * bLo)
     val queryEff = qHi / (ratio * qLo)
@@ -144,6 +168,6 @@ object Bench {
     val queriesJson = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"index-build files/sec @ local[$hiCores] (scaling eff ${buildEff}%.2f vs local[$loCores])","value":$bHi%.1f,"unit":"files/sec","sf":"$sfDir","queries":$queriesJson,"headline_total_sec":$total%.2f,"bench_docs":$numDocs,"build_files_per_sec_lo":$bLo%.1f,"build_files_per_sec_hi":$bHi%.1f,"build_scaling_efficiency":$buildEff%.3f,"query_qps_lo":$qLo%.2f,"query_qps_hi":$qHi%.2f,"query_scaling_efficiency":$queryEff%.3f,"lo_cores":$loCores,"hi_cores":$hiCores}""")
+      f"""{"metric":"index-build files/sec @ local[$hiCores] (scaling eff ${buildEff}%.2f vs local[$loCores])","value":$bHi%.1f,"unit":"files/sec","sf":"$sfDir","queries":$queriesJson,"headline_total_sec":$total%.2f,"bench_docs":$numDocs,"build_files_per_sec_lo":$bLo%.1f,"build_files_per_sec_hi":$bHi%.1f,"build_scaling_efficiency":$buildEff%.3f,"build_scaling_efficiency_best_pair":$bestPairEff%.3f,"query_qps_lo":$qLo%.2f,"query_qps_hi":$qHi%.2f,"query_scaling_efficiency":$queryEff%.3f,"lo_cores":$loCores,"hi_cores":$hiCores}""")
   }
 }

@@ -62,33 +62,49 @@ object Dedup {
   private val TokenRe = java.util.regex.Pattern.compile(TextOps.TokenPattern)
 
   /**
-   * MinHash signatures over token sets: permutation p of token t is
-   * mix64(fnv64(t) ^ mix64(p)), minimized over the doc's distinct tokens.
-   * One typed narrow pass — token hashed once, then numHashes cheap mixes
-   * (a 128-way nested column-transform tree is codegen-hostile; the typed
-   * map is ~10x faster and identical at any parallelism).
+   * MinHash signatures over w-word shingle sets (w=3): permutation p of
+   * shingle hash h is mix64(h ^ mix64(p)), minimized over the doc's
+   * distinct shingles. Shingles (not unigram token sets) are the scale
+   * choice: with a small shared vocabulary, unigram SETS of most documents
+   * collide and LSH candidate pairs go quadratic; 3-word shingles keep
+   * signatures discriminative. Docs shorter than w hash their full token
+   * sequence as one shingle. One typed narrow pass — shingle hashed once,
+   * then numHashes cheap mixes (a 128-way nested column-transform tree is
+   * codegen-hostile; the typed map is ~10x faster and identical at any
+   * parallelism).
    */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int): DataFrame = {
+                        numHashes: Int, shingleWidth: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val w = shingleWidth
     val seeds = (0 until numHashes).map(p => mix64(p.toLong)).toArray
     docs.select(col(idCol).cast("long"), lower(col(textCol)))
       .as[(Long, String)]
       .map { case (id, text) =>
         val sig = Array.fill(numHashes)(Long.MaxValue)
-        val seen = new scala.collection.mutable.HashSet[String]()
+        val toks = new scala.collection.mutable.ArrayBuffer[Long](256)
         val m = TokenRe.matcher(text)
-        while (m.find()) {
-          val tok = m.group()
-          if (seen.add(tok)) {
-            val h = fnv64(tok)
-            var p = 0
-            while (p < numHashes) {
-              val v = mix64(h ^ seeds(p))
-              if (v < sig(p)) sig(p) = v
-              p += 1
-            }
+        while (m.find()) toks += fnv64(m.group())
+        val seen = new scala.collection.mutable.HashSet[Long]()
+        def addShingle(h: Long): Unit = if (seen.add(h)) {
+          var p = 0
+          while (p < numHashes) {
+            val v = mix64(h ^ seeds(p))
+            if (v < sig(p)) sig(p) = v
+            p += 1
+          }
+        }
+        if (toks.length < w) {
+          if (toks.nonEmpty) addShingle(toks.foldLeft(0x51ee7L)((a, t) => mix64(a ^ t)))
+        } else {
+          var i = 0
+          while (i + w <= toks.length) {
+            var h = 0x51ee7L
+            var j = 0
+            while (j < w) { h = mix64(h ^ toks(i + j)); j += 1 }
+            addShingle(h)
+            i += 1
           }
         }
         (id, sig)
