@@ -40,3 +40,40 @@ class Bm25ScoreSpec extends SparkSpec {
     assert(got === want)
   }
 }
+
+class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("extension registers graft_bm25_score for plain SQL") {
+    import org.apache.spark.sql.SparkSession
+    // getOrCreate ignores withExtensions when a session already exists
+    // (other suites share one); force a NEW session on the same context
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val got = spark.sql(
+        "SELECT graft_bm25_score(3, CAST(5 AS TINYINT), 10L, 1000L, 50000L) AS s")
+        .head().getFloat(0)
+      val scorer = graft.query.BM25.termScorer(1f, 1.2f, 0.75f, 10L, 1000L, 50000L)
+      assert(got === scorer.score(3f, 5.toByte))
+      val err = intercept[Exception] {
+        spark.sql("SELECT graft_bm25_score(3, CAST(5 AS TINYINT), id, 1000L, 50000L) FROM range(1)").collect()
+      }
+      assert(err.getMessage.contains("literal"))
+    } finally {
+      // restore the shared session for later suites (do NOT stop the
+      // shared SparkContext)
+      import org.apache.spark.sql.SparkSession
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
