@@ -398,6 +398,15 @@ object SparkEntry {
       Similarity.cosineAll(embs, "vec_id", "embedding", q)
     }),
 
+    "sim_ivf" -> ((s, d) => {
+      val embs = rd(s, d, "embeddings")
+      val q = embs.filter(col("vec_id") === 3)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val (assign, cents) = Similarity.ivfIndex(embs, "vec_id", "embedding", k = 16, iters = 2)
+      Similarity.ivfTopK(assign, cents, "vec_id", "embedding", q, 20, nprobe = 4)
+        .select(col("vec_id"), round(col("cos"), 5).as("cos"))
+    }),
+
     "sim_ann" -> ((s, d) => {
       val embs = rd(s, d, "embeddings")
       val q = embs.filter(col("vec_id") === 7)

@@ -88,6 +88,94 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * IVF (inverted-file) ANN index: k-means-lite centroids (deterministic
+   * seeded init from existing vectors, `iters` Lloyd rounds as DataFrame
+   * aggregations), every vector assigned to its nearest centroid. At query
+   * time only the `nprobe` nearest centroid lists are scanned and rescored
+   * exactly — the classic IVF-Flat scale path (candidate scan is keyed by
+   * centroid id, never all-rows).
+   *
+   * Returns (assignments DataFrame with `centroid` column, centroid array).
+   */
+  def ivfIndex(embs: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int = 2): (DataFrame, Array[Array[Double]]) = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val n = embs.count()
+    // deterministic init: vectors of the k ids with smallest mix64(id)
+    val initIds = embs.select(col(idCol).cast("long")).as[Long].collect()
+      .sortBy(i => java.lang.Long.rotateLeft(i * 0x9e3779b97f4a7c15L, 31))
+      .take(math.min(k, n.toInt))
+    var centroids: Array[Array[Double]] = embs
+      .filter(col(idCol).isin(initIds: _*))
+      .select(col(vecCol)).as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray)
+
+    def nearestCentroid(vec: Seq[Float], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestSim = Double.MinValue
+      var c = 0
+      while (c < cs.length) {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < vec.length) {
+          val a = vec(i).toDouble; val b = cs(c)(i)
+          dot += a * b; na += a * a; nb += b * b
+          i += 1
+        }
+        val sim = if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+        if (sim > bestSim) { bestSim = sim; best = c }
+        c += 1
+      }
+      best
+    }
+
+    for (_ <- 0 until iters) {
+      val cs = centroids
+      val assigned = embs.select(col(idCol), col(vecCol))
+        .as[(Long, Seq[Float])]
+        .map { case (_, v) => (nearestCentroid(v, cs), v.toArray) }
+        .toDF("centroid", "v")
+      // new centroid = mean of member vectors (element-wise, one agg)
+      val dims = cs(0).length
+      val sums = assigned.groupBy("centroid")
+        .agg(count("*").as("n"),
+          array((0 until dims).map(i => sum(col("v").getItem(i))): _*).as("s"))
+        .collect()
+      val next = cs.clone()
+      sums.foreach { r =>
+        val c = r.getInt(0); val cnt = r.getLong(1).toDouble
+        next(c) = r.getSeq[Double](2).map(_ / cnt).toArray
+      }
+      centroids = next
+    }
+    val cs = centroids
+    val assignments = embs.select(col(idCol), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, nearestCentroid(v, cs), v.toArray) }
+      .toDF(idCol, "centroid", vecCol)
+    (assignments, centroids)
+  }
+
+  /** IVF query: probe the `nprobe` centroids nearest to the query, exact
+    * cosine rescoring of their member lists, bounded top-k. */
+  def ivfTopK(assignments: DataFrame, centroids: Array[Array[Double]],
+              idCol: String, vecCol: String,
+              query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val qsims = centroids.zipWithIndex.map { case (c, i) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (j <- query.indices) {
+        dot += query(j) * c(j); na += query(j).toDouble * query(j); nb += c(j) * c(j)
+      }
+      (i, if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb))
+    }
+    val probes = qsims.sortBy(-_._2).take(nprobe).map(_._1)
+    assignments.filter(col("centroid").isin(probes: _*))
+      .select(col(idCol), cosine(col(vecCol), array(query.map(lit(_)): _*)).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
   /** Pairwise cosine for co-bucketed pairs (see Dedup.embeddingNearDup). */
   def bucketedPairs(embs: DataFrame, idCol: String, vecCol: String,
                     planes: Int): DataFrame = {

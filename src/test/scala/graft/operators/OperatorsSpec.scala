@@ -119,6 +119,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(ann.intersect(exact).size >= 3)
   }
 
+  test("IVF ANN: recall on clustered data; probed lists exclude far clusters") {
+    val rnd = new scala.util.Random(11)
+    val embs = (0L until 60L).map { i =>
+      val base = (i % 3) match {
+        case 0 => Array(1f, 0f, 0f, 0f)
+        case 1 => Array(0f, 1f, 0f, 0f)
+        case _ => Array(0f, 0f, 1f, 0f)
+      }
+      (i, base.map(_ + rnd.nextFloat() * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val (assign, cents) = Similarity.ivfIndex(embs, "vec_id", "embedding", k = 6, iters = 2)
+    assert(assign.count() === 60)
+    val q = Array(1f, 0.02f, 0f, 0f)
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(assign, cents, "vec_id", "embedding", q, 10, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.intersect(exact).size >= 8, s"recall too low: ${ivf.intersect(exact).size}/10")
+  }
+
   test("multimodal: media table schema, decode stub, frame sampling") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
     assert(media.schema.fieldNames.toSeq === Seq("asset_id", "mime", "payload"))
