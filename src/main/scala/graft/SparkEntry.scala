@@ -426,11 +426,12 @@ object SparkEntry {
       stride = 2))
   )
 
-  /** DuckDB-runnable oracles. Keys absent here (ft_engine_topk, dd_minhash,
-    * dd_simhash, dd_embedding, sim_ann) are either float-exact engine
-    * outputs (covered by ScalaTest goldens vs the Lucene-arithmetic oracle
-    * scorer) or approximate/recall-based (covered by ScalaTest recall
-    * bounds vs the brute-force baseline). */
+  /** DuckDB-runnable oracles. Keys absent here (ft_engine_topk,
+    * ft_engine_wand, q30_hll, dd_minhash, dd_simhash, dd_embedding,
+    * sim_ann, sim_ivf) are either float-exact engine outputs (covered by
+    * ScalaTest goldens vs the Lucene-arithmetic oracle scorer) or
+    * approximate/recall-based (covered by ScalaTest recall bounds vs the
+    * brute-force baseline). */
   def oracleSql: Map[String, String] = {
     val tok = "SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents"
     Map(

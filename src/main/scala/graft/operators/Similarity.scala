@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
  * All arithmetic is double-accumulated in array order (zip_with + aggregate,
  * codegen'd) — deterministic across partitionings.
  */
-object Similarity {
+object Similarity extends Serializable {
 
   /** dot(a,b) accumulated in double, in element order. */
   def dot(a: Column, b: Column): Column =
@@ -27,18 +27,33 @@ object Similarity {
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
+  /** Shared exact-rescore tail: cosine vs a literal query vector, bounded
+    * heap top-k with (cos DESC, id ASC) tie-break. */
+  private def rescoreTopK(candidates: DataFrame, idCol: String, vecCol: String,
+                          query: Array[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    candidates.select(col(idCol), cosine(col(vecCol), q).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
+  /** Driver-side cosine over raw arrays (ragged-tolerant: min length). */
+  private def cosineArr(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
   /**
    * Brute-force cosine top-k against one query vector: broadcast the query
    * in the plan (it is a literal array), score every row, bounded-heap
    * top-k (TakeOrderedAndProject). Exact baseline for ANN recall tests.
    */
   def bruteForceTopK(embs: DataFrame, idCol: String, vecCol: String,
-                     query: Array[Float], k: Int): DataFrame = {
-    val q = array(query.map(v => lit(v)): _*)
-    embs.select(col(idCol), cosine(col(vecCol), q).as("cos"))
-      .orderBy(desc("cos"), col(idCol))
-      .limit(k)
-  }
+                     query: Array[Float], k: Int): DataFrame =
+    rescoreTopK(embs, idCol, vecCol, query, k)
 
   /** All-rows cosine against one query vector (no top-k; oracle-friendly). */
   def cosineAll(embs: DataFrame, idCol: String, vecCol: String,
@@ -82,10 +97,8 @@ object Similarity {
     val qDf = Seq(Tuple1(query)).toDF(vecCol)
     val qRow = withSignSketch(qDf, vecCol, planes).select("sketch").head().getLong(0)
     val probeBuckets = qRow +: (0 until planes).map(p => qRow ^ (1L << p))
-    sketched.filter(col("sketch").isin(probeBuckets: _*))
-      .select(col(idCol), cosine(col(vecCol), array(query.map(lit(_)): _*)).as("cos"))
-      .orderBy(desc("cos"), col(idCol))
-      .limit(k)
+    rescoreTopK(sketched.filter(col("sketch").isin(probeBuckets: _*)),
+      idCol, vecCol, query, k)
   }
 
   /**
@@ -102,28 +115,25 @@ object Similarity {
                k: Int, iters: Int = 2): (DataFrame, Array[Array[Double]]) = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val n = embs.count()
-    // deterministic init: vectors of the k ids with smallest mix64(id)
-    val initIds = embs.select(col(idCol).cast("long")).as[Long].collect()
-      .sortBy(i => java.lang.Long.rotateLeft(i * 0x9e3779b97f4a7c15L, 31))
-      .take(math.min(k, n.toInt))
+    // deterministic init without collecting all ids: k smallest by a seeded
+    // hash of the id — only k rows ever reach the driver
     var centroids: Array[Array[Double]] = embs
-      .filter(col(idCol).isin(initIds: _*))
-      .select(col(vecCol)).as[Seq[Float]].collect()
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(k)
+      .select("v").as[Seq[Float]].collect()
       .map(_.map(_.toDouble).toArray)
+    if (centroids.isEmpty)
+      return (embs.select(col(idCol), lit(0).as("centroid"), col(vecCol)).limit(0), Array.empty)
 
     def nearestCentroid(vec: Seq[Float], cs: Array[Array[Double]]): Int = {
+      val varr = new Array[Double](vec.length)
+      var i = 0
+      while (i < vec.length) { varr(i) = vec(i).toDouble; i += 1 }
       var best = 0; var bestSim = Double.MinValue
       var c = 0
       while (c < cs.length) {
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < vec.length) {
-          val a = vec(i).toDouble; val b = cs(c)(i)
-          dot += a * b; na += a * a; nb += b * b
-          i += 1
-        }
-        val sim = if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+        val sim = cosineArr(varr, cs(c))
         if (sim > bestSim) { bestSim = sim; best = c }
         c += 1
       }
@@ -132,11 +142,14 @@ object Similarity {
 
     for (_ <- 0 until iters) {
       val cs = centroids
-      val assigned = embs.select(col(idCol), col(vecCol))
-        .as[(Long, Seq[Float])]
-        .map { case (_, v) => (nearestCentroid(v, cs), v.toArray) }
+      val assigned = embs.select(col(vecCol))
+        .as[Seq[Float]]
+        .map { v => (nearestCentroid(v, cs), v.toArray) }
         .toDF("centroid", "v")
-      // new centroid = mean of member vectors (element-wise, one agg)
+      // new centroid = mean of member vectors (element-wise, one agg);
+      // quantized to 1e-6 so partial-sum order (partitioning-dependent for
+      // double addition) cannot flip assignments except exactly at a
+      // quantization boundary
       val dims = cs(0).length
       val sums = assigned.groupBy("centroid")
         .agg(count("*").as("n"),
@@ -145,15 +158,18 @@ object Similarity {
       val next = cs.clone()
       sums.foreach { r =>
         val c = r.getInt(0); val cnt = r.getLong(1).toDouble
-        next(c) = r.getSeq[Double](2).map(_ / cnt).toArray
+        next(c) = r.getSeq[Double](2).map(x => math.rint(x / cnt * 1e6) / 1e6).toArray
       }
       centroids = next
     }
     val cs = centroids
+    // persisted: this IS the IVF index — without it every query would
+    // recompute the full assignment scan, defeating the keyed probe
     val assignments = embs.select(col(idCol), col(vecCol))
       .as[(Long, Seq[Float])]
       .map { case (id, v) => (id, nearestCentroid(v, cs), v.toArray) }
       .toDF(idCol, "centroid", vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (assignments, centroids)
   }
 
@@ -162,18 +178,12 @@ object Similarity {
   def ivfTopK(assignments: DataFrame, centroids: Array[Array[Double]],
               idCol: String, vecCol: String,
               query: Array[Float], k: Int, nprobe: Int): DataFrame = {
-    val qsims = centroids.zipWithIndex.map { case (c, i) =>
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      for (j <- query.indices) {
-        dot += query(j) * c(j); na += query(j).toDouble * query(j); nb += c(j) * c(j)
-      }
-      (i, if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb))
-    }
-    val probes = qsims.sortBy(-_._2).take(nprobe).map(_._1)
-    assignments.filter(col("centroid").isin(probes: _*))
-      .select(col(idCol), cosine(col(vecCol), array(query.map(lit(_)): _*)).as("cos"))
-      .orderBy(desc("cos"), col(idCol))
-      .limit(k)
+    val qarr = query.map(_.toDouble)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (i, cosineArr(qarr, c)) }
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    rescoreTopK(assignments.filter(col("centroid").isin(probes: _*)),
+      idCol, vecCol, query, k)
   }
 
   /** Pairwise cosine for co-bucketed pairs (see Dedup.embeddingNearDup). */
