@@ -21,16 +21,27 @@ import org.apache.spark.sql.functions._
  */
 object DocIds {
 
-  def assign(df: DataFrame, keys: Seq[String], numPartitions: Int, idCol: String = "docId"): DataFrame = {
+  def assign(df: DataFrame, keys: Seq[String], numPartitions: Int, idCol: String = "docId",
+             requireUniqueKeys: Boolean = true): DataFrame = {
     val keyCols: Seq[Column] = keys.map(col)
+    // duplicate keys would make row_number ties partitioning-dependent:
+    // ids still dense (passing IndexStore's density check) but mapped
+    // differently per run — silently corrupting RESUMED builds. Fail fast.
+    if (requireUniqueKeys) {
+      val dup = df.groupBy(keyCols: _*).count().filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"docId keys $keys are not unique (e.g. ${dup.headOption}): ids would be " +
+          "nondeterministic across runs, breaking resumable builds and rank tie-breaks")
+    }
     // PERSIST is load-bearing, not an optimization: range-partition
     // boundaries are sampled with a fresh seed on every materialization, so
     // without pinning them the counts job and the assignment job could see
     // different partition boundaries -> wrong offsets -> lost/duplicate ids.
     // MEMORY_AND_DISK spills rather than evicting, so boundaries are fixed
     // at first materialization. One materialized copy is the price of a
-    // deterministic distributed zipWithIndex; it is freed right after the
-    // caller's build actions complete (caller may unpersist via the handle).
+    // deterministic distributed zipWithIndex; it lives until session end or
+    // spark.catalog.clearCache() (the cache entry is internal — the
+    // returned plan derives from it, so callers must not unpersist early).
     val sorted = df
       .repartitionByRange(numPartitions, keyCols: _*)
       .withColumn("_pid", spark_partition_id())

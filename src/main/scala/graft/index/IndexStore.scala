@@ -47,6 +47,22 @@ object IndexStore {
     Files.move(tmp, manifestPath(dir, m.segId), StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Paths of COMMITTED segments only (manifest present). All readers go
+    * through this — a crashed build's partial parquet without its
+    * MANIFEST.json commit marker must never be read (the manifest IS the
+    * commit point; reading by glob would launder uncommitted data). */
+  def committedSegmentDirs(dir: String): Seq[String] = {
+    val segs = Paths.get(s"$dir/segments")
+    if (!Files.exists(segs)) return Nil
+    val it = Files.list(segs).iterator()
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val p = it.next()
+      if (Files.exists(p.resolve("MANIFEST.json"))) out += p.toString
+    }
+    out.sorted.toSeq
+  }
+
   def readManifests(dir: String): Seq[String] = {
     val segs = Paths.get(s"$dir/segments")
     if (!Files.exists(segs)) return Nil
@@ -67,10 +83,11 @@ object IndexStore {
             numSegments: Int, shufflePartitions: Int, source: String = "corpus",
             withPositions: Boolean = false, segmentConcurrency: Int = 1): Unit = {
     import spark.implicits._
-    val chk = corpusWithIds.agg(max("docId"), count("*"), countDistinct("docId")).head()
+    val chk = corpusWithIds.agg(max("docId"), count("*"), countDistinct("docId"), min("docId")).head()
+    require(!chk.isNullAt(0), "cannot build an index over an empty corpus")
     val n = chk.getLong(0) + 1
-    require(chk.getLong(1) == n && chk.getLong(2) == n,
-      s"docIds must be dense [0,$n): count=${chk.getLong(1)} distinct=${chk.getLong(2)} — " +
+    require(chk.getLong(3) == 0L && chk.getLong(1) == n && chk.getLong(2) == n,
+      s"docIds must be dense [0,$n): min=${chk.getLong(3)} count=${chk.getLong(1)} distinct=${chk.getLong(2)} — " +
         "nondeterministic id assignment would silently corrupt segment slicing")
     val per = math.max(1L, (n + numSegments - 1) / numSegments)
     // segments are independent idempotent units; building a few concurrently
@@ -130,7 +147,9 @@ object IndexStore {
   def compact(spark: SparkSession, dir: String, outDir: String,
               shufflePartitions: Int): Unit = {
     import spark.implicits._
-    val blocks = spark.read.parquet(s"$dir/segments/*/postings").as[BlockRow]
+    val segDirs = committedSegmentDirs(dir)
+    require(segDirs.nonEmpty, s"no committed segments under $dir")
+    val blocks = spark.read.parquet(segDirs.map(_ + "/postings"): _*).as[BlockRow]
     val rows: Dataset[PostingRow] = blocks.flatMap { b =>
       val (docs, tfs) = graft.codec.PostingsCodec.decodeBlock(
         b.minDoc, b.n, b.wDocs, b.wFreqs, b.docGaps, b.freqs)
@@ -139,8 +158,15 @@ object IndexStore {
     val repacked = IndexBuilder.packBlocks(spark, rows, shufflePartitions)
     val t0 = System.nanoTime()
     repacked.write.mode("overwrite").parquet(s"$outDir/segments/seg=0/postings")
-    val ds = spark.read.parquet(s"$dir/segments/*/docstats")
+    val ds = spark.read.parquet(segDirs.map(_ + "/docstats"): _*)
     ds.write.mode("overwrite").parquet(s"$outDir/segments/seg=0/docstats")
+    // carry the positions tier (phrase support) when the source index has it
+    val posDirs = segDirs.filter(d => Files.exists(Paths.get(d, "positions")))
+    if (posDirs.nonEmpty)
+      spark.read.parquet(posDirs.map(_ + "/positions"): _*)
+        .repartitionByRange(shufflePartitions, col("term"))
+        .sortWithinPartitions(col("term"), col("docId"))
+        .write.mode("overwrite").parquet(s"$outDir/segments/seg=0/positions")
     val m = ds.agg(count("*"), sum(col("dl").cast("long")),
       bit_xor(xxhash64(col("contentSha256"))), max("docId")).head()
     val blockCount = spark.read.parquet(s"$outDir/segments/seg=0/postings").count()
@@ -154,11 +180,13 @@ object IndexStore {
   /** Aggregate global stats over all committed segments (Lucene's
     * IndexSearcher-level collection stats across leaves). */
   def finalizeStats(spark: SparkSession, dir: String): Unit = {
-    val blocks = spark.read.parquet(s"$dir/segments/*/postings")
+    val segDirs = committedSegmentDirs(dir)
+    require(segDirs.nonEmpty, s"no committed segments under $dir")
+    val blocks = spark.read.parquet(segDirs.map(_ + "/postings"): _*)
     import spark.implicits._
     IndexBuilder.termStats(blocks.as[BlockRow])
       .write.mode("overwrite").parquet(s"$dir/stats/termstats")
-    val ds = spark.read.parquet(s"$dir/segments/*/docstats")
+    val ds = spark.read.parquet(segDirs.map(_ + "/docstats"): _*)
     val r = ds.agg(count("*"), sum(col("dl").cast("long"))).head()
     val json = s"""{"docCount":${r.getLong(0)},"sumTotalTermFreq":${if (r.isNullAt(1)) 0L else r.getLong(1)}}"""
     Files.createDirectories(Paths.get(s"$dir/stats"))
@@ -168,8 +196,14 @@ object IndexStore {
   /** Open a committed index for querying. */
   final case class OpenIndex(spark: SparkSession, dir: String) {
     import spark.implicits._
-    lazy val blocks: Dataset[BlockRow] = spark.read.parquet(s"$dir/segments/*/postings").as[BlockRow]
-    lazy val docstats: DataFrame = spark.read.parquet(s"$dir/segments/*/docstats")
+    private lazy val segDirs: Seq[String] = {
+      val d = committedSegmentDirs(dir)
+      require(d.nonEmpty, s"no committed segments under $dir")
+      d
+    }
+    lazy val blocks: Dataset[BlockRow] =
+      spark.read.parquet(segDirs.map(_ + "/postings"): _*).as[BlockRow]
+    lazy val docstats: DataFrame = spark.read.parquet(segDirs.map(_ + "/docstats"): _*)
     lazy val termstats: DataFrame = spark.read.parquet(s"$dir/stats/termstats")
     lazy val stats: CorpusStats = {
       val s = Files.readString(Paths.get(s"$dir/stats/corpus.json"))
@@ -187,7 +221,8 @@ object IndexStore {
     def multiTermTopK(termPred: org.apache.spark.sql.Column, k: Int): DataFrame =
       QueryEngine.multiTermTopK(spark, blocks, termstats, termPred, k)
 
-    lazy val positions: DataFrame = spark.read.parquet(s"$dir/segments/*/positions")
+    lazy val positions: DataFrame =
+      spark.read.parquet(segDirs.map(_ + "/positions"): _*)
 
     /** Exact-phrase docIds via the stored positions table. */
     def phrase(terms: Seq[String]): DataFrame =

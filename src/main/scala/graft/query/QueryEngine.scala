@@ -80,7 +80,16 @@ object QueryEngine {
                              theta: Float): Dataset[ScoredPosting] = {
     import spark.implicits._
     val byTerm = infos.map(ti => ti.term -> ti).toMap
-    val sumOtherMax = infos.map(_.globalMaxScore).sum // upper bound helper
+    // per-term sum of the OTHER terms' maxima, accumulated in double (a
+    // float subtraction sumAll - own could round BELOW the true sum of the
+    // others, over-pruning a theta-tying block)
+    val otherMax: Map[String, Double] = infos.map { i =>
+      i.term -> infos.filterNot(_.term == i.term).map(_.globalMaxScore.toDouble).sum
+    }.toMap
+    // compare against nextDown(theta): a doc whose exact double sum is just
+    // under theta can still round UP to exactly theta as a float and enter
+    // the heap on the docId tie-break — never prune those
+    val thetaGuard = math.nextDown(theta.toDouble)
     blocks
       .filter($"term".isin(infos.map(_.term): _*))
       .mapPartitions { it =>
@@ -89,7 +98,7 @@ object QueryEngine {
           val bound = blockBound(info.scorer, b.impactFreqs, b.impactNorms)
           // block can contribute to a >= theta doc only if its own bound plus
           // every other term's global max reaches theta
-          if (theta > 0f && bound + (sumOtherMax - info.globalMaxScore) < theta) Iterator.empty
+          if (theta > 0f && bound.toDouble + otherMax(b.term) < thetaGuard) Iterator.empty
           else {
             val (docs, tfs) = PostingsCodec.decodeBlock(b.minDoc, b.n, b.wDocs, b.wFreqs, b.docGaps, b.freqs)
             (0 until b.n).iterator.map { i =>
@@ -122,7 +131,10 @@ object QueryEngine {
     if (wand && mustNot.isEmpty)
       return Wand.topK(spark, blocks, infos, k, requireAll = mode == And)
 
-    val theta = if (prune && mode == Or) estimateTheta(spark, blocks, infos, k) else 0f
+    // pruning must be OFF when mustNot is present: theta estimated over all
+    // docs includes ones the anti-join later removes, so it could exceed the
+    // true post-exclusion k-th score and prune surviving docs' blocks
+    val theta = if (prune && mode == Or && mustNot.isEmpty) estimateTheta(spark, blocks, infos, k) else 0f
     val scored = scoredPostings(spark, blocks, infos, theta)
 
     val grouped = scored
@@ -168,7 +180,10 @@ object QueryEngine {
       .groupBy("docId").agg(sum(col("score").cast("double")).cast("float").as("s"))
       .orderBy(desc("s")).limit(k)
       .collect()
-    if (partials.length < k) 0f else partials.last.getFloat(1)
+    // nextDown: the partial sum's accumulation order (Spark sum(double)) can
+    // exceed the canonical ti-ordered sum by an ulp; theta must stay a true
+    // lower bound of the k-th score
+    if (partials.length < k) 0f else math.nextDown(partials.last.getFloat(1))
   }
 
   /**

@@ -101,9 +101,10 @@ object Wand {
         if (!tb.exhausted && tb.cur.minDoc <= pivot) boundSum += tb.curBound
         t += 1
       }
-      // skip ONLY on strict inequality: a block whose bound equals theta can
-      // still hold a theta-tying doc with a smaller docId (HitQueue tie rule)
-      val competitive = heap.size < k || boundSum >= theta
+      // skip ONLY below nextDown(theta): a doc whose exact double sum is
+      // just under theta can round UP to exactly theta as a float and enter
+      // the heap on the docId tie-break (HitQueue tie rule)
+      val competitive = heap.size < k || boundSum >= math.nextDown(theta.toDouble)
       if (!competitive) {
         // skip: no doc <= pivot can reach theta; advance every frontier
         // block that ends at or before the pivot — never decoded
@@ -174,7 +175,7 @@ object Wand {
   def topK(spark: SparkSession, blocks: Dataset[BlockRow], infos: Seq[QueryEngine.TermInfo],
            k: Int, requireAll: Boolean = false, bucketDocs: Long = 1 << 16): DataFrame = {
     import spark.implicits._
-    if (infos.isEmpty)
+    if (infos.isEmpty || k <= 0)
       return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
     val byTerm = infos.map(i => i.term -> i).toMap
     val terms = infos.map(_.term)

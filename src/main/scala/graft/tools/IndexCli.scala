@@ -33,7 +33,9 @@ object IndexCli {
     case "build" :: dir :: n :: rest =>
       val segs = rest.headOption.map(_.toInt).getOrElse(4)
       val corpus = CorpusGen.corpus(spark, n.toLong, math.max(8, spark.sparkContext.defaultParallelism)).toDF()
+      // cached: build's density check + each segment slice re-scan the ids
       val withIds = DocIds.assign(corpus, Seq("repo", "path", "commit"), math.max(8, spark.sparkContext.defaultParallelism))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val t0 = System.nanoTime()
       IndexStore.build(spark, withIds, dir, segs, spark.sparkContext.defaultParallelism)
       val secs = (System.nanoTime() - t0) / 1e9
