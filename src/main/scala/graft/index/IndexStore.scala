@@ -216,6 +216,10 @@ object IndexStore {
              wand: Boolean = false): DataFrame =
       QueryEngine.topK(spark, blocks, termstats, stats, terms, k, mode, mustNot, prune, wand)
 
+    /** Per-term score breakdown for one doc (IndexSearcher.explain). */
+    def explain(terms: Seq[String], docId: Long): DataFrame =
+      QueryEngine.explain(spark, blocks, termstats, stats, terms, docId)
+
     /** Multi-term (prefix/wildcard/fuzzy/set) constant-score query against
       * the dictionary — see QueryEngine.multiTermTopK. */
     def multiTermTopK(termPred: org.apache.spark.sql.Column, k: Int): DataFrame =

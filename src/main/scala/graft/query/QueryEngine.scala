@@ -187,6 +187,41 @@ object QueryEngine {
   }
 
   /**
+   * Score explanation (IndexSearcher.explain / BM25Similarity.explain
+   * analogue, reference search/IndexSearcher.java explain +
+   * BM25Similarity.java explainScore): one row per query term matching
+   * `docId`, carrying every scoring component with the exact arithmetic of
+   * the scoring path — so sum(term_score) double-accumulated in ti order,
+   * cast float, equals the topK score bit-for-bit (tested).
+   */
+  def explain(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame,
+              stats: CorpusStats, terms: Seq[String], docId: Long): DataFrame = {
+    import spark.implicits._
+    val infos = plan(termstats, stats, terms)
+    val byTerm = infos.map(i => i.term -> i).toMap
+    val k1 = BM25.DefaultK1
+    val b = BM25.DefaultB
+    blocks
+      .filter($"term".isin(infos.map(_.term): _*) &&
+        $"minDoc" <= docId && $"maxDoc" >= docId)
+      .flatMap { blk =>
+        val (docs, tfs) = PostingsCodec.decodeBlock(blk.minDoc, blk.n, blk.wDocs, blk.wFreqs, blk.docGaps, blk.freqs)
+        val i = java.util.Arrays.binarySearch(docs, 0, blk.n, docId)
+        if (i < 0) Iterator.empty
+        else {
+          val info = byTerm(blk.term)
+          val nb = blk.norms(i)
+          Iterator.single((blk.term, info.ti, tfs(i), nb.toInt & 0xFF,
+            graft.codec.SmallFloat.byte4ToInt(nb),
+            info.scorer.weight, k1, b,
+            info.scorer.score(tfs(i).toFloat, nb)))
+        }
+      }
+      .toDF("term", "ti", "tf", "norm_byte", "dl_quantized", "weight", "k1", "b", "term_score")
+      .orderBy("ti")
+  }
+
+  /**
    * Multi-term query rewrite (PrefixQuery / WildcardQuery / RegexpQuery /
    * FuzzyQuery / TermInSetQuery — SURVEY §2.3): expand a term predicate
    * against the dictionary (a pushed-down filter on the small termstats

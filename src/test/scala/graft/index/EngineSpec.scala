@@ -110,6 +110,18 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("explain: per-term components sum to the exact topK score") {
+    val hits = engineTopK(Seq("public", "import", "class"), 5)
+    for ((docId, score) <- hits) {
+      val parts = QueryEngine.explain(spark, blocks, termstats, stats,
+        Seq("public", "import", "class"), docId).collect()
+      assert(parts.nonEmpty)
+      var acc = 0.0d
+      parts.foreach(r => acc += r.getFloat(8).toDouble) // ti-ordered
+      assert(acc.toFloat === score, s"doc $docId")
+    }
+  }
+
   test("per-row invariant: docstats sha256 == sha256 of source content") {
     val ds = IndexBuilder.docStats(spark, withIds)
     val src = withIds.select($"docId", sha2($"content", 256).as("srcSha"))

@@ -153,6 +153,12 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(feats.head().getAs[Seq[Float]]("features").length === 8)
   }
 
+  test("approx_count_distinct (HLL parity) stays within 10% of exact") {
+    val df = spark.range(0, 20000).select((col("id") % 1337).as("v"))
+    val approx = df.agg(approx_count_distinct("v")).head().getLong(0)
+    assert(math.abs(approx - 1337.0) / 1337.0 < 0.10, s"approx=$approx")
+  }
+
   test("relational: uniqueBy keeps first by order, topPerGroup bounded") {
     val df = Seq((1, "a", 10), (1, "b", 5), (2, "c", 7)).toDF("k", "v", "x")
     val u = Relational.uniqueBy(df, Seq("k"), Seq(desc("x")))
