@@ -100,6 +100,7 @@ object SparkEntry {
       round(avg("l_quantity"), 4).as("avg_qty"),
       round(stddev_samp("l_quantity"), 4).as("std_qty"),
       round(var_samp("l_quantity"), 4).as("var_qty"),
+      round(sum(col("l_quantity") * col("l_quantity")), 2).as("sumsq_qty"),
       round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"))),
 
     "q17_percentile" -> ((s, d) => rd(s, d, "lineitem")
@@ -451,6 +452,7 @@ object SparkEntry {
         """SELECT count(*) AS n, count(DISTINCT l_partkey) AS n_parts,
           | round(avg(l_quantity),4) AS avg_qty, round(stddev_samp(l_quantity),4) AS std_qty,
           | round(var_samp(l_quantity),4) AS var_qty,
+          | round(sum(l_quantity * l_quantity),2) AS sumsq_qty,
           | round(quantile_cont(l_quantity, 0.5),4) AS med_qty FROM lineitem""".stripMargin,
       "q17_percentile" ->
         """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5),4) AS p50,

@@ -44,14 +44,20 @@ class FuzzSpec extends SparkSpec {
         })
         val mode = if (rnd.nextBoolean()) QueryEngine.Or else QueryEngine.And
         val k = Seq(1, 7, n)(rnd.nextInt(3))
-        val want = OracleScorer.topK(corpusLocal, terms, k, mode)
+        val mustNot: Seq[String] = rnd.nextInt(4) match {
+          case 0 => Seq(vocab(rnd.nextInt(vocab.size)))
+          case 1 => Seq("everydoc")
+          case _ => Nil
+        }
+        val want = OracleScorer.topK(corpusLocal, terms, k, mode, mustNot)
         def run(prune: Boolean, wand: Boolean) =
-          QueryEngine.topK(spark, blocks, termstats, stats, terms, k, mode, Nil, prune, wand)
+          QueryEngine.topK(spark, blocks, termstats, stats, terms, k, mode, mustNot, prune, wand)
             .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
-        assert(run(prune = false, wand = false) === want, s"trial=$trial q=$q exhaustive terms=$terms mode=$mode k=$k")
-        assert(run(prune = false, wand = true) === want, s"trial=$trial q=$q wand terms=$terms mode=$mode k=$k")
+        assert(run(prune = false, wand = false) === want, s"trial=$trial q=$q exhaustive terms=$terms mode=$mode k=$k neg=$mustNot")
+        if (mustNot.isEmpty)
+          assert(run(prune = false, wand = true) === want, s"trial=$trial q=$q wand terms=$terms mode=$mode k=$k")
         if (mode == QueryEngine.Or)
-          assert(run(prune = true, wand = false) === want, s"trial=$trial q=$q pruned terms=$terms mode=$mode k=$k")
+          assert(run(prune = true, wand = false) === want, s"trial=$trial q=$q pruned terms=$terms mode=$mode k=$k neg=$mustNot")
       }
       blocks.unpersist(); termstats.unpersist()
     }
