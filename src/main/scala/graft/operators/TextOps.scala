@@ -88,6 +88,33 @@ object TextOps {
     anti.select(col(idCol), round(col("score_raw"), 5).as("score"))
   }
 
+  /** req-opt scoring (ReqOptSumScorer, Boolean2ScorerSupplier.java:107-114):
+    * docs must match ALL `required` terms; `optional` terms add to the score
+    * when present but never gate matching. */
+  def bm25ReqOpt(docs: DataFrame, idCol: String, textCol: String,
+                 required: Seq[String], optional: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val all = (required ++ optional).distinct
+    val tf = termFreqs(docs, idCol, textCol)
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val stats = docs.agg(count("*").as("n"))
+      .crossJoin(dl.agg((sum("dl") / count("*")).as("avgdl")))
+    val qtf = tf.filter(col("tok").isin(all: _*))
+    val dfs = qtf.groupBy("tok").agg(count("*").as("df"))
+    val scored = qtf
+      .join(broadcast(dfs), "tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("s", col("idf") * col("tf") /
+        (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+    scored.groupBy(idCol)
+      .agg(sum("s").as("score_raw"),
+        sum(when(col("tok").isin(required: _*), 1).otherwise(0)).as("n_required"))
+      .filter(col("n_required") === required.distinct.size)
+      .select(col(idCol), round(col("score_raw"), 5).as("score"))
+  }
+
   /** minShouldMatch (MinShouldMatchSumScorer): docs matching >= n of terms. */
   def minShouldMatch(docs: DataFrame, idCol: String, textCol: String,
                      terms: Seq[String], n: Int): DataFrame =
