@@ -37,10 +37,12 @@ object Bench {
     s
   }
 
-  private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rm)
-    f.delete(): Unit
-  }
+  private def rm(f: java.io.File): Unit = graft.util.Fs.rmTree(f)
+
+  /** Locale-independent decimal formatting (the f-interpolator uses the
+    * default locale; a comma decimal separator would corrupt the JSON). */
+  private def num(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
 
   /** The fixed query workload (EnwikiQueryMaker-style reference set over the
     * synthetic corpus vocabulary: hot keywords, mid idents, rare uniques). */
@@ -165,7 +167,7 @@ object Bench {
     }
     spark.stop()
 
-    val queriesJson = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val queriesJson = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
       f"""{"metric":"index-build files/sec @ local[$hiCores] (scaling eff ${buildEff}%.2f vs local[$loCores])","value":$bHi%.1f,"unit":"files/sec","sf":"$sfDir","queries":$queriesJson,"headline_total_sec":$total%.2f,"bench_docs":$numDocs,"build_files_per_sec_lo":$bLo%.1f,"build_files_per_sec_hi":$bHi%.1f,"build_scaling_efficiency":$buildEff%.3f,"build_scaling_efficiency_best_pair":$bestPairEff%.3f,"query_qps_lo":$qLo%.2f,"query_qps_hi":$qHi%.2f,"query_scaling_efficiency":$queryEff%.3f,"lo_cores":$loCores,"hi_cores":$hiCores}""")

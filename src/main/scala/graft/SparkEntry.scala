@@ -33,14 +33,11 @@ object SparkEntry {
   private def docIndex(s: SparkSession, dir: String): IndexStore.OpenIndex = synchronized {
     idxCache.getOrElseUpdate((s, dir), {
       val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val idxDir = s"target/docidx/$safe"
+      // session-scoped path: another SparkSession in this JVM must not
+      // scrub an index a live cached OpenIndex is still reading
+      val idxDir = s"target/docidx/$safe-${java.lang.System.identityHashCode(s)}"
       // scrub any stale index from a previous process before building
-      val root = new java.io.File(idxDir)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      if (root.exists()) rm(root)
+      graft.util.Fs.rmTree(idxDir)
       val corpus = rd(s, dir, "documents")
         .select(col("doc_id").as("docId"), col("text").as("content"))
       IndexStore.build(s, corpus, idxDir, numSegments = 2,
@@ -55,9 +52,7 @@ object SparkEntry {
     * Driver smoke-checks rows > 0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "target/entry-idx"
-    val root = new java.io.File(dir)
-    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit }
-    if (root.exists()) rm(root)
+    graft.util.Fs.rmTree(dir)
     val withIds = CorpusGen.corpus(spark, 300, 8).toDF()
       .withColumn("docId", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("repo", "path", "commit")).cast("long") - 1)

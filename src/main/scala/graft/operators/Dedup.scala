@@ -28,11 +28,15 @@ object Dedup {
       .select(col(idCol), col("content_hash"), col("group_size"), col("is_kept"))
   }
 
-  /** Character n-gram shingle set of a string column (distinct, sorted). */
+  /** Character n-gram shingle set of a string column (distinct, sorted).
+    * Strings shorter than n yield an EMPTY set (guard needed: Spark's
+    * sequence(1, 0) counts DOWN, which would yield a bogus shingle). */
   def charShingles(s: Column, n: Int): Column =
-    array_sort(array_distinct(transform(
-      sequence(lit(1), greatest(length(s) - (n - 1), lit(0))),
-      i => s.substr(i, lit(n)))))
+    when(length(s) >= n,
+      array_sort(array_distinct(transform(
+        sequence(lit(1), length(s) - (n - 1)),
+        i => s.substr(i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
 
   /** n-gram Jaccard similarity between two string columns (char shingles). */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {
@@ -79,7 +83,7 @@ object Dedup {
     import spark.implicits._
     val w = shingleWidth
     val seeds = (0 until numHashes).map(p => mix64(p.toLong)).toArray
-    docs.select(col(idCol).cast("long"), lower(col(textCol)))
+    docs.select(col(idCol).cast("long"), lower(coalesce(col(textCol), lit(""))))
       .as[(Long, String)]
       .map { case (id, text) =>
         val sig = Array.fill(numHashes)(Long.MaxValue)

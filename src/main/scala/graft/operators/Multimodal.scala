@@ -53,11 +53,13 @@ object Multimodal {
       StructField("height", IntegerType), StructField("n_frames", IntegerType),
       StructField("duration_s", DoubleType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val payloadIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         val (w, h, f, d) = decodeStub(payload)
-        Row.fromSeq(r.toSeq.take(2) ++ Seq[Any](payload.length, w, h, f, d))
+        val passThrough = r.toSeq.zipWithIndex.collect { case (v, i) if i != payloadIdx => v }
+        Row.fromSeq(passThrough ++ Seq[Any](payload.length, w, h, f, d))
       }
     }(enc)
   }

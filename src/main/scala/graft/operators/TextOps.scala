@@ -57,23 +57,31 @@ object TextOps {
    * filter is pushed below the tf aggregation (only q-term postings shuffle);
    * stats (N, avgdl, df) are single-row/broadcast joins.
    */
-  def bm25All(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
-              k1: Double = 1.2, b: Double = 0.75,
-              mode: String = "or", mustNot: Seq[String] = Nil): DataFrame = {
+  /** Per-(doc, query-term) BM25-scored frame: (idCol, tok, s DOUBLE) — the
+    * shared arithmetic of bm25All / bm25ReqOpt (one definition of the
+    * oracle-checked idf/avgdl formulas). */
+  private def scoredTerms(docs: DataFrame, idCol: String, textCol: String,
+                          terms: Seq[String], k1: Double, b: Double): DataFrame = {
     val tf = termFreqs(docs, idCol, textCol)
     val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
     val stats = docs.agg(count("*").as("n"))
       .crossJoin(dl.agg((sum("dl") / count("*")).as("avgdl")))
     val qtf = tf.filter(col("tok").isin(terms: _*))
     val dfs = qtf.groupBy("tok").agg(count("*").as("df"))
-    val scored = qtf
+    qtf
       .join(broadcast(dfs), "tok")
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
       .withColumn("idf", log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("s", col("idf") * col("tf") /
         (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
-    val agg = scored.groupBy(idCol)
+      .select(col(idCol), col("tok"), col("s"))
+  }
+
+  def bm25All(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+              k1: Double = 1.2, b: Double = 0.75,
+              mode: String = "or", mustNot: Seq[String] = Nil): DataFrame = {
+    val agg = scoredTerms(docs, idCol, textCol, terms, k1, b).groupBy(idCol)
       .agg(sum("s").as("score_raw"), count("*").as("nMatched"))
     val filtered = mode match {
       case "and" => agg.filter(col("nMatched") === terms.distinct.size)
@@ -95,20 +103,7 @@ object TextOps {
                  required: Seq[String], optional: Seq[String],
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val all = (required ++ optional).distinct
-    val tf = termFreqs(docs, idCol, textCol)
-    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
-    val stats = docs.agg(count("*").as("n"))
-      .crossJoin(dl.agg((sum("dl") / count("*")).as("avgdl")))
-    val qtf = tf.filter(col("tok").isin(all: _*))
-    val dfs = qtf.groupBy("tok").agg(count("*").as("df"))
-    val scored = qtf
-      .join(broadcast(dfs), "tok")
-      .join(dl, idCol)
-      .crossJoin(broadcast(stats))
-      .withColumn("idf", log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn("s", col("idf") * col("tf") /
-        (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
-    scored.groupBy(idCol)
+    scoredTerms(docs, idCol, textCol, all, k1, b).groupBy(idCol)
       .agg(sum("s").as("score_raw"),
         sum(when(col("tok").isin(required: _*), 1).otherwise(0)).as("n_required"))
       .filter(col("n_required") === required.distinct.size)

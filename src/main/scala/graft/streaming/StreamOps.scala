@@ -50,15 +50,19 @@ object StreamOps {
     * fields by k:v regex, schema-on-read. Works on stream or batch. */
   def extractFields(events: DataFrame, rawCol: String, keys: Seq[String]): DataFrame =
     keys.foldLeft(events) { (df, k) =>
+      // left word boundary: 'id=' must not match inside 'user_id='
+      val numPat = s"(?:^|\\s)$k=(-?\\d+(\\.\\d+)?)"
       df.withColumn(k,
-        when(regexp_extract(col(rawCol), s"$k=(-?\\d+(\\.\\d+)?)", 1).rlike("^-?\\d+$$"),
-          regexp_extract(col(rawCol), s"$k=(-?\\d+(\\.\\d+)?)", 1).cast("long"))
+        when(regexp_extract(col(rawCol), numPat, 1).rlike("^-?\\d+$$"),
+          regexp_extract(col(rawCol), numPat, 1).cast("long"))
           .otherwise(null))
-        .withColumn(s"${k}_s", regexp_extract(col(rawCol), s"$k=([^ ]+)", 1))
+        .withColumn(s"${k}_s", regexp_extract(col(rawCol), s"(?:^|\\s)$k=([^ ]+)", 1))
     }
 
   /** Sessionize by user with a gap timeout — custom state via
-    * mapGroupsWithState (the KeyValueGroupedDataset state API). */
+    * mapGroupsWithState (the KeyValueGroupedDataset state API). The emitted
+    * row is the user's CURRENT session; `closed` = true iff a gap rollover
+    * closed a previous session during THIS batch (reset each batch). */
   def sessionize(events: Dataset[(Long, Long)], gapMs: Long): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
@@ -66,7 +70,7 @@ object StreamOps {
         (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionAgg]) =>
           val ts = rows.map(_._2).toSeq.sorted
           val prev = state.getOption.getOrElse(SessionAgg(userId, 0, Long.MaxValue, Long.MinValue, closed = false))
-          val next = ts.foldLeft(prev) { (s, t) =>
+          val next = ts.foldLeft(prev.copy(closed = false)) { (s, t) =>
             if (s.nEvents > 0 && t - s.lastTs > gapMs)
               SessionAgg(userId, 1, t, t, closed = true) // previous session closed
             else
