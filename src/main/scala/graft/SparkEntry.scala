@@ -356,6 +356,22 @@ object SparkEntry {
         .select(col("bucket").cast("string").as("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
     }),
 
+    // IVrixDB time-bucketed index: monthly buckets over the events stream,
+    // bucket-pruned time-range term search (docIds = event_ids, exact)
+    "ft_time_ids" -> ((s, d) => {
+      val idxDir = s"target/timeidx/${d.replaceAll("[^A-Za-z0-9.]", "_")}-${java.lang.System.identityHashCode(s)}"
+      graft.util.Fs.rmTree(idxDir)
+      val ev = rd(s, d, "events").select(
+        col("event_id"), col("ts"),
+        lower(concat(col("event_type"), lit(" "), col("props"))).as("raw"))
+      graft.index.TimeIndex.build(s, ev, idxDir, granularity = "week",
+        shufflePartitions = s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      // weeks of 2024-01-08 and 2024-01-15 only (bucket-level pruning)
+      graft.index.TimeIndex.topK(s, idxDir, Seq("error"), 1000000,
+        fromBucket = "2024-01-08T00", toBucket = "2024-01-21T23")
+        .select(col("docId").as("event_id"))
+    }),
+
     // ---- text analysis (training-data pipeline ops) ----
     "ta_quality" -> ((s, d) => TextOps.qualityStats(rd(s, d, "documents"),
       "doc_id", "text", Stopwords)),
@@ -626,6 +642,10 @@ object SparkEntry {
           | c AS (SELECT bucket, count(*) AS cnt FROM ev GROUP BY bucket)
           | SELECT CAST(buckets.bucket AS VARCHAR) AS bucket, COALESCE(c.cnt, 0) AS cnt
           | FROM buckets LEFT JOIN c ON buckets.bucket = c.bucket""".stripMargin,
+      "ft_time_ids" ->
+        """SELECT event_id FROM events
+          | WHERE ts >= '2024-01-08' AND ts < '2024-01-22'
+          |  AND list_contains(regexp_extract_all(lower(event_type || ' ' || props), '[a-z0-9]+'), 'error')""".stripMargin,
       "ta_quality" ->
         """SELECT doc_id, length(text) AS n_chars,
           | len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,

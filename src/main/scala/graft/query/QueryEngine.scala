@@ -186,6 +186,20 @@ object QueryEngine {
     if (partials.length < k) 0f else math.nextDown(partials.last.getFloat(1))
   }
 
+  /** OR top-k with caller-built TermInfos (pre-merged stats — used by the
+    * time-bucketed index, where collection stats merge across buckets). */
+  def topKWithInfos(spark: SparkSession, blocks: Dataset[BlockRow],
+                    infos: Seq[TermInfo], k: Int): DataFrame = {
+    import spark.implicits._
+    if (infos.isEmpty)
+      return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
+    scoredPostings(spark, blocks, infos, 0f)
+      .groupBy("docId")
+      .agg(collect_list(struct($"ti", $"score")).as("parts"))
+      .select($"docId", combinedScore)
+      .orderBy(desc("score"), asc("docId")).limit(k)
+  }
+
   /**
    * Score explanation (IndexSearcher.explain / BM25Similarity.explain
    * analogue, reference search/IndexSearcher.java explain +
