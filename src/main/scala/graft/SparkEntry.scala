@@ -186,6 +186,18 @@ object SparkEntry {
       .groupBy("event_type")
       .agg(count("*").as("n"), sum("k_val").as("sum_k"))),
 
+    // dynamic timeline: auto-gap from a ladder so bucket count <= 300
+    // (IVrixDB DynamicTimeline); 30-day span -> 3h buckets, epoch-aligned
+    "q39_dyn_timeline" -> ((s, d) => graft.streaming.StreamOps
+      .dynamicTimeline(rd(s, d, "events"), "ts", maxBuckets = 300)),
+
+    // salted two-phase aggregation (skew defusal made explicit): results
+    // must equal the plain groupBy — THAT is the oracle
+    "q40_salted" -> ((s, d) => R.saltedRollup(rd(s, d, "lineitem"),
+      Seq("l_returnflag"), salts = 16,
+      sumCols = Seq("l_quantity"), countAs = Some("cnt"))
+      .select(col("l_returnflag"), round(col("sum_l_quantity"), 2).as("sum_qty"), col("cnt"))),
+
     // ---- time series / date math (SURVEY §2.4 timeseries, §2.6 datemath) ----
     "q13_timeseries" -> ((s, d) => rd(s, d, "events")
       .groupBy(date_trunc("hour", col("ts")).cast("string").as("bucket"), col("event_type"))
@@ -519,6 +531,12 @@ object SparkEntry {
         """SELECT event_type, count(*) AS n,
           | CAST(sum(CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
           | FROM events GROUP BY event_type""".stripMargin,
+      "q39_dyn_timeline" ->
+        """SELECT (epoch(ts)::BIGINT // 10800) * 10800 AS bucket_start,
+          | count(*) AS cnt FROM events GROUP BY 1""".stripMargin,
+      "q40_salted" ->
+        """SELECT l_returnflag, round(sum(l_quantity),2) AS sum_qty, count(*) AS cnt
+          | FROM lineitem GROUP BY l_returnflag""".stripMargin,
       "q13_timeseries" ->
         """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket, event_type,
           | count(*) AS cnt, round(sum(value),2) AS sum_value

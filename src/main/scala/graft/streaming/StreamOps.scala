@@ -46,6 +46,31 @@ object StreamOps {
       .select(col("window.start").as("bucket_start"),
         col("window.end").as("bucket_end"), col("cnt"))
 
+  /** Gap ladder for [[dynamicTimeline]] (seconds). */
+  private val GapLadder: Seq[Long] =
+    Seq(1L, 10L, 60L, 300L, 900L, 3600L, 3 * 3600L, 6 * 3600L, 12 * 3600L,
+      86400L, 7 * 86400L, 30 * 86400L, 365 * 86400L)
+
+  /**
+   * Dynamic timeline (IVrixDB DynamicTimeline.java:25-38): pick the
+   * smallest gap from a fixed ladder that keeps the bucket count under
+   * `maxBuckets` for the data's actual time span, then bucket-count.
+   * Buckets are epoch-aligned (floor(epoch/gap)*gap) so the result is
+   * reproducible and SQL-expressible. Returns (bucket_start, cnt).
+   */
+  def dynamicTimeline(events: DataFrame, timeCol: String, maxBuckets: Int): DataFrame = {
+    val epoch = col(timeCol).cast("timestamp").cast("long") // NTZ-safe
+    val r = events.agg(min(epoch), max(epoch)).head()
+    if (r.isNullAt(0)) return events.select(epoch.as("bucket_start")).limit(0)
+      .withColumn("cnt", lit(0L))
+    val span = r.getLong(1) - r.getLong(0) + 1
+    val gap = GapLadder.find(g => span / g < maxBuckets).getOrElse(GapLadder.last)
+    // bucket_start as epoch seconds: timezone-representation-proof
+    events
+      .groupBy(((epoch / gap).cast("long") * gap).as("bucket_start"))
+      .agg(count("*").as("cnt"))
+  }
+
   /** Search-time field extraction (IVrixDB stfe): split `_raw` into typed
     * fields by k:v regex, schema-on-read. Works on stream or batch. */
   def extractFields(events: DataFrame, rawCol: String, keys: Seq[String]): DataFrame =
