@@ -133,6 +133,17 @@ object SparkEntry {
       rd(s, d, "orders"),
       Seq("o_custkey")).select(col("o_custkey").as("c_custkey"))),
 
+    // parent/child block join (ToParentBlockJoinQuery analogue): parents
+    // (orders) where >=1 child (lineitem) matches a predicate, with child
+    // match counts — child-side filter first, then groupBy parent key
+    "q41_parent_child" -> ((s, d) => {
+      val children = rd(s, d, "lineitem").filter(col("l_quantity") >= 45)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count("*").as("n_matching_children"))
+      R.innerJoin(rd(s, d, "orders").select("o_orderkey", "o_orderstatus"),
+        children, Seq("o_orderkey"))
+    }),
+
     "q22_fetch" -> ((s, d) => {
       val ev = rd(s, d, "events")
       val dim = ev.groupBy("user_id").agg(count("*").as("n_events"))
@@ -499,6 +510,11 @@ object SparkEntry {
       "q6_anti_join" ->
         """SELECT c_custkey FROM customer WHERE c_custkey NOT IN
           | (SELECT o_custkey FROM orders)""".stripMargin,
+      "q41_parent_child" ->
+        """WITH ch AS (SELECT l_orderkey AS o_orderkey, count(*) AS n_matching_children
+          |  FROM lineitem WHERE l_quantity >= 45 GROUP BY l_orderkey)
+          | SELECT o.o_orderkey, o.o_orderstatus, ch.n_matching_children
+          | FROM orders o JOIN ch ON o.o_orderkey = ch.o_orderkey""".stripMargin,
       "q22_fetch" ->
         """WITH dim AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
           | SELECT event_id, user_id, n_events FROM events LEFT JOIN dim USING(user_id)
