@@ -357,6 +357,11 @@ object SparkEntry {
         .groupBy("doc_id").agg(count("*").as("n_pairs"))
     }),
 
+    // sloppy phrase (SloppyPhraseMatcher semantics): "group data"~3 —
+    // reversed order costs 2, so docs with "data group" also match
+    "q42_sloppy" -> ((s, d) => TextOps.sloppyPhraseMatch(rd(s, d, "documents"),
+      "doc_id", "text", Seq("group", "data"), slop = 3)),
+
     // more-like-this (KnnStream parity): docs ranked by shared-distinct-token
     // count with doc 0
     "q37_mlt" -> ((s, d) => {
@@ -664,6 +669,15 @@ object SparkEntry {
           | SELECT a.doc_id, count(*) AS n_pairs FROM t a JOIN t b
           |  ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
           | WHERE a.tok = 'data' AND b.tok = 'group' GROUP BY a.doc_id""".stripMargin,
+      "q42_sloppy" ->
+        """WITH t AS (SELECT doc_id,
+          |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          |  FROM documents)
+          | SELECT a.doc_id, CAST(min(abs((b.pos - 1) - a.pos)) AS INT) AS min_slop
+          | FROM t a JOIN t b ON a.doc_id = b.doc_id
+          | WHERE a.tok = 'group' AND b.tok = 'data'
+          | GROUP BY a.doc_id HAVING min(abs((b.pos - 1) - a.pos)) <= 3""".stripMargin,
       "q37_mlt" ->
         s"""WITH toks AS (SELECT DISTINCT doc_id, tok FROM ($tok)),
            | q AS (SELECT tok FROM toks WHERE doc_id = 0)

@@ -145,6 +145,55 @@ object TextOps {
       .select(col(idCol), col("n_occurrences"))
   }
 
+  /**
+   * Sloppy phrase match (SloppyPhraseMatcher semantics for phrases without
+   * repeated terms, reference search/SloppyPhraseMatcher.java): term i's
+   * positions are offset-adjusted (q = pos - i, Lucene's PhrasePositions),
+   * and the doc matches iff some choice of one occurrence per term has
+   * adjusted-position range (max q - min q) <= slop. Reordering costs 2
+   * (e.g. "b a" matches "a b"~2), exactly as in the reference. The
+   * per-doc minimal range is the classic smallest-covering-range sweep.
+   * Returns (idCol, min_slop) for matching docs.
+   */
+  def sloppyPhraseMatch(docs: DataFrame, idCol: String, textCol: String,
+                        phrase: Seq[String], slop: Int): DataFrame = {
+    require(phrase.nonEmpty && phrase.distinct.size == phrase.size,
+      "sloppyPhraseMatch supports phrases without repeated terms")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pos = tokenPosTable(docs, idCol, textCol)
+    // per doc: one array of adjusted positions per phrase term
+    val parts = phrase.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("tok") === t)
+        .groupBy(idCol).agg(sort_array(collect_list(col("pos") - i)).as(s"q$i"))
+    }
+    val joined = parts.reduceLeft((a, b) => a.join(b, idCol))
+    joined.select(col(idCol).cast("long"),
+        array(phrase.indices.map(i => col(s"q$i")): _*))
+      .as[(Long, Seq[Seq[Int]])]
+      .flatMap { case (id, lists) =>
+        // smallest range covering one element from each sorted list
+        val idx = Array.fill(lists.size)(0)
+        var best = Int.MaxValue
+        var done = false
+        while (!done) {
+          var minV = Int.MaxValue; var maxV = Int.MinValue; var minList = -1
+          var i = 0
+          while (i < lists.size) {
+            val v = lists(i)(idx(i))
+            if (v < minV) { minV = v; minList = i }
+            if (v > maxV) maxV = v
+            i += 1
+          }
+          if (maxV - minV < best) best = maxV - minV
+          idx(minList) += 1
+          if (idx(minList) >= lists(minList).size) done = true
+        }
+        if (best <= slop) Iterator.single((id, best)) else Iterator.empty
+      }
+      .toDF(idCol, "min_slop")
+  }
+
   /** Multi-term expansion queries: df of terms selected by a predicate on
     * the term itself (prefix/regexp/fuzzy/set — PrefixQuery, RegexpQuery,
     * FuzzyQuery, TermInSetQuery). Returns (term, df, ttf). */

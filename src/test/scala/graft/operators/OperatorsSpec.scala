@@ -51,6 +51,33 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(m === Set(0L, 4L)) // doc2 has 'spark join'; doc1 has query but not followed by join
   }
 
+  test("sloppy phrase: adjusted-position range, reorder costs 2, 3-term brute-force parity") {
+    val d = Seq(
+      (0L, "a b c"),          // exact: slop 0
+      (1L, "a x b y c"),      // gaps: q = 0,1,2 -> range 2
+      (2L, "c b a"),          // fully reversed
+      (3L, "a b"),            // missing c: no match
+      (4L, "c x x a b")       // c first, far
+    ).toDF("doc_id", "text")
+    val got = TextOps.sloppyPhraseMatch(d, "doc_id", "text", Seq("a", "b", "c"), slop = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // brute force: min over occurrence choices of max(q)-min(q)
+    def brute(text: String): Option[Int] = {
+      val toks = text.split(" ").zipWithIndex
+      val lists = Seq("a", "b", "c").zipWithIndex.map { case (t, i) =>
+        toks.filter(_._1 == t).map(_._2 - i).toSeq
+      }
+      if (lists.exists(_.isEmpty)) None
+      else Some((for (x <- lists(0); y <- lists(1); z <- lists(2))
+        yield Seq(x, y, z).max - Seq(x, y, z).min).min)
+    }
+    val expect = Seq(0L -> "a b c", 1L -> "a x b y c", 2L -> "c b a", 3L -> "a b", 4L -> "c x x a b")
+      .flatMap { case (id, t) => brute(t).filter(_ <= 4).map(id -> _) }.toMap
+    assert(got === expect)
+    assert(got(0L) === 0)
+    assert(got(2L) === 4) // reversal of 3 terms: q = 2,0,-2 -> range 4
+  }
+
   test("minShouldMatch and disjunctionMax") {
     val msm = TextOps.minShouldMatch(docs, "doc_id", "text", Seq("spark", "query", "data"), 2)
       .select("doc_id").as[Long].collect().toSet
