@@ -591,7 +591,7 @@ object SparkEntry {
            | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),
            | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
            | st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
-           |               (SELECT sum(dl) / count(*) FROM dl) AS avgdl),
+           |               (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
            | qt AS (SELECT * FROM tf WHERE tok IN ('spark','query','join')),
            | dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM qt GROUP BY tok),
            | sc AS (SELECT qt.doc_id, qt.tok,
@@ -765,7 +765,7 @@ object SparkEntry {
        | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),
        | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
        | st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
-       |               (SELECT sum(dl) / count(*) FROM dl) AS avgdl),
+       |               (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
        | qt AS (SELECT * FROM tf WHERE tok IN ($inList)),
        | dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM qt GROUP BY tok),
        | sc AS (SELECT qt.doc_id,

@@ -11,12 +11,13 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
  * ivrixdb/index/node/HotBucket.java:24, EventIndexer.java:24-30,
  * `IVrixDB Architecture.md:36-51`): the corpus is a stream of events
  * `(eventId, _time, _raw)`; the index is sliced into time buckets, each an
- * independent immutable mini-index; searches open only the buckets
+ * independent immutable mini-index (bucket id = `yyyy-MM-dd'T'HH` of the
+ * truncated event time; range bounds must use that format); searches open only the buckets
  * overlapping the queried time range (HOT→WARM→COLD = newest-first), and
  * retention is a bucket drop.
  *
  * Spark-first shape:
- *  - one bucket = one partition directory `buckets/b=<yyyy-MM-dd>/` holding
+ *  - one bucket = one partition directory `buckets/b=<yyyy-MM-dd'T'HH>/` holding
  *    packed postings + docstats + a commit manifest (idempotent, resumable
  *    exactly like IndexStore segments);
  *  - bucket assignment is event-time (`date_trunc`), so out-of-order
@@ -61,10 +62,17 @@ object TimeIndex {
             idCol: String = "event_id", timeCol: String = "ts", rawCol: String = "raw",
             granularity: String = "day", shufflePartitions: Int = 8): Unit = {
     import spark.implicits._
-    val withBucket = events.select(
-      col(idCol).cast("long").as("docId"),
-      col(rawCol).cast("string").as("content"),
-      date_format(date_trunc(granularity, col(timeCol)), "yyyy-MM-dd'T'HH").as("bucket"))
+    // events without a timestamp cannot be bucketed (IVrixDB requires
+    // `_time`); exclude them explicitly rather than corrupting a null bucket
+    val withBucket = events
+      .filter(col(timeCol).isNotNull)
+      .select(
+        col(idCol).cast("long").as("docId"),
+        col(rawCol).cast("string").as("content"),
+        date_format(date_trunc(granularity, col(timeCol)), "yyyy-MM-dd'T'HH").as("bucket"))
+      // persisted: the distinct() pass plus one filter PER BUCKET would
+      // otherwise re-scan the full source once per bucket
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val all = withBucket.select("bucket").distinct().as[String].collect().sorted
     for (b <- all if !isCommitted(dir, b)) {
       val slice = withBucket.filter($"bucket" === b).drop("bucket")
@@ -73,16 +81,17 @@ object TimeIndex {
       val bd = bucketDir(dir, b)
       IndexBuilder.packBlocks(spark, IndexBuilder.postingsOf(inv), shufflePartitions)
         .write.mode("overwrite").parquet(s"$bd/postings")
-      IndexBuilder.statsOf(inv).write.mode("overwrite").parquet(s"$bd/docstats")
-      val m = IndexBuilder.statsOf(inv)
-        .agg(count("*"), sum(col("dl").cast("long"))).head()
+      val ds = IndexBuilder.statsOf(inv)
+      ds.write.mode("overwrite").parquet(s"$bd/docstats")
+      val cs = IndexBuilder.corpusStats(ds)
       inv.unpersist()
-      val json = s"""{"bucket":"$b","docCount":${m.getLong(0)},"sumDl":${if (m.isNullAt(1)) 0L else m.getLong(1)},"appId":"${spark.sparkContext.applicationId}"}"""
+      val json = s"""{"bucket":"$b","docCount":${cs.docCount},"sumDl":${cs.sumTotalTermFreq},"appId":"${spark.sparkContext.applicationId}"}"""
       val tmp = Paths.get(s"$bd/MANIFEST.json.tmp")
       Files.createDirectories(tmp.getParent)
       Files.writeString(tmp, json)
       Files.move(tmp, Paths.get(s"$bd/MANIFEST.json"), StandardCopyOption.ATOMIC_MOVE)
     }
+    withBucket.unpersist(): Unit
   }
 
   /** Retention: drop a whole bucket (IVrixDB COLD detach / partition drop). */

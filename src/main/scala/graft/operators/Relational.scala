@@ -114,9 +114,12 @@ object Relational {
 
   /** grouping (lucene/grouping two-pass GroupingSearch) — top-n rows per
     * group by an explicit order. */
-  def topPerGroup(df: DataFrame, groupCols: Seq[String], order: Seq[Column], n: Int): DataFrame = {
+  def topPerGroup(df: DataFrame, groupCols: Seq[String], order: Seq[Column], n: Int,
+                  rankCol: String = "rn"): DataFrame = {
+    require(!df.columns.contains(rankCol),
+      s"input already has a '$rankCol' column — pass a different rankCol")
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
-    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
   }
 
   /** significantTerms (SignificantTermsStream.java:59) — foreground vs
@@ -125,11 +128,15 @@ object Relational {
   def significantTerms(fg: DataFrame, bg: DataFrame, termCol: String, minDf: Long = 1): DataFrame = {
     val f = fg.groupBy(termCol).agg(count("*").as("fg"))
     val b = bg.groupBy(termCol).agg(count("*").as("bg"))
-    val ft = fg.count().toDouble
-    val bt = bg.count().toDouble
+    // totals derived lazily from the grouped frames (no extra input scans,
+    // no eager jobs at plan-construction time)
+    val fTot = f.agg(sum("fg").cast("double").as("__fgTot"))
+    val bTot = b.agg(sum("bg").cast("double").as("__bgTot"))
     f.join(b, Seq(termCol), "inner")
+      .crossJoin(broadcast(fTot)).crossJoin(broadcast(bTot))
       .filter(col("bg") >= minDf)
-      .withColumn("score", (col("fg") / ft) / (col("bg") / bt))
+      .withColumn("score", (col("fg") / col("__fgTot")) / (col("bg") / col("__bgTot")))
+      .drop("__fgTot", "__bgTot")
   }
 
   /** parallel (ParallelStream.java:42-48) — hash-repartition a sub-plan on

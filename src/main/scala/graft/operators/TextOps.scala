@@ -64,8 +64,11 @@ object TextOps {
                           terms: Seq[String], k1: Double, b: Double): DataFrame = {
     val tf = termFreqs(docs, idCol, textCol)
     val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    // avgdl = total tokens / ALL docs (token-less docs included) — the same
+    // denominator as graft.query.BM25 / Lucene's sumTotalTermFreq/docCount
     val stats = docs.agg(count("*").as("n"))
-      .crossJoin(dl.agg((sum("dl") / count("*")).as("avgdl")))
+      .crossJoin(dl.agg(sum("dl").as("__totDl")))
+      .withColumn("avgdl", col("__totDl") / col("n"))
     val qtf = tf.filter(col("tok").isin(terms: _*))
     val dfs = qtf.groupBy("tok").agg(count("*").as("df"))
     qtf
@@ -168,30 +171,39 @@ object TextOps {
         .groupBy(idCol).agg(sort_array(collect_list(col("pos") - i)).as(s"q$i"))
     }
     val joined = parts.reduceLeft((a, b) => a.join(b, idCol))
-    joined.select(col(idCol).cast("long"),
-        array(phrase.indices.map(i => col(s"q$i")): _*))
-      .as[(Long, Seq[Seq[Int]])]
-      .flatMap { case (id, lists) =>
-        // smallest range covering one element from each sorted list
-        val idx = Array.fill(lists.size)(0)
-        var best = Int.MaxValue
-        var done = false
-        while (!done) {
-          var minV = Int.MaxValue; var maxV = Int.MinValue; var minList = -1
-          var i = 0
-          while (i < lists.size) {
-            val v = lists(i)(idx(i))
-            if (v < minV) { minV = v; minList = i }
-            if (v > maxV) maxV = v
-            i += 1
+    // id column kept generic (any type, like every sibling operator): the
+    // sweep runs on Rows with an explicit encoder
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      joined.schema(idCol),
+      org.apache.spark.sql.types.StructField("min_slop",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    joined.select(col(idCol),
+        array(phrase.indices.map(i => col(s"q$i")): _*).as("qs"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val lists = r.getSeq[scala.collection.Seq[Int]](1)
+          // smallest range covering one element from each sorted list
+          val idx = Array.fill(lists.size)(0)
+          var best = Int.MaxValue
+          var done = false
+          while (!done) {
+            var minV = Int.MaxValue; var maxV = Int.MinValue; var minList = -1
+            var i = 0
+            while (i < lists.size) {
+              val v = lists(i)(idx(i))
+              if (v < minV) { minV = v; minList = i }
+              if (v > maxV) maxV = v
+              i += 1
+            }
+            if (maxV - minV < best) best = maxV - minV
+            idx(minList) += 1
+            if (idx(minList) >= lists(minList).size) done = true
           }
-          if (maxV - minV < best) best = maxV - minV
-          idx(minList) += 1
-          if (idx(minList) >= lists(minList).size) done = true
+          if (best <= slop) Iterator.single(org.apache.spark.sql.Row(r.get(0), best))
+          else Iterator.empty
         }
-        if (best <= slop) Iterator.single((id, best)) else Iterator.empty
-      }
-      .toDF(idCol, "min_slop")
+      }(enc)
   }
 
   /** Multi-term expansion queries: df of terms selected by a predicate on
@@ -253,5 +265,5 @@ object TextOps {
   /** IVrixDB-style search-time field extraction: k:v pairs pulled out of a
     * raw string with regex, typed by cast attempt (FieldExtractionStream). */
   def extractField(raw: Column, key: String): Column =
-    regexp_extract(raw, "\"" + key + "\"\\s*:\\s*(\\d+)", 1).cast("long")
+    regexp_extract(raw, "\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*(\\d+)", 1).cast("long")
 }

@@ -67,7 +67,7 @@ object StreamOps {
     val gap = GapLadder.find(g => span / g < maxBuckets).getOrElse(GapLadder.last)
     // bucket_start as epoch seconds: timezone-representation-proof
     events
-      .groupBy(((epoch / gap).cast("long") * gap).as("bucket_start"))
+      .groupBy((floor(epoch / gap).cast("long") * gap).as("bucket_start"))
       .agg(count("*").as("cnt"))
   }
 
@@ -75,13 +75,15 @@ object StreamOps {
     * fields by k:v regex, schema-on-read. Works on stream or batch. */
   def extractFields(events: DataFrame, rawCol: String, keys: Seq[String]): DataFrame =
     keys.foldLeft(events) { (df, k) =>
-      // left word boundary: 'id=' must not match inside 'user_id='
-      val numPat = s"(?:^|\\s)$k=(-?\\d+(\\.\\d+)?)"
+      // left word boundary: 'id=' must not match inside 'user_id=';
+      // quote the key so regex metacharacters match literally
+      val kq = java.util.regex.Pattern.quote(k)
+      val numPat = s"(?:^|\\s)$kq=(-?\\d+(\\.\\d+)?)"
       df.withColumn(k,
         when(regexp_extract(col(rawCol), numPat, 1).rlike("^-?\\d+$$"),
           regexp_extract(col(rawCol), numPat, 1).cast("long"))
           .otherwise(null))
-        .withColumn(s"${k}_s", regexp_extract(col(rawCol), s"(?:^|\\s)$k=([^ ]+)", 1))
+        .withColumn(s"${k}_s", regexp_extract(col(rawCol), s"(?:^|\\s)$kq=([^ ]+)", 1))
     }
 
   /** Sessionize by user with a gap timeout — custom state via
