@@ -216,6 +216,11 @@ object IndexStore {
              wand: Boolean = false): DataFrame =
       QueryEngine.topK(spark, blocks, termstats, stats, terms, k, mode, mustNot, prune, wand)
 
+    /** Positional paging (IndexSearcher.searchAfter). */
+    def topKAfter(terms: Seq[String], k: Int, afterScore: Float, afterDocId: Long,
+                  mode: QueryEngine.Mode = QueryEngine.Or): DataFrame =
+      QueryEngine.topKAfter(spark, blocks, termstats, stats, terms, k, afterScore, afterDocId, mode)
+
     /** Per-term score breakdown for one doc (IndexSearcher.explain). */
     def explain(terms: Seq[String], docId: Long): DataFrame =
       QueryEngine.explain(spark, blocks, termstats, stats, terms, docId)

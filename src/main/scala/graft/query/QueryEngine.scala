@@ -186,6 +186,35 @@ object QueryEngine {
     if (partials.length < k) 0f else math.nextDown(partials.last.getFloat(1))
   }
 
+  /**
+   * Positional paging (IndexSearcher.searchAfter / TopScoreDocCollector
+   * paging, reference TopScoreDocCollector.java:95-160): page N+1 = the
+   * top-k among docs strictly AFTER the last hit of page N in the global
+   * (score DESC, docId ASC) order — i.e. score < after.score, or equal
+   * score and docId > after.docId. Pages are disjoint and their
+   * concatenation equals one big topK (tested).
+   */
+  def topKAfter(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame,
+                stats: CorpusStats, terms: Seq[String], k: Int,
+                afterScore: Float, afterDocId: Long,
+                mode: Mode = Or): DataFrame = {
+    import spark.implicits._
+    val infos = plan(termstats, stats, terms)
+    if (infos.isEmpty || (mode == And && infos.size < terms.distinct.size))
+      return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
+    val grouped = scoredPostings(spark, blocks, infos, 0f)
+      .groupBy("docId")
+      .agg(collect_list(struct($"ti", $"score")).as("parts"))
+    val filtered = mode match {
+      case Or  => grouped
+      case And => grouped.filter(size($"parts") === infos.size)
+    }
+    filtered.select($"docId", combinedScore)
+      .filter($"score" < afterScore ||
+        ($"score" === afterScore && $"docId" > afterDocId))
+      .orderBy(desc("score"), asc("docId")).limit(k)
+  }
+
   /** OR top-k with caller-built TermInfos (pre-merged stats — used by the
     * time-bucketed index, where collection stats merge across buckets). */
   def topKWithInfos(spark: SparkSession, blocks: Dataset[BlockRow],

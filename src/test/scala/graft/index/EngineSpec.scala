@@ -110,6 +110,19 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("searchAfter paging: pages are disjoint and concatenate to the full topK") {
+    val terms = Seq("public", "import", "class")
+    val full = engineTopK(terms, 30)
+    val page1 = engineTopK(terms, 10)
+    val (d1, s1) = page1.last
+    val page2 = QueryEngine.topKAfter(spark, blocks, termstats, stats, terms, 10, s1, d1)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val (d2, s2) = page2.last
+    val page3 = QueryEngine.topKAfter(spark, blocks, termstats, stats, terms, 10, s2, d2)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(page1 ++ page2 ++ page3 === full)
+  }
+
   test("explain: per-term components sum to the exact topK score") {
     val hits = engineTopK(Seq("public", "import", "class"), 5)
     for ((docId, score) <- hits) {
