@@ -12,7 +12,8 @@ class FuzzSpec extends SparkSpec {
 
   test("random corpora: exhaustive, pruned and WAND paths all match the oracle") {
     val rnd = new scala.util.Random(12345)
-    for (trial <- 0 until 3) {
+    val trials = sys.env.getOrElse("GRAFT_FUZZ_TRIALS", "3").toInt
+    for (trial <- 0 until trials) {
       val n = 40 + rnd.nextInt(120)
       val vocab = (0 until (5 + rnd.nextInt(20))).map(i => s"w$i")
       def doc(i: Int): String = {
