@@ -112,12 +112,23 @@ object IndexBuilder {
     statsOf(invertDocs(spark, corpus, idCol, contentCol))
 
   /** Sort-shuffle inversion + streaming block pack. Constant memory per task:
-    * the packer buffers at most 128 postings. */
+    * the packer buffers at most 128 postings.
+    *
+    * `strategy`: "range" (default) range-partitions on (term, docId) — term-
+    * clustered output files give file-level parquet pruning, at the cost of
+    * a sampling pass; "hash" partitions by hash(term, docId) — no sampling
+    * pass and perfectly balanced reducers (hot terms scatter like salting),
+    * while sortWithinPartitions still yields tight per-row-group term ranges
+    * so row-group pruning survives. Both defuse stop-word skew.
+    */
   def packBlocks(spark: SparkSession, postings: Dataset[PostingRow],
-                 shufflePartitions: Int): Dataset[BlockRow] = {
+                 shufflePartitions: Int, strategy: String = "range"): Dataset[BlockRow] = {
     import spark.implicits._
-    postings
-      .repartitionByRange(shufflePartitions, $"term", $"docId")
+    val parted = strategy match {
+      case "hash" => postings.repartition(shufflePartitions, $"term", $"docId")
+      case _      => postings.repartitionByRange(shufflePartitions, $"term", $"docId")
+    }
+    parted
       .sortWithinPartitions($"term", $"docId")
       .mapPartitions { it => new BlockPacker(it) }
   }

@@ -44,3 +44,31 @@ class SkewSpec extends SparkSpec {
       s"imbalanced partitions: ${counts.mkString(",")}")
   }
 }
+
+/** The "hash" pack strategy (north-star salted-repartition wording) must be
+  * query-equivalent to the default range strategy. */
+class PackStrategySpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("hash and range pack strategies yield identical query results") {
+    val docs = spark.range(500).select(
+      col("id").as("docId"),
+      concat(lit("hot common word uniq"), col("id")).as("content"))
+    val posts = IndexBuilder.invert(spark, docs)
+    val range = IndexBuilder.packBlocks(spark, posts, 4, strategy = "range").cache()
+    val hash = IndexBuilder.packBlocks(spark, posts, 4, strategy = "hash").cache()
+    // identical term stats
+    val tsR = IndexBuilder.termStats(range)
+    val tsH = IndexBuilder.termStats(hash).withColumnRenamed("df", "df2").withColumnRenamed("ttf", "ttf2")
+    assert(tsR.join(tsH, "term").filter(col("df") =!= col("df2") || col("ttf") =!= col("ttf2")).count() === 0)
+    assert(tsR.count() === IndexBuilder.termStats(hash).count())
+    // identical top-k
+    val stats = IndexBuilder.corpusStats(IndexBuilder.docStats(spark, docs))
+    val a = graft.query.QueryEngine.topK(spark, range, tsR, stats, Seq("hot", "uniq42"), 10)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val b = graft.query.QueryEngine.topK(spark, hash, tsR, stats, Seq("hot", "uniq42"), 10)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(a === b)
+  }
+}
