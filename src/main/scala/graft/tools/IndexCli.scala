@@ -59,9 +59,18 @@ object IndexCli {
         else (Nil, terms0)
       val mode = if (flags.contains("--and")) QueryEngine.And else QueryEngine.Or
       val idx = IndexStore.OpenIndex(spark, dir)
+      // --after <score>,<docId>: positional paging (searchAfter)
+      val afterIdx = rest.indexOf("--after")
+      val after = if (afterIdx >= 0 && afterIdx + 1 < rest.length) {
+        val Array(sc, id) = rest(afterIdx + 1).split(",")
+        Some((sc.toFloat, id.toLong))
+      } else None
       val t0 = System.nanoTime()
-      val hits = idx.topK(terms, k.toInt, mode, mustNot,
-        prune = flags.contains("--prune"), wand = flags.contains("--wand")).collect()
+      val hits = after match {
+        case Some((sc, id)) => idx.topKAfter(terms.filterNot(_.contains(",")), k.toInt, sc, id, mode).collect()
+        case None => idx.topK(terms, k.toInt, mode, mustNot,
+          prune = flags.contains("--prune"), wand = flags.contains("--wand")).collect()
+      }
       val ms = (System.nanoTime() - t0) / 1e6
       println(f"top-${k} for ${terms.mkString(" ")} (mode=$mode prune=${flags.contains("--prune")} wand=${flags.contains("--wand")}) in $ms%.0f ms:")
       hits.foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)}"))

@@ -214,3 +214,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) === "und")
   }
 }
+
+class DateMathSpec extends org.scalatest.funsuite.AnyFunSuite with graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("NOW-7DAYS/DAY, NOW/HOUR+30MINUTES, left-to-right application") {
+    val df = Seq(java.sql.Timestamp.valueOf("2024-03-15 13:47:21")).toDF("ts")
+    def eval(e: String): String =
+      df.select(DateMath.parse(e, col("ts")).cast("string")).head().getString(0)
+    assert(eval("NOW") === "2024-03-15 13:47:21")
+    assert(eval("NOW/DAY") === "2024-03-15 00:00:00")
+    assert(eval("NOW-7DAYS/DAY") === "2024-03-08 00:00:00")
+    assert(eval("NOW/HOUR+30MINUTES") === "2024-03-15 13:30:00")
+    assert(eval("NOW+1MONTH/MONTH") === "2024-04-01 00:00:00")
+    assert(eval("NOW/DAY-1SECOND") === "2024-03-14 23:59:59")
+    intercept[IllegalArgumentException](DateMath.parse("NOW-7FORTNIGHTS", col("ts")))
+    intercept[IllegalArgumentException](DateMath.parse("YESTERDAY", col("ts")))
+    intercept[IllegalArgumentException](DateMath.parse("NOW-7DAYSgarbage", col("ts")))
+  }
+}
