@@ -77,3 +77,26 @@ class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+class TopKAggSpec extends org.scalatest.funsuite.AnyFunSuite with graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("typed top-k Aggregator equals window row_number; HitQueue tie order") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 500).map { i =>
+      (s"g${i % 5}", i.toLong, math.round(rnd.nextFloat() * 10) / 10f) // deliberate score ties
+    }.toDF("grp", "docId", "score")
+    val agged = rows.groupBy("grp")
+      .agg(TopKAgg.topHits(7)(col("docId"), col("score")))
+      .select(col("grp"), explode(col("top_hits")).as("h"))
+      .select(col("grp"), col("h.docId"), col("h.score"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getFloat(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(desc("score"), asc("docId"))
+    val want = rows.withColumn("rn", row_number().over(w)).filter(col("rn") <= 7)
+      .select("grp", "docId", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getFloat(2))).toSet
+    assert(agged === want)
+  }
+}
