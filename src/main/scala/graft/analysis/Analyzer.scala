@@ -32,13 +32,16 @@ object Analyzer extends Serializable {
 
   @inline private def isExtend(cp: Int): Boolean = cp == '_'
 
-  /** MidLetter/MidNumLet for letters; MidNum/MidNumLet for digits. */
+  /** MidLetter/MidNumLet for letters; MidNum/MidNumLet for digits.
+    * Per UAX#29: ':' is MidLetter (letters ONLY — "12:30" must split,
+    * matching StandardTokenizer); '.' is MidNumLet (both); ',' MidNum
+    * (digits only); '\'' MidLetter-ish (letters only). */
   @inline private def joins(mid: Int, prev: Int, next: Int): Boolean = {
     val pl = Character.isLetter(prev); val nl = Character.isLetter(next)
     val pd = Character.isDigit(prev);  val nd = Character.isDigit(next)
     mid match {
-      case '.' | ':'  => (pl && nl) || (pd && nd)
-      case '\''       => pl && nl
+      case '.'        => (pl && nl) || (pd && nd)
+      case ':' | '\'' => pl && nl
       case ','        => pd && nd
       case _          => false
     }
@@ -148,17 +151,16 @@ object Analyzer extends Serializable {
     if (sb.length > 0) flush()
   }
 
-  /** Per-doc term frequencies and doc length in one allocation-light pass. */
+  /** Per-doc term frequencies and doc length in one allocation-light pass.
+    * Returns a zero-copy read-only view of the internal map. */
   def termFreqs(text: String): (scala.collection.Map[String, Int], Int) = {
-    val m = new java.util.HashMap[String, Integer](64)
+    val m = new java.util.HashMap[String, Int](64)
     var dl = 0
     foreachTerm(text) { t =>
       dl += 1
       val prev = m.getOrDefault(t, 0)
       m.put(t, prev + 1)
     }
-    val out = scala.collection.mutable.HashMap.empty[String, Int]
-    m.forEach((k, v) => out.update(k, v))
-    (out, dl)
+    (scala.jdk.CollectionConverters.MapHasAsScala(m).asScala, dl)
   }
 }

@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, FloatType}
+import org.apache.spark.sql.types.{ByteType, DataType, FloatType, IntegerType}
 
 /**
  * Codegen-friendly Catalyst expression for the BM25 per-posting score with
@@ -29,6 +30,14 @@ case class Bm25Score(left: Expression, right: Expression,
   override def dataType: DataType = FloatType
   override def nullable: Boolean = left.nullable || right.nullable
 
+  // analysis-time typing: wrong-typed args fail cleanly at analysis instead
+  // of diverging between interpreted (ClassCastException) and codegen paths
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == IntegerType && right.dataType == ByteType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bm25_score expects (INT tf, TINYINT normByte), got (${left.dataType.sql}, ${right.dataType.sql})")
+
   // left = tf (int), right = normByte (byte/tinyint)
   override def nullSafeEval(tf: Any, norm: Any): Any = {
     val freq = tf.asInstanceOf[Int].toFloat
@@ -39,11 +48,16 @@ case class Bm25Score(left: Expression, right: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cacheRef = ctx.addReferenceObj("bm25cache", cache, "float[]")
     val w = s"${weight}f"
+    // freshName: two Bm25Score instances can codegen into ONE generated
+    // method (non-nullable children inline unbraced) — fixed local names
+    // would collide and kill whole-stage codegen
+    val freq = ctx.freshName("bm25freq")
+    val nrm = ctx.freshName("bm25norm")
     nullSafeCodeGen(ctx, ev, (tf, norm) => {
       s"""
-         |float freq$$ = (float) $tf;
-         |double n$$ = (double) $cacheRef[$norm & 0xFF];
-         |${ev.value} = $w * (float) (freq$$ / (freq$$ + n$$));
+         |float $freq = (float) $tf;
+         |double $nrm = (double) $cacheRef[$norm & 0xFF];
+         |${ev.value} = $w * (float) ($freq / ($freq + $nrm));
        """.stripMargin
     })
   }

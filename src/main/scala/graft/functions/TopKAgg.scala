@@ -18,12 +18,13 @@ object TopKAgg {
 
   final case class Hit(docId: Long, score: Float)
 
-  private def ord: Ordering[Hit] = (a: Hit, b: Hit) => {
+  private val ord: Ordering[Hit] = (a: Hit, b: Hit) => {
     val c = java.lang.Float.compare(a.score, b.score)
     if (c != 0) c else java.lang.Long.compare(b.docId, a.docId)
   }
 
   final case class TopK(k: Int) extends Aggregator[Hit, Seq[Hit], Seq[Hit]] {
+    require(k >= 1, s"k must be >= 1, got $k")
     override def zero: Seq[Hit] = Nil
 
     private def bound(hits: Seq[Hit]): Seq[Hit] =

@@ -5,8 +5,8 @@ object Digest {
   def sha256Hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val b = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sb = new java.lang.StringBuilder(64)
-    b.foreach(x => sb.append(f"${x & 0xFF}%02x"))
-    sb.toString
+    // allocation-free hex (called once per document in the index build;
+    // a per-byte Formatter would dominate the digest itself)
+    java.util.HexFormat.of().formatHex(b)
   }
 }

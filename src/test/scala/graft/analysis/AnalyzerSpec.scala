@@ -9,6 +9,9 @@ class AnalyzerSpec extends AnyFunSuite {
   }
   test("numbers and mixed alnum") {
     assert(Analyzer.terms("x1 42 3.14 v2.0 a,b 1,000") === Seq("x1", "42", "3.14", "v2.0", "a", "b", "1,000"))
+    // ':' is MidLetter only: joins letters, splits digits (UAX#29 /
+    // StandardTokenizer behavior)
+    assert(Analyzer.terms("12:30 ab:cd") === Seq("12", "30", "ab:cd"))
   }
   test("mid-letter joiners need word chars on both sides") {
     assert(Analyzer.terms("a.b a. .b can't 'quoted'") === Seq("a.b", "a", "b", "can't", "quoted"))

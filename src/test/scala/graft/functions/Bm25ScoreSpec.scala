@@ -26,6 +26,26 @@ class Bm25ScoreSpec extends SparkSpec {
     }
   }
 
+  test("two instances codegen into one projection without name collisions") {
+    val s1 = BM25.termScorer(1f, 1.2f, 0.75f, 10L, 1000L, 50000L)
+    val s2 = BM25.termScorer(1f, 1.2f, 0.75f, 99L, 1000L, 50000L)
+    val df = spark.range(1, 5).select(
+      Bm25Score((col("id") % 7 + 1).cast("int"), (col("id") % 256).cast("byte"), s1.weight, s1.cache).as("a"),
+      Bm25Score((col("id") % 5 + 1).cast("int"), (col("id") % 100).cast("byte"), s2.weight, s2.cache).as("b"))
+    val rows = df.collect()
+    assert(rows.length === 4)
+    assert(rows.head.getFloat(0) === s1.score(2f, 1.toByte))
+    assert(rows.head.getFloat(1) === s2.score(2f, 1.toByte))
+  }
+
+  test("wrong-typed arguments fail at analysis, not at runtime") {
+    val s1 = BM25.termScorer(1f, 1.2f, 0.75f, 10L, 1000L, 50000L)
+    val e = intercept[Exception] {
+      spark.range(1).select(Bm25Score(col("id"), lit(1.toByte), s1.weight, s1.cache)).collect()
+    }
+    assert(e.getMessage.contains("graft_bm25_score expects"))
+  }
+
   test("expression participates in whole-stage codegen") {
     val scorer = BM25.termScorer(1f, 1.2f, 0.75f, 10L, 1000L, 50000L)
     // spark.range (not a local relation, which the optimizer pre-evaluates)
