@@ -75,6 +75,21 @@ object IndexCli {
       println(f"top-${k} for ${terms.mkString(" ")} (mode=$mode prune=${flags.contains("--prune")} wand=${flags.contains("--wand")}) in $ms%.0f ms:")
       hits.foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)}"))
 
+    case "timebuild" :: dir :: parquet :: rest =>
+      // timebuild <dir> <parquet> [granularity] [rawSqlExpr]
+      val gran = rest.headOption.getOrElse("day")
+      val rawExpr = rest.drop(1).headOption.getOrElse("raw")
+      val events = spark.read.parquet(parquet)
+        .withColumn("raw", org.apache.spark.sql.functions.expr(rawExpr))
+      graft.index.TimeIndex.build(spark, events, dir, granularity = gran,
+        shufflePartitions = spark.sparkContext.defaultParallelism)
+      println(s"timebuild: buckets=${graft.index.TimeIndex.buckets(dir).mkString(",")}")
+
+    case "timequery" :: dir :: k :: from :: to :: terms =>
+      val hits = graft.index.TimeIndex.topK(spark, dir, terms, k.toInt, from, to).collect()
+      println(s"top-$k for ${terms.mkString(" ")} in [$from, $to]:")
+      hits.foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)}"))
+
     case "compact" :: dir :: out :: Nil =>
       IndexStore.compact(spark, dir, out, spark.sparkContext.defaultParallelism)
       val idx = IndexStore.OpenIndex(spark, out)
