@@ -39,7 +39,8 @@ object Wand {
 
   /** Per-term, per-bucket block list entry (decoded lazily). */
   private final class TermBlocks(val ti: Int, val scorer: BM25.TermScorer,
-                                 val blocks: Array[BlockRow], val bounds: Array[Float]) {
+                                 val blocks: Array[BlockRow], val bounds: Array[Float],
+                                 decodeCounter: Option[org.apache.spark.util.LongAccumulator]) {
     var idx = 0
     // decoded state for the current block
     var docs: Array[Long] = null
@@ -53,6 +54,7 @@ object Wand {
         val b = cur
         val d = PostingsCodec.decodeBlock(b.minDoc, b.n, b.wDocs, b.wFreqs, b.docGaps, b.freqs)
         docs = d._1; tfs = d._2; pos = 0
+        decodeCounter.foreach(_.add(1))
       }
     }
     def advance(): Unit = { idx += 1; docs = null; tfs = null; pos = 0 }
@@ -173,7 +175,8 @@ object Wand {
    * (score DESC, docId ASC), rank/score-identical to QueryEngine.topK.
    */
   def topK(spark: SparkSession, blocks: Dataset[BlockRow], infos: Seq[QueryEngine.TermInfo],
-           k: Int, requireAll: Boolean = false, bucketDocs: Long = 1 << 16): DataFrame = {
+           k: Int, requireAll: Boolean = false, bucketDocs: Long = 1 << 16,
+           decodeCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import spark.implicits._
     if (infos.isEmpty || k <= 0)
       return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
@@ -194,7 +197,7 @@ object Wand {
           byT.get(info.term).map { bs =>
             val sorted = bs.sortBy(_.minDoc)
             val bounds = sorted.map(b => QueryEngine.blockBound(info.scorer, b.impactFreqs, b.impactNorms))
-            new TermBlocks(info.ti, info.scorer, sorted, bounds)
+            new TermBlocks(info.ti, info.scorer, sorted, bounds, decodeCounter)
           }
         }.toArray
         if (tbs.isEmpty || (requireAll && tbs.length < infos.size)) Iterator.empty

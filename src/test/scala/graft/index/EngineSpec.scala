@@ -110,6 +110,33 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("WAND actually prunes: far fewer blocks decoded than scanned on an impact-skewed corpus") {
+    import spark.implicits._
+    // 8000 docs contain 'common' once in long docs (low impact); 50 docs
+    // contain it many times in short docs (high impact). k=3 finds the hot
+    // docs fast, theta rises, and low-impact blocks must be skipped undecoded.
+    val docs = spark.range(8050).select($"id".as("docId"),
+      org.apache.spark.sql.functions.when($"id" < 50,
+        org.apache.spark.sql.functions.lit("common common common common common"))
+        .otherwise(org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("common " + ("filler " * 300)),
+          $"id")).as("content"))
+    val b = IndexBuilder.packBlocks(spark, IndexBuilder.invert(spark, docs), 4).cache()
+    val ts = IndexBuilder.termStats(b)
+    val cs = IndexBuilder.corpusStats(IndexBuilder.docStats(spark, docs))
+    val totalBlocks = b.filter($"term" === "common").count()
+    val ctr = spark.sparkContext.longAccumulator("decoded")
+    val infos = QueryEngine.plan(ts, cs, Seq("common"))
+    val got = graft.query.Wand.topK(spark, b, infos, 3, decodeCounter = Some(ctr))
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val want = QueryEngine.topK(spark, b, ts, cs, Seq("common"), 3)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(got === want)
+    assert(ctr.value < totalBlocks / 2,
+      s"WAND decoded ${ctr.value} of $totalBlocks blocks — pruning ineffective")
+    b.unpersist()
+  }
+
   test("searchAfter paging: pages are disjoint and concatenate to the full topK") {
     val terms = Seq("public", "import", "class")
     val full = engineTopK(terms, 30)
