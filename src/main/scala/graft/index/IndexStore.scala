@@ -137,6 +137,19 @@ object IndexStore {
   }
 
   /**
+   * Mark docs deleted (Lucene liveDocs, reference
+   * codecs/lucene50/Lucene50LiveDocsFormat.java — a bitset sidecar per
+   * segment): tombstones are an append-only parquet sidecar; queries
+   * exclude tombstoned docs but collection/term stats still count them
+   * until [[compact]] reclaims (exactly Lucene: deleted docs affect
+   * docFreq until segments merge). Idempotent.
+   */
+  def delete(spark: SparkSession, dir: String, docIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    docIds.toDF("docId").write.mode("append").parquet(s"$dir/deletes")
+  }
+
+  /**
    * Segment compaction (TieredMergePolicy analogue, reference
    * index/SegmentMerger.java:97 — k-way sort-merge of segments): unpack all
    * committed segments' blocks to posting rows, re-shuffle by (term, docId)
@@ -149,21 +162,37 @@ object IndexStore {
     import spark.implicits._
     val segDirs = committedSegmentDirs(dir)
     require(segDirs.nonEmpty, s"no committed segments under $dir")
+    // deletes reclaimed here (Lucene: merges purge deleted docs and stats
+    // shrink accordingly); tombstones are NOT carried to the output
+    val dead: Option[DataFrame] =
+      if (Files.exists(Paths.get(s"$dir/deletes")))
+        Some(spark.read.parquet(s"$dir/deletes").select(col("docId").cast("long").as("docId")).distinct())
+      else None
     val blocks = spark.read.parquet(segDirs.map(_ + "/postings"): _*).as[BlockRow]
-    val rows: Dataset[PostingRow] = blocks.flatMap { b =>
+    val rows0: Dataset[PostingRow] = blocks.flatMap { b =>
       val (docs, tfs) = graft.codec.PostingsCodec.decodeBlock(
         b.minDoc, b.n, b.wDocs, b.wFreqs, b.docGaps, b.freqs)
       (0 until b.n).iterator.map(i => PostingRow(b.term, docs(i), tfs(i), b.norms(i)))
     }
+    val rows = dead match {
+      case Some(d) => rows0.join(d, Seq("docId"), "left_anti").as[PostingRow]
+      case None => rows0
+    }
     val repacked = IndexBuilder.packBlocks(spark, rows, shufflePartitions)
     val t0 = System.nanoTime()
     repacked.write.mode("overwrite").parquet(s"$outDir/segments/seg=0/postings")
-    val ds = spark.read.parquet(segDirs.map(_ + "/docstats"): _*)
+    val ds0 = spark.read.parquet(segDirs.map(_ + "/docstats"): _*)
+    val ds = dead match {
+      case Some(d) => ds0.join(d, Seq("docId"), "left_anti")
+      case None => ds0
+    }
     ds.write.mode("overwrite").parquet(s"$outDir/segments/seg=0/docstats")
     // carry the positions tier (phrase support) when the source index has it
     val posDirs = segDirs.filter(d => Files.exists(Paths.get(d, "positions")))
     if (posDirs.nonEmpty)
-      spark.read.parquet(posDirs.map(_ + "/positions"): _*)
+      dead.foldLeft(spark.read.parquet(posDirs.map(_ + "/positions"): _*)) {
+          (df, d) => df.join(d, Seq("docId"), "left_anti")
+        }
         .repartitionByRange(shufflePartitions, col("term"))
         .sortWithinPartitions(col("term"), col("docId"))
         .write.mode("overwrite").parquet(s"$outDir/segments/seg=0/positions")
@@ -211,10 +240,18 @@ object IndexStore {
       val st = """"sumTotalTermFreq":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
       CorpusStats(dc, st)
     }
+    /** liveDocs tombstones (None when the index has no deletes). */
+    lazy val deletes: Option[DataFrame] =
+      if (Files.exists(Paths.get(s"$dir/deletes")))
+        Some(spark.read.parquet(s"$dir/deletes")
+          .select(col("docId").cast("long").as("docId")).distinct())
+      else None
+
     def topK(terms: Seq[String], k: Int, mode: QueryEngine.Mode = QueryEngine.Or,
              mustNot: Seq[String] = Nil, prune: Boolean = false,
              wand: Boolean = false): DataFrame =
-      QueryEngine.topK(spark, blocks, termstats, stats, terms, k, mode, mustNot, prune, wand)
+      QueryEngine.topK(spark, blocks, termstats, stats, terms, k, mode, mustNot, prune, wand,
+        excludeDocs = deletes)
 
     /** Positional paging (IndexSearcher.searchAfter). */
     def topKAfter(terms: Seq[String], k: Int, afterScore: Float, afterDocId: Long,
@@ -227,14 +264,18 @@ object IndexStore {
 
     /** Multi-term (prefix/wildcard/fuzzy/set) constant-score query against
       * the dictionary — see QueryEngine.multiTermTopK. */
-    def multiTermTopK(termPred: org.apache.spark.sql.Column, k: Int): DataFrame =
-      QueryEngine.multiTermTopK(spark, blocks, termstats, termPred, k)
+    def multiTermTopK(termPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+      val r = QueryEngine.multiTermTopK(spark, blocks, termstats, termPred, k)
+      deletes.fold(r)(d => r.join(d, Seq("docId"), "left_anti"))
+    }
 
     lazy val positions: DataFrame =
       spark.read.parquet(segDirs.map(_ + "/positions"): _*)
 
     /** Exact-phrase docIds via the stored positions table. */
-    def phrase(terms: Seq[String]): DataFrame =
-      QueryEngine.phraseMatch(positions, terms)
+    def phrase(terms: Seq[String]): DataFrame = {
+      val r = QueryEngine.phraseMatch(positions, terms)
+      deletes.fold(r)(d => r.join(d, Seq("docId"), "left_anti"))
+    }
   }
 }

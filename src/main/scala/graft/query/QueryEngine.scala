@@ -121,14 +121,20 @@ object QueryEngine {
    * Top-k BM25. Returns (docId LONG, score FLOAT), ordered
    * (score DESC, docId ASC), exactly k rows or fewer.
    */
+  /** `excludeDocs`: live-docs tombstones (Lucene liveDocs semantics —
+    * excluded from results, but collection/term stats still count them
+    * until a merge reclaims; so surviving docs' scores are UNCHANGED by a
+    * delete). Forces the exhaustive path (per-bucket WAND heaps would
+    * under-fill k if filtered after the fact). */
   def topK(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame, stats: CorpusStats,
            terms: Seq[String], k: Int, mode: Mode = Or, mustNot: Seq[String] = Nil,
-           prune: Boolean = false, wand: Boolean = false): DataFrame = {
+           prune: Boolean = false, wand: Boolean = false,
+           excludeDocs: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val infos = plan(termstats, stats, terms)
     if (infos.isEmpty || (mode == And && infos.size < terms.distinct.size))
       return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
-    if (wand && mustNot.isEmpty)
+    if (wand && mustNot.isEmpty && excludeDocs.isEmpty)
       return Wand.topK(spark, blocks, infos, k, requireAll = mode == And)
 
     // pruning must be OFF when mustNot is present: theta estimated over all
@@ -154,7 +160,12 @@ object QueryEngine {
         withScore.join(negDocs, Seq("docId"), "left_anti")
       }
     }
-    excluded.orderBy(desc("score"), asc("docId")).limit(k)
+    val live = excludeDocs match {
+      case Some(dead) => excluded.join(
+        dead.select(col(dead.columns.head).cast("long").as("docId")), Seq("docId"), "left_anti")
+      case None => excluded
+    }
+    live.orderBy(desc("score"), asc("docId")).limit(k)
   }
 
   /** Phase A of the prune: fully score the single best block per term; the
