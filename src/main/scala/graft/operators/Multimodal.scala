@@ -70,6 +70,30 @@ object Multimodal {
     meta.select(col("asset_id"), col("n_frames"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
+  /** STUB resize: deterministic byte-domain downsample standing in for an
+    * image resize — output payload is every `factor`-th byte, metadata
+    * dims scale accordingly. Real resampling drops in with the same
+    * (binary, Int) => binary signature; the schema/batch plumbing (binary
+    * in, binary out, metadata recomputed downstream) is the real part. */
+  def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] = {
+    // ??? <- real image resize goes here; deterministic fake below
+    val out = new Array[Byte]((payload.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+    out
+  }
+
+  /** Resize every asset's payload (mapPartitions batch shape); downstream
+    * decodeMeta over the result reflects the smaller payloads. */
+  def resize(media: DataFrame, factor: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("asset_id"), col("mime"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, mime, p) => (id, mime, resizeStub(p, factor)) })
+      .toDF("asset_id", "mime", "payload")
+  }
+
   /** STUB feature extraction: fixed-width feature vector per asset derived
     * from payload bytes (deterministic); real model inference drops in with
     * the same (binary) => Array[Float] signature. */

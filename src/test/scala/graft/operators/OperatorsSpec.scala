@@ -178,6 +178,11 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(frames.filter($"asset_id" === 0).count() === 1) // 1 frame, stride 2 -> idx 0
     val feats = Multimodal.extractFeatures(media, 8)
     assert(feats.head().getAs[Seq[Float]]("features").length === 8)
+    // resize: payload shrinks by the factor; downstream metadata reflects it
+    val resized = Multimodal.resize(media, 4)
+    val rm = Multimodal.decodeMeta(resized).filter($"asset_id" === 0).head()
+    assert(rm.getAs[Int]("n_bytes") === (nBytes + 3) / 4)
+    assert(rm.getAs[Int]("width") === 16 + ((nBytes + 3) / 4) % 1024)
   }
 
   test("approx_count_distinct (HLL parity) stays within 10% of exact") {
