@@ -137,6 +137,29 @@ object IndexStore {
   }
 
   /**
+   * TieredMergePolicy analogue (reference index/TieredMergePolicy.java:
+   * 95-103 — <=10 segments per tier, 33% delete budget): compact into
+   * `outDir` when the committed segment count exceeds `maxSegments` OR the
+   * tombstoned fraction exceeds `maxDeletePct`. Returns true iff a
+   * compaction ran.
+   */
+  def maybeCompact(spark: SparkSession, dir: String, outDir: String,
+                   shufflePartitions: Int, maxSegments: Int = 10,
+                   maxDeletePct: Double = 0.33): Boolean = {
+    val nSegs = committedSegmentDirs(dir).size
+    val delPct =
+      if (!Files.exists(Paths.get(s"$dir/deletes"))) 0.0
+      else {
+        val dead = spark.read.parquet(s"$dir/deletes").select("docId").distinct().count()
+        val total = OpenIndex(spark, dir).stats.docCount
+        if (total == 0) 0.0 else dead.toDouble / total
+      }
+    val due = nSegs > maxSegments || delPct > maxDeletePct
+    if (due) compact(spark, dir, outDir, shufflePartitions)
+    due
+  }
+
+  /**
    * Mark docs deleted (Lucene liveDocs, reference
    * codecs/lucene50/Lucene50LiveDocsFormat.java — a bitset sidecar per
    * segment): tombstones are an append-only parquet sidecar; queries

@@ -59,4 +59,19 @@ class DeletesSpec extends SparkSpec {
     assert(compacted.deletes.isEmpty)
     graft.util.Fs.rmTree(freshDir)
   }
+
+  test("maybeCompact: fires on segment count or delete budget, no-ops otherwise") {
+    val dir = Files.createTempDirectory("graft-tier").toString
+    val all = DocIds.assign(CorpusGen.corpus(spark, 60, 3).toDF(), Seq("repo", "path", "commit"), 3)
+    IndexStore.build(spark, all, dir, numSegments = 3, shufflePartitions = 3)
+    // 3 segments <= maxSegments=10 and no deletes: no-op
+    assert(!IndexStore.maybeCompact(spark, dir, dir + "-a", 3))
+    // segment-count trigger
+    assert(IndexStore.maybeCompact(spark, dir, dir + "-b", 3, maxSegments = 2))
+    assert(IndexStore.readManifests(dir + "-b").size === 1)
+    // delete-budget trigger: tombstone 40% of docs
+    IndexStore.delete(spark, dir, (0L until 24L).toSeq)
+    assert(IndexStore.maybeCompact(spark, dir, dir + "-c", 3))
+    assert(IndexStore.OpenIndex(spark, dir + "-c").stats.docCount === 36L)
+  }
 }
