@@ -90,6 +90,10 @@ object IndexCli {
       println(s"top-$k for ${terms.mkString(" ")} in [$from, $to]:")
       hits.foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)}"))
 
+    case "delete" :: dir :: ids =>
+      IndexStore.delete(spark, dir, ids.map(_.toLong))
+      println(s"deleted: ${ids.size} tombstones (reclaim via compact)")
+
     case "compact" :: dir :: out :: Nil =>
       IndexStore.compact(spark, dir, out, spark.sparkContext.defaultParallelism)
       val idx = IndexStore.OpenIndex(spark, out)
