@@ -176,7 +176,9 @@ object Bench {
 
     val queriesJson = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // every numeric field through num() — the f-interpolator formats with
+    // the default locale, which in a comma-decimal locale corrupts the JSON
     println(
-      f"""{"metric":"index-build files/sec @ local[$hiCores] (scaling eff ${buildEff}%.2f vs local[$loCores])","value":$bHi%.1f,"unit":"files/sec","sf":"$sfDir","queries":$queriesJson,"headline_total_sec":$total%.2f,"bench_docs":$numDocs,"build_files_per_sec_lo":$bLo%.1f,"build_files_per_sec_hi":$bHi%.1f,"build_scaling_efficiency":$buildEff%.3f,"build_scaling_efficiency_best_pair":$bestPairEff%.3f,"build_scaling_efficiency_median_pair":$medianPairEff%.3f,"query_qps_lo":$qLo%.2f,"query_qps_hi":$qHi%.2f,"query_scaling_efficiency":$queryEff%.3f,"lo_cores":$loCores,"hi_cores":$hiCores}""")
+      s"""{"metric":"index-build files/sec @ local[$hiCores] (scaling eff ${num(medianPairEff, 2)} vs local[$loCores], median pair)","value":${num(bHi, 1)},"unit":"files/sec","sf":"$sfDir","queries":$queriesJson,"headline_total_sec":${num(total, 2)},"bench_docs":$numDocs,"build_files_per_sec_lo":${num(bLo, 1)},"build_files_per_sec_hi":${num(bHi, 1)},"build_scaling_efficiency":${num(buildEff, 3)},"build_scaling_efficiency_best_pair":${num(bestPairEff, 3)},"build_scaling_efficiency_median_pair":${num(medianPairEff, 3)},"query_qps_lo":${num(qLo, 2)},"query_qps_hi":${num(qHi, 2)},"query_scaling_efficiency":${num(queryEff, 3)},"lo_cores":$loCores,"hi_cores":$hiCores}""")
   }
 }

@@ -221,6 +221,14 @@ object IndexStore {
         .write.mode("overwrite").parquet(s"$outDir/segments/seg=0/positions")
     val m = ds.agg(count("*"), sum(col("dl").cast("long")),
       bit_xor(xxhash64(col("contentSha256"))), max("docId")).head()
+    // every doc tombstoned -> no surviving rows. Refuse to COMMIT (the data
+    // already written has no manifest, so readers never see it) — an index
+    // over zero docs has undefined stats, exactly like build()'s
+    // empty-corpus require. maybeCompact's 33% delete budget makes
+    // high-delete compactions the expected trigger path, so this case is
+    // reachable, not hypothetical.
+    require(!m.isNullAt(3),
+      s"compact($dir): every doc is tombstoned — refusing to commit an empty index at $outDir")
     val blockCount = spark.read.parquet(s"$outDir/segments/seg=0/postings").count()
     writeManifest(outDir, Manifest(0, 0L, m.getLong(3) + 1, m.getLong(0),
       if (m.isNullAt(1)) 0L else m.getLong(1), blockCount,
@@ -276,21 +284,25 @@ object IndexStore {
       QueryEngine.topK(spark, blocks, termstats, stats, terms, k, mode, mustNot, prune, wand,
         excludeDocs = deletes)
 
-    /** Positional paging (IndexSearcher.searchAfter). */
+    /** Positional paging (IndexSearcher.searchAfter). Tombstones are
+      * excluded inside the engine (before the limit), so page
+      * concatenation equals one big topK over live docs even with deletes. */
     def topKAfter(terms: Seq[String], k: Int, afterScore: Float, afterDocId: Long,
                   mode: QueryEngine.Mode = QueryEngine.Or): DataFrame =
-      QueryEngine.topKAfter(spark, blocks, termstats, stats, terms, k, afterScore, afterDocId, mode)
+      QueryEngine.topKAfter(spark, blocks, termstats, stats, terms, k, afterScore, afterDocId, mode,
+        excludeDocs = deletes)
 
     /** Per-term score breakdown for one doc (IndexSearcher.explain). */
     def explain(terms: Seq[String], docId: Long): DataFrame =
       QueryEngine.explain(spark, blocks, termstats, stats, terms, docId)
 
     /** Multi-term (prefix/wildcard/fuzzy/set) constant-score query against
-      * the dictionary — see QueryEngine.multiTermTopK. */
-    def multiTermTopK(termPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
-      val r = QueryEngine.multiTermTopK(spark, blocks, termstats, termPred, k)
-      deletes.fold(r)(d => r.join(d, Seq("docId"), "left_anti"))
-    }
+      * the dictionary — see QueryEngine.multiTermTopK. Tombstones are
+      * excluded inside the engine (before the limit) so k is never
+      * under-filled when deleted docs rank among the lowest matches. */
+    def multiTermTopK(termPred: org.apache.spark.sql.Column, k: Int): DataFrame =
+      QueryEngine.multiTermTopK(spark, blocks, termstats, termPred, k,
+        excludeDocs = deletes)
 
     lazy val positions: DataFrame =
       spark.read.parquet(segDirs.map(_ + "/positions"): _*)

@@ -208,7 +208,7 @@ object QueryEngine {
   def topKAfter(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame,
                 stats: CorpusStats, terms: Seq[String], k: Int,
                 afterScore: Float, afterDocId: Long,
-                mode: Mode = Or): DataFrame = {
+                mode: Mode = Or, excludeDocs: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val infos = plan(termstats, stats, terms)
     if (infos.isEmpty || (mode == And && infos.size < terms.distinct.size))
@@ -220,7 +220,15 @@ object QueryEngine {
       case Or  => grouped
       case And => grouped.filter(size($"parts") === infos.size)
     }
-    filtered.select($"docId", combinedScore)
+    // tombstones excluded BEFORE the limit(k): otherwise pages over an index
+    // with deletes would return deleted docs / under-fill (same invariant as
+    // topK — concatenation of pages must equal one big topK over live docs)
+    val live = excludeDocs match {
+      case Some(dead) => filtered.join(
+        dead.select(col(dead.columns.head).cast("long").as("docId")), Seq("docId"), "left_anti")
+      case None => filtered
+    }
+    live.select($"docId", combinedScore)
       .filter($"score" < afterScore ||
         ($"score" === afterScore && $"docId" > afterDocId))
       .orderBy(desc("score"), asc("docId")).limit(k)
@@ -286,14 +294,15 @@ object QueryEngine {
    * expansion (MultiTermQuery CONSTANT_SCORE rewrite). Ordered docId ASC.
    */
   def multiTermTopK(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame,
-                    termPred: Column, k: Int, boost: Float = 1f): DataFrame = {
+                    termPred: Column, k: Int, boost: Float = 1f,
+                    excludeDocs: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val expanded = termstats.filter(termPred)
       .orderBy(desc("df"), asc("term")).limit(MaxClauseCount)
       .select("term").as[String].collect().toSeq
     if (expanded.isEmpty)
       return spark.range(0).select($"id".as("docId"), lit(boost).as("score"))
-    blocks.filter($"term".isin(expanded: _*))
+    val matched = blocks.filter($"term".isin(expanded: _*))
       .mapPartitions { it =>
         it.flatMap { b =>
           val (docs, _) = PostingsCodec.decodeBlock(b.minDoc, b.n, b.wDocs, b.wFreqs, b.docGaps, b.freqs)
@@ -301,7 +310,14 @@ object QueryEngine {
         }
       }
       .toDF("docId").distinct()
-      .orderBy(asc("docId")).limit(k)
+    // tombstones excluded BEFORE limit(k): filtering after would under-fill
+    // k whenever deleted docs rank among the k lowest matching docIds
+    val live = excludeDocs match {
+      case Some(dead) => matched.join(
+        dead.select(col(dead.columns.head).cast("long").as("docId")), Seq("docId"), "left_anti")
+      case None => matched
+    }
+    live.orderBy(asc("docId")).limit(k)
       .withColumn("score", lit(boost))
   }
 

@@ -170,6 +170,41 @@ object Wand {
     heap.dequeueAll.reverseIterator
   }
 
+  /** The kernel walks one 'current' block per term in ascending-docId order,
+    * so a term's blocks must have disjoint docId ranges. Range-packed
+    * segments (IndexBuilder.packBlocks default) guarantee that; hash-packed
+    * segments interleave a term's docs across partitions, producing
+    * overlapping blocks whose split partial scores would corrupt multi-term
+    * sums. Detect the overlap per (bucket, term) and re-pack those postings
+    * into disjoint blocks in memory — impacts recomputed by the codec, so
+    * pruning bounds stay exact. A bucket holds <= bucketDocs postings per
+    * term, so the merge is small and local. */
+  private def normalizeBlocks(sorted: Array[BlockRow]): Array[BlockRow] = {
+    var overlap = false
+    var i = 1
+    while (!overlap && i < sorted.length) {
+      if (sorted(i - 1).maxDoc >= sorted(i).minDoc) overlap = true
+      i += 1
+    }
+    if (!overlap) return sorted
+    val n = sorted.map(_.n).sum
+    val docs = new Array[Long](n); val tfs = new Array[Int](n); val nbs = new Array[Byte](n)
+    var o = 0
+    sorted.foreach { b =>
+      val (d, f) = PostingsCodec.decodeBlock(b.minDoc, b.n, b.wDocs, b.wFreqs, b.docGaps, b.freqs)
+      var j = 0
+      while (j < b.n) { docs(o) = d(j); tfs(o) = f(j); nbs(o) = b.norms(j); o += 1; j += 1 }
+    }
+    // sort the merged (doc, tf, norm) triples by docId — each (term, docId)
+    // lives in exactly one source partition, so there are no duplicates
+    val idx = Array.range(0, n).sortBy(docs(_))
+    val sd = idx.map(docs(_)); val sf = idx.map(tfs(_)); val sn = idx.map(nbs(_))
+    PostingsCodec.encodeTerm(sorted(0).term, sd, sf, sn).map { b =>
+      BlockRow(b.term, b.minDoc, b.maxDoc, b.n, b.sumTf, b.wDocs.toInt, b.wFreqs.toInt,
+        b.docGaps, b.freqs, b.norms, b.impactFreqs, b.impactNorms)
+    }.toArray
+  }
+
   /**
    * Distributed block-max WAND top-k. Returns (docId, score) ordered
    * (score DESC, docId ASC), rank/score-identical to QueryEngine.topK.
@@ -195,7 +230,7 @@ object Wand {
         val byT = rows.map(_._2).toArray.groupBy(_.term)
         val tbs = infos.flatMap { info =>
           byT.get(info.term).map { bs =>
-            val sorted = bs.sortBy(_.minDoc)
+            val sorted = normalizeBlocks(bs.sortBy(b => (b.minDoc, b.maxDoc)))
             val bounds = sorted.map(b => QueryEngine.blockBound(info.scorer, b.impactFreqs, b.impactNorms))
             new TermBlocks(info.ti, info.scorer, sorted, bounds, decodeCounter)
           }

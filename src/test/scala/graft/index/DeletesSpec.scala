@@ -60,6 +60,49 @@ class DeletesSpec extends SparkSpec {
     graft.util.Fs.rmTree(freshDir)
   }
 
+  test("small-k multiTermTopK and paging exclude tombstones WITHOUT under-filling k") {
+    val dir = Files.createTempDirectory("graft-del-k").toString
+    val all = DocIds.assign(CorpusGen.corpus(spark, 150, 4).toDF(), Seq("repo", "path", "commit"), 4)
+    IndexStore.build(spark, all, dir, numSegments = 1, shufflePartitions = 4)
+    val pred = org.apache.spark.sql.functions.col("term").startsWith("pub")
+    val idx = IndexStore.OpenIndex(spark, dir)
+    val allMatches = idx.multiTermTopK(pred, 1000000).collect().map(_.getLong(0)).toSeq
+    assert(allMatches.size > 10)
+    // tombstone 3 of the 5 LOWEST matching docIds — the exact case that
+    // under-filled k when the anti-join ran after the limit
+    val victims = allMatches.take(5).take(3)
+    IndexStore.delete(spark, dir, victims)
+    val idx2 = IndexStore.OpenIndex(spark, dir)
+    val got = idx2.multiTermTopK(pred, 5).collect().map(_.getLong(0)).toSeq
+    assert(got === allMatches.filterNot(victims.contains).take(5),
+      "k must be filled from the next-lowest LIVE matches")
+
+    // paging with deletes: pages over live docs concatenate to the live topK
+    val terms = Seq("public", "import")
+    val full = idx2.topK(terms, 12).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val p1 = idx2.topK(terms, 4).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val (d1, s1) = p1.last
+    val p2 = idx2.topKAfter(terms, 4, s1, d1).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val (d2, s2) = p2.last
+    val p3 = idx2.topKAfter(terms, 4, s2, d2).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(p1 ++ p2 ++ p3 === full)
+    assert((p1 ++ p2 ++ p3).map(_._1).toSet.intersect(victims.toSet).isEmpty)
+  }
+
+  test("compact refuses to commit when every doc is tombstoned") {
+    val dir = Files.createTempDirectory("graft-del-all").toString
+    val out = Files.createTempDirectory("graft-del-all-out").toString
+    val all = DocIds.assign(CorpusGen.corpus(spark, 30, 2).toDF(), Seq("repo", "path", "commit"), 2)
+    IndexStore.build(spark, all, dir, numSegments = 1, shufflePartitions = 2)
+    IndexStore.delete(spark, dir, (0L until 30L).toSeq)
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.compact(spark, dir, out, 2)
+    }
+    assert(e.getMessage.contains("tombstoned"))
+    // no manifest committed -> readers refuse the partial output
+    assert(IndexStore.readManifests(out).isEmpty)
+  }
+
   test("maybeCompact: fires on segment count or delete budget, no-ops otherwise") {
     val dir = Files.createTempDirectory("graft-tier").toString
     val all = DocIds.assign(CorpusGen.corpus(spark, 60, 3).toDF(), Seq("repo", "path", "commit"), 3)

@@ -110,6 +110,22 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("WAND over hash-packed (overlapping) blocks is rank- and score-identical") {
+    // hash strategy interleaves a term's docIds across partitions, so one
+    // term's blocks OVERLAP in docId ranges — the kernel must detect and
+    // re-pack (split partial scores would otherwise corrupt multi-term sums)
+    val hashBlocks = IndexBuilder.packBlocks(
+      spark, IndexBuilder.invert(spark, withIds), 8, strategy = "hash").cache()
+    val hashTs = IndexBuilder.termStats(hashBlocks).cache()
+    for ((terms, mode, neg) <- queries if neg.isEmpty; k <- Seq(1, 10, 50)) {
+      val exhaustive = engineTopK(terms, k, mode, neg)
+      val wand = QueryEngine.topK(spark, hashBlocks, hashTs, stats, terms, k, mode, wand = true)
+        .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      assert(wand === exhaustive, s"terms=$terms mode=$mode k=$k")
+    }
+    hashBlocks.unpersist(); hashTs.unpersist()
+  }
+
   test("WAND actually prunes: far fewer blocks decoded than scanned on an impact-skewed corpus") {
     import spark.implicits._
     // 8000 docs contain 'common' once in long docs (low impact); 50 docs
