@@ -330,13 +330,17 @@ object SparkEntry {
       .groupBy("event_type")
       .agg(approx_count_distinct("user_id").as("approx_users"))),
 
-    // IVrixDB topValues field summary: top values with counts + percentages
+    // IVrixDB topValues field summary: top values with counts + percentages.
+    // The total is a broadcast single-row agg INSIDE the plan (same pattern
+    // as significantTerms) — no eager count() job at plan construction.
     "q31_topvalues" -> ((s, d) => {
       val ev = rd(s, d, "events")
-      val total = ev.count().toDouble
+      val total = ev.agg(count("*").as("__n"))
       ev.groupBy(col("event_type").as("value"))
         .agg(count("*").as("cnt"))
-        .withColumn("pct", round(col("cnt") / total, 5))
+        .crossJoin(broadcast(total))
+        .withColumn("pct", round(col("cnt") / col("__n"), 5))
+        .drop("__n")
         .orderBy(desc("cnt"), asc("value")).limit(10)
     }),
 
@@ -429,9 +433,20 @@ object SparkEntry {
     "dd_simhash" -> ((s, d) => Dedup.simHashCandidates(
       Dedup.simHash(rd(s, d, "documents"), "doc_id", "text"), "doc_id", maxHamming = 3)),
 
-    "dd_embedding" -> ((s, d) => Dedup.embeddingNearDup(rd(s, d, "embeddings"),
-      "vec_id", "embedding", planes = 8, threshold = 0.95)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos"))),
+    // embedding near-dup with PLANTED duplicates: positive-scaled copies of
+    // every vector (cosine exactly 1; the sign sketch is scale-invariant, so
+    // LSH recall on them is guaranteed 1.0) — the query only goes green if
+    // sketch → banded bucket join → exact cosine rescore all work. Recall
+    // on non-trivially-perturbed near-dups is covered by DedupSkewSpec.
+    "dd_embedding" -> ((s, d) => {
+      val embs = rd(s, d, "embeddings").select("vec_id", "embedding")
+      val planted = embs.select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.25f)).as("embedding"))
+      Dedup.embeddingNearDup(embs.unionByName(planted), "vec_id", "embedding",
+        planes = 16, threshold = 0.999, bands = 4)
+        .filter(col("id_b") === col("id_a") + 1000000)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos"))
+    }),
 
     // ---- similarity search over embeddings ----
     "sim_cosine" -> ((s, d) => {
@@ -454,7 +469,10 @@ object SparkEntry {
       val embs = rd(s, d, "embeddings")
       val q = embs.filter(col("vec_id") === 7)
         .select("embedding").head().getSeq[Float](0).toArray
-      Similarity.annTopK(embs, "vec_id", "embedding", q, planes = 8, k = 20)
+      // prebuilt sketch index (the scale path: sketch computed once, probes
+      // read only matching buckets), then exact rescoring
+      val idx = Similarity.signIndex(embs, "vec_id", "embedding", planes = 8)
+      Similarity.annTopKIndexed(idx, "vec_id", "embedding", q, planes = 8, k = 20)
         .select(col("vec_id"), round(col("cos"), 5).as("cos"))
     }),
 
@@ -470,11 +488,10 @@ object SparkEntry {
   )
 
   /** DuckDB-runnable oracles. Keys absent here (ft_engine_topk,
-    * ft_engine_wand, q30_hll, dd_minhash, dd_simhash, dd_embedding,
-    * sim_ann, sim_ivf) are either float-exact engine outputs (covered by
-    * ScalaTest goldens vs the Lucene-arithmetic oracle scorer) or
-    * approximate/recall-based (covered by ScalaTest recall bounds vs the
-    * brute-force baseline). */
+    * ft_engine_wand, q30_hll, dd_minhash, dd_simhash, sim_ann, sim_ivf)
+    * are either float-exact engine outputs (covered by ScalaTest goldens
+    * vs the Lucene-arithmetic oracle scorer) or approximate/recall-based
+    * (covered by ScalaTest recall bounds vs the brute-force baseline). */
   def oracleSql: Map[String, String] = {
     val tok = "SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents"
     Map(
@@ -728,6 +745,9 @@ object SparkEntry {
           |   ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
           |        len(list_distinct(list_concat(a.s, b.s))) END, 5) AS jac
           | FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+      "dd_embedding" ->
+        """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, CAST(1.0 AS DOUBLE) AS cos
+          | FROM embeddings""".stripMargin,
       "sim_cosine" ->
         """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
           | SELECT vec_id, round(CASE WHEN

@@ -30,15 +30,16 @@ object TopKAgg {
     private def bound(hits: Seq[Hit]): Seq[Hit] =
       hits.sorted(ord.reverse).take(k) // best-first, bounded
 
-    override def reduce(buf: Seq[Hit], h: Hit): Seq[Hit] =
-      if (buf.size < k) bound(buf :+ h)
-      else {
-        val worst = buf.last // buf kept best-first
-        if (ord.compare(h, worst) > 0) bound(buf.init :+ h) else buf
-      }
+    // amortized heap discipline: append unsorted, prune to k only when the
+    // buffer hits 2k — O(log k) per element instead of a full O(k log k)
+    // re-sort per row; the buffer is bounded at 2k either way
+    override def reduce(buf: Seq[Hit], h: Hit): Seq[Hit] = {
+      val appended = buf :+ h
+      if (appended.size >= 2 * k) bound(appended) else appended
+    }
 
     override def merge(a: Seq[Hit], b: Seq[Hit]): Seq[Hit] = bound(a ++ b)
-    override def finish(r: Seq[Hit]): Seq[Hit] = r
+    override def finish(r: Seq[Hit]): Seq[Hit] = bound(r)
     override def bufferEncoder: Encoder[Seq[Hit]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Hit]]()
     override def outputEncoder: Encoder[Seq[Hit]] = bufferEncoder

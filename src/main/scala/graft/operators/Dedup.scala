@@ -12,10 +12,26 @@ import org.apache.spark.sql.functions._
  * shuffles are keyed groupBys/joins on content-derived keys (hash buckets),
  * so candidate generation is O(n) + a co-partitioned self-join per bucket —
  * never an all-pairs cross join. At 100 TB the bucket join is the standard
- * MinHash-LSH band-bucket pattern; skewed buckets (boilerplate docs) are
- * bounded by `maxBucketSize` sampling.
+ * MinHash-LSH band-bucket pattern; skewed buckets (boilerplate corpora can
+ * put 10^5+ docs in one bucket, whose self-join would go quadratic) are
+ * bounded by [[capBuckets]]: each bucket keeps at most `maxBucketSize`
+ * members (deterministic by id), so a bucket contributes at most
+ * C(maxBucketSize, 2) pairs. Docs cut from an oversized bucket can still
+ * pair through their OTHER bands — the standard LSH skew guard.
  */
 object Dedup {
+
+  /** Cap each bucket at `maxBucketSize` members, kept deterministically by
+    * ascending id. The window shuffles on the same (bucket) keys the
+    * candidate self-join uses, so it adds no new shuffle dimension. */
+  private def capBuckets(banded: DataFrame, keyCols: Seq[String], idCol: String,
+                         maxBucketSize: Int): DataFrame = {
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    banded.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucketSize)
+      .drop("__rn")
+  }
 
   /** Exact dedup: keep the first doc (by `order`) of each identical-content
     * group, content keyed by md5 of the lowercased text. */
@@ -123,17 +139,19 @@ object Dedup {
    * Returns (idA, idB, est_jaccard) with idA < idB, est >= threshold.
    */
   def minHashCandidates(sigs0: DataFrame, idCol: String, bands: Int,
-                        rowsPerBand: Int, threshold: Double): DataFrame = {
+                        rowsPerBand: Int, threshold: Double,
+                        maxBucketSize: Int = 1024): DataFrame = {
     // cached: the banded self-join and the two signature re-joins would
     // otherwise recompute the full signature pipeline
     val sigs = sigs0.cache()
     // band table carries ONLY (id, band, bucket): the heavy signature array
     // stays out of the shuffle; candidate pairs dedup on bare id pairs
-    val banded = sigs.select(
+    val banded = capBuckets(sigs.select(
       col(idCol),
       posexplode(array((0 until bands).map { b =>
         xxhash64(slice(col("minhash"), b * rowsPerBand + 1, rowsPerBand))
-      }: _*)).as(Seq("band", "bucket")))
+      }: _*)).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), idCol, maxBucketSize)
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -173,12 +191,16 @@ object Dedup {
   /** Hamming distance between two long columns. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs via 16-bit chunk banding (exact for hamming<=3). */
-  def simHashCandidates(hashes: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
-    val chunked = hashes.select(col(idCol), col("simhash"),
+  /** SimHash near-dup pairs via 16-bit chunk banding (exact for hamming<=3
+    * within uncapped buckets; oversized buckets — near-empty docs hash to
+    * few distinct simhashes and collide heavily — are capped). */
+  def simHashCandidates(hashes: DataFrame, idCol: String, maxHamming: Int,
+                        maxBucketSize: Int = 1024): DataFrame = {
+    val chunked = capBuckets(hashes.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map { c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)
-      }: _*)).as(Seq("chunk", "ck"))).cache()
+      }: _*)).as(Seq("chunk", "ck"))),
+      Seq("chunk", "ck"), idCol, maxBucketSize).cache()
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
@@ -188,15 +210,39 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding near-dup: pairs with cosine >= threshold among LSH candidates
-    * (random-hyperplane signs bucketed). See [[Similarity.cosine]]. */
+  /**
+   * Embedding near-dup: pairs with exact cosine >= threshold among sign-LSH
+   * candidates. The `planes`-bit sign sketch is split into `bands` chunks;
+   * docs sharing ANY chunk are candidates (near-dups that differ in a few
+   * sketch bits still collide on an unaffected band — single-whole-sketch
+   * equality would miss them). Buckets are capped (see [[capBuckets]]).
+   * Returns (id_a, id_b, cos) with id_a < id_b.
+   */
   def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
-                       planes: Int, threshold: Double): DataFrame = {
-    val sketched = Similarity.withSignSketch(embs, vecCol, planes)
-    val pairs = sketched.as("a").join(sketched.as("b"),
-        col("a.sketch") === col("b.sketch") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        Similarity.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos"))
-    pairs.filter(col("cos") >= threshold)
+                       planes: Int, threshold: Double,
+                       bands: Int = 1, maxBucketSize: Int = 1024): DataFrame = {
+    require(planes % bands == 0, s"bands ($bands) must divide planes ($planes)")
+    val bandBits = planes / bands
+    val mask = (1L << bandBits) - 1
+    val sketched = Similarity.withSignSketch(embs, vecCol, planes).cache()
+    val banded = capBuckets(sketched.select(
+        col(idCol),
+        posexplode(array((0 until bands).map { b =>
+          shiftright(col("sketch"), b * bandBits).bitwiseAND(mask)
+        }: _*)).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), idCol, maxBucketSize)
+    // candidate id pairs carry no vectors through the shuffle; the two
+    // re-joins below fetch vectors only for surviving candidates
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    pairs
+      .join(sketched.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
+      .join(sketched.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("__va"), col("__vb")).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 }

@@ -83,16 +83,24 @@ object Similarity extends Serializable {
   }
 
   /**
-   * ANN top-k via sign-LSH with multi-probe fallback: query's bucket plus
-   * all buckets at hamming distance 1 in sketch space. Returns candidates
-   * rescored exactly — recall < 1 but scored values are exact cosines.
+   * Persisted sign-sketch ANN index: the sketch column computed ONCE and
+   * cached/persistable — the scale path. At 100 TB this DataFrame is a
+   * written table partitioned/bucketed by `sketch`, so each query's probe
+   * reads only matching buckets instead of re-sketching the whole corpus
+   * per query (which [[annTopK]] used to do).
    */
-  def annTopK(embs: DataFrame, idCol: String, vecCol: String,
-              query: Array[Float], planes: Int, k: Int): DataFrame = {
-    val sketched = withSignSketch(embs, vecCol, planes)
+  def signIndex(embs: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame =
+    withSignSketch(embs, vecCol, planes)
+      .select(col(idCol), col(vecCol), col("sketch"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** ANN top-k against a prebuilt [[signIndex]]: probe the query's bucket
+    * plus all buckets at hamming distance 1, rescore exactly. */
+  def annTopKIndexed(sketched: DataFrame, idCol: String, vecCol: String,
+                     query: Array[Float], planes: Int, k: Int): DataFrame = {
     // compute the query's sketch with the SAME column arithmetic to avoid
     // any driver/executor hash divergence: single-row DataFrame
-    val spark = embs.sparkSession
+    val spark = sketched.sparkSession
     import spark.implicits._
     val qDf = Seq(Tuple1(query)).toDF(vecCol)
     val qRow = withSignSketch(qDf, vecCol, planes).select("sketch").head().getLong(0)
@@ -100,6 +108,15 @@ object Similarity extends Serializable {
     rescoreTopK(sketched.filter(col("sketch").isin(probeBuckets: _*)),
       idCol, vecCol, query, k)
   }
+
+  /**
+   * ANN top-k via sign-LSH with multi-probe fallback — one-shot convenience
+   * over [[signIndex]] + [[annTopKIndexed]]. Callers issuing many queries
+   * should build the index once and reuse it.
+   */
+  def annTopK(embs: DataFrame, idCol: String, vecCol: String,
+              query: Array[Float], planes: Int, k: Int): DataFrame =
+    annTopKIndexed(withSignSketch(embs, vecCol, planes), idCol, vecCol, query, planes, k)
 
   /**
    * IVF (inverted-file) ANN index: k-means-lite centroids (deterministic
