@@ -304,6 +304,18 @@ object SparkEntry {
     "ft_engine_wand" -> ((s, d) => docIndex(s, d)
       .topK(Seq("spark", "query", "join"), 20, wand = true)),
 
+    // engine SynonymQuery: match-any + summed tf through the real codec
+    // path (integer-exact outputs; the float score column is dropped for
+    // the oracle — score identity is asserted in ScoringSemanticsSpec)
+    "ft_engine_synonym" -> ((s, d) => docIndex(s, d)
+      .synonymTopK(Seq("spark", "query"), 1000000)
+      .select(col("docId").as("doc_id"), col("syn_tf").cast("long").as("syn_tf"))),
+
+    // engine MultiPhraseQuery over the stored positions tier
+    "ft_engine_multiphrase" -> ((s, d) => docIndex(s, d)
+      .multiPhrase(Seq(Seq("spark", "data"), Seq("group")))
+      .select(col("docId").as("doc_id"))),
+
     // grouped search (lucene/grouping two-pass): top-2 docs per lang for a
     // term query, ranked by tf (integer-exact) with docId tie-break; the
     // engine provides postings, the metadata join provides the group field
@@ -344,12 +356,33 @@ object SparkEntry {
         .orderBy(desc("cnt"), asc("value")).limit(10)
     }),
 
-    // SynonymQuery: terms scored as ONE pseudo-term (summed tf here;
-    // integer outputs keep the oracle exact)
+    // SynonymQuery match + summed tf (integer-exact); the reference
+    // SCORING semantics (df = max member df, similarity invoked once on
+    // the summed tf) are q34_synonym_bm25 / ft_engine_synonym below
     "q32_synonym" -> ((s, d) => TextOps.termFreqs(rd(s, d, "documents"), "doc_id", "text")
       .filter(col("tok").isin("spark", "query"))
       .groupBy("doc_id")
       .agg(sum("tf").cast("long").as("syn_tf"))),
+
+    // SynonymQuery scored exactly as the reference does (SynonymQuery.java:
+    // 50-55,203-217): one pseudo-term, df = max(df_i), summed tf
+    "q34_synonym_bm25" -> ((s, d) => TextOps.synonymBm25(rd(s, d, "documents"),
+      "doc_id", "text", Seq("spark", "query"))),
+
+    // DisjunctionMax over real per-clause BM25 scores (DisjunctionMaxScorer
+    // .java:58-70); q20_dismax keeps the integer-tf variant
+    "q35_dismax_bm25" -> ((s, d) => TextOps.disjunctionMaxBm25(rd(s, d, "documents"),
+      "doc_id", "text", Seq("spark", "query", "data"), 0.1)),
+
+    // MultiPhraseQuery: slot 0 matches 'spark' OR 'data', slot 1 'group'
+    "q36_multiphrase" -> ((s, d) => TextOps.multiPhraseMatch(rd(s, d, "documents"),
+      "doc_id", "text", Seq(Seq("spark", "data"), Seq("group")))),
+
+    // sloppy phrase WITH a repeated term: "data ... data" within slop 4,
+    // the two slots must bind DISTINCT occurrences (SloppyPhraseMatcher
+    // repeats handling, reference SloppyPhraseMatcher.java:362-410)
+    "q43_sloppy_repeat" -> ((s, d) => TextOps.sloppyPhraseMatch(rd(s, d, "documents"),
+      "doc_id", "text", Seq("data", "data"), slop = 4)),
 
     // windowed (sloppy-style) phrase: 'data' then 'group' within 3 positions
     "q33_window_phrase" -> ((s, d) => {
@@ -678,6 +711,62 @@ object SparkEntry {
       "q32_synonym" ->
         s"""SELECT doc_id, CAST(count(*) AS BIGINT) AS syn_tf FROM ($tok)
            | WHERE tok IN ('spark','query') GROUP BY doc_id""".stripMargin,
+      "q34_synonym_bm25" ->
+        s"""WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+           | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),
+           | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+           | st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+           |               (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+           | qt AS (SELECT * FROM tf WHERE tok IN ('spark','query')),
+           | dfm AS (SELECT max(df) AS df FROM
+           |   (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM qt GROUP BY tok)),
+           | agg AS (SELECT doc_id, sum(tf) AS syn_tf FROM qt GROUP BY doc_id)
+           | SELECT agg.doc_id,
+           |  round(ln(1 + (st.n - dfm.df + 0.5) / (dfm.df + 0.5)) * agg.syn_tf /
+           |   (agg.syn_tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 5) AS score
+           | FROM agg JOIN dl ON agg.doc_id = dl.doc_id, st, dfm""".stripMargin,
+      "q35_dismax_bm25" ->
+        s"""WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+           | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),
+           | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+           | st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+           |               (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+           | qt AS (SELECT * FROM tf WHERE tok IN ('spark','query','data')),
+           | dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM qt GROUP BY tok),
+           | sc AS (SELECT qt.doc_id,
+           |   ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * qt.tf /
+           |   (qt.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+           |  FROM qt JOIN dfs ON qt.tok = dfs.tok JOIN dl ON qt.doc_id = dl.doc_id, st)
+           | SELECT doc_id, round(max(s) + 0.1 * (sum(s) - max(s)), 5) AS score
+           | FROM sc GROUP BY doc_id""".stripMargin,
+      "q36_multiphrase" ->
+        """WITH t AS (SELECT doc_id,
+          |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          |  FROM documents)
+          | SELECT a.doc_id, count(*) AS n_occurrences
+          | FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          | WHERE a.tok IN ('spark','data') AND b.tok = 'group' GROUP BY a.doc_id""".stripMargin,
+      "q43_sloppy_repeat" ->
+        """WITH t AS (SELECT doc_id,
+          |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          |  FROM documents)
+          | SELECT a.doc_id, CAST(min(abs(a.pos - (b.pos - 1))) AS INT) AS min_slop
+          | FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.pos <> b.pos
+          | WHERE a.tok = 'data' AND b.tok = 'data'
+          | GROUP BY a.doc_id HAVING min(abs(a.pos - (b.pos - 1))) <= 4""".stripMargin,
+      "ft_engine_synonym" ->
+        s"""SELECT doc_id, CAST(count(*) AS BIGINT) AS syn_tf FROM ($tok)
+           | WHERE tok IN ('spark','query') GROUP BY doc_id""".stripMargin,
+      "ft_engine_multiphrase" ->
+        """WITH t AS (SELECT doc_id,
+          |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          |  FROM documents)
+          | SELECT DISTINCT a.doc_id FROM t a JOIN t b
+          |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          | WHERE a.tok IN ('spark','data') AND b.tok = 'group'""".stripMargin,
       "q33_window_phrase" ->
         """WITH t AS (SELECT doc_id,
           |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,

@@ -312,5 +312,24 @@ object IndexStore {
       val r = QueryEngine.phraseMatch(positions, terms)
       deletes.fold(r)(d => r.join(d, Seq("docId"), "left_anti"))
     }
+
+    /** Multi-phrase (slot = any-of terms) docIds via positions. */
+    def multiPhrase(slots: Seq[Seq[String]]): DataFrame = {
+      val r = QueryEngine.multiPhraseMatch(positions, slots)
+      deletes.fold(r)(d => r.join(d, Seq("docId"), "left_anti"))
+    }
+
+    /** SynonymQuery top-k: terms scored as one pseudo-term (df = max member
+      * df, summed tf, similarity invoked once). Tombstones excluded inside
+      * the engine, before the limit. */
+    def synonymTopK(synonyms: Seq[String], k: Int): DataFrame =
+      QueryEngine.synonymTopK(spark, blocks, termstats, stats, synonyms, k,
+        excludeDocs = deletes)
+
+    /** DisjunctionMax top-k over real per-clause BM25 scores. Tombstones
+      * excluded inside the engine, before the limit. */
+    def disMaxTopK(terms: Seq[String], tiebreak: Float, k: Int): DataFrame =
+      QueryEngine.disMaxTopK(spark, blocks, termstats, stats, terms, tiebreak, k,
+        excludeDocs = deletes)
   }
 }

@@ -113,6 +113,46 @@ object TextOps {
       .select(col(idCol), round(col("score_raw"), 5).as("score"))
   }
 
+  /**
+   * SynonymQuery scoring semantics (reference search/SynonymQuery.java:50-55,
+   * 203-217): the terms are scored as if indexed as ONE pseudo-term — match
+   * any of them, but invoke the similarity a single time on the SUMMED term
+   * frequency, with merged stats df = max(df_i) (ttf summed, unused by
+   * BM25). Returns (idCol, score) for matching docs, double arithmetic
+   * rounded to 5 (oracle-parity path; the float-exact engine version is
+   * QueryEngine.synonymTopK).
+   */
+  def synonymBm25(docs: DataFrame, idCol: String, textCol: String,
+                  synonyms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = termFreqs(docs, idCol, textCol)
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val stats = docs.agg(count("*").as("n"))
+      .crossJoin(dl.agg(sum("dl").as("__totDl")))
+      .withColumn("avgdl", col("__totDl") / col("n"))
+    val qtf = tf.filter(col("tok").isin(synonyms: _*))
+    // pseudo-term stats: df = MAX of the member dfs (not the union size)
+    val dfMax = qtf.groupBy("tok").agg(count("*").as("df"))
+      .agg(max("df").as("df"))
+    qtf.groupBy(idCol).agg(sum("tf").as("syn_tf"))
+      .join(dl, idCol)
+      .crossJoin(broadcast(dfMax))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .select(col(idCol), round(col("idf") * col("syn_tf") /
+        (col("syn_tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))), 5).as("score"))
+  }
+
+  /** DisjunctionMax over real per-term BM25 scores (reference
+    * DisjunctionMaxScorer.java:58-70: max sub score + tieBreaker * sum of
+    * the others). Double arithmetic rounded to 5; [[disjunctionMax]] keeps
+    * the integer tf variant for exact-count pipelines. */
+  def disjunctionMaxBm25(docs: DataFrame, idCol: String, textCol: String,
+                         terms: Seq[String], tiebreak: Double,
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoredTerms(docs, idCol, textCol, terms, k1, b)
+      .groupBy(idCol)
+      .agg(round(max("s") + lit(tiebreak) * (sum("s") - max("s")), 5).as("score"))
+
   /** minShouldMatch (MinShouldMatchSumScorer): docs matching >= n of terms. */
   def minShouldMatch(docs: DataFrame, idCol: String, textCol: String,
                      terms: Seq[String], n: Int): DataFrame =
@@ -160,12 +200,17 @@ object TextOps {
    */
   def sloppyPhraseMatch(docs: DataFrame, idCol: String, textCol: String,
                         phrase: Seq[String], slop: Int): DataFrame = {
-    require(phrase.nonEmpty && phrase.distinct.size == phrase.size,
-      "sloppyPhraseMatch supports phrases without repeated terms")
+    require(phrase.nonEmpty)
     val spark = docs.sparkSession
     import spark.implicits._
+    // slots sharing a term must choose DISTINCT raw positions (reference
+    // SloppyPhraseMatcher.java:362-410 — repeating PhrasePositions may not
+    // land on the same position); encode term identity per slot
+    val termIds = phrase.distinct.zipWithIndex.toMap
+    val termOfSlot = phrase.map(termIds).toArray
+    val hasRepeats = phrase.distinct.size != phrase.size
     val pos = tokenPosTable(docs, idCol, textCol)
-    // per doc: one array of adjusted positions per phrase term
+    // per doc: one array of adjusted positions per phrase slot
     val parts = phrase.zipWithIndex.map { case (t, i) =>
       pos.filter(col("tok") === t)
         .groupBy(idCol).agg(sort_array(collect_list(col("pos") - i)).as(s"q$i"))
@@ -183,27 +228,95 @@ object TextOps {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val lists = r.getSeq[scala.collection.Seq[Int]](1)
-          // smallest range covering one element from each sorted list
-          val idx = Array.fill(lists.size)(0)
-          var best = Int.MaxValue
-          var done = false
-          while (!done) {
-            var minV = Int.MaxValue; var maxV = Int.MinValue; var minList = -1
-            var i = 0
-            while (i < lists.size) {
-              val v = lists(i)(idx(i))
-              if (v < minV) { minV = v; minList = i }
-              if (v > maxV) maxV = v
-              i += 1
-            }
-            if (maxV - minV < best) best = maxV - minV
-            idx(minList) += 1
-            if (idx(minList) >= lists(minList).size) done = true
-          }
+          val best =
+            if (!hasRepeats) minRangeSweep(lists)
+            else minRangeWithRepeats(lists, termOfSlot)
           if (best <= slop) Iterator.single(org.apache.spark.sql.Row(r.get(0), best))
           else Iterator.empty
         }
       }(enc)
+  }
+
+  /** Smallest range covering one element from each sorted list (the classic
+    * sweep — valid when every slot holds a distinct term). */
+  private def minRangeSweep(lists: scala.collection.Seq[scala.collection.Seq[Int]]): Int = {
+    val idx = Array.fill(lists.size)(0)
+    var best = Int.MaxValue
+    var done = false
+    while (!done) {
+      var minV = Int.MaxValue; var maxV = Int.MinValue; var minList = -1
+      var i = 0
+      while (i < lists.size) {
+        val v = lists(i)(idx(i))
+        if (v < minV) { minV = v; minList = i }
+        if (v > maxV) maxV = v
+        i += 1
+      }
+      if (maxV - minV < best) best = maxV - minV
+      idx(minList) += 1
+      if (idx(minList) >= lists(minList).size) done = true
+    }
+    best
+  }
+
+  /** Min adjusted-position range over assignments of one occurrence per
+    * slot where same-term slots use DISTINCT raw positions. Branch-and-
+    * bound DFS: the partial range only widens as slots are added, so any
+    * partial >= best prunes. Worst case is exponential in phrase length —
+    * phrases are short and per-doc occurrence lists small; the no-repeat
+    * fast path never enters here. */
+  private def minRangeWithRepeats(lists: scala.collection.Seq[scala.collection.Seq[Int]],
+                                  termOfSlot: Array[Int]): Int = {
+    val n = lists.size
+    var best = Int.MaxValue
+    val chosenRaw = new Array[Int](n)
+    def dfs(s: Int, curMin: Int, curMax: Int): Unit = {
+      if (s > 0 && best != Int.MaxValue && curMax - curMin >= best) return
+      if (s == n) { best = curMax - curMin; return }
+      val l = lists(s)
+      var i = 0
+      while (i < l.size) {
+        val q = l(i)
+        val raw = q + s
+        var ok = true
+        var j = 0
+        while (ok && j < s) {
+          if (termOfSlot(j) == termOfSlot(s) && chosenRaw(j) == raw) ok = false
+          j += 1
+        }
+        if (ok) {
+          chosenRaw(s) = raw
+          dfs(s + 1, math.min(curMin, q), math.max(curMax, q))
+        }
+        i += 1
+      }
+    }
+    dfs(0, Int.MaxValue, Int.MinValue)
+    best
+  }
+
+  /**
+   * MultiPhraseQuery (reference search/MultiPhraseQuery.java:56): a phrase
+   * where each position matches ANY of a set of terms — slot i's candidate
+   * positions are the UNION of its member terms' positions (a token
+   * position holds one term, so the union has no duplicates). Returns
+   * (idCol, n_occurrences) of docs with >= 1 consecutive match.
+   */
+  def multiPhraseMatch(docs: DataFrame, idCol: String, textCol: String,
+                       slots: Seq[Seq[String]]): DataFrame = {
+    require(slots.nonEmpty && slots.forall(_.nonEmpty))
+    val pos = tokenPosTable(docs, idCol, textCol)
+    val parts = slots.zipWithIndex.map { case (ts, i) =>
+      pos.filter(col("tok").isin(ts: _*))
+        .groupBy(idCol).agg(collect_list(col("pos") - i).as(s"p$i"))
+    }
+    val joined = parts.reduceLeft((a, b) => a.join(b, idCol))
+    val starts = (1 until slots.length).foldLeft(col("p0")) { (acc, i) =>
+      array_intersect(acc, col(s"p$i"))
+    }
+    joined.withColumn("n_occurrences", size(starts))
+      .filter(col("n_occurrences") > 0)
+      .select(col(idCol), col("n_occurrences"))
   }
 
   /** Multi-term expansion queries: df of terms selected by a predicate on

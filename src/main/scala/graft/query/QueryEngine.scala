@@ -249,6 +249,84 @@ object QueryEngine {
   }
 
   /**
+   * SynonymQuery top-k (reference search/SynonymQuery.java:50-55,203-217):
+   * the synonym terms are scored as ONE pseudo-term — a doc matches if it
+   * contains ANY of them, the similarity is invoked a single time on the
+   * SUMMED term frequency, and the pseudo-term stats merge as
+   * df = max(df_i) (ttf summed — unused by BM25). Per-doc summed tf is an
+   * exact integer; the norm byte is per-doc, identical across member terms.
+   * Returns (docId, syn_tf, score) ordered (score DESC, docId ASC).
+   */
+  def synonymTopK(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame,
+                  stats: CorpusStats, synonyms: Seq[String], k: Int,
+                  boost: Float = 1f, excludeDocs: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val qs = synonyms.distinct
+    val found = termstats.filter(col("term").isin(qs: _*))
+      .select("term", "df").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (found.isEmpty)
+      return spark.range(0).select($"id".as("docId"), lit(0).as("syn_tf"), lit(0f).as("score"))
+    val scorer = BM25.termScorer(boost, BM25.DefaultK1, BM25.DefaultB,
+      found.values.max, stats.docCount, stats.sumTotalTermFreq)
+    val rows = blocks.filter($"term".isin(found.keys.toSeq: _*))
+      .mapPartitions { it =>
+        it.flatMap { b =>
+          val (docs, tfs) = PostingsCodec.decodeBlock(b.minDoc, b.n, b.wDocs, b.wFreqs, b.docGaps, b.freqs)
+          (0 until b.n).iterator.map(i => (docs(i), tfs(i), b.norms(i)))
+        }
+      }.toDF("docId", "tf", "normByte")
+    val grouped = rows.groupBy("docId")
+      .agg(sum($"tf").cast("int").as("syn_tf"), first($"normByte").as("normByte"))
+    // tombstones excluded before the limit (liveDocs; stats unchanged)
+    val live = excludeDocs match {
+      case Some(dead) => grouped.join(
+        dead.select(col(dead.columns.head).cast("long").as("docId")), Seq("docId"), "left_anti")
+      case None => grouped
+    }
+    live.select($"docId", $"syn_tf",
+        graft.functions.Bm25Score($"syn_tf", $"normByte".cast("byte"),
+          scorer.weight, scorer.cache).as("score"))
+      .orderBy(desc("score"), asc("docId")).limit(k)
+  }
+
+  /**
+   * DisjunctionMax top-k over real per-clause BM25 scores (reference
+   * search/DisjunctionMaxScorer.java:58-70): score = max sub score +
+   * tieBreaker * (double) sum of the other sub scores, iterated in
+   * query-term (ti) order, cast float. Returns (docId, score) ordered
+   * (score DESC, docId ASC).
+   */
+  def disMaxTopK(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame,
+                 stats: CorpusStats, terms: Seq[String], tiebreak: Float,
+                 k: Int, excludeDocs: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val infos = plan(termstats, stats, terms)
+    if (infos.isEmpty)
+      return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
+    val scored = scoredPostings(spark, blocks, infos, 0f)
+      .groupByKey(_.docId)
+      .mapGroups { (doc, it) =>
+        val parts = it.toArray.sortBy(_.ti)
+        // exact DisjunctionMaxScorer.score loop: running float max, the
+        // displaced max and non-max subs accumulate into a double sum
+        var scoreMax = 0f
+        var otherSum = 0.0
+        parts.foreach { p =>
+          if (p.score >= scoreMax) { otherSum += scoreMax; scoreMax = p.score }
+          else otherSum += p.score
+        }
+        (doc, (scoreMax + otherSum * tiebreak).toFloat)
+      }
+      .toDF("docId", "score")
+    val live = excludeDocs match {
+      case Some(dead) => scored.join(
+        dead.select(col(dead.columns.head).cast("long").as("docId")), Seq("docId"), "left_anti")
+      case None => scored
+    }
+    live.orderBy(desc("score"), asc("docId")).limit(k)
+  }
+
+  /**
    * Score explanation (IndexSearcher.explain / BM25Similarity.explain
    * analogue, reference search/IndexSearcher.java explain +
    * BM25Similarity.java explainScore): one row per query term matching
@@ -377,14 +455,25 @@ object QueryEngine {
    * docs where the terms occur at consecutive positions. Returns docIds.
    * (Reference semantics: ExactPhraseMatcher — SURVEY.md §2.3.)
    */
-  def phraseMatch(positions: DataFrame, terms: Seq[String]): DataFrame = {
-    require(terms.nonEmpty)
-    val parts = terms.zipWithIndex.map { case (t, i) =>
-      positions.filter(col("term") === t)
-        .select(col("docId"), transform(col("poss"), p => p - i).as(s"p$i"))
+  def phraseMatch(positions: DataFrame, terms: Seq[String]): DataFrame =
+    multiPhraseMatch(positions, terms.map(Seq(_)))
+
+  /**
+   * MultiPhraseQuery over the positions table (reference
+   * search/MultiPhraseQuery.java:56): slot i matches ANY of its terms, so
+   * its candidate positions are the union of the member terms' position
+   * arrays (flattened per doc — a position holds one term, no duplicates).
+   * Returns docIds with >= 1 consecutive match.
+   */
+  def multiPhraseMatch(positions: DataFrame, slots: Seq[Seq[String]]): DataFrame = {
+    require(slots.nonEmpty && slots.forall(_.nonEmpty))
+    val parts = slots.zipWithIndex.map { case (ts, i) =>
+      positions.filter(col("term").isin(ts: _*))
+        .select(col("docId"), explode(col("poss")).as("__p"))
+        .groupBy("docId").agg(collect_list(col("__p") - i).as(s"p$i"))
     }
     val joined = parts.reduceLeft((a, b) => a.join(b, "docId"))
-    val starts = (1 until terms.length).foldLeft(col("p0")) { (acc, i) =>
+    val starts = (1 until slots.length).foldLeft(col("p0")) { (acc, i) =>
       array_intersect(acc, col(s"p$i"))
     }
     joined.filter(size(starts) > 0).select("docId")
