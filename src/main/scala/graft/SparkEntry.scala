@@ -39,10 +39,10 @@ object SparkEntry {
       // scrub any stale index from a previous process before building
       graft.util.Fs.rmTree(idxDir)
       val corpus = rd(s, dir, "documents")
-        .select(col("doc_id").as("docId"), col("text").as("content"))
+        .select(col("doc_id").as("docId"), col("text").as("content"), col("lang"))
       IndexStore.build(s, corpus, idxDir, numSegments = 2,
         shufflePartitions = s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-        withPositions = true)
+        withPositions = true, docValueCols = Seq("lang"))
       IndexStore.OpenIndex(s, idxDir)
     })
   }
@@ -242,6 +242,14 @@ object SparkEntry {
     "q27_termset" -> ((s, d) => TextOps.expandTerms(rd(s, d, "documents"),
       "doc_id", "text", t => t.isin("spark", "query", "join", "data"))),
 
+    // WildcardQuery: glob -> anchored regex (WildcardQuery.java:42)
+    "q44_wildcard" -> ((s, d) => TextOps.expandTerms(rd(s, d, "documents"),
+      "doc_id", "text", t => t.rlike(TextOps.wildcardToRegex("s?a*")))),
+
+    // TermRangeQuery: lexicographic dictionary range (TermRangeQuery.java:41)
+    "q45_termrange" -> ((s, d) => TextOps.expandTerms(rd(s, d, "documents"),
+      "doc_id", "text", t => t >= "m" && t < "q")),
+
     // ---- fulltext scoring: declarative BM25 / boolean / phrase / dismax ----
     "ft_bm25_or" -> ((s, d) => TextOps.bm25All(rd(s, d, "documents"),
       "doc_id", "text", Seq("spark", "query", "join"))),
@@ -315,6 +323,22 @@ object SparkEntry {
     "ft_engine_multiphrase" -> ((s, d) => docIndex(s, d)
       .multiPhrase(Seq(Seq("spark", "data"), Seq("group")))
       .select(col("docId").as("doc_id"))),
+
+    // engine WildcardQuery against the dictionary (constant-score union)
+    "ft_engine_wildcard" -> ((s, d) => docIndex(s, d)
+      .multiTermTopK(col("term").rlike(TextOps.wildcardToRegex("s?a*")), 1000000)
+      .select(col("docId").as("doc_id"))),
+
+    // engine TermRangeQuery against the dictionary
+    "ft_engine_termrange" -> ((s, d) => docIndex(s, d)
+      .multiTermTopK(col("term") >= "m" && col("term") < "q", 1000000)
+      .select(col("docId").as("doc_id"))),
+
+    // engine field-sorted top-k over the doc-values tier (SortField /
+    // TopFieldCollector): docs containing 'spark', sorted by lang
+    "ft_engine_sortfield" -> ((s, d) => docIndex(s, d)
+      .topKByField(Seq("spark"), Seq(("lang", true)), 100)
+      .select(col("docId").as("doc_id"), col("lang"))),
 
     // grouped search (lucene/grouping two-pass): top-2 docs per lang for a
     // term query, ranked by tf (integer-exact) with docId tie-break; the
@@ -636,6 +660,22 @@ object SparkEntry {
         s"""WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM ($tok) GROUP BY doc_id, tok)
            | SELECT tok AS term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf FROM tf
            | WHERE tok IN ('spark','query','join','data') GROUP BY tok""".stripMargin,
+      "q44_wildcard" ->
+        s"""WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM ($tok) GROUP BY doc_id, tok)
+           | SELECT tok AS term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf FROM tf
+           | WHERE tok LIKE 's_a%' GROUP BY tok""".stripMargin,
+      "q45_termrange" ->
+        s"""WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM ($tok) GROUP BY doc_id, tok)
+           | SELECT tok AS term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf FROM tf
+           | WHERE tok >= 'm' AND tok < 'q' GROUP BY tok""".stripMargin,
+      "ft_engine_wildcard" ->
+        s"""SELECT DISTINCT doc_id FROM ($tok) WHERE tok LIKE 's_a%'""",
+      "ft_engine_termrange" ->
+        s"""SELECT DISTINCT doc_id FROM ($tok) WHERE tok >= 'm' AND tok < 'q'""",
+      "ft_engine_sortfield" ->
+        s"""WITH m AS (SELECT DISTINCT doc_id FROM ($tok) WHERE tok = 'spark')
+           | SELECT m.doc_id, d.lang FROM m JOIN documents d ON m.doc_id = d.doc_id
+           | ORDER BY d.lang ASC, m.doc_id ASC LIMIT 100""".stripMargin,
       "ft_reqopt" ->
         s"""WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
            | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),

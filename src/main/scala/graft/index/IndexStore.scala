@@ -81,7 +81,8 @@ object IndexStore {
    */
   def build(spark: SparkSession, corpusWithIds: DataFrame, dir: String,
             numSegments: Int, shufflePartitions: Int, source: String = "corpus",
-            withPositions: Boolean = false, segmentConcurrency: Int = 1): Unit = {
+            withPositions: Boolean = false, segmentConcurrency: Int = 1,
+            docValueCols: Seq[String] = Nil): Unit = {
     import spark.implicits._
     val chk = corpusWithIds.agg(max("docId"), count("*"), countDistinct("docId"), min("docId")).head()
     require(!chk.isNullAt(0), "cannot build an index over an empty corpus")
@@ -116,6 +117,12 @@ object IndexStore {
             .repartitionByRange(shufflePartitions, $"term")
             .sortWithinPartitions($"term", $"docId")
             .write.mode("overwrite").parquet(s"$segDir/positions")
+        // doc-values tier (Lucene80DocValuesFormat analogue, SURVEY §1.1):
+        // columnar per-doc fields for sort/group — docId-clustered parquet
+        // so field-sorted queries read only these narrow columns
+        if (docValueCols.nonEmpty)
+          slice.select(($"docId" +: docValueCols.map(col)): _*)
+            .write.mode("overwrite").parquet(s"$segDir/docvalues")
         val m = ds.agg(count("*"), sum(col("dl").cast("long")),
           bit_xor(xxhash64(col("contentSha256")))).head()
         val blockCount = spark.read.parquet(s"$segDir/postings").count()
@@ -219,6 +226,13 @@ object IndexStore {
         .repartitionByRange(shufflePartitions, col("term"))
         .sortWithinPartitions(col("term"), col("docId"))
         .write.mode("overwrite").parquet(s"$outDir/segments/seg=0/positions")
+    // carry the doc-values tier likewise
+    val dvDirs = segDirs.filter(d => Files.exists(Paths.get(d, "docvalues")))
+    if (dvDirs.nonEmpty)
+      dead.foldLeft(spark.read.parquet(dvDirs.map(_ + "/docvalues"): _*)) {
+          (df, d) => df.join(d, Seq("docId"), "left_anti")
+        }
+        .write.mode("overwrite").parquet(s"$outDir/segments/seg=0/docvalues")
     val m = ds.agg(count("*"), sum(col("dl").cast("long")),
       bit_xor(xxhash64(col("contentSha256"))), max("docId")).head()
     // every doc tombstoned -> no surviving rows. Refuse to COMMIT (the data
@@ -311,6 +325,37 @@ object IndexStore {
     def phrase(terms: Seq[String]): DataFrame = {
       val r = QueryEngine.phraseMatch(positions, terms)
       deletes.fold(r)(d => r.join(d, Seq("docId"), "left_anti"))
+    }
+
+    /** Doc-values tier (columnar per-doc sort/group fields); empty schema
+      * when the index was built without docValueCols. */
+    lazy val docvalues: DataFrame = {
+      val dvDirs = segDirs.map(_ + "/docvalues")
+        .filter(p => Files.exists(Paths.get(p)))
+      require(dvDirs.nonEmpty, s"index at $dir has no doc-values tier " +
+        "(build with docValueCols = ...)")
+      spark.read.parquet(dvDirs: _*)
+    }
+
+    /**
+     * Field-sorted top-k (SortField / TopFieldCollector analogue, reference
+     * search/SortField.java:35, TopFieldCollector.java:40): docs matching
+     * the terms (constant-score filter; mode And requires all), ordered by
+     * the doc-values sort fields with docId as the final tie-break, first
+     * k. Spark executes this as a bounded per-partition heap + driver merge
+     * (TakeOrderedAndProject) over ONLY the narrow docvalues columns.
+     */
+    def topKByField(terms: Seq[String], sortBys: Seq[(String, Boolean)], k: Int,
+                    mode: QueryEngine.Mode = QueryEngine.And): DataFrame = {
+      require(sortBys.nonEmpty)
+      val matched = QueryEngine.matchingDocs(spark, blocks, terms, mode)
+      val live = deletes.fold(matched)(d => matched.join(d, Seq("docId"), "left_anti"))
+      val sortCols = sortBys.map { case (f, asc_) =>
+        if (asc_) asc(f) else desc(f)
+      } :+ asc("docId")
+      live.join(docvalues, "docId")
+        .orderBy(sortCols: _*)
+        .limit(k)
     }
 
     /** Multi-phrase (slot = any-of terms) docIds via positions. */

@@ -319,6 +319,21 @@ object TextOps {
       .select(col(idCol), col("n_occurrences"))
   }
 
+  /** Compile a Lucene-style glob (`*` = any run, `?` = any single char) to
+    * an anchored regex — the WildcardQuery compiler (reference
+    * search/WildcardQuery.java:42 builds the equivalent automaton). All
+    * regex metacharacters in the literal parts are escaped. */
+  def wildcardToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    glob.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append(".")
+      case c if "\\.[]{}()<>+-=!$|^".indexOf(c) >= 0 => sb.append("\\").append(c)
+      case c => sb.append(c)
+    }
+    sb.append("$").toString
+  }
+
   /** Multi-term expansion queries: df of terms selected by a predicate on
     * the term itself (prefix/regexp/fuzzy/set — PrefixQuery, RegexpQuery,
     * FuzzyQuery, TermInSetQuery). Returns (term, df, ttf). */

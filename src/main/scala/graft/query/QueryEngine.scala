@@ -248,6 +248,27 @@ object QueryEngine {
       .orderBy(desc("score"), asc("docId")).limit(k)
   }
 
+  /** docIds matching the terms (Or = any, And = all) as a constant-score
+    * filter — the match-only half of a query, used by field-sorted top-k
+    * (the "filter query + sort by doc values" shape). */
+  def matchingDocs(spark: SparkSession, blocks: Dataset[BlockRow],
+                   terms: Seq[String], mode: Mode = Or): DataFrame = {
+    import spark.implicits._
+    val qs = terms.distinct
+    val rows = blocks.filter($"term".isin(qs: _*))
+      .mapPartitions { it =>
+        it.flatMap { b =>
+          val (docs, _) = PostingsCodec.decodeBlock(b.minDoc, b.n, b.wDocs, b.wFreqs, b.docGaps, b.freqs)
+          docs.iterator.take(b.n).map(d => (b.term, d))
+        }
+      }.toDF("term", "docId")
+    mode match {
+      case Or  => rows.select("docId").distinct()
+      case And => rows.distinct().groupBy("docId").agg(count("*").as("__nt"))
+        .filter(col("__nt") === qs.size).select("docId")
+    }
+  }
+
   /**
    * SynonymQuery top-k (reference search/SynonymQuery.java:50-55,203-217):
    * the synonym terms are scored as ONE pseudo-term — a doc matches if it

@@ -1,0 +1,104 @@
+package graft.index
+
+import graft.SparkSpec
+import graft.corpus.CorpusGen
+import graft.query.QueryEngine
+import java.nio.file.Files
+import org.apache.spark.sql.functions.col
+
+/** Doc-values tier + field-sorted top-k (SortField / TopFieldCollector
+  * analogue): brute-force parity, liveDocs exclusion before the limit, and
+  * tier survival through compaction. */
+class DocValuesSpec extends SparkSpec {
+  import spark.implicits._
+
+  val N = 250
+  lazy val localDocs: Seq[(Long, String, String, String)] =
+    (0L until N.toLong).map(i => CorpusGen.genFile(i))
+      .sortBy(f => (f.repo, f.path, f.commit))
+      .zipWithIndex.map { case (f, i) => (i.toLong, f.lang, f.path, f.content) }
+
+  private def buildIdx(): (String, IndexStore.OpenIndex) = {
+    val dir = Files.createTempDirectory("graft-dv").toString
+    val withIds = DocIds.assign(CorpusGen.corpus(spark, N, 4).toDF(), Seq("repo", "path", "commit"), 4)
+    IndexStore.build(spark, withIds, dir, numSegments = 2, shufflePartitions = 4,
+      docValueCols = Seq("lang", "path"))
+    (dir, IndexStore.OpenIndex(spark, dir))
+  }
+
+  private def brute(terms: Seq[String], k: Int, dead: Set[Long] = Set.empty): Seq[(Long, String, String)] =
+    localDocs.filter { case (id, _, _, c) =>
+      !dead(id) && {
+        val ts = graft.analysis.Analyzer.terms(c).toSet
+        terms.forall(ts)
+      }
+    }.map { case (id, lang, path, _) => (id, lang, path) }
+      .sortBy { case (id, lang, _) => (lang, id) }.take(k)
+
+  test("topKByField: field sort over doc values matches brute force; deletes excluded pre-limit") {
+    val (dir, idx) = buildIdx()
+    val terms = Seq("public", "import")
+    for (k <- Seq(5, 25, 1000)) {
+      val got = idx.topKByField(terms, Seq(("lang", true)), k)
+        .select("docId", "lang", "path")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      assert(got === brute(terms, k), s"k=$k")
+    }
+    // delete the first 3 of the k=5 page: the page must refill from the
+    // next live docs, not under-fill
+    val first5 = brute(terms, 5).map(_._1)
+    IndexStore.delete(spark, dir, first5.take(3))
+    val idx2 = IndexStore.OpenIndex(spark, dir)
+    val got = idx2.topKByField(terms, Seq(("lang", true)), 5)
+      .select("docId", "lang", "path")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got === brute(terms, 5, first5.take(3).toSet))
+    assert(got.size === 5)
+  }
+
+  test("doc-values tier survives compact; descending + multi-field sort") {
+    val (dir, idx) = buildIdx()
+    val out = dir + "-compacted"
+    IndexStore.compact(spark, dir, out, 4)
+    val cidx = IndexStore.OpenIndex(spark, out)
+    val got = cidx.topKByField(Seq("class"), Seq(("lang", false), ("path", true)), 10)
+      .select("docId", "lang", "path")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val want = localDocs.filter { case (_, _, _, c) =>
+      graft.analysis.Analyzer.terms(c).contains("class")
+    }.map { case (id, lang, path, _) => (id, lang, path) }
+      .sortBy { case (id, lang, path) => (lang, path, id) }(
+        Ordering.Tuple3(Ordering[String].reverse, Ordering[String], Ordering[Long]))
+      .take(10)
+    assert(got === want)
+  }
+
+  test("matchingDocs Or/And constant-score filter") {
+    val (_, idx) = buildIdx()
+    val orGot = QueryEngine.matchingDocs(spark, idx.blocks, Seq("parseconfig", "handler7"))
+      .collect().map(_.getLong(0)).toSet
+    val andGot = QueryEngine.matchingDocs(spark, idx.blocks, Seq("parseconfig", "handler7"), QueryEngine.And)
+      .collect().map(_.getLong(0)).toSet
+    val orWant = localDocs.filter { case (_, _, _, c) =>
+      val ts = graft.analysis.Analyzer.terms(c).toSet
+      ts("parseconfig") || ts("handler7")
+    }.map(_._1).toSet
+    val andWant = localDocs.filter { case (_, _, _, c) =>
+      val ts = graft.analysis.Analyzer.terms(c).toSet
+      ts("parseconfig") && ts("handler7")
+    }.map(_._1).toSet
+    assert(orGot === orWant)
+    assert(andGot === andWant)
+    assert(andGot.subsetOf(orGot))
+  }
+
+  test("index built without docValueCols refuses field sort with a clear error") {
+    val dir = Files.createTempDirectory("graft-dv-none").toString
+    val withIds = DocIds.assign(CorpusGen.corpus(spark, 40, 2).toDF(), Seq("repo", "path", "commit"), 2)
+    IndexStore.build(spark, withIds, dir, numSegments = 1, shufflePartitions = 2)
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.OpenIndex(spark, dir).topKByField(Seq("public"), Seq(("lang", true)), 5).collect()
+    }
+    assert(e.getMessage.contains("doc-values"))
+  }
+}
