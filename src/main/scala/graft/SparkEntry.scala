@@ -340,6 +340,22 @@ object SparkEntry {
       .topKByField(Seq("spark"), Seq(("lang", true)), 100)
       .select(col("docId").as("doc_id"), col("lang"))),
 
+    // classic query-string parser end to end (QueryParser.java:81):
+    // required conjunction with negation — integer-exact docId outputs
+    "qp_bool" -> ((s, d) => docIndex(s, d)
+      .search("+spark +query -slow", 1000000)
+      .select(col("docId").as("doc_id"))),
+
+    // should-clauses mixing a term with an exact phrase
+    "qp_mixed" -> ((s, d) => docIndex(s, d)
+      .search("spark \"data group\"", 1000000)
+      .select(col("docId").as("doc_id"))),
+
+    // wildcard + term-range leaves composed with AND
+    "qp_multiterm" -> ((s, d) => docIndex(s, d)
+      .search("+s?a* +[ma TO pz]", 1000000)
+      .select(col("docId").as("doc_id"))),
+
     // grouped search (lucene/grouping two-pass): top-2 docs per lang for a
     // term query, ranked by tf (integer-exact) with docId tie-break; the
     // engine provides postings, the metadata join provides the group field
@@ -676,6 +692,27 @@ object SparkEntry {
         s"""WITH m AS (SELECT DISTINCT doc_id FROM ($tok) WHERE tok = 'spark')
            | SELECT m.doc_id, d.lang FROM m JOIN documents d ON m.doc_id = d.doc_id
            | ORDER BY d.lang ASC, m.doc_id ASC LIMIT 100""".stripMargin,
+      "qp_bool" ->
+        s"""SELECT doc_id FROM (
+           |  SELECT doc_id FROM ($tok) WHERE tok IN ('spark','query')
+           |  GROUP BY doc_id HAVING count(DISTINCT tok) = 2)
+           | WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM ($tok) WHERE tok = 'slow')""".stripMargin,
+      "qp_mixed" ->
+        s"""WITH t AS (SELECT doc_id,
+           |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+           |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+           |  FROM documents)
+           | SELECT DISTINCT doc_id FROM t WHERE tok = 'spark'
+           | UNION
+           | SELECT DISTINCT a.doc_id FROM t a JOIN t b
+           |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           | WHERE a.tok = 'data' AND b.tok = 'group'""".stripMargin,
+      "qp_multiterm" ->
+        s"""SELECT doc_id FROM
+           |  (SELECT DISTINCT doc_id FROM ($tok) WHERE tok LIKE 's_a%')
+           | INTERSECT
+           | SELECT doc_id FROM
+           |  (SELECT DISTINCT doc_id FROM ($tok) WHERE tok >= 'ma' AND tok <= 'pz')""".stripMargin,
       "ft_reqopt" ->
         s"""WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
            | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),

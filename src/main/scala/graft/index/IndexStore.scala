@@ -321,6 +321,12 @@ object IndexStore {
     lazy val positions: DataFrame =
       spark.read.parquet(segDirs.map(_ + "/positions"): _*)
 
+    /** Parse + execute a classic query string ("+spark (query OR join)
+      * -slow \"data group\"~2 pre* fuzzy~1 [a TO c]") — see
+      * [[graft.query.QueryParser]] / [[graft.query.Searcher]]. */
+    def search(query: String, k: Int): DataFrame =
+      graft.query.Searcher.search(this, query, k)
+
     /** Exact-phrase docIds via the stored positions table. */
     def phrase(terms: Seq[String]): DataFrame = {
       val r = QueryEngine.phraseMatch(positions, terms)

@@ -239,7 +239,7 @@ object TextOps {
 
   /** Smallest range covering one element from each sorted list (the classic
     * sweep — valid when every slot holds a distinct term). */
-  private def minRangeSweep(lists: scala.collection.Seq[scala.collection.Seq[Int]]): Int = {
+  private[graft] def minRangeSweep(lists: scala.collection.Seq[scala.collection.Seq[Int]]): Int = {
     val idx = Array.fill(lists.size)(0)
     var best = Int.MaxValue
     var done = false
@@ -265,8 +265,8 @@ object TextOps {
     * partial >= best prunes. Worst case is exponential in phrase length —
     * phrases are short and per-doc occurrence lists small; the no-repeat
     * fast path never enters here. */
-  private def minRangeWithRepeats(lists: scala.collection.Seq[scala.collection.Seq[Int]],
-                                  termOfSlot: Array[Int]): Int = {
+  private[graft] def minRangeWithRepeats(lists: scala.collection.Seq[scala.collection.Seq[Int]],
+                                         termOfSlot: Array[Int]): Int = {
     val n = lists.size
     var best = Int.MaxValue
     val chosenRaw = new Array[Int](n)

@@ -248,6 +248,55 @@ object QueryEngine {
       .orderBy(desc("score"), asc("docId")).limit(k)
   }
 
+  /** Single-term BM25 scores over all matching docs (no limit): the leaf
+    * frame of composed boolean evaluation ([[Searcher]]). (docId, score). */
+  def termScores(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame,
+                 stats: CorpusStats, term: String): DataFrame = {
+    import spark.implicits._
+    val infos = plan(termstats, stats, Seq(term))
+    if (infos.isEmpty)
+      return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
+    scoredPostings(spark, blocks, infos, 0f).select($"docId", $"score")
+  }
+
+  /** Dictionary-expanded matching docIds (no limit, no order): the
+    * constant-score rewrite core shared by multiTermTopK and the parser's
+    * prefix/wildcard/fuzzy/range leaves. Expansion capped at
+    * [[MaxClauseCount]] highest-df terms. */
+  def multiTermDocs(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame,
+                    termPred: Column): DataFrame = {
+    import spark.implicits._
+    val expanded = termstats.filter(termPred)
+      .orderBy(desc("df"), asc("term")).limit(MaxClauseCount)
+      .select("term").as[String].collect().toSeq
+    if (expanded.isEmpty)
+      return spark.range(0).select($"id".as("docId"))
+    blocks.filter($"term".isin(expanded: _*))
+      .mapPartitions { it =>
+        it.flatMap { b =>
+          val (docs, _) = PostingsCodec.decodeBlock(b.minDoc, b.n, b.wDocs, b.wFreqs, b.docGaps, b.freqs)
+          docs.iterator.take(b.n)
+        }
+      }
+      .toDF("docId").distinct()
+  }
+
+  /** Per-doc phrase frequency (number of consecutive-match start positions)
+    * over the positions tier; slot i matches any of its terms. */
+  def phraseFreqs(positions: DataFrame, slots: Seq[Seq[String]]): DataFrame = {
+    require(slots.nonEmpty && slots.forall(_.nonEmpty))
+    val parts = slots.zipWithIndex.map { case (ts, i) =>
+      positions.filter(col("term").isin(ts: _*))
+        .select(col("docId"), explode(col("poss")).as("__p"))
+        .groupBy("docId").agg(collect_list(col("__p") - i).as(s"p$i"))
+    }
+    val joined = parts.reduceLeft((a, b) => a.join(b, "docId"))
+    val starts = (1 until slots.length).foldLeft(col("p0")) { (acc, i) =>
+      array_intersect(acc, col(s"p$i"))
+    }
+    joined.select(col("docId"), size(starts).as("freq")).filter(col("freq") > 0)
+  }
+
   /** docIds matching the terms (Or = any, And = all) as a constant-score
     * filter — the match-only half of a query, used by field-sorted top-k
     * (the "filter query + sort by doc values" shape). */
@@ -486,17 +535,6 @@ object QueryEngine {
    * arrays (flattened per doc — a position holds one term, no duplicates).
    * Returns docIds with >= 1 consecutive match.
    */
-  def multiPhraseMatch(positions: DataFrame, slots: Seq[Seq[String]]): DataFrame = {
-    require(slots.nonEmpty && slots.forall(_.nonEmpty))
-    val parts = slots.zipWithIndex.map { case (ts, i) =>
-      positions.filter(col("term").isin(ts: _*))
-        .select(col("docId"), explode(col("poss")).as("__p"))
-        .groupBy("docId").agg(collect_list(col("__p") - i).as(s"p$i"))
-    }
-    val joined = parts.reduceLeft((a, b) => a.join(b, "docId"))
-    val starts = (1 until slots.length).foldLeft(col("p0")) { (acc, i) =>
-      array_intersect(acc, col(s"p$i"))
-    }
-    joined.filter(size(starts) > 0).select("docId")
-  }
+  def multiPhraseMatch(positions: DataFrame, slots: Seq[Seq[String]]): DataFrame =
+    phraseFreqs(positions, slots).select("docId")
 }

@@ -1,0 +1,152 @@
+package graft.query
+
+import graft.index.IndexStore.OpenIndex
+import graft.operators.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Query-string execution against an [[OpenIndex]]: parse with
+ * [[QueryParser]], map each AST node to the matching engine path, compose
+ * booleans with deterministic score arithmetic. The reference analogue is
+ * IndexSearcher.search(QueryParser.parse(...)) (SURVEY.md §3.1).
+ *
+ * Scoring contract (documented, asserted in SearcherSpec):
+ *  - Term leaf: the engine's exact Lucene-arithmetic BM25 per-term score.
+ *  - Exact phrase: BM25 with tf = phrase frequency and weight = double sum
+ *    of the distinct member terms' idfs cast float (PhraseWeight passes all
+ *    member term statistics; BM25Similarity sums their idfs).
+ *  - Sloppy phrase / prefix / wildcard / fuzzy / range: constant score 1
+ *    (MultiTermQuery CONSTANT_SCORE rewrite; sloppy kept constant-score).
+ *  - Boolean: score = matching clauses' scores summed as double in clause
+ *    order, cast float — identical arithmetic to QueryEngine.topK, so a
+ *    pure-term query string scores bit-identically to the topK path.
+ */
+object Searcher {
+
+  import QueryParser._
+
+  /** Parse + rank: top-k (docId, score) with tombstones excluded before
+    * the limit. */
+  def search(idx: OpenIndex, query: String, k: Int): DataFrame = {
+    val scored = eval(idx, QueryParser.parse(query))
+    val live = idx.deletes.fold(scored)(d => scored.join(d, Seq("docId"), "left_anti"))
+    live.orderBy(desc("score"), asc("docId")).limit(k)
+  }
+
+  /** All matching docs of the parsed query: (docId LONG, score FLOAT). */
+  def eval(idx: OpenIndex, q: Query): DataFrame = q match {
+    case TermQ(t) =>
+      QueryEngine.termScores(idx.spark, idx.blocks, idx.termstats, idx.stats, t)
+    case PhraseQ(terms, 0) => phraseScores(idx, terms)
+    case PhraseQ(terms, slop) => sloppyDocs(idx, terms, slop)
+    case PrefixQ(p) =>
+      constScore(idx, col("term").startsWith(p))
+    case WildcardQ(glob) =>
+      constScore(idx, col("term").rlike(TextOps.wildcardToRegex(glob)))
+    case FuzzyQ(t, maxEdits) =>
+      constScore(idx, levenshtein(col("term"), lit(t)) <= maxEdits)
+    case RangeQ(lo, hi, inclusive) =>
+      constScore(idx, if (inclusive) col("term") >= lo && col("term") <= hi
+                      else col("term") > lo && col("term") < hi)
+    case BoolQ(must, should, mustNot) => evalBool(idx, must, should, mustNot)
+  }
+
+  private def emptyScored(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
+  }
+
+  private def constScore(idx: OpenIndex, termPred: org.apache.spark.sql.Column): DataFrame =
+    QueryEngine.multiTermDocs(idx.spark, idx.blocks, idx.termstats, termPred)
+      .withColumn("score", lit(1f))
+
+  /** Exact phrase, BM25-scored with tf = phrase freq; weight = (float) sum
+    * of distinct member-term idfs (double accumulation in first-occurrence
+    * order). A member term absent from the dictionary -> no match. */
+  private def phraseScores(idx: OpenIndex, terms: Seq[String]): DataFrame = {
+    val qs = terms.distinct
+    val found = idx.termstats.filter(col("term").isin(qs: _*))
+      .select("term", "df").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (found.size < qs.size) return emptyScored(idx.spark)
+    var w = 0.0
+    qs.foreach(t => w += BM25.idf(found(t), idx.stats.docCount).toDouble)
+    val scorer = BM25.TermScorer(w.toFloat,
+      BM25.normCache(BM25.DefaultK1, BM25.DefaultB,
+        BM25.avgFieldLength(idx.stats.sumTotalTermFreq, idx.stats.docCount)))
+    QueryEngine.phraseFreqs(idx.positions, terms.map(Seq(_)))
+      .join(idx.docstats.select(col("docId"), col("normByte")), "docId")
+      .select(col("docId"),
+        graft.functions.Bm25Score(col("freq").cast("int"), col("normByte").cast("byte"),
+          scorer.weight, scorer.cache).as("score"))
+  }
+
+  /** Sloppy phrase over the positions tier (constant score): per doc, one
+    * sorted adjusted-position list per slot; the shared min-range kernels
+    * (sweep / repeats-aware DFS) decide the match. */
+  private def sloppyDocs(idx: OpenIndex, phrase: Seq[String], slop: Int): DataFrame = {
+    val spark = idx.spark
+    import spark.implicits._
+    val termIds = phrase.distinct.zipWithIndex.toMap
+    val termOfSlot = phrase.map(termIds).toArray
+    val hasRepeats = phrase.distinct.size != phrase.size
+    val parts = phrase.zipWithIndex.map { case (t, i) =>
+      idx.positions.filter(col("term") === t)
+        .select(col("docId"), transform(col("poss"), p => p - i).as(s"q$i"))
+    }
+    val joined = parts.reduceLeft((a, b) => a.join(b, "docId"))
+    joined.select(col("docId"),
+        array(phrase.indices.map(i => col(s"q$i")): _*).as("qs"))
+      .as[(Long, Seq[Seq[Int]])]
+      .flatMap { case (docId, lists) =>
+        val best =
+          if (!hasRepeats) TextOps.minRangeSweep(lists)
+          else TextOps.minRangeWithRepeats(lists, termOfSlot)
+        if (best <= slop) Iterator.single((docId, 1f)) else Iterator.empty
+      }
+      .toDF("docId", "score")
+  }
+
+  /**
+   * Boolean combination. Matching set: all `must` clauses AND (when must is
+   * empty) at least one `should`; minus `mustNot`. Score: must clauses
+   * joined in clause order (double adds), should contributions summed in
+   * clause order via a sorted-struct aggregate, added when present.
+   */
+  private def evalBool(idx: OpenIndex, must: Seq[Query], should: Seq[Query],
+                       mustNot: Seq[Query]): DataFrame = {
+    val spark = idx.spark
+    if (must.isEmpty && should.isEmpty) return emptyScored(spark)
+    // should-side: union of clauses, per-doc sum in clause (ci) order
+    val shouldSum: Option[DataFrame] = if (should.isEmpty) None else Some {
+      should.zipWithIndex.map { case (q, ci) =>
+        eval(idx, q).select(col("docId"), lit(ci).as("ci"), col("score"))
+      }.reduce(_.unionByName(_))
+        .groupBy("docId")
+        .agg(collect_list(struct(col("ci"), col("score"))).as("parts"))
+        .select(col("docId"),
+          aggregate(sort_array(col("parts")), lit(0.0d),
+            (acc, x) => acc + x.getField("score").cast("double")).as("s"))
+    }
+    val core: DataFrame =
+      if (must.nonEmpty) {
+        // inner-join chain in clause order; double accumulation
+        val first = eval(idx, must.head)
+          .select(col("docId"), col("score").cast("double").as("s"))
+        val joinedMust = must.tail.zipWithIndex.foldLeft(first) { case (acc, (q, i)) =>
+          acc.join(eval(idx, q).select(col("docId"), col("score").as(s"__m$i")), "docId")
+            .select(col("docId"), (col("s") + col(s"__m$i").cast("double")).as("s"))
+        }
+        shouldSum match {
+          case None => joinedMust
+          case Some(ss) =>
+            joinedMust.join(ss.withColumnRenamed("s", "__ss"), Seq("docId"), "left_outer")
+              .select(col("docId"), (col("s") + coalesce(col("__ss"), lit(0.0d))).as("s"))
+        }
+      } else shouldSum.get
+    val anti = mustNot.foldLeft(core) { (acc, q) =>
+      acc.join(eval(idx, q).select("docId"), Seq("docId"), "left_anti")
+    }
+    anti.select(col("docId"), col("s").cast("float").as("score"))
+  }
+}

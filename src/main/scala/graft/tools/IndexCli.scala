@@ -8,10 +8,11 @@ import org.apache.spark.sql.SparkSession
 /**
  * Minimal CLI surface for the engine:
  *
- *   build <indexDir> <numDocs> [segments]         build/resume an index over the
+ *   build <indexDir> <numDocs> [segments] [--pos] build/resume an index over the
  *                                                 deterministic synthetic corpus
  *   buildParquet <indexDir> <parquet> <idCol> <contentCol> [segments]
  *   query <indexDir> <k> [--and] [--prune] [--not t1,t2] term...
+ *   search <indexDir> <k> <classic query string>  (+a -b "c d"~2 pre* f~1 [x TO y])
  *   manifests <indexDir>
  */
 object IndexCli {
@@ -31,13 +32,14 @@ object IndexCli {
 
   def run(spark: SparkSession, args: List[String]): Unit = args match {
     case "build" :: dir :: n :: rest =>
-      val segs = rest.headOption.map(_.toInt).getOrElse(4)
+      val segs = rest.filterNot(_.startsWith("--")).headOption.map(_.toInt).getOrElse(4)
       val corpus = CorpusGen.corpus(spark, n.toLong, math.max(8, spark.sparkContext.defaultParallelism)).toDF()
       // cached: build's density check + each segment slice re-scan the ids
       val withIds = DocIds.assign(corpus, Seq("repo", "path", "commit"), math.max(8, spark.sparkContext.defaultParallelism))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val t0 = System.nanoTime()
-      IndexStore.build(spark, withIds, dir, segs, spark.sparkContext.defaultParallelism)
+      IndexStore.build(spark, withIds, dir, segs, spark.sparkContext.defaultParallelism,
+        withPositions = rest.contains("--pos"))
       val secs = (System.nanoTime() - t0) / 1e9
       val idx = IndexStore.OpenIndex(spark, dir)
       println(f"built: docs=${idx.stats.docCount} sumTtf=${idx.stats.sumTotalTermFreq} terms=${idx.termstats.count()} blocks=${idx.blocks.count()} in $secs%.1fs (${n.toLong / secs}%.0f files/s)")
@@ -73,6 +75,16 @@ object IndexCli {
       }
       val ms = (System.nanoTime() - t0) / 1e6
       println(f"top-${k} for ${terms.mkString(" ")} (mode=$mode prune=${flags.contains("--prune")} wand=${flags.contains("--wand")}) in $ms%.0f ms:")
+      hits.foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)}"))
+
+    // search <indexDir> <k> <classic query string...>
+    // e.g.: search /tmp/idx 5 +public (static OR void) -handler7 "import java"~2 pre*
+    case "search" :: dir :: k :: queryParts if queryParts.nonEmpty =>
+      val q = queryParts.mkString(" ")
+      val t0 = System.nanoTime()
+      val hits = IndexStore.OpenIndex(spark, dir).search(q, k.toInt).collect()
+      val ms = (System.nanoTime() - t0) / 1e6
+      println(f"""search "$q" top-$k in $ms%.0f ms:""")
       hits.foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)}"))
 
     case "timebuild" :: dir :: parquet :: rest =>

@@ -1,0 +1,127 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.corpus.CorpusGen
+import graft.index.{DocIds, IndexStore}
+import java.nio.file.Files
+import org.apache.spark.sql.functions.col
+
+/** Query-string parser + execution: AST shapes, score identity with the
+  * hand-built engine paths, and composed boolean behavior. */
+class SearcherSpec extends SparkSpec {
+  import QueryParser._
+
+  lazy val (dir, idx) = {
+    val d = Files.createTempDirectory("graft-search").toString
+    val withIds = DocIds.assign(CorpusGen.corpus(spark, 300, 4).toDF(),
+      Seq("repo", "path", "commit"), 4)
+    IndexStore.build(spark, withIds, d, numSegments = 2, shufflePartitions = 4,
+      withPositions = true)
+    (d, IndexStore.OpenIndex(spark, d))
+  }
+
+  private def hits(df: org.apache.spark.sql.DataFrame): Seq[(Long, Float)] =
+    df.collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+
+  test("parser: AST shapes") {
+    assert(parse("spark") === TermQ("spark"))
+    assert(parse("Spark Query") === BoolQ(Nil, Seq(TermQ("spark"), TermQ("query")), Nil))
+    assert(parse("+a +b -c") === BoolQ(Seq(TermQ("a"), TermQ("b")), Nil, Seq(TermQ("c"))))
+    assert(parse("a AND b") === BoolQ(Seq(TermQ("a"), TermQ("b")), Nil, Nil))
+    assert(parse("a OR b") === BoolQ(Nil, Seq(TermQ("a"), TermQ("b")), Nil))
+    assert(parse("a AND NOT b") === BoolQ(Seq(TermQ("a")), Nil, Seq(TermQ("b"))))
+    assert(parse("\"a b c\"") === PhraseQ(Seq("a", "b", "c"), 0))
+    assert(parse("\"a b\"~3") === PhraseQ(Seq("a", "b"), 3))
+    assert(parse("pre*") === PrefixQ("pre"))
+    assert(parse("w?ld*") === WildcardQ("w?ld*"))
+    assert(parse("fuzzy~1") === FuzzyQ("fuzzy", 1))
+    assert(parse("fuzzy~") === FuzzyQ("fuzzy", 2))
+    assert(parse("[aa TO bb]") === RangeQ("aa", "bb", inclusive = true))
+    assert(parse("{aa TO bb}") === RangeQ("aa", "bb", inclusive = false))
+    assert(parse("content:spark") === TermQ("spark"))
+    assert(parse("(a OR b) AND c") ===
+      BoolQ(Seq(BoolQ(Nil, Seq(TermQ("a"), TermQ("b")), Nil), TermQ("c")), Nil, Nil))
+    intercept[ParseException](parse(""))
+    intercept[ParseException](parse("(a"))
+    intercept[ParseException](parse("\"unterminated"))
+    intercept[ParseException](parse("AND a"))
+  }
+
+  test("pure-term query strings score bit-identically to the topK engine path") {
+    val or = hits(idx.search("public import class", 25))
+    val orEngine = hits(idx.topK(Seq("public", "import", "class"), 25))
+    assert(or === orEngine)
+    val and = hits(idx.search("import AND handler3", 25))
+    val andEngine = hits(idx.topK(Seq("import", "handler3"), 25, QueryEngine.And))
+    assert(and === andEngine)
+    val not = hits(idx.search("class -uniq_1_0", 1000))
+    val notEngine = hits(idx.topK(Seq("class"), 1000, QueryEngine.Or, mustNot = Seq("uniq_1_0")))
+    assert(not === notEngine)
+  }
+
+  test("phrase leaf: BM25 on phrase freq, docId set equals positions phraseMatch") {
+    // pick a real bigram from doc 0's content
+    val c0 = (0L until 300L).map(CorpusGen.genFile(_)).sortBy(f => (f.repo, f.path, f.commit)).head
+    val toks = graft.analysis.Analyzer.terms(c0.content).take(2)
+    val got = hits(idx.search(s""""${toks.mkString(" ")}"""", 10000))
+    val wantDocs = idx.phrase(toks).collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet === wantDocs)
+    assert(got.nonEmpty && got.forall(_._2 > 0f))
+    // scores are descending with docId tie-break
+    assert(got === got.sortBy { case (id, s) => (-s, id) })
+  }
+
+  test("multiterm leaves: constant score, sets equal the dictionary paths") {
+    val prefix = hits(idx.search("handler*", 100000))
+    val wantPrefix = idx.multiTermTopK(col("term").startsWith("handler"), 100000)
+      .collect().map(_.getLong(0)).toSet
+    assert(prefix.map(_._1).toSet === wantPrefix)
+    assert(prefix.forall(_._2 === 1f))
+
+    val range = hits(idx.search("[handler0 TO handler4]", 100000))
+    val wantRange = idx.multiTermTopK(col("term") >= "handler0" && col("term") <= "handler4", 100000)
+      .collect().map(_.getLong(0)).toSet
+    assert(range.map(_._1).toSet === wantRange)
+
+    val fuzzy = hits(idx.search("import~1", 100000))
+    val wantFuzzy = idx.multiTermTopK(
+      org.apache.spark.sql.functions.levenshtein(col("term"),
+        org.apache.spark.sql.functions.lit("import")) <= 1, 100000)
+      .collect().map(_.getLong(0)).toSet
+    assert(fuzzy.map(_._1).toSet === wantFuzzy)
+  }
+
+  test("composed boolean: grouping, required phrase, negation") {
+    val q = "+(public OR import) -handler3"
+    val got = hits(idx.search(q, 100000)).map(_._1).toSet
+    val pub = idx.topK(Seq("public", "import"), 100000).collect().map(_.getLong(0)).toSet
+    val h3 = idx.topK(Seq("handler3"), 100000).collect().map(_.getLong(0)).toSet
+    assert(got === pub.diff(h3))
+
+    // required term + should term: matching set gated by the must only;
+    // should adds score when present
+    val mixed = hits(idx.search("+handler3 public", 100000))
+    val h3Scores = hits(idx.topK(Seq("handler3"), 100000)).toMap
+    assert(mixed.map(_._1).toSet === h3.intersect(h3Scores.keySet))
+    val pubScores = hits(idx.topK(Seq("public"), 100000)).toMap
+    mixed.foreach { case (id, s) =>
+      val want = (h3Scores(id).toDouble + pubScores.getOrElse(id, 0f).toDouble).toFloat
+      assert(s === want, s"doc $id")
+    }
+  }
+
+  test("search excludes tombstones before the limit") {
+    val out = Files.createTempDirectory("graft-search-del").toString
+    val withIds = DocIds.assign(CorpusGen.corpus(spark, 120, 3).toDF(),
+      Seq("repo", "path", "commit"), 3)
+    IndexStore.build(spark, withIds, out, numSegments = 1, shufflePartitions = 3)
+    val idx0 = IndexStore.OpenIndex(spark, out)
+    val before = hits(idx0.search("public import", 6))
+    IndexStore.delete(spark, out, before.take(2).map(_._1))
+    val after = hits(IndexStore.OpenIndex(spark, out).search("public import", 6))
+    assert(after.size === 6)
+    assert(after.map(_._1).toSet.intersect(before.take(2).map(_._1).toSet).isEmpty)
+    assert(after === hits(idx0.search("public import", 100000))
+      .filterNot(h => before.take(2).map(_._1).contains(h._1)).take(6))
+  }
+}
