@@ -125,7 +125,13 @@ object IndexStore {
             .write.mode("overwrite").parquet(s"$segDir/docvalues")
         val m = ds.agg(count("*"), sum(col("dl").cast("long")),
           bit_xor(xxhash64(col("contentSha256")))).head()
-        val blockCount = spark.read.parquet(s"$segDir/postings").count()
+        // per-segment term stats (vocab-sized) written now so finalize
+        // never re-aggregates the full postings table; the read-back scans
+        // only the (term, n, sumTf) columns (parquet column pruning)
+        val segBlocks = spark.read.parquet(s"$segDir/postings")
+        IndexBuilder.termStats(segBlocks.as[BlockRow])
+          .write.mode("overwrite").parquet(s"$segDir/termstats")
+        val blockCount = segBlocks.count()
         inv.unpersist()
         writeManifest(dir, Manifest(seg, lo, hi, m.getLong(0),
           if (m.isNullAt(1)) 0L else m.getLong(1), blockCount,
@@ -243,7 +249,10 @@ object IndexStore {
     // reachable, not hypothetical.
     require(!m.isNullAt(3),
       s"compact($dir): every doc is tombstoned — refusing to commit an empty index at $outDir")
-    val blockCount = spark.read.parquet(s"$outDir/segments/seg=0/postings").count()
+    val segBlocks = spark.read.parquet(s"$outDir/segments/seg=0/postings")
+    IndexBuilder.termStats(segBlocks.as[BlockRow])
+      .write.mode("overwrite").parquet(s"$outDir/segments/seg=0/termstats")
+    val blockCount = segBlocks.count()
     writeManifest(outDir, Manifest(0, 0L, m.getLong(3) + 1, m.getLong(0),
       if (m.isNullAt(1)) 0L else m.getLong(1), blockCount,
       f"${m.getLong(2)}%016x", s"compact($dir)", spark.sparkContext.applicationId,
@@ -252,17 +261,31 @@ object IndexStore {
   }
 
   /** Aggregate global stats over all committed segments (Lucene's
-    * IndexSearcher-level collection stats across leaves). */
+    * IndexSearcher-level collection stats across leaves). Per-segment
+    * termstats (written at segment commit) merge with a vocab-sized
+    * aggregation — no re-read of the postings table; corpus stats come
+    * straight from the manifests (no docstats scan). Segments from older
+    * layouts without a termstats dir fall back to the postings read. */
   def finalizeStats(spark: SparkSession, dir: String): Unit = {
     val segDirs = committedSegmentDirs(dir)
     require(segDirs.nonEmpty, s"no committed segments under $dir")
-    val blocks = spark.read.parquet(segDirs.map(_ + "/postings"): _*)
     import spark.implicits._
-    IndexBuilder.termStats(blocks.as[BlockRow])
-      .write.mode("overwrite").parquet(s"$dir/stats/termstats")
-    val ds = spark.read.parquet(segDirs.map(_ + "/docstats"): _*)
-    val r = ds.agg(count("*"), sum(col("dl").cast("long"))).head()
-    val json = s"""{"docCount":${r.getLong(0)},"sumTotalTermFreq":${if (r.isNullAt(1)) 0L else r.getLong(1)}}"""
+    val tsDirs = segDirs.map(_ + "/termstats").filter(p => Files.exists(Paths.get(p)))
+    val merged =
+      if (tsDirs.size == segDirs.size)
+        spark.read.parquet(tsDirs: _*)
+          .groupBy("term").agg(sum("df").as("df"), sum("ttf").as("ttf"))
+      else
+        IndexBuilder.termStats(
+          spark.read.parquet(segDirs.map(_ + "/postings"): _*).as[BlockRow])
+    merged.write.mode("overwrite").parquet(s"$dir/stats/termstats")
+    var docCount = 0L
+    var sumTtf = 0L
+    readManifests(dir).foreach { m =>
+      docCount += """"docCount":(\d+)""".r.findFirstMatchIn(m).get.group(1).toLong
+      sumTtf += """"sumDl":(\d+)""".r.findFirstMatchIn(m).get.group(1).toLong
+    }
+    val json = s"""{"docCount":$docCount,"sumTotalTermFreq":$sumTtf}"""
     Files.createDirectories(Paths.get(s"$dir/stats"))
     Files.writeString(Paths.get(s"$dir/stats/corpus.json"), json)
   }
@@ -292,11 +315,23 @@ object IndexStore {
           .select(col("docId").cast("long").as("docId")).distinct())
       else None
 
+    /** Per-index term-dictionary memo (see QueryEngine.DfCache): repeat
+      * queries plan without a stats-lookup Spark job. */
+    val dfCache: QueryEngine.DfCache = QueryEngine.newDfCache()
+
+    /** Pin the postings in executor memory (spill to disk) — the Lucene
+      * page-cache analogue for query-heavy sessions. Lazy: materialized by
+      * the first query. */
+    def warm(): this.type = {
+      blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      this
+    }
+
     def topK(terms: Seq[String], k: Int, mode: QueryEngine.Mode = QueryEngine.Or,
              mustNot: Seq[String] = Nil, prune: Boolean = false,
              wand: Boolean = false): DataFrame =
       QueryEngine.topK(spark, blocks, termstats, stats, terms, k, mode, mustNot, prune, wand,
-        excludeDocs = deletes)
+        excludeDocs = deletes, dfCache = Some(dfCache))
 
     /** Positional paging (IndexSearcher.searchAfter). Tombstones are
       * excluded inside the engine (before the limit), so page
@@ -304,7 +339,7 @@ object IndexStore {
     def topKAfter(terms: Seq[String], k: Int, afterScore: Float, afterDocId: Long,
                   mode: QueryEngine.Mode = QueryEngine.Or): DataFrame =
       QueryEngine.topKAfter(spark, blocks, termstats, stats, terms, k, afterScore, afterDocId, mode,
-        excludeDocs = deletes)
+        excludeDocs = deletes, dfCache = Some(dfCache))
 
     /** Per-term score breakdown for one doc (IndexSearcher.explain). */
     def explain(terms: Seq[String], docId: Long): DataFrame =
@@ -375,12 +410,12 @@ object IndexStore {
       * the engine, before the limit. */
     def synonymTopK(synonyms: Seq[String], k: Int): DataFrame =
       QueryEngine.synonymTopK(spark, blocks, termstats, stats, synonyms, k,
-        excludeDocs = deletes)
+        excludeDocs = deletes, dfCache = Some(dfCache))
 
     /** DisjunctionMax top-k over real per-clause BM25 scores. Tombstones
       * excluded inside the engine, before the limit. */
     def disMaxTopK(terms: Seq[String], tiebreak: Float, k: Int): DataFrame =
       QueryEngine.disMaxTopK(spark, blocks, termstats, stats, terms, tiebreak, k,
-        excludeDocs = deletes)
+        excludeDocs = deletes, dfCache = Some(dfCache))
   }
 }

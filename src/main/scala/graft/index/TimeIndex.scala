@@ -51,12 +51,27 @@ object TimeIndex {
     out.sorted.toSeq
   }
 
+  /** Bucket/term separator inside the composite shuffle key: NUL never
+    * occurs in analyzed terms ([a-z0-9]+) or bucket ids. */
+  private val Sep = '\u0000'
+
   /**
    * Build (or resume) the bucketed index over an event table. Buckets whose
    * manifest exists are skipped — re-running after new events arrive only
    * builds new/missing buckets (the HOT-bucket append pattern; an existing
    * bucket is immutable, late events for an already-committed bucket call
    * for a rebuild of that bucket via `dropBucket` first).
+   *
+   * Scale shape: ONE analysis pass + ONE (bucket, term, docId) range
+   * shuffle + ONE dynamic-partitioned write for ALL uncommitted buckets —
+   * not a per-bucket driver loop of job pipelines (at 100 TB / years of
+   * hourly buckets, a sequential per-bucket loop is a driver bottleneck;
+   * here bucket count never touches the job count). The composite shuffle
+   * key is `bucket NUL term`, so a packed block never spans buckets and
+   * hot terms still split across partitions within a bucket. Data lands in
+   * a staging dir, is moved into each bucket's directory, and only then is
+   * the bucket's MANIFEST.json committed — crash-safe exactly like the
+   * segment store.
    */
   def build(spark: SparkSession, events: DataFrame, dir: String,
             idCol: String = "event_id", timeCol: String = "ts", rawCol: String = "raw",
@@ -64,34 +79,77 @@ object TimeIndex {
     import spark.implicits._
     // events without a timestamp cannot be bucketed (IVrixDB requires
     // `_time`); exclude them explicitly rather than corrupting a null bucket
+    val committed = buckets(dir).toSet
     val withBucket = events
       .filter(col(timeCol).isNotNull)
       .select(
         col(idCol).cast("long").as("docId"),
         col(rawCol).cast("string").as("content"),
         date_format(date_trunc(granularity, col(timeCol)), "yyyy-MM-dd'T'HH").as("bucket"))
-      // persisted: the distinct() pass plus one filter PER BUCKET would
-      // otherwise re-scan the full source once per bucket
+      .filter(!col("bucket").isin(committed.toSeq: _*))
+    // one analysis pass: postings AND doc stats derive from this
+    val analyzed = withBucket.as[(Long, String, String)]
+      .map { case (id, content, bucket) =>
+        val (tfs, dl) = graft.analysis.Analyzer.termFreqs(content)
+        val terms = new Array[String](tfs.size)
+        val freqs = new Array[Int](tfs.size)
+        var i = 0
+        tfs.foreach { case (t, f) => terms(i) = t; freqs(i) = f; i += 1 }
+        (bucket, id, dl, graft.codec.SmallFloat.intToByte4(dl),
+          graft.util.Digest.sha256Hex(content), terms, freqs)
+      }
+      .toDF("bucket", "docId", "dl", "normByte", "contentSha256", "terms", "tfs")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val all = withBucket.select("bucket").distinct().as[String].collect().sorted
-    for (b <- all if !isCommitted(dir, b)) {
-      val slice = withBucket.filter($"bucket" === b).drop("bucket")
-      val inv = IndexBuilder.invertDocs(spark, slice)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bd = bucketDir(dir, b)
-      IndexBuilder.packBlocks(spark, IndexBuilder.postingsOf(inv), shufflePartitions)
-        .write.mode("overwrite").parquet(s"$bd/postings")
-      val ds = IndexBuilder.statsOf(inv)
-      ds.write.mode("overwrite").parquet(s"$bd/docstats")
-      val cs = IndexBuilder.corpusStats(ds)
-      inv.unpersist()
-      val json = s"""{"bucket":"$b","docCount":${cs.docCount},"sumDl":${cs.sumTotalTermFreq},"appId":"${spark.sparkContext.applicationId}"}"""
-      val tmp = Paths.get(s"$bd/MANIFEST.json.tmp")
-      Files.createDirectories(tmp.getParent)
+    val all = analyzed.select("bucket").distinct().as[String].collect().sorted
+    if (all.isEmpty) { analyzed.unpersist(); return }
+
+    val staging = s"$dir/.staging"
+    graft.util.Fs.rmTree(staging)
+    // postings: composite-key pack, then split the key back out
+    val postings = analyzed.select($"bucket", $"docId", $"normByte", $"terms", $"tfs")
+      .as[(String, Long, Byte, Array[String], Array[Int])]
+      .flatMap { case (bucket, id, nb, terms, tfs) =>
+        terms.indices.iterator.map(i => PostingRow(bucket + Sep + terms(i), id, tfs(i), nb))
+      }
+    IndexBuilder.packBlocks(spark, postings, shufflePartitions)
+      .map { b => (b.term.substring(0, b.term.indexOf(Sep)),
+        b.copy(term = b.term.substring(b.term.indexOf(Sep) + 1))) }
+      .toDF("bucket", "block")
+      .select($"bucket", $"block.*")
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$staging/postings")
+    analyzed.select($"bucket", $"docId", $"dl", $"normByte", $"contentSha256")
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$staging/docstats")
+    // per-bucket stats for the manifests: one small agg, collected
+    val perBucket = analyzed.groupBy("bucket")
+      .agg(count("*").as("n"), sum(col("dl").cast("long")).as("sumDl"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    analyzed.unpersist()
+
+    // move staged partitions into the bucket layout, then commit manifests
+    for (b <- all) {
+      val bd = Paths.get(bucketDir(dir, b))
+      Files.createDirectories(bd)
+      moveDir(Paths.get(s"$staging/postings/bucket=$b"), bd.resolve("postings"))
+      moveDir(Paths.get(s"$staging/docstats/bucket=$b"), bd.resolve("docstats"))
+      val (n, sumDl) = perBucket(b)
+      val json = s"""{"bucket":"$b","docCount":$n,"sumDl":$sumDl,"appId":"${spark.sparkContext.applicationId}"}"""
+      val tmp = Paths.get(s"${bucketDir(dir, b)}/MANIFEST.json.tmp")
       Files.writeString(tmp, json)
-      Files.move(tmp, Paths.get(s"$bd/MANIFEST.json"), StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, Paths.get(s"${bucketDir(dir, b)}/MANIFEST.json"), StandardCopyOption.ATOMIC_MOVE)
     }
-    withBucket.unpersist(): Unit
+    graft.util.Fs.rmTree(staging)
+  }
+
+  /** Move a staged partition directory into place (rename per file — same
+    * filesystem, metadata-only). */
+  private def moveDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    require(Files.exists(from), s"staged partition missing: $from")
+    Files.createDirectories(to)
+    val it = Files.list(from).iterator()
+    while (it.hasNext) {
+      val f = it.next()
+      Files.move(f, to.resolve(f.getFileName.toString), StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 
   /** Retention: drop a whole bucket (IVrixDB COLD detach / partition drop). */
@@ -104,13 +162,9 @@ object TimeIndex {
    * (bucket-level pruning = IVrixDB opening only relevant buckets);
    * collection stats merge across them so scores match a monolithic index.
    */
-  def topK(spark: SparkSession, dir: String, terms: Seq[String], k: Int,
-           fromBucket: String = "", toBucket: String = "￿"): DataFrame = {
-    import spark.implicits._
-    val sel = buckets(dir).filter(b => b >= fromBucket && b <= toBucket)
-    if (sel.isEmpty)
-      return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
-    // merged collection stats from bucket manifests (no data read)
+  /** Merged collection stats (docCount, sumDl) from the selected buckets'
+    * manifests — no data read. */
+  def mergedStats(dir: String, sel: Seq[String]): (Long, Long) = {
     var docCount = 0L
     var sumDl = 0L
     sel.foreach { b =>
@@ -118,8 +172,24 @@ object TimeIndex {
       docCount += """"docCount":(\d+)""".r.findFirstMatchIn(m).get.group(1).toLong
       sumDl += """"sumDl":(\d+)""".r.findFirstMatchIn(m).get.group(1).toLong
     }
-    val blocks = spark.read.parquet(sel.map(b => s"${bucketDir(dir, b)}/postings"): _*)
-      .as[BlockRow]
+    (docCount, sumDl)
+  }
+
+  /** Packed postings of the selected buckets (bucket-level pruning: only
+    * their parquet is opened). */
+  def readBlocks(spark: SparkSession, dir: String, sel: Seq[String]): org.apache.spark.sql.Dataset[BlockRow] = {
+    import spark.implicits._
+    spark.read.parquet(sel.map(b => s"${bucketDir(dir, b)}/postings"): _*).as[BlockRow]
+  }
+
+  def topK(spark: SparkSession, dir: String, terms: Seq[String], k: Int,
+           fromBucket: String = "", toBucket: String = "￿"): DataFrame = {
+    import spark.implicits._
+    val sel = buckets(dir).filter(b => b >= fromBucket && b <= toBucket)
+    if (sel.isEmpty)
+      return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
+    val (docCount, sumDl) = mergedStats(dir, sel)
+    val blocks = readBlocks(spark, dir, sel)
     val qs = terms.distinct
     val dfs = blocks.filter($"term".isin(qs: _*))
       .groupBy("term").agg(sum("n").as("df"))

@@ -46,14 +46,38 @@ object QueryEngine {
 
   final case class TermInfo(term: String, ti: Int, scorer: BM25.TermScorer, globalMaxScore: Float)
 
+  /** Per-index term-dictionary memo: term -> Some(df) | None (term absent).
+    * Lucene keeps the term dictionary hot in memory; here each queried
+    * term's stats row is fetched once per index and every later query
+    * plans WITHOUT a Spark job — the dominant fixed cost of small top-k
+    * queries (one lookup job per query otherwise). Bounded by the number
+    * of distinct queried terms. */
+  type DfCache = scala.collection.concurrent.Map[String, Option[Long]]
+  def newDfCache(): DfCache = scala.collection.concurrent.TrieMap.empty
+
+  /** Look up df for the terms, through the memo when one is supplied. */
+  def lookupDfs(termstats: DataFrame, terms: Seq[String],
+                dfCache: Option[DfCache]): Map[String, Long] = {
+    val qs = terms.distinct
+    val cached: Map[String, Option[Long]] =
+      dfCache.map(c => qs.flatMap(t => c.get(t).map(t -> _)).toMap).getOrElse(Map.empty)
+    val missing = qs.filterNot(cached.contains)
+    val fetched: Map[String, Long] =
+      if (missing.isEmpty) Map.empty
+      else termstats.filter(col("term").isin(missing: _*))
+        .select("term", "df").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    dfCache.foreach(c => missing.foreach(t => c.update(t, fetched.get(t))))
+    cached.collect { case (t, Some(df)) => t -> df } ++ fetched
+  }
+
   /** Look up (df, ttf) for query terms and build scorers. Terms absent from
     * the index are dropped (they match nothing). */
   def plan(termstats: DataFrame, stats: CorpusStats, terms: Seq[String],
-           k1: Float = BM25.DefaultK1, b: Float = BM25.DefaultB, boost: Float = 1f): Seq[TermInfo] = {
+           k1: Float = BM25.DefaultK1, b: Float = BM25.DefaultB, boost: Float = 1f,
+           dfCache: Option[DfCache] = None): Seq[TermInfo] = {
     val qs = terms.distinct
-    val found = termstats.filter(col("term").isin(qs: _*))
-      .select("term", "df").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val found = lookupDfs(termstats, qs, dfCache)
     qs.zipWithIndex.collect { case (t, i) if found.contains(t) =>
       val scorer = BM25.termScorer(boost, k1, b, found(t), stats.docCount, stats.sumTotalTermFreq)
       // global max score of a term: tf -> inf, shortest doc (norm byte 0..)
@@ -129,9 +153,10 @@ object QueryEngine {
   def topK(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame, stats: CorpusStats,
            terms: Seq[String], k: Int, mode: Mode = Or, mustNot: Seq[String] = Nil,
            prune: Boolean = false, wand: Boolean = false,
-           excludeDocs: Option[DataFrame] = None): DataFrame = {
+           excludeDocs: Option[DataFrame] = None,
+           dfCache: Option[DfCache] = None): DataFrame = {
     import spark.implicits._
-    val infos = plan(termstats, stats, terms)
+    val infos = plan(termstats, stats, terms, dfCache = dfCache)
     if (infos.isEmpty || (mode == And && infos.size < terms.distinct.size))
       return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
     if (wand && mustNot.isEmpty && excludeDocs.isEmpty)
@@ -153,7 +178,7 @@ object QueryEngine {
     val withScore = filtered.select($"docId", combinedScore)
 
     val excluded = if (mustNot.isEmpty) withScore else {
-      val negInfos = plan(termstats, stats, mustNot)
+      val negInfos = plan(termstats, stats, mustNot, dfCache = dfCache)
       if (negInfos.isEmpty) withScore
       else {
         val negDocs = scoredPostings(spark, blocks, negInfos, 0f).select("docId").distinct()
@@ -208,9 +233,10 @@ object QueryEngine {
   def topKAfter(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame,
                 stats: CorpusStats, terms: Seq[String], k: Int,
                 afterScore: Float, afterDocId: Long,
-                mode: Mode = Or, excludeDocs: Option[DataFrame] = None): DataFrame = {
+                mode: Mode = Or, excludeDocs: Option[DataFrame] = None,
+                dfCache: Option[DfCache] = None): DataFrame = {
     import spark.implicits._
-    val infos = plan(termstats, stats, terms)
+    val infos = plan(termstats, stats, terms, dfCache = dfCache)
     if (infos.isEmpty || (mode == And && infos.size < terms.distinct.size))
       return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
     val grouped = scoredPostings(spark, blocks, infos, 0f)
@@ -251,9 +277,10 @@ object QueryEngine {
   /** Single-term BM25 scores over all matching docs (no limit): the leaf
     * frame of composed boolean evaluation ([[Searcher]]). (docId, score). */
   def termScores(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame,
-                 stats: CorpusStats, term: String): DataFrame = {
+                 stats: CorpusStats, term: String,
+                 dfCache: Option[DfCache] = None): DataFrame = {
     import spark.implicits._
-    val infos = plan(termstats, stats, Seq(term))
+    val infos = plan(termstats, stats, Seq(term), dfCache = dfCache)
     if (infos.isEmpty)
       return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
     scoredPostings(spark, blocks, infos, 0f).select($"docId", $"score")
@@ -329,11 +356,11 @@ object QueryEngine {
    */
   def synonymTopK(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame,
                   stats: CorpusStats, synonyms: Seq[String], k: Int,
-                  boost: Float = 1f, excludeDocs: Option[DataFrame] = None): DataFrame = {
+                  boost: Float = 1f, excludeDocs: Option[DataFrame] = None,
+                  dfCache: Option[DfCache] = None): DataFrame = {
     import spark.implicits._
     val qs = synonyms.distinct
-    val found = termstats.filter(col("term").isin(qs: _*))
-      .select("term", "df").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val found = lookupDfs(termstats, qs, dfCache)
     if (found.isEmpty)
       return spark.range(0).select($"id".as("docId"), lit(0).as("syn_tf"), lit(0f).as("score"))
     val scorer = BM25.termScorer(boost, BM25.DefaultK1, BM25.DefaultB,
@@ -368,9 +395,10 @@ object QueryEngine {
    */
   def disMaxTopK(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame,
                  stats: CorpusStats, terms: Seq[String], tiebreak: Float,
-                 k: Int, excludeDocs: Option[DataFrame] = None): DataFrame = {
+                 k: Int, excludeDocs: Option[DataFrame] = None,
+                 dfCache: Option[DfCache] = None): DataFrame = {
     import spark.implicits._
-    val infos = plan(termstats, stats, terms)
+    val infos = plan(termstats, stats, terms, dfCache = dfCache)
     if (infos.isEmpty)
       return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
     val scored = scoredPostings(spark, blocks, infos, 0f)

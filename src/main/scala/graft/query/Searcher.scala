@@ -37,7 +37,8 @@ object Searcher {
   /** All matching docs of the parsed query: (docId LONG, score FLOAT). */
   def eval(idx: OpenIndex, q: Query): DataFrame = q match {
     case TermQ(t) =>
-      QueryEngine.termScores(idx.spark, idx.blocks, idx.termstats, idx.stats, t)
+      QueryEngine.termScores(idx.spark, idx.blocks, idx.termstats, idx.stats, t,
+        dfCache = Some(idx.dfCache))
     case PhraseQ(terms, 0) => phraseScores(idx, terms)
     case PhraseQ(terms, slop) => sloppyDocs(idx, terms, slop)
     case PrefixQ(p) =>
