@@ -168,6 +168,16 @@ object IndexBuilder {
       sum("n").as("df"),
       sum("sumTf").as("ttf"))
 
+  /** Term stats straight from the cached inverted form — same result as
+    * [[termStats]] over the packed blocks (asserted in EngineSpec), but
+    * reads the in-memory `inv` instead of the just-written parquet. */
+  def termStatsOfInverted(inv: Dataset[DocInverted]): DataFrame = {
+    import inv.sparkSession.implicits._
+    inv.flatMap(d => d.terms.indices.iterator.map(i => (d.terms(i), d.tfs(i))))
+      .toDF("term", "tf")
+      .groupBy("term").agg(count("*").as("df"), sum("tf").cast("long").as("ttf"))
+  }
+
   def corpusStats(docstats: Dataset[DocStat]): CorpusStats = {
     val r = docstats.agg(count("*"), sum(col("dl").cast("long"))).head()
     CorpusStats(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))

@@ -126,12 +126,11 @@ object IndexStore {
         val m = ds.agg(count("*"), sum(col("dl").cast("long")),
           bit_xor(xxhash64(col("contentSha256")))).head()
         // per-segment term stats (vocab-sized) written now so finalize
-        // never re-aggregates the full postings table; the read-back scans
-        // only the (term, n, sumTf) columns (parquet column pruning)
-        val segBlocks = spark.read.parquet(s"$segDir/postings")
-        IndexBuilder.termStats(segBlocks.as[BlockRow])
+        // never re-aggregates the full postings table; computed from the
+        // CACHED inverted form, not a parquet read-back
+        IndexBuilder.termStatsOfInverted(inv)
           .write.mode("overwrite").parquet(s"$segDir/termstats")
-        val blockCount = segBlocks.count()
+        val blockCount = spark.read.parquet(s"$segDir/postings").count()
         inv.unpersist()
         writeManifest(dir, Manifest(seg, lo, hi, m.getLong(0),
           if (m.isNullAt(1)) 0L else m.getLong(1), blockCount,
@@ -271,14 +270,28 @@ object IndexStore {
     require(segDirs.nonEmpty, s"no committed segments under $dir")
     import spark.implicits._
     val tsDirs = segDirs.map(_ + "/termstats").filter(p => Files.exists(Paths.get(p)))
-    val merged =
-      if (tsDirs.size == segDirs.size)
-        spark.read.parquet(tsDirs: _*)
-          .groupBy("term").agg(sum("df").as("df"), sum("ttf").as("ttf"))
-      else
-        IndexBuilder.termStats(
-          spark.read.parquet(segDirs.map(_ + "/postings"): _*).as[BlockRow])
-    merged.write.mode("overwrite").parquet(s"$dir/stats/termstats")
+    if (tsDirs.size == 1 && segDirs.size == 1) {
+      // single segment: its termstats ARE the global stats — driver-side
+      // file copy, no Spark job
+      val out = Paths.get(s"$dir/stats/termstats")
+      graft.util.Fs.rmTree(out.toString)
+      Files.createDirectories(out)
+      val it = Files.list(Paths.get(tsDirs.head)).iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        Files.copy(f, out.resolve(f.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    } else {
+      val merged =
+        if (tsDirs.size == segDirs.size)
+          spark.read.parquet(tsDirs: _*)
+            .groupBy("term").agg(sum("df").as("df"), sum("ttf").as("ttf"))
+        else
+          IndexBuilder.termStats(
+            spark.read.parquet(segDirs.map(_ + "/postings"): _*).as[BlockRow])
+      merged.write.mode("overwrite").parquet(s"$dir/stats/termstats")
+    }
     var docCount = 0L
     var sumTtf = 0L
     readManifests(dir).foreach { m =>
