@@ -340,6 +340,19 @@ object SparkEntry {
       .topKByField(Seq("spark"), Seq(("lang", true)), 100)
       .select(col("docId").as("doc_id"), col("lang"))),
 
+    // dictionary prefix suggester weighted by df (lucene/suggest
+    // AnalyzingSuggester capability)
+    "ft_engine_suggest" -> ((s, d) => docIndex(s, d).suggest("s", 10)),
+
+    // spell correction from the dictionary (DirectSpellChecker capability)
+    "ft_engine_spell" -> ((s, d) => docIndex(s, d).spellCorrect("spark", 2, 10)
+      .select(col("term"), col("dist"), col("df"))),
+
+    // snippet highlighter (lucene/highlighter capability): first-match
+    // window with <em>-wrapped query terms — fully deterministic built-ins
+    "ft_highlight" -> ((s, d) => TextOps.highlight(rd(s, d, "documents"),
+      "doc_id", "text", Seq("spark", "query"), 3)),
+
     // classic query-string parser end to end (QueryParser.java:81):
     // required conjunction with negation — integer-exact docId outputs
     "qp_bool" -> ((s, d) => docIndex(s, d)
@@ -692,6 +705,25 @@ object SparkEntry {
         s"""WITH m AS (SELECT DISTINCT doc_id FROM ($tok) WHERE tok = 'spark')
            | SELECT m.doc_id, d.lang FROM m JOIN documents d ON m.doc_id = d.doc_id
            | ORDER BY d.lang ASC, m.doc_id ASC LIMIT 100""".stripMargin,
+      "ft_engine_suggest" ->
+        s"""WITH tf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ($tok) GROUP BY tok)
+           | SELECT tok AS term, df FROM tf WHERE tok LIKE 's%'
+           | ORDER BY df DESC, tok ASC LIMIT 10""".stripMargin,
+      "ft_engine_spell" ->
+        s"""WITH tf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ($tok) GROUP BY tok)
+           | SELECT tok AS term, CAST(levenshtein(tok, 'spark') AS INT) AS dist, df
+           | FROM tf WHERE levenshtein(tok, 'spark') <= 2 AND tok <> 'spark'
+           | ORDER BY dist ASC, df DESC, tok ASC LIMIT 10""".stripMargin,
+      "ft_highlight" ->
+        """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+          | sel AS (SELECT doc_id, toks,
+          |   least(coalesce(nullif(list_position(toks, 'spark'), 0), 2147483647),
+          |         coalesce(nullif(list_position(toks, 'query'), 0), 2147483647)) AS first_pos FROM d)
+          | SELECT doc_id, CAST(first_pos AS BIGINT) AS first_pos,
+          |  array_to_string(list_transform(
+          |    toks[greatest(first_pos - 3, 1):greatest(first_pos - 3, 1) + 6],
+          |    x -> CASE WHEN x IN ('spark','query') THEN '<em>' || x || '</em>' ELSE x END), ' ') AS snippet
+          | FROM sel WHERE first_pos < 2147483647""".stripMargin,
       "qp_bool" ->
         s"""SELECT doc_id FROM (
            |  SELECT doc_id FROM ($tok) WHERE tok IN ('spark','query')

@@ -375,6 +375,25 @@ object IndexStore {
     def search(query: String, k: Int): DataFrame =
       graft.query.Searcher.search(this, query, k)
 
+    /** Prefix suggester over the term dictionary, weighted by document
+      * frequency (reference lucene/suggest AnalyzingSuggester capability:
+      * dictionary-driven completions ranked by weight). */
+    def suggest(prefix: String, k: Int): DataFrame =
+      termstats.filter(col("term").startsWith(prefix))
+        .orderBy(desc("df"), asc("term")).limit(k)
+        .select(col("term"), col("df"))
+
+    /** Spell correction (reference lucene/suggest DirectSpellChecker
+      * capability): dictionary terms within `maxEdits` of the input,
+      * ranked (edit distance ASC, df DESC, term ASC). */
+    def spellCorrect(word: String, maxEdits: Int, k: Int): DataFrame = {
+      val dist = levenshtein(col("term"), lit(word))
+      termstats.filter(dist <= maxEdits && col("term") =!= word)
+        .withColumn("dist", dist.cast("int"))
+        .orderBy(asc("dist"), desc("df"), asc("term")).limit(k)
+        .select(col("term"), col("dist"), col("df"))
+    }
+
     /** Exact-phrase docIds via the stored positions table. */
     def phrase(terms: Seq[String]): DataFrame = {
       val r = QueryEngine.phraseMatch(positions, terms)

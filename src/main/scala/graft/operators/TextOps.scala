@@ -394,4 +394,29 @@ object TextOps {
     * raw string with regex, typed by cast attempt (FieldExtractionStream). */
   def extractField(raw: Column, key: String): Column =
     regexp_extract(raw, "\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*(\\d+)", 1).cast("long")
+
+  /**
+   * Snippet highlighter (reference lucene/highlighter
+   * UnifiedHighlighter/Highlighter.java capability): for docs matching any
+   * query term, extract the token window of width `window` around the
+   * FIRST matching token and wrap every query-term occurrence inside the
+   * window in <em> tags. Pure codegen built-ins (deterministic, oracle-
+   * checkable): (idCol, first_pos, snippet).
+   */
+  def highlight(docs: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String], window: Int): DataFrame = {
+    val toks = tokensOf(textCol)
+    // 1-based first occurrence of ANY term (array_position -> 0 if absent)
+    val big = lit(Int.MaxValue)
+    val firstPos = least(terms.map(t =>
+      coalesce(nullif(array_position(toks, lit(t)), lit(0L)), big)): _*)
+    val start = greatest(firstPos - window, lit(1L))
+    val snippetToks = slice(toks, start.cast("int"), lit(2 * window + 1))
+    val marked = transform(snippetToks, x =>
+      when(x.isin(terms: _*), concat(lit("<em>"), x, lit("</em>"))).otherwise(x))
+    docs.select(col(idCol), firstPos.as("first_pos"),
+        concat_ws(" ", marked).as("snippet"))
+      .filter(col("first_pos") < big)
+      .withColumn("first_pos", col("first_pos").cast("long"))
+  }
 }

@@ -209,6 +209,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(st("spark") > 1.0)
   }
 
+  test("highlight: first-match window, <em> marks, clamped starts, non-matches dropped") {
+    val docs = Seq(
+      (0L, "alpha beta spark gamma delta epsilon zeta"),
+      (1L, "no match here at all"),
+      (2L, "query at start of doc plus more words"),
+      (3L, "tail words lead up to spark"),
+      (4L, "both spark and query here")).toDF("id", "text")
+    val got = TextOps.highlight(docs, "id", "text", Seq("spark", "query"), 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(!got.contains(1L))
+    assert(got(0L) === ((3L, "alpha beta <em>spark</em> gamma delta")))
+    assert(got(2L) === ((1L, "<em>query</em> at start of doc")))
+    assert(got(3L) === ((6L, "up to <em>spark</em>")))
+    // window anchors on the FIRST match but marks every query term inside
+    assert(got(4L) === ((2L, "both <em>spark</em> and <em>query</em> here")))
+  }
+
   test("languageId votes by marker hits with deterministic ties") {
     val d = Seq((0L, "the cat and the dog"), (1L, "el perro de la casa"), (2L, "xyz")).toDF("doc_id", "text")
     val markers = Seq("en" -> Seq("the", "and"), "es" -> Seq("el", "de", "la"))
