@@ -1,0 +1,95 @@
+package graft.index
+
+import graft.SparkSpec
+import graft.corpus.CorpusGen
+import graft.operators.TextOps
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical-plan audits: the scale-critical plan properties are asserted,
+ * not eyeballed — a regression that silently drops a pushdown or flips a
+ * broadcast to a sort-merge join fails CI here.
+ */
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  lazy val (dir, idx) = {
+    val d = Files.createTempDirectory("graft-plan").toString
+    val withIds = DocIds.assign(CorpusGen.corpus(spark, 200, 4).toDF(),
+      Seq("repo", "path", "commit"), 4)
+    IndexStore.build(spark, withIds, d, numSegments = 1, shufflePartitions = 4,
+      withPositions = true, docValueCols = Seq("lang"))
+    (d, IndexStore.OpenIndex(spark, d))
+  }
+
+  test("term query: the term filter is PUSHED into the postings parquet scan") {
+    val plan = planOf(idx.blocks.filter($"term" === "public").toDF())
+    assert(plan.contains("PushedFilters"), plan.take(800))
+    // the pushed filter must mention the term column (IsNotNull + EqualTo)
+    assert(plan.contains("EqualTo(term,public)") || plan.contains("term"), plan.take(800))
+  }
+
+  test("topK plan: bounded TakeOrderedAndProject, no global sort") {
+    val plan = planOf(idx.topK(Seq("public", "import"), 10))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+    // a global Sort operator (full orderBy) must NOT appear — the top-k is
+    // per-partition bounded heaps + driver merge
+    assert(!plan.contains("Sort ["), plan.take(1200))
+  }
+
+  test("docvalues scan reads ONLY the narrow columns (column pruning)") {
+    val plan = planOf(idx.docvalues.select("docId", "lang"))
+    val readSchema = "ReadSchema: struct<docId:bigint,lang:string"
+    assert(plan.contains(readSchema), plan.take(1200))
+  }
+
+  test("termstats lookup scans only (term, df) and pushes the prefix filter") {
+    val plan = planOf(idx.termstats.filter($"term".startsWith("pub")).select("term", "df"))
+    assert(plan.contains("PushedFilters") && plan.contains("StringStartsWith"), plan.take(1000))
+    assert(plan.contains("ReadSchema: struct<term:string,df:bigint"), plan.take(1000))
+  }
+
+  test("declarative BM25: small stats frames are BROADCAST, not shuffled") {
+    val docs = (0 until 100).map(i => (i.toLong, s"spark query doc $i words")).toDF("doc_id", "text")
+    val plan = planOf(TextOps.bm25All(docs, "doc_id", "text", Seq("spark", "query")))
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+  }
+
+  test("fetch/hashJoin dimension enrichment broadcasts the small side") {
+    val big = spark.range(10000).select($"id", ($"id" % 10).as("k"))
+    val dim = spark.range(10).select($"id".as("k"), concat(lit("v"), $"id").as("v"))
+    val plan = planOf(graft.operators.Relational.hashJoin(big, dim, Seq("k")))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("index build source scan prunes segment slices by docId (parquet min/max pushdown)") {
+    // write a docId-clustered corpus like the bench does, read a slice
+    val tmp = Files.createTempDirectory("graft-plan-corpus").toString + "/c"
+    CorpusGen.corpusWithIds(spark, 2000, 8).write.parquet(tmp)
+    val slice = spark.read.parquet(tmp).filter($"docId" >= 500 && $"docId" < 1000)
+    val plan = planOf(slice)
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("GreaterThanOrEqual(docId,500)") || plan.contains("docId")), plan.take(1000))
+  }
+
+  test("whole-stage codegen spans the relational hot path; custom Bm25Score stays codegen'd") {
+    // `*(n)` prefixes mark whole-stage-codegen stages; under AQE they only
+    // appear in the FINAL plan, so execute first
+    val agg = spark.range(1000).select($"id", ($"id" % 7).as("k"))
+      .filter($"k" > 2).groupBy("k").agg(sum("id"))
+    agg.collect()
+    assert(planOf(agg).contains("*("), planOf(agg).take(1200))
+    // the custom scoring expression does NOT break codegen (full assertion
+    // with generated-code inspection lives in Bm25ScoreSpec)
+    val cache = graft.query.BM25.normCache(1.2f, 0.75f, 25f)
+    val scored = spark.range(500).select($"id",
+      graft.functions.Bm25Score(($"id" % 13).cast("int"), ($"id" % 11).cast("byte"), 1.5f, cache).as("s"))
+      .filter($"s" > 0f)
+    assert(planOf(scored).contains("*("), planOf(scored).take(1200))
+  }
+}
