@@ -490,6 +490,19 @@ object SparkEntry {
         .select(col("docId").as("event_id"))
     }),
 
+    // geo (LatLonPoint capability): deterministic derived coordinates,
+    // coarse bounding-box radius pre-filter (exact integer/decimal
+    // arithmetic -> oracle-checkable; exact haversine + nearest are
+    // covered by GeoSpec against reference distances)
+    "q46_geo" -> ((s, d) => {
+      val ev = rd(s, d, "events").select(col("event_id"), col("event_type"),
+        (col("user_id") % 17000 / 100.0 - 85.0).as("lat"),
+        (col("user_id") % 35900 / 100.0 - 179.5).as("lon"))
+      ev.filter(graft.operators.Geo.boundingBox(col("lat"), col("lon"),
+          -84.0, -179.0, 60000.0))
+        .groupBy("event_type").agg(count("*").as("n"))
+    }),
+
     // ---- text analysis (training-data pipeline ops) ----
     "ta_quality" -> ((s, d) => TextOps.qualityStats(rd(s, d, "documents"),
       "doc_id", "text", Stopwords)),
@@ -909,6 +922,7 @@ object SparkEntry {
         """SELECT event_id FROM events
           | WHERE ts >= '2024-01-08' AND ts < '2024-01-22'
           |  AND list_contains(regexp_extract_all(lower(event_type || ' ' || props), '[a-z0-9]+'), 'error')""".stripMargin,
+      "q46_geo" -> geoBoxSql,
       "ta_quality" ->
         """SELECT doc_id, length(text) AS n_chars,
           | len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
@@ -969,6 +983,23 @@ object SparkEntry {
           | CAST(unnest(range(0, 1 + octet_length(encode(text)) // 1000, 2)) AS INT) AS frame_idx
           | FROM documents""".stripMargin
     )
+  }
+
+  /** Geo bounding-box oracle: the box bounds are computed HERE with the
+    * same driver-side double arithmetic Geo.boundingBox folds into the
+    * plan, then embedded verbatim (Double round-trips through toString). */
+  private def geoBoxSql: String = {
+    val (lat, lon, r) = (-84.0, -179.0, 60000.0)
+    val dLat = math.toDegrees(r / graft.operators.Geo.EarthRadiusMeters)
+    val dLon = math.toDegrees(r / (graft.operators.Geo.EarthRadiusMeters *
+      math.max(0.01, math.cos(math.toRadians(lat)))))
+    s"""WITH ev AS (SELECT event_id, event_type,
+       | (user_id % 17000) / 100.0 - 85.0 AS lat,
+       | (user_id % 35900) / 100.0 - 179.5 AS lon FROM events)
+       | SELECT event_type, count(*) AS n FROM ev
+       | WHERE lat BETWEEN ${lat - dLat} AND ${lat + dLat}
+       |  AND lon BETWEEN ${lon - dLon} AND ${lon + dLon}
+       | GROUP BY event_type""".stripMargin
   }
 
   /** Shared BM25 oracle template (double arithmetic, round 5). */

@@ -87,6 +87,30 @@ object IndexCli {
       println(f"""search "$q" top-$k in $ms%.0f ms:""")
       hits.foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)}"))
 
+    case "suggest" :: dir :: k :: prefix :: Nil =>
+      IndexStore.OpenIndex(spark, dir).suggest(prefix, k.toInt).collect()
+        .foreach(r => println(s"  ${r.getString(0)} (df=${r.getLong(1)})"))
+
+    case "spell" :: dir :: k :: word :: Nil =>
+      IndexStore.OpenIndex(spark, dir).spellCorrect(word, 2, k.toInt).collect()
+        .foreach(r => println(s"  ${r.getString(0)} (dist=${r.getInt(1)} df=${r.getLong(2)})"))
+
+    // searchjob <timeIndexDir> <k> <from> <to> term... : submit + poll previews
+    case "searchjob" :: dir :: k :: from :: to :: terms if terms.nonEmpty =>
+      val job = graft.streaming.SearchJobs.submit(spark, dir, terms, k.toInt, from, to)
+      println(s"job ${job.jobId} submitted")
+      var lastDone = -1
+      while (!job.isFinished) {
+        val p = job.preview
+        if (p.bucketsDone != lastDone) {
+          lastDone = p.bucketsDone
+          println(s"  preview: ${p.bucketsDone}/${p.totalBuckets} buckets, ${p.hitCount} hits, top=${p.hits.take(3).mkString(",")}")
+        }
+        Thread.sleep(50)
+      }
+      println(s"  ${job.status} in ${job.durationMs} ms; final top-$k:")
+      job.result().foreach { case (id, s) => println(s"  doc=$id score=$s") }
+
     case "timebuild" :: dir :: parquet :: rest =>
       // timebuild <dir> <parquet> [granularity] [rawSqlExpr]
       val gran = rest.headOption.getOrElse("day")
