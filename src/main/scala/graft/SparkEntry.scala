@@ -547,6 +547,17 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos"))
     }),
 
+    // canonical selection: connected components over the near-dup pair
+    // graph (consecutive-id Jaccard adjacency) — every doc maps to the
+    // min-id representative of its duplicate cluster
+    "dd_components" -> ((s, d) => {
+      val docs = rd(s, d, "documents").select(col("doc_id"), lower(col("text")).as("t"))
+      val edges = docs.as("a").join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .filter(Dedup.ngramJaccard(col("a.t"), col("b.t"), 3) >= 0.35)
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      Dedup.connectedComponents(edges, "src", "dst")
+    }),
+
     // ---- similarity search over embeddings ----
     "sim_cosine" -> ((s, d) => {
       val embs = rd(s, d, "embeddings")
@@ -960,6 +971,23 @@ object SparkEntry {
       "dd_embedding" ->
         """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, CAST(1.0 AS DOUBLE) AS cos
           | FROM embeddings""".stripMargin,
+      "dd_components" ->
+        """WITH RECURSIVE
+          | d AS (SELECT doc_id, lower(text) AS t FROM documents),
+          | sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+          |   range(1, greatest(length(t) - 2, 0) + 1), i -> substr(t, i, 3)))) AS s FROM d),
+          | e AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b
+          |   ON b.doc_id = a.doc_id + 1
+          |  WHERE (CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 1.0
+          |   ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          |        len(list_distinct(list_concat(a.s, b.s))) END) >= 0.35),
+          | eb AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+          | nodes AS (SELECT DISTINCT a AS id FROM eb),
+          | reach(id, r) AS (
+          |   SELECT id, id FROM nodes
+          |   UNION
+          |   SELECT eb.b, reach.r FROM reach JOIN eb ON eb.a = reach.id)
+          | SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
       "sim_cosine" ->
         """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
           | SELECT vec_id, round(CASE WHEN

@@ -211,6 +211,57 @@ object Dedup {
   }
 
   /**
+   * Connected components over a near-duplicate pair graph — the canonical-
+   * selection step of a real dedup pipeline (candidate pairs form chains
+   * and clusters; every doc must map to ONE surviving representative).
+   * Returns (id, component) where component = min id reachable from id.
+   *
+   * Algorithm: iterative min-label propagation with POINTER JUMPING
+   * (rep := rep(rep)) each round, so label distance doubles per iteration
+   * — O(log n) rounds even on path graphs (plain propagation would need
+   * O(diameter)). Each round is two keyed joins + an aggregation; the
+   * driver only sees one convergence scalar per round. This is the
+   * standard MapReduce-CC shape (cf. Kiveris et al. large-star/small-star)
+   * expressed with DataFrame joins.
+   */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIters: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val e2 = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+    val bidir = e2.union(e2.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint per round TRUNCATES the logical plan: the self-join
+    // would otherwise double the Catalyst plan tree every iteration
+    // (exponential analysis cost — the classic iterative-DataFrame trap)
+    var lab = bidir.select(col("a").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // neighbor's rep reaches me; then jump: my rep := rep(my rep)
+      val viaEdges = bidir.join(lab.withColumnRenamed("id", "a"), "a")
+        .select(col("b").as("id"), col("rep"))
+      val minLab = lab.select("id", "rep").union(viaEdges)
+        .groupBy("id").agg(min("rep").as("rep"))
+        .localCheckpoint(true)
+      val jumped = minLab.as("x")
+        .join(minLab.select(col("id").as("rep"), col("rep").as("rep2")).as("y"), Seq("rep"))
+        .select(col("id"), col("rep2").as("rep"))
+        .localCheckpoint(true)
+      // converged when no row's rep changed this round
+      val changed = jumped.as("n").join(lab.as("o"), "id")
+        .filter(col("n.rep") =!= col("o.rep")).limit(1).count()
+      lab = jumped
+      converged = changed == 0
+      iter += 1
+    }
+    bidir.unpersist()
+    lab.select(col("id"), col("rep").as("component"))
+  }
+
+  /**
    * Embedding near-dup: pairs with exact cosine >= threshold among sign-LSH
    * candidates. The `planes`-bit sign sketch is split into `bands` chunks;
    * docs sharing ANY chunk are candidates (near-dups that differ in a few

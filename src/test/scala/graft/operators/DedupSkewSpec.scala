@@ -18,6 +18,20 @@ class DedupSkewSpec extends SparkSpec {
 
   private val boiler = "the quick brown fox jumps over the lazy dog again and again " * 5
 
+  test("connectedComponents: chains collapse in O(log n) pointer-jumping rounds") {
+    // a 100-node path (worst case for plain propagation), a triangle, a pair
+    val edges = ((0 until 99).map(i => (i.toLong, i.toLong + 1)) ++
+      Seq((200L, 201L), (201L, 202L), (202L, 200L), (300L, 301L))).toDF("src", "dst")
+    val got = Dedup.connectedComponents(edges, "src", "dst", maxIters = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0 until 100).foreach(i => assert(got(i.toLong) === 0L, s"node $i"))
+    Seq(200L, 201L, 202L).foreach(n => assert(got(n) === 200L))
+    assert(got(300L) === 300L && got(301L) === 300L)
+    assert(got.size === 105)
+    // convergence inside 12 rounds proves the doubling behavior: plain
+    // min-propagation would need ~99 rounds for the path
+  }
+
   test("minHashCandidates: bucket cap bounds the candidate explosion on identical docs") {
     // 400 identical docs + 2 distinct near-dup pairs
     val docs = ((0 until 400).map(i => (i.toLong, boiler)) ++ Seq(
