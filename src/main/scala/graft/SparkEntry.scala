@@ -47,6 +47,23 @@ object SparkEntry {
     })
   }
 
+  private val fidxCache = scala.collection.mutable.Map[(SparkSession, String), Map[String, IndexStore.OpenIndex]]()
+
+  /** Per-field indexes (text + lang) over the documents table. */
+  private def docFieldedIndex(s: SparkSession, dir: String): Map[String, IndexStore.OpenIndex] = synchronized {
+    fidxCache.getOrElseUpdate((s, dir), {
+      val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val idxDir = s"target/docfidx/$safe-${java.lang.System.identityHashCode(s)}"
+      graft.util.Fs.rmTree(idxDir)
+      val corpus = rd(s, dir, "documents")
+        .select(col("doc_id").as("docId"), col("text"), col("lang"))
+      graft.index.FieldedIndex.build(s, corpus, idxDir,
+        fields = Seq("text" -> "text", "lang" -> "lang"), numSegments = 1,
+        shufflePartitions = s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      graft.index.FieldedIndex.open(s, idxDir)
+    })
+  }
+
   /** Flagship: full engine round-trip on the synthesized source-code corpus
     * (north-rule input shape) — build a segmented index, run a BM25 top-k.
     * Driver smoke-checks rows > 0 on sf0.001. */
@@ -367,6 +384,12 @@ object SparkEntry {
     // wildcard + term-range leaves composed with AND
     "qp_multiterm" -> ((s, d) => docIndex(s, d)
       .search("+s?a* +[ma TO pz]", 1000000)
+      .select(col("docId").as("doc_id"))),
+
+    // multi-field search (Lucene per-field postings): lang-scoped required
+    // clause routed to the lang field's index, body term to the text field
+    "qp_fielded" -> ((s, d) => graft.index.FieldedIndex.search(
+        docFieldedIndex(s, d), "text", "+lang:en +spark query", 1000000)
       .select(col("docId").as("doc_id"))),
 
     // grouped search (lucene/grouping two-pass): top-2 docs per lang for a
@@ -748,6 +771,9 @@ object SparkEntry {
           |    toks[greatest(first_pos - 3, 1):greatest(first_pos - 3, 1) + 6],
           |    x -> CASE WHEN x IN ('spark','query') THEN '<em>' || x || '</em>' ELSE x END), ' ') AS snippet
           | FROM sel WHERE first_pos < 2147483647""".stripMargin,
+      "qp_fielded" ->
+        s"""SELECT doc_id FROM (SELECT DISTINCT doc_id FROM ($tok) WHERE tok = 'spark')
+           | WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')""".stripMargin,
       "qp_bool" ->
         s"""SELECT doc_id FROM (
            |  SELECT doc_id FROM ($tok) WHERE tok IN ('spark','query')

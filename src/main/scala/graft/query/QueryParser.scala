@@ -31,6 +31,10 @@ object QueryParser {
   final case class WildcardQ(glob: String) extends Query
   final case class FuzzyQ(term: String, maxEdits: Int) extends Query
   final case class RangeQ(lo: String, hi: String, inclusive: Boolean) extends Query
+  /** Field-scoped clause (`field:term`): routed to that field's index by
+    * the fielded searcher; the single-index searcher evaluates the inner
+    * query against its only field. */
+  final case class FieldQ(field: String, inner: Query) extends Query
   /** Boolean node: every matching doc's score = sum of its matching
     * clauses' scores (must + should), in clause order. */
   final case class BoolQ(must: Seq[Query], should: Seq[Query], mustNot: Seq[Query]) extends Query
@@ -168,24 +172,25 @@ object QueryParser {
     private def parseTerm(): Query = {
       val raw0 = readWord()
       if (raw0.isEmpty) throw ParseException("empty term", pos)
-      // drop an ignored field prefix (single-field engine)
-      val raw = raw0.lastIndexOf(':') match {
-        case -1 => raw0
-        case i => raw0.substring(i + 1)
+      // split off a field prefix (kept in the AST as FieldQ)
+      val (field, raw) = raw0.lastIndexOf(':') match {
+        case -1 => (None, raw0)
+        case i => (Some(raw0.substring(0, i).toLowerCase), raw0.substring(i + 1))
       }
       val w = raw.toLowerCase
       if (w.isEmpty) throw ParseException("empty term after field prefix", pos)
-      if (!eof && peek == '~') {
-        pos += 1
-        val edits = readInt(default = 2)
-        return FuzzyQ(w, math.min(edits, 2))
+      val leaf: Query = {
+        if (!eof && peek == '~') {
+          pos += 1
+          val edits = readInt(default = 2)
+          FuzzyQ(w, math.min(edits, 2))
+        } else if (w.contains('*') || w.contains('?')) {
+          if (w.endsWith("*") && w.count(c => c == '*' || c == '?') == 1)
+            PrefixQ(w.dropRight(1))
+          else WildcardQ(w)
+        } else TermQ(w)
       }
-      if (w.contains('*') || w.contains('?')) {
-        return if (w.endsWith("*") && w.count(c => c == '*' || c == '?') == 1)
-          PrefixQ(w.dropRight(1))
-        else WildcardQ(w)
-      }
-      TermQ(w)
+      field.fold(leaf)(f => FieldQ(f, leaf))
     }
 
     private def readWord(): String = {

@@ -34,8 +34,33 @@ object Searcher {
     live.orderBy(desc("score"), asc("docId")).limit(k)
   }
 
+  /**
+   * Multi-field search (Lucene per-field inverted indexes): `field:`-scoped
+   * clauses route to that field's index; unscoped clauses hit
+   * `defaultField`; an unknown field matches nothing (exactly Lucene —
+   * a term in an absent field has no postings). docIds are shared across
+   * the per-field indexes (same corpus), so boolean composition and
+   * scoring work unchanged.
+   */
+  def searchFielded(idxs: Map[String, OpenIndex], defaultField: String,
+                    query: String, k: Int): DataFrame = {
+    val default = idxs.getOrElse(defaultField,
+      throw new IllegalArgumentException(s"no index for default field '$defaultField'"))
+    def ev(q: Query): DataFrame = q match {
+      case FieldQ(f, inner) =>
+        idxs.get(f).map(eval(_, inner)).getOrElse(emptyScored(default.spark))
+      case BoolQ(m, sh, n) => evalBool(default.spark, ev, m, sh, n)
+      case leaf => eval(default, leaf)
+    }
+    val scored = ev(QueryParser.parse(query))
+    val live = default.deletes.fold(scored)(d => scored.join(d, Seq("docId"), "left_anti"))
+    live.orderBy(desc("score"), asc("docId")).limit(k)
+  }
+
   /** All matching docs of the parsed query: (docId LONG, score FLOAT). */
   def eval(idx: OpenIndex, q: Query): DataFrame = q match {
+    // single-index search: a field prefix can only mean the one field
+    case FieldQ(_, inner) => eval(idx, inner)
     case TermQ(t) =>
       QueryEngine.termScores(idx.spark, idx.blocks, idx.termstats, idx.stats, t,
         dfCache = Some(idx.dfCache))
@@ -50,7 +75,8 @@ object Searcher {
     case RangeQ(lo, hi, inclusive) =>
       constScore(idx, if (inclusive) col("term") >= lo && col("term") <= hi
                       else col("term") > lo && col("term") < hi)
-    case BoolQ(must, should, mustNot) => evalBool(idx, must, should, mustNot)
+    case BoolQ(must, should, mustNot) =>
+      evalBool(idx.spark, eval(idx, _), must, should, mustNot)
   }
 
   private def emptyScored(spark: SparkSession): DataFrame = {
@@ -114,14 +140,14 @@ object Searcher {
    * joined in clause order (double adds), should contributions summed in
    * clause order via a sorted-struct aggregate, added when present.
    */
-  private def evalBool(idx: OpenIndex, must: Seq[Query], should: Seq[Query],
+  private def evalBool(spark: SparkSession, ev: Query => DataFrame,
+                       must: Seq[Query], should: Seq[Query],
                        mustNot: Seq[Query]): DataFrame = {
-    val spark = idx.spark
     if (must.isEmpty && should.isEmpty) return emptyScored(spark)
     // should-side: union of clauses, per-doc sum in clause (ci) order
     val shouldSum: Option[DataFrame] = if (should.isEmpty) None else Some {
       should.zipWithIndex.map { case (q, ci) =>
-        eval(idx, q).select(col("docId"), lit(ci).as("ci"), col("score"))
+        ev(q).select(col("docId"), lit(ci).as("ci"), col("score"))
       }.reduce(_.unionByName(_))
         .groupBy("docId")
         .agg(collect_list(struct(col("ci"), col("score"))).as("parts"))
@@ -132,10 +158,10 @@ object Searcher {
     val core: DataFrame =
       if (must.nonEmpty) {
         // inner-join chain in clause order; double accumulation
-        val first = eval(idx, must.head)
+        val first = ev(must.head)
           .select(col("docId"), col("score").cast("double").as("s"))
         val joinedMust = must.tail.zipWithIndex.foldLeft(first) { case (acc, (q, i)) =>
-          acc.join(eval(idx, q).select(col("docId"), col("score").as(s"__m$i")), "docId")
+          acc.join(ev(q).select(col("docId"), col("score").as(s"__m$i")), "docId")
             .select(col("docId"), (col("s") + col(s"__m$i").cast("double")).as("s"))
         }
         shouldSum match {
@@ -146,7 +172,7 @@ object Searcher {
         }
       } else shouldSum.get
     val anti = mustNot.foldLeft(core) { (acc, q) =>
-      acc.join(eval(idx, q).select("docId"), Seq("docId"), "left_anti")
+      acc.join(ev(q).select("docId"), Seq("docId"), "left_anti")
     }
     anti.select(col("docId"), col("s").cast("float").as("score"))
   }

@@ -38,7 +38,8 @@ class SearcherSpec extends SparkSpec {
     assert(parse("fuzzy~") === FuzzyQ("fuzzy", 2))
     assert(parse("[aa TO bb]") === RangeQ("aa", "bb", inclusive = true))
     assert(parse("{aa TO bb}") === RangeQ("aa", "bb", inclusive = false))
-    assert(parse("content:spark") === TermQ("spark"))
+    assert(parse("content:spark") === FieldQ("content", TermQ("spark")))
+    assert(parse("path:handler*") === FieldQ("path", PrefixQ("handler")))
     assert(parse("(a OR b) AND c") ===
       BoolQ(Seq(BoolQ(Nil, Seq(TermQ("a"), TermQ("b")), Nil), TermQ("c")), Nil, Nil))
     intercept[ParseException](parse(""))
