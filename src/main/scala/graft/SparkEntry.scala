@@ -536,6 +536,10 @@ object SparkEntry {
     "ta_fingerprint" -> ((s, d) => TextOps.fingerprint(rd(s, d, "documents"),
       "doc_id", "text")),
 
+    // token-budget counting: whitespace words, analyzer tokens, BPE-ish units
+    "ta_tokens" -> ((s, d) => TextOps.tokenCounts(rd(s, d, "documents"),
+      "doc_id", "text")),
+
     // ---- dedup ----
     "dd_exact" -> ((s, d) => Dedup.exact(rd(s, d, "documents"), "doc_id", "text")),
 
@@ -974,6 +978,13 @@ object SparkEntry {
           | round(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) /
           |   CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS DOUBLE), 5)
           |   AS distinct_ratio
+          | FROM documents""".stripMargin,
+      "ta_tokens" ->
+        """SELECT doc_id,
+          | len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+          | len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_alnum,
+          | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpeish,
+          | length(text) AS n_chars
           | FROM documents""".stripMargin,
       "ta_langid" -> langIdSql,
       "ta_fingerprint" ->

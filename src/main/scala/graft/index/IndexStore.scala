@@ -149,6 +149,54 @@ object IndexStore {
   }
 
   /**
+   * Seal accumulated HOT posting rows into a committed segment — the
+   * IVrixDB HOT->WARM transition (reference ivrixdb hot/warm bucket
+   * lifecycle; the hot tier is the un-packed streaming sink of
+   * StreamOps.hotIndexSink, schema (term, docId, tf, normByte, dl)).
+   * After sealing + finalizeStats, plain topK over the index is
+   * score-identical to the federated topKWithHot over (old index + hot)
+   * because collection stats merge the same way (tested). Streamed rows
+   * carry no source text, so the per-row sha invariant is recorded as
+   * absent (shaXor 0, source "sealHot").
+   */
+  def sealHot(spark: SparkSession, hot: DataFrame, dir: String, segId: Int,
+              shufflePartitions: Int): Unit = {
+    import spark.implicits._
+    require(!isCommitted(dir, segId), s"segment $segId already committed under $dir")
+    val bounds = hot.agg(min(col("docId").cast("long")), max(col("docId").cast("long"))).head()
+    require(!bounds.isNullAt(0), "cannot seal an empty hot tier")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1) + 1)
+    // sealed docIds must not collide with committed segments' doc ranges
+    readManifests(dir).foreach { m =>
+      val mHi = """"docHi":(\d+)""".r.findFirstMatchIn(m).get.group(1).toLong
+      val mLo = """"docLo":(\d+)""".r.findFirstMatchIn(m).get.group(1).toLong
+      require(hi <= mLo || lo >= mHi,
+        s"hot docId range [$lo,$hi) overlaps committed segment range [$mLo,$mHi)")
+    }
+    val t0 = System.nanoTime()
+    val rows = hot.select(col("term").cast("string").as("term"),
+        col("docId").cast("long").as("docId"), col("tf").cast("int").as("tf"),
+        col("normByte").cast("byte").as("normByte")).as[PostingRow]
+    val segDir = s"$dir/segments/seg=$segId"
+    IndexBuilder.packBlocks(spark, rows, shufflePartitions)
+      .write.mode("overwrite").parquet(s"$segDir/postings")
+    val ds = hot.select(col("docId").cast("long").as("docId"), col("dl").cast("int").as("dl"),
+        col("normByte").cast("byte").as("normByte")).distinct()
+      .withColumn("contentSha256", lit(""))
+    ds.write.mode("overwrite").parquet(s"$segDir/docstats")
+    hot.groupBy(col("term"))
+      .agg(count("*").as("df"), sum(col("tf").cast("long")).as("ttf"))
+      .write.mode("overwrite").parquet(s"$segDir/termstats")
+    val m = ds.agg(count("*"), sum(col("dl").cast("long"))).head()
+    val blockCount = spark.read.parquet(s"$segDir/postings").count()
+    writeManifest(dir, Manifest(segId, lo, hi, m.getLong(0),
+      if (m.isNullAt(1)) 0L else m.getLong(1), blockCount,
+      f"${0L}%016x", "sealHot", spark.sparkContext.applicationId,
+      (System.nanoTime() - t0) / 1000000))
+    finalizeStats(spark, dir)
+  }
+
+  /**
    * TieredMergePolicy analogue (reference index/TieredMergePolicy.java:
    * 95-103 — <=10 segments per tier, 33% delete budget): compact into
    * `outDir` when the committed segment count exceeds `maxSegments` OR the
@@ -374,6 +422,44 @@ object IndexStore {
       * [[graft.query.QueryParser]] / [[graft.query.Searcher]]. */
     def search(query: String, k: Int): DataFrame =
       graft.query.Searcher.search(this, query, k)
+
+    /** Decoded postings of one term: (docId, tf) — the raw read API. */
+    def postings(term: String): DataFrame = {
+      import spark.implicits._
+      blocks.filter(col("term") === term)
+        .mapPartitions { it =>
+          it.flatMap { b =>
+            val (docs, tfs) = graft.codec.PostingsCodec.decodeBlock(
+              b.minDoc, b.n, b.wDocs, b.wFreqs, b.docGaps, b.freqs)
+            (0 until b.n).iterator.map(i => (docs(i), tfs(i)))
+          }
+        }.toDF("docId", "tf")
+    }
+
+    /**
+     * More-like-this (reference lucene/queries MoreLikeThis.java: select
+     * the source text's most "interesting" terms by tf·idf against the
+     * index's stats, then run them as an OR query). `maxQueryTerms`
+     * matches the reference default of 25. The source doc itself (pass
+     * its docId as `excludeDocId`) is excluded from results.
+     */
+    def moreLikeThis(text: String, k: Int, maxQueryTerms: Int = 25,
+                     minTermFreq: Int = 1, excludeDocId: Long = -1L): DataFrame = {
+      val (tfs, _) = graft.analysis.Analyzer.termFreqs(text)
+      val candidates = tfs.filter(_._2 >= minTermFreq).keys.toSeq
+      if (candidates.isEmpty)
+        return spark.range(0).select(col("id").as("docId"), lit(0f).as("score"))
+      val dfs = QueryEngine.lookupDfs(termstats, candidates, Some(dfCache))
+      // interestingness = tf * idf, ties broken by term for determinism
+      val chosen = candidates
+        .filter(dfs.contains)
+        .map(t => (t, tfs(t) * graft.query.BM25.idf(dfs(t), stats.docCount)))
+        .sortBy { case (t, w) => (-w, t) }
+        .take(maxQueryTerms).map(_._1)
+      val hits = topK(chosen, k + 1)
+      (if (excludeDocId < 0) hits else hits.filter(col("docId") =!= excludeDocId))
+        .orderBy(desc("score"), asc("docId")).limit(k)
+    }
 
     /** Prefix suggester over the term dictionary, weighted by document
       * frequency (reference lucene/suggest AnalyzingSuggester capability:

@@ -348,6 +348,20 @@ object TextOps {
   // Text analysis for training-data pipelines
   // ---------------------------------------------------------------------
 
+  /** GPT-2-ish pre-tokenizer pattern: letter runs, digit runs, single
+    * non-alnum marks (the "BPE-ish regex" token estimator — training-data
+    * budgeting counts subword-ish units, not just whitespace words). */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Per-doc token budget counts: whitespace words, analyzer tokens, and
+    * BPE-ish units. All codegen built-ins. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(split(trim(col(textCol)), "\\s+")).as("n_words"),
+      size(tokensOf(textCol)).as("n_alnum"),
+      size(regexp_extract_all(lower(col(textCol)), lit(BpeishPattern), lit(0))).as("n_bpeish"),
+      length(col(textCol)).as("n_chars"))
+
   /** Token count + basic quality stats per doc, all codegen built-ins. */
   def qualityStats(docs: DataFrame, idCol: String, textCol: String,
                    stopwords: Seq[String]): DataFrame = {

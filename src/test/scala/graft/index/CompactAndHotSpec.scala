@@ -59,5 +59,21 @@ class CompactAndHotSpec extends SparkSpec {
       val want = full.topK(q, 20).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
       assert(fed === want, s"query $q")
     }
+
+    // HOT -> WARM: seal the hot rows into a committed segment; plain topK
+    // over the sealed index must equal the full-rebuild scores bit-exactly
+    IndexStore.sealHot(spark, hot, dirMain, segId = 99, shufflePartitions = 4)
+    val sealedIdx = IndexStore.OpenIndex(spark, dirMain)
+    assert(sealedIdx.stats === full.stats)
+    for (q <- Seq(Seq("public"), Seq("import", "class"), Seq("uniq_220_0"))) {
+      val rs = sealedIdx.topK(q, 20).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      val want = full.topK(q, 20).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      assert(rs === want, s"sealed query $q")
+    }
+    // overlapping doc range is refused
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.sealHot(spark, hot, dirMain, segId = 100, shufflePartitions = 4)
+    }
+    assert(e.getMessage.contains("overlaps"))
   }
 }

@@ -111,6 +111,18 @@ class SearcherSpec extends SparkSpec {
     }
   }
 
+  test("moreLikeThis: interesting-terms query ranks the source doc first; exclusion removes it") {
+    val c0 = (0L until 300L).map(CorpusGen.genFile(_))
+      .sortBy(f => (f.repo, f.path, f.commit)).head.content
+    val mlt = hits(idx.moreLikeThis(c0, 5))
+    assert(mlt.nonEmpty)
+    assert(mlt.head._1 === 0L, s"self-similarity must rank doc 0 first: $mlt")
+    val mltEx = hits(idx.moreLikeThis(c0, 5, excludeDocId = 0L))
+    assert(!mltEx.map(_._1).contains(0L))
+    // exclusion only removes the source doc; the other ranks are unchanged
+    assert(mltEx.take(4) === mlt.filterNot(_._1 == 0L).take(4))
+  }
+
   test("search excludes tombstones before the limit") {
     val out = Files.createTempDirectory("graft-search-del").toString
     val withIds = DocIds.assign(CorpusGen.corpus(spark, 120, 3).toDF(),
