@@ -351,6 +351,10 @@ object SparkEntry {
       .multiTermTopK(col("term") >= "m" && col("term") < "q", 1000000)
       .select(col("docId").as("doc_id"))),
 
+    // facet counts over an engine term query's matches (Solr search+facet)
+    "ft_engine_facet" -> ((s, d) => docIndex(s, d)
+      .facetByField(Seq("spark"), "lang")),
+
     // engine field-sorted top-k over the doc-values tier (SortField /
     // TopFieldCollector): docs containing 'spark', sorted by lang
     "ft_engine_sortfield" -> ((s, d) => docIndex(s, d)
@@ -752,6 +756,10 @@ object SparkEntry {
         s"""SELECT DISTINCT doc_id FROM ($tok) WHERE tok LIKE 's_a%'""",
       "ft_engine_termrange" ->
         s"""SELECT DISTINCT doc_id FROM ($tok) WHERE tok >= 'm' AND tok < 'q'""",
+      "ft_engine_facet" ->
+        s"""WITH m AS (SELECT DISTINCT doc_id FROM ($tok) WHERE tok = 'spark')
+           | SELECT d.lang, count(*) AS count FROM m JOIN documents d ON m.doc_id = d.doc_id
+           | GROUP BY d.lang ORDER BY count DESC, d.lang ASC""".stripMargin,
       "ft_engine_sortfield" ->
         s"""WITH m AS (SELECT DISTINCT doc_id FROM ($tok) WHERE tok = 'spark')
            | SELECT m.doc_id, d.lang FROM m JOIN documents d ON m.doc_id = d.doc_id

@@ -517,6 +517,19 @@ object IndexStore {
         .limit(k)
     }
 
+    /** Facet counts over the matching docs of a term query (Solr's
+      * core search+facet pattern): constant-score match -> docvalues join
+      * -> per-field-value counts, ordered (count DESC, value ASC).
+      * Tombstones excluded before counting. */
+    def facetByField(terms: Seq[String], field: String,
+                     mode: QueryEngine.Mode = QueryEngine.And): DataFrame = {
+      val matched = QueryEngine.matchingDocs(spark, blocks, terms, mode)
+      val live = deletes.fold(matched)(d => matched.join(d, Seq("docId"), "left_anti"))
+      live.join(docvalues.select(col("docId"), col(field)), "docId")
+        .groupBy(field).agg(count("*").as("count"))
+        .orderBy(desc("count"), asc(field))
+    }
+
     /** Multi-phrase (slot = any-of terms) docIds via positions. */
     def multiPhrase(slots: Seq[Seq[String]]): DataFrame = {
       val r = QueryEngine.multiPhraseMatch(positions, slots)
