@@ -394,6 +394,35 @@ object IndexStore {
       QueryEngine.topK(spark, blocks, termstats, stats, terms, k, mode, mustNot, prune, wand,
         excludeDocs = deletes, dfCache = Some(dfCache))
 
+    /**
+     * Time-budgeted top-k (reference TimeLimitingCollector /
+     * IndexSearcher timeAllowed: stop collecting when the budget expires
+     * and return the PARTIAL results collected so far, flagged). Spark
+     * shape: segments are searched newest-first, one bounded job each
+     * (a job is the natural preemption boundary — a partial shuffle has
+     * no results to keep); at least one segment always completes.
+     * Segments partition docs and scorers use global stats, so the
+     * searched-prefix merge is exact for those segments.
+     * Returns (hits ordered (score DESC, docId ASC), partial?).
+     */
+    def topKBudgeted(terms: Seq[String], k: Int, budgetMs: Long): (Seq[(Long, Float)], Boolean) = {
+      import spark.implicits._
+      val deadline = System.nanoTime() + budgetMs * 1000000L
+      val infos = QueryEngine.plan(termstats, stats, terms, dfCache = Some(dfCache))
+      if (infos.isEmpty) return (Nil, false)
+      var merged = Vector.empty[(Long, Float)]
+      var searched = 0
+      val segs = segDirs.reverse // newest segments first
+      for (sd <- segs if searched == 0 || System.nanoTime() < deadline) {
+        val segBlocks = spark.read.parquet(s"$sd/postings").as[graft.index.BlockRow]
+        val rows = QueryEngine.topKWithInfos(spark, segBlocks, infos, k, excludeDocs = deletes)
+          .collect().map(r => (r.getLong(0), r.getFloat(1)))
+        merged = (merged ++ rows).sortBy { case (id, s) => (-s, id) }.take(k)
+        searched += 1
+      }
+      (merged, searched < segs.size)
+    }
+
     /** Positional paging (IndexSearcher.searchAfter). Tombstones are
       * excluded inside the engine (before the limit), so page
       * concatenation equals one big topK over live docs even with deletes. */

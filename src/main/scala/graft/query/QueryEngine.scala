@@ -263,14 +263,20 @@ object QueryEngine {
   /** OR top-k with caller-built TermInfos (pre-merged stats — used by the
     * time-bucketed index, where collection stats merge across buckets). */
   def topKWithInfos(spark: SparkSession, blocks: Dataset[BlockRow],
-                    infos: Seq[TermInfo], k: Int): DataFrame = {
+                    infos: Seq[TermInfo], k: Int,
+                    excludeDocs: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     if (infos.isEmpty)
       return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
-    scoredPostings(spark, blocks, infos, 0f)
+    val grouped = scoredPostings(spark, blocks, infos, 0f)
       .groupBy("docId")
       .agg(collect_list(struct($"ti", $"score")).as("parts"))
-      .select($"docId", combinedScore)
+    val live = excludeDocs match {
+      case Some(dead) => grouped.join(
+        dead.select(col(dead.columns.head).cast("long").as("docId")), Seq("docId"), "left_anti")
+      case None => grouped
+    }
+    live.select($"docId", combinedScore)
       .orderBy(desc("score"), asc("docId")).limit(k)
   }
 
