@@ -15,9 +15,12 @@ package graft.query
  *   term~  term~2             fuzzy (edit distance, default 2)
  *   [a TO b]  {a TO b}        term range (inclusive / exclusive)
  *   ( ... )                   grouping (nested boolean)
+ *   atom^2  atom^0.5          boost (score multiplier)
+ *   field:term                field scoping (routed by the fielded
+ *                             searcher; a single-field index treats the
+ *                             prefix as its one field)
  *
- * Terms are lowercased to match the analyzer. Field prefixes (`f:term`)
- * are accepted and ignored — this engine indexes a single content field.
+ * Terms are lowercased to match the analyzer.
  *
  * The parser builds a small AST ([[Query]]); execution lives in
  * [[Searcher]], which maps each node to the corresponding engine path.
@@ -35,6 +38,9 @@ object QueryParser {
     * the fielded searcher; the single-index searcher evaluates the inner
     * query against its only field. */
   final case class FieldQ(field: String, inner: Query) extends Query
+  /** Boost wrapper (`term^2`, `"a b"^0.5`): the child's scores multiply
+    * by `boost` (float) — the classic-parser setBoost surface. */
+  final case class BoostQ(boost: Float, inner: Query) extends Query
   /** Boolean node: every matching doc's score = sum of its matching
     * clauses' scores (must + should), in clause order. */
   final case class BoolQ(must: Seq[Query], should: Seq[Query], mustNot: Seq[Query]) extends Query
@@ -121,19 +127,27 @@ object QueryParser {
     def parseAtom(): Query = {
       skipWs()
       if (eof) throw ParseException("expected a clause", pos)
-      peek match {
+      val q = peek match {
         case '(' =>
           pos += 1
-          val q = parseBool()
+          val inner = parseBool()
           skipWs()
           if (eof || peek != ')') throw ParseException("expected ')'", pos)
           pos += 1
-          q
+          inner
         case '"' => parsePhrase()
         case '[' | '{' => parseRange()
         case c if isTermChar(c) || c == '+' => parseTerm()
         case c => throw ParseException(s"unexpected '$c'", pos)
       }
+      // trailing ^boost applies to any atom (classic-parser setBoost)
+      if (!eof && peek == '^') {
+        pos += 1
+        val start = pos
+        while (!eof && (peek.isDigit || peek == '.')) pos += 1
+        if (pos == start) throw ParseException("expected a boost value after '^'", pos)
+        BoostQ(in.substring(start, pos).toFloat, q)
+      } else q
     }
 
     private def parsePhrase(): Query = {

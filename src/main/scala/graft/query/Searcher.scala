@@ -49,6 +49,8 @@ object Searcher {
     def ev(q: Query): DataFrame = q match {
       case FieldQ(f, inner) =>
         idxs.get(f).map(eval(_, inner)).getOrElse(emptyScored(default.spark))
+      case BoostQ(b, inner) => ev(inner)
+        .select(col("docId"), (col("score") * lit(b)).cast("float").as("score"))
       case BoolQ(m, sh, n) => evalBool(default.spark, ev, m, sh, n)
       case leaf => eval(default, leaf)
     }
@@ -61,6 +63,9 @@ object Searcher {
   def eval(idx: OpenIndex, q: Query): DataFrame = q match {
     // single-index search: a field prefix can only mean the one field
     case FieldQ(_, inner) => eval(idx, inner)
+    // boost multiplies the child's float scores (classic setBoost)
+    case BoostQ(b, inner) => eval(idx, inner)
+      .select(col("docId"), (col("score") * lit(b)).cast("float").as("score"))
     case TermQ(t) =>
       QueryEngine.termScores(idx.spark, idx.blocks, idx.termstats, idx.stats, t,
         dfCache = Some(idx.dfCache))

@@ -40,6 +40,10 @@ class SearcherSpec extends SparkSpec {
     assert(parse("{aa TO bb}") === RangeQ("aa", "bb", inclusive = false))
     assert(parse("content:spark") === FieldQ("content", TermQ("spark")))
     assert(parse("path:handler*") === FieldQ("path", PrefixQ("handler")))
+    assert(parse("spark^2") === BoostQ(2f, TermQ("spark")))
+    assert(parse("\"a b\"^0.5") === BoostQ(0.5f, PhraseQ(Seq("a", "b"), 0)))
+    assert(parse("(a OR b)^3") === BoostQ(3f, BoolQ(Nil, Seq(TermQ("a"), TermQ("b")), Nil)))
+    intercept[ParseException](parse("a^"))
     assert(parse("(a OR b) AND c") ===
       BoolQ(Seq(BoolQ(Nil, Seq(TermQ("a"), TermQ("b")), Nil), TermQ("c")), Nil, Nil))
     intercept[ParseException](parse(""))
@@ -107,6 +111,19 @@ class SearcherSpec extends SparkSpec {
     val pubScores = hits(idx.topK(Seq("public"), 100000)).toMap
     mixed.foreach { case (id, s) =>
       val want = (h3Scores(id).toDouble + pubScores.getOrElse(id, 0f).toDouble).toFloat
+      assert(s === want, s"doc $id")
+    }
+  }
+
+  test("boost multiplies clause scores; boosted should-clause reorders the merge") {
+    val plain = hits(idx.search("public import", 100000)).toMap
+    val boosted = hits(idx.search("public^3 import", 100000)).toMap
+    assert(boosted.keySet === plain.keySet)
+    // every doc's boosted score = 3*public_score + import_score (floats)
+    val pub = hits(idx.topK(Seq("public"), 100000)).toMap
+    val imp = hits(idx.topK(Seq("import"), 100000)).toMap
+    boosted.foreach { case (id, s) =>
+      val want = ((pub.getOrElse(id, 0f) * 3f).toDouble + imp.getOrElse(id, 0f).toDouble).toFloat
       assert(s === want, s"doc $id")
     }
   }
