@@ -120,6 +120,16 @@ object SparkEntry {
       .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
         round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))),
 
+    // statistical evaluator family (Solr streaming-expression stats/regress
+    // evaluators): correlation, covariance, higher moments, OLS line
+    "q47_statfuncs" -> ((s, d) => rd(s, d, "lineitem")
+      .agg(round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qp"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 4).as("covar_qp"),
+        round(skewness("l_quantity"), 6).as("skew_q"),
+        round(kurtosis("l_quantity"), 6).as("kurt_q"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"))),
+
     // ---- joins (SURVEY §2.4) ----
     "q2_join_inner" -> ((s, d) => R.innerJoin(
         rd(s, d, "orders"), rd(s, d, "customer").withColumnRenamed("c_custkey", "o_custkey"),
@@ -658,6 +668,22 @@ object SparkEntry {
         """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5),4) AS p50,
           | round(quantile_cont(l_extendedprice, 0.9),4) AS p90
           | FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      // Spark's skewness/kurtosis are POPULATION moments (g1, excess g2);
+      // DuckDB's builtins are sample-corrected — the oracle computes the
+      // population definitions from explicit central moments
+      "q47_statfuncs" ->
+        """WITH m AS (SELECT avg(l_quantity) AS mu FROM lineitem),
+          | c AS (SELECT sum(pow(l_quantity - mu, 2)) / count(*) AS m2,
+          |        sum(pow(l_quantity - mu, 3)) / count(*) AS m3,
+          |        sum(pow(l_quantity - mu, 4)) / count(*) AS m4
+          |  FROM lineitem, m GROUP BY mu)
+          | SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+          | round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+          | round(c.m3 / pow(sqrt(c.m2), 3), 6) AS skew_q,
+          | round(c.m4 / pow(c.m2, 2) - 3, 6) AS kurt_q,
+          | round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+          | round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept
+          | FROM lineitem, c GROUP BY c.m2, c.m3, c.m4""".stripMargin,
       "q2_join_inner" ->
         """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
           | FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment""".stripMargin,
