@@ -31,7 +31,7 @@ object Similarity extends Serializable {
     * heap top-k with (cos DESC, id ASC) tie-break. */
   private def rescoreTopK(candidates: DataFrame, idCol: String, vecCol: String,
                           query: Array[Float], k: Int): DataFrame = {
-    val q = array(query.map(v => lit(v)): _*)
+    val q = array(query.toIndexedSeq.map(v => lit(v)): _*)
     candidates.select(col(idCol), cosine(col(vecCol), q).as("cos"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
@@ -58,7 +58,7 @@ object Similarity extends Serializable {
   /** All-rows cosine against one query vector (no top-k; oracle-friendly). */
   def cosineAll(embs: DataFrame, idCol: String, vecCol: String,
                 query: Array[Float]): DataFrame = {
-    val q = array(query.map(v => lit(v)): _*)
+    val q = array(query.toIndexedSeq.map(v => lit(v)): _*)
     embs.select(col(idCol), round(cosine(col(vecCol), q), 5).as("cos"))
   }
 
@@ -199,7 +199,7 @@ object Similarity extends Serializable {
     val probes = centroids.zipWithIndex
       .map { case (c, i) => (i, cosineArr(qarr, c)) }
       .sortBy(-_._2).take(nprobe).map(_._1)
-    rescoreTopK(assignments.filter(col("centroid").isin(probes: _*)),
+    rescoreTopK(assignments.filter(col("centroid").isin(probes.toIndexedSeq: _*)),
       idCol, vecCol, query, k)
   }
 

@@ -87,6 +87,17 @@ object IndexCli {
       println(f"""search "$q" top-$k in $ms%.0f ms:""")
       hits.foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)}"))
 
+    case "mlt" :: dir :: k :: text =>
+      val hits = IndexStore.OpenIndex(spark, dir).moreLikeThis(text.mkString(" "), k.toInt).collect()
+      println(s"more-like-this top-$k:")
+      hits.foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)}"))
+
+    case "budget" :: dir :: k :: ms :: terms if terms.nonEmpty =>
+      val (hits, partial) = IndexStore.OpenIndex(spark, dir)
+        .topKBudgeted(terms, k.toInt, ms.toLong)
+      println(s"budgeted top-$k (${ms}ms, partial=$partial):")
+      hits.foreach { case (id, s) => println(s"  doc=$id score=$s") }
+
     case "suggest" :: dir :: k :: prefix :: Nil =>
       IndexStore.OpenIndex(spark, dir).suggest(prefix, k.toInt).collect()
         .foreach(r => println(s"  ${r.getString(0)} (df=${r.getLong(1)})"))
