@@ -162,6 +162,22 @@ object QueryEngine {
     if (wand && mustNot.isEmpty && excludeDocs.isEmpty)
       return Wand.topK(spark, blocks, infos, k, requireAll = mode == And)
 
+    // single-term fast path: each posting IS the doc's full score, so the
+    // per-doc groupBy (a full shuffle of matched postings) is skipped —
+    // bit-identical by the summation contract ((0.0 + s) cast float == s).
+    // The dominant query class costs one narrow scan + bounded heap.
+    if (infos.size == 1 && mustNot.isEmpty) {
+      val theta1 = if (prune) estimateTheta(spark, blocks, infos, k) else 0f
+      val scored1 = scoredPostings(spark, blocks, infos, theta1)
+        .select($"docId", $"score")
+      val live1 = excludeDocs match {
+        case Some(dead) => scored1.join(
+          dead.select(col(dead.columns.head).cast("long").as("docId")), Seq("docId"), "left_anti")
+        case None => scored1
+      }
+      return live1.orderBy(desc("score"), asc("docId")).limit(k)
+    }
+
     // pruning must be OFF when mustNot is present: theta estimated over all
     // docs includes ones the anti-join later removes, so it could exceed the
     // true post-exclusion k-th score and prune surviving docs' blocks
