@@ -412,7 +412,10 @@ object IndexStore {
       if (infos.isEmpty) return (Nil, false)
       var merged = Vector.empty[(Long, Float)]
       var searched = 0
-      val segs = segDirs.reverse // newest segments first
+      // newest first by NUMERIC seg id (lexicographic dir order would put
+      // seg=10 before seg=2)
+      val segs = segDirs.sortBy(d =>
+        -d.substring(d.lastIndexOf("seg=") + 4).toLong)
       for (sd <- segs if searched == 0 || System.nanoTime() < deadline) {
         val segBlocks = spark.read.parquet(s"$sd/postings").as[graft.index.BlockRow]
         val rows = QueryEngine.topKWithInfos(spark, segBlocks, infos, k, excludeDocs = deletes)
