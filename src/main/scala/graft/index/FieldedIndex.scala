@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
  * slice; each field's analysis pass reads only its own column (column
  * pruning), and resumability is inherited per field (a crashed build
  * re-runs only uncommitted segments of uncommitted fields).
+ *
+ * Deletes: tombstones live per field index; [[search]] applies the
+ * DEFAULT field's tombstones to the final result (docIds are shared, so
+ * deleting a doc means tombstoning it in the default field's index — use
+ * `IndexStore.delete` on `dir/fields/<defaultField>`).
  */
 object FieldedIndex {
 

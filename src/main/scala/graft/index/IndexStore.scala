@@ -446,8 +446,16 @@ object IndexStore {
       QueryEngine.multiTermTopK(spark, blocks, termstats, termPred, k,
         excludeDocs = deletes)
 
-    lazy val positions: DataFrame =
-      spark.read.parquet(segDirs.map(_ + "/positions"): _*)
+    /** Positions tier across the segments that HAVE one — a mixed index
+      * (e.g. a sealed hot segment, which carries no positions) must not
+      * fail phrase queries over the segments that do. */
+    lazy val positions: DataFrame = {
+      val posDirs = segDirs.map(_ + "/positions")
+        .filter(p => Files.exists(Paths.get(p)))
+      require(posDirs.nonEmpty,
+        s"index at $dir has no positions tier (build with withPositions = true)")
+      spark.read.parquet(posDirs: _*)
+    }
 
     /** Parse + execute a classic query string ("+spark (query OR join)
       * -slow \"data group\"~2 pre* fuzzy~1 [a TO c]") — see

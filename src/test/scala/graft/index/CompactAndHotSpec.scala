@@ -76,4 +76,25 @@ class CompactAndHotSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("overlaps"))
   }
+
+  test("mixed index: phrase queries survive segments without a positions tier") {
+    val dir = Files.createTempDirectory("graft-mixed-pos").toString
+    val n = 120
+    val all = DocIds.assign(CorpusGen.corpus(spark, n, 3).toDF(), Seq("repo", "path", "commit"), 3).cache()
+    IndexStore.build(spark, all.filter($"docId" < 100), dir, numSegments = 1,
+      shufflePartitions = 3, withPositions = true)
+    val hot = IndexBuilder.invertDocs(spark, all.filter($"docId" >= 100))
+      .flatMap(d => d.terms.indices.map(i => (d.terms(i), d.docId, d.tfs(i), d.normByte, d.dl)))
+      .toDF("term", "docId", "tf", "normByte", "dl")
+    IndexStore.sealHot(spark, hot, dir, segId = 7, shufflePartitions = 3)
+    val idx = IndexStore.OpenIndex(spark, dir)
+    // seg=7 has no positions dir; phrase must still work over seg=0
+    val c0 = (0L until n.toLong).map(CorpusGen.genFile(_))
+      .sortBy(f => (f.repo, f.path, f.commit)).head
+    val toks = graft.analysis.Analyzer.terms(c0.content).take(2)
+    val got = idx.phrase(toks).collect().map(_.getLong(0)).toSet
+    assert(got.contains(0L))
+    // and the sealed segment's docs are still term-searchable
+    assert(idx.topK(Seq("public"), 1000000).filter($"docId" >= 100).count() > 0)
+  }
 }
