@@ -1089,15 +1089,19 @@ object SparkEntry {
     * plan, then embedded verbatim (Double round-trips through toString). */
   private def geoBoxSql: String = {
     val (lat, lon, r) = (-84.0, -179.0, 60000.0)
-    val dLat = math.toDegrees(r / graft.operators.Geo.EarthRadiusMeters)
-    val dLon = math.toDegrees(r / (graft.operators.Geo.EarthRadiusMeters *
-      math.max(0.01, math.cos(math.toRadians(lat)))))
+    // the SAME bounds Geo.boundingBox folds into the plan (Double round-trips
+    // through toString) — incl. the asin lon width and antimeridian split
+    val (latLo, latHi, lonRanges) = graft.operators.Geo.boxBounds(lat, lon, r)
+    val lonPred =
+      if (lonRanges.isEmpty) "TRUE"
+      else lonRanges.map { case (lo, hi) => s"lon BETWEEN $lo AND $hi" }
+        .mkString("(", " OR ", ")")
     s"""WITH ev AS (SELECT event_id, event_type,
        | (user_id % 17000) / 100.0 - 85.0 AS lat,
        | (user_id % 35900) / 100.0 - 179.5 AS lon FROM events)
        | SELECT event_type, count(*) AS n FROM ev
-       | WHERE lat BETWEEN ${lat - dLat} AND ${lat + dLat}
-       |  AND lon BETWEEN ${lon - dLon} AND ${lon + dLon}
+       | WHERE lat BETWEEN $latLo AND $latHi
+       |  AND $lonPred
        | GROUP BY event_type""".stripMargin
   }
 

@@ -125,10 +125,18 @@ object TimeIndex {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     analyzed.unpersist()
 
-    // move staged partitions into the bucket layout, then commit manifests
+    // move staged partitions into the bucket layout, then commit manifests.
+    // A died-mid-commit bucket (moved files but no MANIFEST) is NOT committed,
+    // so a resume re-stages it — clear the target dirs first, otherwise the
+    // second generation of uniquely-named part files would sit next to the
+    // orphaned first and spark.read.parquet would read both (duplicated
+    // postings/doc stats). Parquet overwrite clears its target; moveDir must
+    // get the same guarantee here.
     for (b <- all) {
       val bd = Paths.get(bucketDir(dir, b))
       Files.createDirectories(bd)
+      graft.util.Fs.rmTree(bd.resolve("postings").toString)
+      graft.util.Fs.rmTree(bd.resolve("docstats").toString)
       moveDir(Paths.get(s"$staging/postings/bucket=$b"), bd.resolve("postings"))
       moveDir(Paths.get(s"$staging/docstats/bucket=$b"), bd.resolve("docstats"))
       val (n, sumDl) = perBucket(b)

@@ -29,14 +29,48 @@ object Geo {
     lit(2 * EarthRadiusMeters) * asin(least(lit(1.0), sqrt(a)))
   }
 
-  /** Coarse bounding-box predicate around (lat, lon) with `radiusM`:
-    * the pushdown-friendly pre-filter (superset of the true circle). */
+  /** Bounding-box predicate around (lat, lon) with `radiusM`: a TRUE
+    * superset of the circle (Lucene GeoUtils-style), so [[withinRadius]] can
+    * rely on it for exactness while it still pushes into the parquet scan.
+    *
+    *  - longitude half-width uses the exact spherical formula
+    *    dLon = asin(sin(r/R) / cos(lat)) — the tangent-meridian latitude of
+    *    the circle's extreme-longitude point sits poleward of the center, so
+    *    a linear r/(R*cos(lat)) width clips points near that tangent;
+    *  - a circle containing a pole, or whose angular width spans all
+    *    longitudes, gets a pass-all longitude predicate;
+    *  - a box crossing the antimeridian splits into two longitude ranges
+    *    (plain between() at lon ±180 would drop in-radius points on the
+    *    other side of the dateline). */
   def boundingBox(latCol: Column, lonCol: Column,
                   lat: Double, lon: Double, radiusM: Double): Column = {
-    val dLat = math.toDegrees(radiusM / EarthRadiusMeters)
-    val dLon = math.toDegrees(radiusM / (EarthRadiusMeters *
-      math.max(0.01, math.cos(math.toRadians(lat)))))
-    latCol.between(lat - dLat, lat + dLat) && lonCol.between(lon - dLon, lon + dLon)
+    val (latLo, latHi, lonRanges) = boxBounds(lat, lon, radiusM)
+    val latPred = latCol.between(latLo, latHi)
+    if (lonRanges.isEmpty) latPred // pole in circle / spans all longitudes
+    else latPred && lonRanges.map { case (lo, hi) => lonCol.between(lo, hi) }.reduce(_ || _)
+  }
+
+  /** The box bounds as plain doubles: (latLo, latHi, lonRanges); an empty
+    * lonRanges means every longitude is inside. Shared by [[boundingBox]]
+    * and by oracle-SQL generators so both sides compare against literally
+    * identical bounds. */
+  def boxBounds(lat: Double, lon: Double, radiusM: Double): (Double, Double, Seq[(Double, Double)]) = {
+    val r = radiusM / EarthRadiusMeters // angular radius
+    val dLat = math.toDegrees(r)
+    val latLo = math.max(-90.0, lat - dLat)
+    val latHi = math.min(90.0, lat + dLat)
+    val sinRatio = math.sin(math.min(r, math.Pi)) / math.cos(math.toRadians(lat))
+    val lonRanges =
+      if (latLo <= -90.0 || latHi >= 90.0 || r >= math.Pi / 2 || sinRatio >= 1.0) Nil
+      else {
+        val dLon = math.toDegrees(math.asin(sinRatio))
+        val lo = lon - dLon
+        val hi = lon + dLon
+        if (lo < -180.0) Seq((-180.0, hi), (lo + 360.0, 180.0))
+        else if (hi > 180.0) Seq((lo, 180.0), (-180.0, hi - 360.0))
+        else Seq((lo, hi))
+      }
+    (latLo, latHi, lonRanges)
   }
 
   /** Exact radius filter behind the coarse box (LatLonPoint

@@ -72,6 +72,10 @@ object Similarity extends Serializable {
    * hyperplane h_p. Docs with equal sketches are cosine-similar candidates.
    */
   def withSignSketch(embs: DataFrame, vecCol: String, planes: Int): DataFrame = {
+    // the sketch is packed into ONE long — 65+ planes would silently shift
+    // past bit 63 and produce a wrong (aliased) sketch
+    require(planes >= 1 && planes <= 64,
+      s"sign sketch packs bits into a single long: planes must be in [1, 64], got $planes")
     val sketchBits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
@@ -89,10 +93,19 @@ object Similarity extends Serializable {
    * reads only matching buckets instead of re-sketching the whole corpus
    * per query (which [[annTopK]] used to do).
    */
+  /** Memo: (canonicalized source plan, idCol, vecCol, planes) -> persisted
+    * index. Without it every call would persist() a NEW cached RDD and leak
+    * executor memory across repeated builds in one session (the DfCache
+    * pattern; a written bucketed table plays this role on a cluster). */
+  private val signIndexMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String, Int), DataFrame]
+
   def signIndex(embs: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame =
-    withSignSketch(embs, vecCol, planes)
-      .select(col(idCol), col(vecCol), col("sketch"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    signIndexMemo.getOrElseUpdate(
+      (embs.queryExecution.analyzed.canonicalized, idCol, vecCol, planes),
+      withSignSketch(embs, vecCol, planes)
+        .select(col(idCol), col(vecCol), col("sketch"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** ANN top-k against a prebuilt [[signIndex]]: probe the query's bucket
     * plus all buckets at hamming distance 1, rescore exactly. */

@@ -167,7 +167,11 @@ object QueryEngine {
     // bit-identical by the summation contract ((0.0 + s) cast float == s).
     // The dominant query class costs one narrow scan + bounded heap.
     if (infos.size == 1 && mustNot.isEmpty) {
-      val theta1 = if (prune) estimateTheta(spark, blocks, infos, k) else 0f
+      // pruning must also be OFF under tombstones (excludeDocs): theta is
+      // estimated over ALL docs including deleted ones, so after the
+      // anti-join it could exceed the true live k-th score and prune blocks
+      // holding live top-k docs (same hazard the mustNot guard covers below)
+      val theta1 = if (prune && excludeDocs.isEmpty) estimateTheta(spark, blocks, infos, k) else 0f
       val scored1 = scoredPostings(spark, blocks, infos, theta1)
         .select($"docId", $"score")
       val live1 = excludeDocs match {
@@ -178,10 +182,12 @@ object QueryEngine {
       return live1.orderBy(desc("score"), asc("docId")).limit(k)
     }
 
-    // pruning must be OFF when mustNot is present: theta estimated over all
-    // docs includes ones the anti-join later removes, so it could exceed the
-    // true post-exclusion k-th score and prune surviving docs' blocks
-    val theta = if (prune && mode == Or && mustNot.isEmpty) estimateTheta(spark, blocks, infos, k) else 0f
+    // pruning must be OFF when mustNot or tombstones are present: theta
+    // estimated over all docs includes ones the anti-join later removes, so
+    // it could exceed the true post-exclusion k-th score and prune surviving
+    // docs' blocks
+    val theta = if (prune && mode == Or && mustNot.isEmpty && excludeDocs.isEmpty)
+      estimateTheta(spark, blocks, infos, k) else 0f
     val scored = scoredPostings(spark, blocks, infos, theta)
 
     val grouped = scored

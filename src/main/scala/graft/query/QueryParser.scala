@@ -146,7 +146,15 @@ object QueryParser {
         val start = pos
         while (!eof && (peek.isDigit || peek == '.')) pos += 1
         if (pos == start) throw ParseException("expected a boost value after '^'", pos)
-        BoostQ(in.substring(start, pos).toFloat, q)
+        // any digit/dot run was consumed — validate it (".", "1.2.3" would
+        // escape as a raw NumberFormatException, breaking the typed
+        // ParseException contract callers like the CLI rely on)
+        val raw = in.substring(start, pos)
+        val b =
+          try raw.toFloat
+          catch { case _: NumberFormatException =>
+            throw ParseException(s"invalid boost value '$raw'", start) }
+        BoostQ(b, q)
       } else q
     }
 

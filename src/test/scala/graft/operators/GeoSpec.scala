@@ -51,6 +51,56 @@ class GeoSpec extends SparkSpec {
     assert(want.subsetOf(boxed))
   }
 
+  test("withinRadius across the antimeridian: in-radius points on the other side kept") {
+    // center 0.2 deg west of the dateline; points straddle it
+    val pts = Seq(
+      (1L, 0.0, 179.8), (2L, 0.0, -179.9), (3L, 0.0, -179.5), (4L, 0.1, 179.95),
+      (5L, 0.0, 178.0), (6L, 0.0, -178.0), (7L, 45.0, -179.9))
+    val df = pts.toDF("id", "lat", "lon")
+    val (qLat, qLon, r) = (0.0, 179.8, 60000.0)
+    val got = Geo.withinRadius(df, "lat", "lon", qLat, qLon, r)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = pts.filter { case (_, la, lo) => havLocal(la, lo, qLat, qLon) <= r }
+      .map(_._1).toSet
+    assert(got === want)
+    assert(want.contains(2L) && want.contains(4L), "points across the dateline must match")
+  }
+
+  test("withinRadius at high latitude: asin lon width keeps tangent-edge points") {
+    // dense ring of points right at the circle boundary at lat 80 — the old
+    // linear r/(R cos lat) width clips near the extreme-longitude tangent
+    val (qLat, qLon, r) = (80.0, 10.0, 300000.0)
+    val pts = (0 until 720).map { i =>
+      val brg = math.toRadians(i * 0.5)
+      val d = (r * 0.999) / Geo.EarthRadiusMeters
+      val la1 = math.toRadians(qLat)
+      val la2 = math.asin(math.sin(la1) * math.cos(d) + math.cos(la1) * math.sin(d) * math.cos(brg))
+      val lo2 = math.toRadians(qLon) + math.atan2(
+        math.sin(brg) * math.sin(d) * math.cos(la1),
+        math.cos(d) - math.sin(la1) * math.sin(la2))
+      (i.toLong, math.toDegrees(la2), math.toDegrees(lo2))
+    }
+    val df = pts.toDF("id", "lat", "lon")
+    val got = Geo.withinRadius(df, "lat", "lon", qLat, qLon, r)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = pts.filter { case (_, la, lo) => havLocal(la, lo, qLat, qLon) <= r }
+      .map(_._1).toSet
+    assert(got === want)
+    assert(want.size >= 700, "nearly the whole boundary ring is inside")
+  }
+
+  test("withinRadius with a pole inside the circle: all longitudes pass") {
+    val pts = (0 until 36).map(i => (i.toLong, 89.8, i * 10.0 - 180.0)) :+ (99L, 85.0, 0.0)
+    val df = pts.toDF("id", "lat", "lon")
+    val (qLat, qLon, r) = (89.9, 0.0, 100000.0)
+    val got = Geo.withinRadius(df, "lat", "lon", qLat, qLon, r)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = pts.filter { case (_, la, lo) => havLocal(la, lo, qLat, qLon) <= r }
+      .map(_._1).toSet
+    assert(got === want)
+    assert(want.size > 10, "ring near the pole matches at many longitudes")
+  }
+
   test("nearest: distance-ordered bounded top-k with id tie-break") {
     val pts = (0 until 500).map(i => (i.toLong, (i % 50) * 0.5, (i / 50) * 0.5))
     val df = pts.toDF("id", "lat", "lon")
