@@ -47,6 +47,25 @@ object SparkEntry {
     })
   }
 
+  private val stemIdxCache = scala.collection.mutable.Map[(SparkSession, String), IndexStore.OpenIndex]()
+
+  /** Stop + Porter-stemmed index over the documents table (the
+    * EnglishAnalyzer-style configured chain) — queries against it must
+    * analyze through the index's persisted chain (OpenIndex.analyzer). */
+  private def stemDocIndex(s: SparkSession, dir: String): IndexStore.OpenIndex = synchronized {
+    stemIdxCache.getOrElseUpdate((s, dir), {
+      val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val idxDir = s"target/stemidx/$safe-${java.lang.System.identityHashCode(s)}"
+      graft.util.Fs.rmTree(idxDir)
+      val corpus = rd(s, dir, "documents")
+        .select(col("doc_id").as("docId"), col("text").as("content"))
+      IndexStore.build(s, corpus, idxDir, numSegments = 1,
+        shufflePartitions = s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        analyzer = graft.analysis.AnalyzerChain.english(Stopwords.toSet))
+      IndexStore.OpenIndex(s, idxDir)
+    })
+  }
+
   private val fidxCache = scala.collection.mutable.Map[(SparkSession, String), Map[String, IndexStore.OpenIndex]]()
 
   /** Per-field indexes (text + lang) over the documents table. */
@@ -370,6 +389,29 @@ object SparkEntry {
     "ft_engine_sortfield" -> ((s, d) => docIndex(s, d)
       .topKByField(Seq("spark"), Seq(("lang", true)), 100)
       .select(col("docId").as("doc_id"), col("lang"))),
+
+    // stemmed-index engine query (configured analysis chain: stop + Porter
+    // stem): the query text analyzes through the index's OWN persisted
+    // chain ("tables" -> "tabl"); per-doc tf of the stem is integer-exact
+    // through the codec path, so the chain's full effect on postings is
+    // oracle-checkable
+    "ft_stemmed_tf" -> ((s, d) => {
+      import s.implicits._
+      val idx = stemDocIndex(s, d)
+      val stem = idx.analyzeQuery("tables").head
+      idx.blocks.filter(col("term") === stem)
+        .mapPartitions { it =>
+          it.flatMap { b =>
+            val (docs, tfs) = PostingsCodec.decodeBlock(b.minDoc, b.n, b.wDocs, b.wFreqs, b.docGaps, b.freqs)
+            (0 until b.n).iterator.map(i => (docs(i), tfs(i)))
+          }
+        }.toDF("doc_id", "tf")
+    }),
+
+    // stop-filter norm semantics: doc length counts SURVIVING tokens only
+    // (stopped tokens excluded from dl, Lucene FieldInvertState.length)
+    "ft_stemmed_dl" -> ((s, d) => stemDocIndex(s, d).docstats
+      .select(col("docId").as("doc_id"), col("dl"))),
 
     // dictionary prefix suggester weighted by df (lucene/suggest
     // AnalyzingSuggester capability)
@@ -880,6 +922,13 @@ object SparkEntry {
       "ft_engine_tf" ->
         s"""SELECT doc_id, CAST(count(*) AS INT) AS tf FROM ($tok)
            | WHERE tok = 'spark' GROUP BY doc_id""".stripMargin,
+      "ft_stemmed_tf" ->
+        s"""WITH toks AS (SELECT doc_id, $stemmedTokensSql AS ts FROM documents)
+           | SELECT doc_id, CAST(len(list_filter(ts, t -> t = 'tabl')) AS INT) AS tf
+           | FROM toks WHERE len(list_filter(ts, t -> t = 'tabl')) > 0""".stripMargin,
+      "ft_stemmed_dl" ->
+        s"""SELECT doc_id, CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+           |   t -> t NOT IN ($stopInList))) AS INT) AS dl FROM documents""".stripMargin,
       "ft_engine_and" ->
         s"""WITH tf AS (SELECT doc_id, tok FROM ($tok) WHERE tok IN ('spark','query') GROUP BY doc_id, tok)
            | SELECT doc_id FROM tf GROUP BY doc_id HAVING count(*) = 2""".stripMargin,
@@ -1103,6 +1152,25 @@ object SparkEntry {
        | WHERE lat BETWEEN $latLo AND $latHi
        |  AND $lonPred
        | GROUP BY event_type""".stripMargin
+  }
+
+  /** The documents table's FIXED generator vocabulary (31 words — verified
+    * against all scale factors). The stemmed-index oracle maps each surface
+    * form to its Porter stem with a CASE generated by the SAME stemmer the
+    * index build uses, making the chain's effect DuckDB-expressible. */
+  private val DocVocab = Seq("a", "agg", "batch", "big", "column", "customer",
+    "data", "dup", "fast", "filter", "group", "hash", "join", "key", "line",
+    "merge", "order", "part", "query", "row", "scan", "slow", "small",
+    "sort", "spark", "stream", "table", "the", "value", "vector", "window")
+
+  private def stopInList: String = Stopwords.map(w => s"'$w'").mkString(",")
+
+  /** DuckDB expression: stop-filtered then vocab-stemmed token list. */
+  private def stemmedTokensSql: String = {
+    val cases = DocVocab.filter(w => graft.analysis.Porter.stem(w) != w)
+      .map(w => s"WHEN '$w' THEN '${graft.analysis.Porter.stem(w)}'").mkString(" ")
+    s"""list_transform(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |   t -> t NOT IN ($stopInList)), t -> CASE t $cases ELSE t END)""".stripMargin
   }
 
   /** Shared BM25 oracle template (double arithmetic, round 5). */

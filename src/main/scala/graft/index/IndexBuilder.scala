@@ -55,14 +55,17 @@ final case class DocInverted(docId: Long, dl: Int, normByte: Byte, sha: String,
 
 object IndexBuilder {
 
-  /** The single analysis pass: tokenize + per-doc aggregate + sha256. */
+  /** The single analysis pass: tokenize + per-doc aggregate + sha256.
+    * `analyzer` is the configured chain (stop/stem/synonym filters);
+    * the default is bit-compatible with the bare [[Analyzer]]. */
   def invertDocs(spark: SparkSession, corpus: DataFrame,
-                 idCol: String = "docId", contentCol: String = "content"): Dataset[DocInverted] = {
+                 idCol: String = "docId", contentCol: String = "content",
+                 analyzer: graft.analysis.AnalyzerChain = graft.analysis.AnalyzerChain.standard): Dataset[DocInverted] = {
     import spark.implicits._
     corpus.select(col(idCol).cast("long"), col(contentCol).cast("string"))
       .as[(Long, String)]
       .map { case (docId, content) =>
-        val (tfs, dl) = Analyzer.termFreqs(content)
+        val (tfs, dl) = analyzer.termFreqs(content)
         val terms = new Array[String](tfs.size)
         val freqs = new Array[Int](tfs.size)
         var i = 0
@@ -94,13 +97,14 @@ object IndexBuilder {
     * positions are aggregated per doc inside flatMap, so no extra shuffle
     * beyond the term repartition a caller may add. */
   def invertPositions(spark: SparkSession, corpus: DataFrame,
-                      idCol: String = "docId", contentCol: String = "content"): DataFrame = {
+                      idCol: String = "docId", contentCol: String = "content",
+                      analyzer: graft.analysis.AnalyzerChain = graft.analysis.AnalyzerChain.standard): DataFrame = {
     import spark.implicits._
     corpus.select(col(idCol).cast("long"), col(contentCol).cast("string"))
       .as[(Long, String)]
       .flatMap { case (docId, content) =>
         val m = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
-        Analyzer.analyze(content).foreach(t => m.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer[Int]()) += t.pos)
+        analyzer.analyze(content).foreach(t => m.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer[Int]()) += t.pos)
         m.iterator.map { case (t, ps) => (docId, t, ps.toArray) }
       }
       .toDF(idCol, "term", "poss")

@@ -82,7 +82,8 @@ object IndexStore {
   def build(spark: SparkSession, corpusWithIds: DataFrame, dir: String,
             numSegments: Int, shufflePartitions: Int, source: String = "corpus",
             withPositions: Boolean = false, segmentConcurrency: Int = 1,
-            docValueCols: Seq[String] = Nil): Unit = {
+            docValueCols: Seq[String] = Nil,
+            analyzer: graft.analysis.AnalyzerChain = graft.analysis.AnalyzerChain.standard): Unit = {
     import spark.implicits._
     val chk = corpusWithIds.agg(max("docId"), count("*"), countDistinct("docId"), min("docId")).head()
     require(!chk.isNullAt(0), "cannot build an index over an empty corpus")
@@ -103,7 +104,7 @@ object IndexStore {
         // ONE analysis pass per segment: postings and doc stats both derive
         // from the cached inverted form (content already dropped — the
         // persisted intermediate is term/tf arrays, far smaller than input)
-        val inv = IndexBuilder.invertDocs(spark, slice)
+        val inv = IndexBuilder.invertDocs(spark, slice, analyzer = analyzer)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ds = IndexBuilder.statsOf(inv)
         val blocks = IndexBuilder.packBlocks(spark, IndexBuilder.postingsOf(inv), shufflePartitions)
@@ -113,7 +114,7 @@ object IndexStore {
         // optional .pos analogue (phrase queries): (docId, term, poss ASC),
         // term-bucketed so phrase term lookups prune files
         if (withPositions)
-          IndexBuilder.invertPositions(spark, slice)
+          IndexBuilder.invertPositions(spark, slice, analyzer = analyzer)
             .repartitionByRange(shufflePartitions, $"term")
             .sortWithinPartitions($"term", $"docId")
             .write.mode("overwrite").parquet(s"$segDir/positions")
@@ -146,6 +147,10 @@ object IndexStore {
     try futures.foreach(f => scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
     finally pool.shutdown()
     finalizeStats(spark, dir)
+    // self-describing index: queries MUST analyze through the same chain
+    // (Solr schema analogue); OpenIndex.analyzer reads this back
+    Files.writeString(Paths.get(s"$dir/stats/analyzer.json"),
+      graft.analysis.AnalyzerChain.toJson(analyzer))
   }
 
   /**
@@ -305,6 +310,11 @@ object IndexStore {
       f"${m.getLong(2)}%016x", s"compact($dir)", spark.sparkContext.applicationId,
       (System.nanoTime() - t0) / 1000000))
     finalizeStats(spark, outDir)
+    // the merged index keeps the source's analysis chain
+    val aj = Paths.get(s"$dir/stats/analyzer.json")
+    if (Files.exists(aj))
+      Files.copy(aj, Paths.get(s"$outDir/stats/analyzer.json"),
+        StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Aggregate global stats over all committed segments (Lucene's
@@ -359,8 +369,11 @@ object IndexStore {
       require(d.nonEmpty, s"no committed segments under $dir")
       d
     }
-    lazy val blocks: Dataset[BlockRow] =
+    private lazy val rawBlocks: Dataset[BlockRow] =
       spark.read.parquet(segDirs.map(_ + "/postings"): _*).as[BlockRow]
+    /** The postings all queries read: the warmed (persisted, optionally
+      * coalesced) copy once [[warm]] ran, the plain parquet scan before. */
+    def blocks: Dataset[BlockRow] = warmed.getOrElse(rawBlocks)
     lazy val docstats: DataFrame = spark.read.parquet(segDirs.map(_ + "/docstats"): _*)
     lazy val termstats: DataFrame = spark.read.parquet(s"$dir/stats/termstats")
     lazy val stats: CorpusStats = {
@@ -369,6 +382,18 @@ object IndexStore {
       val st = """"sumTotalTermFreq":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
       CorpusStats(dc, st)
     }
+    /** The analysis chain the index was built with (stats/analyzer.json;
+      * standard for pre-chain indexes). Query text must go through THIS
+      * chain — e.g. a stemmed index matches query "running" via its stem. */
+    lazy val analyzer: graft.analysis.AnalyzerChain = {
+      val p = Paths.get(s"$dir/stats/analyzer.json")
+      if (Files.exists(p)) graft.analysis.AnalyzerChain.fromJson(Files.readString(p))
+      else graft.analysis.AnalyzerChain.standard
+    }
+
+    /** Analyze query text with the index's own chain (terms only). */
+    def analyzeQuery(text: String): Seq[String] = analyzer.terms(text)
+
     /** liveDocs tombstones (None when the index has no deletes). */
     lazy val deletes: Option[DataFrame] =
       if (Files.exists(Paths.get(s"$dir/deletes")))
@@ -382,11 +407,19 @@ object IndexStore {
 
     /** Pin the postings in executor memory (spill to disk) — the Lucene
       * page-cache analogue for query-heavy sessions. Lazy: materialized by
-      * the first query. */
-    def warm(): this.type = {
-      blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      * the first query.
+      *
+      * `numPartitions` > 0 coalesces the cached postings: a small top-k
+      * query launches one task per cached partition, so a file-count-sized
+      * layout (e.g. 64 build shuffle files) pays 64 task launches per query
+      * — pure scheduler overhead for queries that read a handful of blocks.
+      * Query-heavy sessions should size this near the executor-core count. */
+    def warm(numPartitions: Int = 0): this.type = {
+      val ds = if (numPartitions > 0) rawBlocks.coalesce(numPartitions) else rawBlocks
+      warmed = Some(ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       this
     }
+    private var warmed: Option[Dataset[BlockRow]] = None
 
     def topK(terms: Seq[String], k: Int, mode: QueryEngine.Mode = QueryEngine.Or,
              mustNot: Seq[String] = Nil, prune: Boolean = false,
