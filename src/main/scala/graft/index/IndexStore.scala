@@ -28,6 +28,28 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
  */
 object IndexStore {
 
+  /** Max term length participating in the deletion-neighborhood spell
+    * sidecar, and the edit budget its keys cover (C(12,2)+12+1 = 79 keys
+    * per term worst-case — bounded). */
+  val ShortLen = 12
+  val SidecarEdits = 2
+
+  /** Every variant of `s` with up to `maxDeletes` characters removed
+    * (including `s` itself). */
+  def deleteVariants(s: String, maxDeletes: Int): Set[String] = {
+    var frontier = Set(s)
+    var all = Set(s)
+    var d = 0
+    while (d < maxDeletes) {
+      frontier = frontier.flatMap(v =>
+        if (v.isEmpty) Set.empty[String]
+        else v.indices.map(i => v.substring(0, i) + v.substring(i + 1)).toSet)
+      all ++= frontier
+      d += 1
+    }
+    all
+  }
+
   final case class Manifest(segId: Int, docLo: Long, docHi: Long, docCount: Long,
                             sumDl: Long, blockCount: Long, shaXor: String,
                             source: String, appId: String, wallMs: Long)
@@ -542,12 +564,96 @@ object IndexStore {
         .orderBy(desc("df"), asc("term")).limit(k)
         .select(col("term"), col("df"))
 
+    /** Character-bigram spell dictionary: (gram, term, df, len), one row
+      * per DISTINCT bigram of each dictionary term. The Spark analogue of
+      * intersecting a Levenshtein automaton with the term dictionary
+      * (reference search/FuzzyTermsEnum.java + the n-gram SpellChecker in
+      * lucene/suggest): fuzzy expansion probes only the query's own grams
+      * instead of scanning the full vocabulary. Built once per index,
+      * persisted (at 100 TB this is a written gram-bucketed sidecar table,
+      * like the ANN sign index). */
+    lazy val spellGrams: DataFrame = {
+      import spark.implicits._
+      termstats.select(col("term"), col("df"))
+        .as[(String, Long)]
+        .flatMap { case (t, df) =>
+          val grams = (0 until t.length - 1).map(i => t.substring(i, i + 2)).distinct
+          grams.iterator.map(g => (g, t, df, t.length))
+        }
+        .toDF("gram", "term", "df", "len")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+    /** Deletion-neighborhood sidecar for SHORT terms (the SymSpell
+      * construction): (key, term, df) where key ranges over every variant
+      * of the term with up to [[IndexStore.SidecarEdits]] characters
+      * deleted. If editDistance(w, t) <= e then deleting the edited
+      * positions from each side yields a COMMON variant, so probing the
+      * word's own deletion variants finds every true neighbor. Only terms
+      * <= [[IndexStore.ShortLen]] chars participate (short words are
+      * exactly where bigram counting loses its threshold; long terms keep
+      * the gram path). */
+    lazy val spellDeletes: DataFrame = {
+      import spark.implicits._
+      termstats.select(col("term"), col("df"))
+        .as[(String, Long)]
+        .flatMap { case (t, df) =>
+          if (t.length > IndexStore.ShortLen) Iterator.empty
+          else IndexStore.deleteVariants(t, IndexStore.SidecarEdits).iterator.map(k => (k, t, df))
+        }
+        .toDF("key", "term", "df")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+    /** Dictionary terms that can possibly be within `maxEdits` of `word`
+      * — (term, df), a conservative SUPERSET of the true neighborhood.
+      * Three tiers, most-pruned first:
+      *  1. bigram counting (long enough words): one edit destroys at most
+      *     2 bigram occurrences, so a true neighbor retains >=
+      *     |distinctGrams(word)| - 2*maxEdits distinct grams of the word
+      *     and its length differs by <= maxEdits;
+      *  2. deletion-neighborhood probe (short words) via [[spellDeletes]];
+      *  3. length-pruned scan (rare: long words with degenerate gram sets,
+      *     e.g. "aaaaaaaaaaaa" — correct, just wider).
+      * Callers apply exact levenshtein on the candidate set. */
+    def fuzzyCandidates(word: String, maxEdits: Int): DataFrame = {
+      val grams = (0 until word.length - 1).map(i => word.substring(i, i + 2)).distinct
+      val threshold = grams.size - 2 * maxEdits
+      val lenOk = abs(length(col("term")) - word.length) <= maxEdits
+      if (threshold >= 1)
+        spellGrams
+          .filter(col("gram").isin(grams: _*) && abs(col("len") - word.length) <= maxEdits)
+          .groupBy("term", "df").agg(count("*").as("__ng"))
+          .filter(col("__ng") >= threshold)
+          .select("term", "df")
+      else if (word.length + maxEdits <= IndexStore.ShortLen && maxEdits <= IndexStore.SidecarEdits) {
+        val keys = IndexStore.deleteVariants(word, maxEdits)
+        spellDeletes.filter(col("key").isin(keys.toSeq: _*))
+          .select("term", "df").distinct()
+      } else
+        termstats.filter(lenOk).select("term", "df")
+    }
+
+    /** Fuzzy term expansion (FuzzyQuery rewrite): dictionary terms within
+      * `maxEdits`, highest-df first, capped at MaxClauseCount — via the
+      * gram-pruned candidate set, NOT a full-vocabulary levenshtein scan. */
+    def fuzzyExpand(word: String, maxEdits: Int): Seq[String] = {
+      import spark.implicits._
+      fuzzyCandidates(word, maxEdits)
+        .filter(levenshtein(col("term"), lit(word)) <= maxEdits)
+        .orderBy(desc("df"), asc("term")).limit(QueryEngine.MaxClauseCount)
+        .select("term").as[String].collect().toSeq
+    }
+
     /** Spell correction (reference lucene/suggest DirectSpellChecker
       * capability): dictionary terms within `maxEdits` of the input,
-      * ranked (edit distance ASC, df DESC, term ASC). */
+      * ranked (edit distance ASC, df DESC, term ASC). Candidates come from
+      * the gram-pruned [[fuzzyCandidates]]; exact levenshtein runs only on
+      * that small set. */
     def spellCorrect(word: String, maxEdits: Int, k: Int): DataFrame = {
       val dist = levenshtein(col("term"), lit(word))
-      termstats.filter(dist <= maxEdits && col("term") =!= word)
+      fuzzyCandidates(word, maxEdits)
+        .filter(dist <= maxEdits && col("term") =!= word)
         .withColumn("dist", dist.cast("int"))
         .orderBy(asc("dist"), desc("df"), asc("term")).limit(k)
         .select(col("term"), col("dist"), col("df"))

@@ -76,7 +76,11 @@ object Searcher {
     case WildcardQ(glob) =>
       constScore(idx, col("term").rlike(TextOps.wildcardToRegex(glob)))
     case FuzzyQ(t, maxEdits) =>
-      constScore(idx, levenshtein(col("term"), lit(t)) <= maxEdits)
+      // gram-pruned expansion (FuzzyTermsEnum analogue): the dictionary
+      // probe touches only the word's bigram buckets, never the full vocab
+      val expanded = idx.fuzzyExpand(t, maxEdits)
+      if (expanded.isEmpty) emptyScored(idx.spark)
+      else constScore(idx, col("term").isin(expanded: _*))
     case RangeQ(lo, hi, inclusive) =>
       constScore(idx, if (inclusive) col("term") >= lo && col("term") <= hi
                       else col("term") > lo && col("term") < hi)

@@ -1,0 +1,78 @@
+package graft.index
+
+import graft.SparkSpec
+import graft.corpus.CorpusGen
+import org.apache.spark.sql.functions._
+
+/** Gram-pruned fuzzy/spell: result identity vs the full-vocabulary
+  * levenshtein scan, plus the pruning claim itself (candidate set is a
+  * small fraction of the dictionary). */
+class FuzzySpellSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val idx: IndexStore.OpenIndex = {
+    val dir = "target/test-fuzzyspell-idx"
+    graft.util.Fs.rmTree(dir)
+    IndexStore.build(spark, CorpusGen.corpusWithIds(spark, 800, 4), dir,
+      numSegments = 1, shufflePartitions = 8)
+    IndexStore.OpenIndex(spark, dir)
+  }
+
+  private def fullScanNeighborhood(word: String, maxEdits: Int): Set[String] =
+    idx.termstats.filter(levenshtein(col("term"), lit(word)) <= maxEdits)
+      .select("term").as[String].collect().toSet
+
+  test("fuzzyCandidates is a superset of the true neighborhood and << vocab") {
+    val vocab = idx.termstats.count()
+    assert(vocab > 10000, s"need a real vocabulary, got $vocab")
+    for ((w, e) <- Seq(("pubic", 1), ("pubic", 2), ("handler", 1), ("mergepolicy", 2))) {
+      val cand = idx.fuzzyCandidates(w, e).select("term").as[String].collect().toSet
+      val truth = fullScanNeighborhood(w, e)
+      assert(truth.subsetOf(cand), s"pruned a true neighbor of $w~$e: ${truth -- cand}")
+      assert(cand.size < vocab / 10,
+        s"candidates for $w~$e not pruned: ${cand.size} of $vocab dictionary terms")
+    }
+  }
+
+  test("spellCorrect over pruned candidates == full-scan ranking") {
+    for ((w, e) <- Seq(("pubic", 1), ("pubic", 2), ("improt", 2))) {
+      val got = idx.spellCorrect(w, e, 10)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+      val dist = levenshtein(col("term"), lit(w))
+      val want = idx.termstats.filter(dist <= e && col("term") =!= w)
+        .withColumn("dist", dist.cast("int"))
+        .orderBy(asc("dist"), desc("df"), asc("term")).limit(10)
+        .select(col("term"), col("dist"), col("df"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(got === want, s"$w~$e")
+    }
+  }
+
+  test("fuzzyExpand == full-scan expansion, df-ranked") {
+    val got = idx.fuzzyExpand("pubic", 2)
+    val want = idx.termstats.filter(levenshtein(col("term"), lit("pubic")) <= 2)
+      .orderBy(desc("df"), asc("term")).limit(graft.query.QueryEngine.MaxClauseCount)
+      .select("term").as[String].collect().toSeq
+    assert(got === want)
+    assert(got.contains("public"))
+  }
+
+  test("short words fall back to length-pruned scan, still correct") {
+    // "at"~2: gram threshold is negative, must not miss 1-4 char terms
+    val cand = idx.fuzzyCandidates("at", 2).select("term").as[String].collect().toSet
+    val truth = fullScanNeighborhood("at", 2)
+    assert(truth.subsetOf(cand))
+  }
+
+  test("searcher fuzzy leaf matches the same docs as before") {
+    // doc set of pubic~1 == doc set of the terms within distance 1
+    val viaSearch = idx.search("pubic~1", 1000000)
+      .select("docId").as[Long].collect().toSet
+    val terms = fullScanNeighborhood("pubic", 1).toSeq
+    val viaTerms = graft.query.QueryEngine.multiTermDocs(
+        spark, idx.blocks, idx.termstats, col("term").isin(terms: _*))
+      .as[Long].collect().toSet
+    assert(viaSearch === viaTerms)
+    assert(viaSearch.nonEmpty)
+  }
+}
