@@ -42,7 +42,7 @@ object SparkEntry {
         .select(col("doc_id").as("docId"), col("text").as("content"), col("lang"))
       IndexStore.build(s, corpus, idxDir, numSegments = 2,
         shufflePartitions = s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-        withPositions = true, docValueCols = Seq("lang"))
+        withPositions = true, docValueCols = Seq("lang"), withOffsets = true)
       IndexStore.OpenIndex(s, idxDir)
     })
   }
@@ -389,6 +389,15 @@ object SparkEntry {
     "ft_engine_sortfield" -> ((s, d) => docIndex(s, d)
       .topKByField(Seq("spark"), Seq(("lang", true)), 100)
       .select(col("docId").as("doc_id"), col("lang"))),
+
+    // passage-ranked highlighting over the offsets tier (UnifiedHighlighter
+    // semantics: best-N passages per doc, not the first match) — rank key
+    // (match count DESC, passage ASC) and char offsets are integer-exact
+    "ft_highlight_passages" -> ((s, d) => docIndex(s, d)
+      .highlightPassages(Seq("spark", "query"), window = 16, topPassages = 2)
+      .select(col("docId").as("doc_id"), col("passage"),
+        col("n_matches").cast("int").as("n_matches"),
+        col("char_start"), col("char_end"))),
 
     // stemmed-index engine query (configured analysis chain: stop + Porter
     // stem): the query text analyzes through the index's OWN persisted
@@ -922,6 +931,25 @@ object SparkEntry {
       "ft_engine_tf" ->
         s"""SELECT doc_id, CAST(count(*) AS INT) AS tf FROM ($tok)
            | WHERE tok = 'spark' GROUP BY doc_id""".stripMargin,
+      // char offsets reconstructed from the token list: the synthetic
+      // documents text IS single-space-joined lowercase tokens (asserted
+      // against all docs at sf0.01), so start(tok k) = len(join(ts[0..k))) + 1
+      "ft_highlight_passages" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(ts) AS tok,
+           |    unnest(range(len(ts))) AS pos,
+           |    unnest(list_transform(range(1, len(ts)+1), i ->
+           |      CASE WHEN i = 1 THEN 0
+           |           ELSE length(array_to_string(list_slice(ts, 1, i-1), ' ')) + 1 END)) AS cstart
+           |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents)),
+           | m AS (SELECT doc_id, CAST(pos // 16 AS INT) AS passage,
+           |   CAST(cstart AS INT) AS s, CAST(cstart + length(tok) AS INT) AS e
+           |  FROM toks WHERE tok IN ('spark','query')),
+           | g AS (SELECT doc_id, passage, CAST(count(*) AS INT) AS n_matches,
+           |   min(s) AS char_start, max(e) AS char_end FROM m GROUP BY doc_id, passage),
+           | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |   ORDER BY n_matches DESC, passage ASC) AS rk FROM g)
+           | SELECT doc_id, passage, n_matches, char_start, char_end FROM r WHERE rk <= 2""".stripMargin,
       "ft_stemmed_tf" ->
         s"""WITH toks AS (SELECT doc_id, $stemmedTokensSql AS ts FROM documents)
            | SELECT doc_id, CAST(len(list_filter(ts, t -> t = 'tabl')) AS INT) AS tf

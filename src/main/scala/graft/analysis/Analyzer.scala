@@ -5,6 +5,10 @@ import scala.collection.mutable.ArrayBuffer
 /** A token with its position (position = index in the token stream). */
 final case class Token(term: String, pos: Int)
 
+/** A token with position AND character offsets into the ORIGINAL text
+  * (Lucene OffsetAttribute: startOffset inclusive, endOffset exclusive). */
+final case class OffsetToken(term: String, pos: Int, start: Int, end: Int)
+
 /**
  * StandardAnalyzer-equivalent analysis chain: UAX#29-style word
  * segmentation + full-Unicode lowercasing + empty stop set, with the
@@ -87,6 +91,55 @@ object Analyzer extends Serializable {
       while (e > 0 && { val c = t.term.charAt(e - 1); c == '_' || c == '.' || c == ':' || c == '\'' || c == ',' }) e -= 1
       if (e == t.term.length) t else t.copy(term = t.term.substring(0, e))
     }.filter(_.term.nonEmpty).toSeq
+  }
+
+  /** Segment + lowercase with character offsets into the original text
+    * (the .pay/offsets tier's analysis pass — reference OffsetAttribute /
+    * Lucene50PostingsFormat offsets). Terms/positions identical to
+    * [[analyze]] (property-tested); offsets index the ORIGINAL string,
+    * trailing stripped joiners excluded from `end`. */
+  def analyzeWithOffsets(text: String): Seq[OffsetToken] = {
+    val out = new ArrayBuffer[OffsetToken]()
+    val n = text.length
+    var i = 0
+    var pos = 0
+    var tokStart = -1
+    val sb = new java.lang.StringBuilder(32)
+    def flush(): Unit = {
+      var s = 0
+      val len = sb.length
+      while (s < len) {
+        val end = math.min(s + MaxTokenLength, len)
+        var e = end
+        while (e > s && { val c = sb.charAt(e - 1); c == '_' || c == '.' || c == ':' || c == '\'' || c == ',' }) e -= 1
+        if (e > s)
+          out += OffsetToken(lowercase(sb.substring(s, e)), pos, tokStart + s, tokStart + e)
+        // every chunk advances the position counter, even one emptied by
+        // the joiner strip — segment() assigns positions BEFORE its strip
+        // filter, leaving a hole (mirrored here for stream identity)
+        pos += 1
+        s = end
+      }
+      sb.setLength(0)
+      tokStart = -1
+    }
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (isWordChar(cp) || (isExtend(cp) && sb.length > 0)) {
+        if (sb.length == 0) tokStart = i
+        sb.appendCodePoint(cp)
+        i += w
+      } else if (sb.length > 0 && i + w < n && joins(cp, sb.codePointBefore(sb.length), text.codePointAt(i + w))) {
+        sb.appendCodePoint(cp)
+        i += w
+      } else {
+        if (sb.length > 0) flush()
+        i += w
+      }
+    }
+    if (sb.length > 0) flush()
+    out.toSeq
   }
 
   /** Full-Unicode lowercase, per code point (Character.toLowerCase semantics). */

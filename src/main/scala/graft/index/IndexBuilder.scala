@@ -110,6 +110,30 @@ object IndexBuilder {
       .toDF(idCol, "term", "poss")
   }
 
+  /** Offsets tier for highlighting: (docId, term, poss, starts, ends) —
+    * parallel arrays per (doc, term), ascending by position. The Spark
+    * shape of the reference's offsets-in-postings option
+    * (codecs/lucene50/Lucene50PostingsFormat.java:44-94 — the .pay file
+    * stores offsets; IndexOptions DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS).
+    * Standard-chain analysis (offsets index the original text). */
+  def invertOffsets(spark: SparkSession, corpus: DataFrame,
+                    idCol: String = "docId", contentCol: String = "content"): DataFrame = {
+    import spark.implicits._
+    corpus.select(col(idCol).cast("long"), col(contentCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (docId, content) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String,
+          (scala.collection.mutable.ArrayBuffer[Int], scala.collection.mutable.ArrayBuffer[Int], scala.collection.mutable.ArrayBuffer[Int])]
+        Analyzer.analyzeWithOffsets(content).foreach { t =>
+          val (ps, ss, es) = m.getOrElseUpdate(t.term,
+            (scala.collection.mutable.ArrayBuffer[Int](), scala.collection.mutable.ArrayBuffer[Int](), scala.collection.mutable.ArrayBuffer[Int]()))
+          ps += t.pos; ss += t.start; es += t.end
+        }
+        m.iterator.map { case (t, (ps, ss, es)) => (docId, t, ps.toArray, ss.toArray, es.toArray) }
+      }
+      .toDF(idCol, "term", "poss", "starts", "ends")
+  }
+
   /** Per-doc stats in a single narrow pass (no shuffle). */
   def docStats(spark: SparkSession, corpus: DataFrame,
                idCol: String = "docId", contentCol: String = "content"): Dataset[DocStat] =

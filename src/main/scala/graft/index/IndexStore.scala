@@ -105,7 +105,8 @@ object IndexStore {
             numSegments: Int, shufflePartitions: Int, source: String = "corpus",
             withPositions: Boolean = false, segmentConcurrency: Int = 1,
             docValueCols: Seq[String] = Nil,
-            analyzer: graft.analysis.AnalyzerChain = graft.analysis.AnalyzerChain.standard): Unit = {
+            analyzer: graft.analysis.AnalyzerChain = graft.analysis.AnalyzerChain.standard,
+            withOffsets: Boolean = false): Unit = {
     import spark.implicits._
     val chk = corpusWithIds.agg(max("docId"), count("*"), countDistinct("docId"), min("docId")).head()
     require(!chk.isNullAt(0), "cannot build an index over an empty corpus")
@@ -140,6 +141,13 @@ object IndexStore {
             .repartitionByRange(shufflePartitions, $"term")
             .sortWithinPartitions($"term", $"docId")
             .write.mode("overwrite").parquet(s"$segDir/positions")
+        // offsets tier (.pay analogue): positions + char offsets for
+        // passage highlighting, term-bucketed like the positions tier
+        if (withOffsets)
+          IndexBuilder.invertOffsets(spark, slice)
+            .repartitionByRange(shufflePartitions, $"term")
+            .sortWithinPartitions($"term", $"docId")
+            .write.mode("overwrite").parquet(s"$segDir/offsets")
         // doc-values tier (Lucene80DocValuesFormat analogue, SURVEY §1.1):
         // columnar per-doc fields for sort/group — docId-clustered parquet
         // so field-sorted queries read only these narrow columns
@@ -554,6 +562,79 @@ object IndexStore {
       val hits = topK(chosen, k + 1)
       (if (excludeDocId < 0) hits else hits.filter(col("docId") =!= excludeDocId))
         .orderBy(desc("score"), asc("docId")).limit(k)
+    }
+
+    /** Offsets tier (.pay analogue): (docId, term, poss, starts, ends) —
+      * only from segments that have it (mixed-index robustness, same rule
+      * as the positions tier). */
+    lazy val offsets: DataFrame = {
+      val dirs = segDirs.map(_ + "/offsets").filter(p => Files.exists(Paths.get(p)))
+      require(dirs.nonEmpty, s"index at $dir has no offsets tier (build with withOffsets=true)")
+      spark.read.parquet(dirs: _*)
+    }
+
+    /**
+     * Passage-ranked highlighting over the offsets tier (reference
+     * lucene/highlighter UnifiedHighlighter.java semantics: score passages,
+     * return the best N per doc — not the first match). Passages are fixed
+     * non-overlapping token windows of `window` positions; a passage's
+     * rank key is (match count DESC, passage ASC) — integer-exact, so the
+     * whole result is oracle-checkable. Returns one row per kept passage:
+     * (docId, passage, n_matches, char_start, char_end) where the char
+     * bounds span the MATCHED occurrences (offsets into the original
+     * text — the caller slices its stored text to render the fragment).
+     * Only the query terms' offset rows are read (term-pruned scan).
+     */
+    def highlightPassages(terms: Seq[String], window: Int, topPassages: Int,
+                          docIds: Option[Seq[Long]] = None): DataFrame = {
+      require(window > 0 && topPassages > 0)
+      val base = offsets.filter(col("term").isin(terms.distinct: _*))
+      val scoped = docIds.fold(base)(ids => base.filter(col("docId").isin(ids: _*)))
+      val occ = scoped
+        .select(col("docId"), explode(arrays_zip(col("poss"), col("starts"), col("ends"))).as("o"))
+        .select(col("docId"), (col("o.poss") / window).cast("int").as("passage"),
+          col("o.starts").as("s"), col("o.ends").as("e"))
+      val perPassage = occ.groupBy("docId", "passage")
+        .agg(count("*").as("n_matches"), min("s").as("char_start"), max("e").as("char_end"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("docId").orderBy(desc("n_matches"), asc("passage"))
+      perPassage.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= topPassages).drop("__rk")
+    }
+
+    /**
+     * BM25-weighted passage ranking (UnifiedHighlighter's PassageScorer
+     * shape): each occurrence of term t contributes idf(t); passages rank
+     * by (summed weight DESC, passage ASC). Float-ranked — covered by the
+     * HighlightSpec parity test rather than a SQL oracle. Returns
+     * (docId, passage, score, char_start, char_end).
+     */
+    def highlightPassagesWeighted(terms: Seq[String], window: Int, topPassages: Int,
+                                  docIds: Option[Seq[Long]] = None): DataFrame = {
+      require(window > 0 && topPassages > 0)
+      val qs = terms.distinct
+      val dfs = QueryEngine.lookupDfs(termstats, qs, Some(dfCache))
+      val weights = qs.collect { case t if dfs.contains(t) =>
+        t -> graft.query.BM25.idf(dfs(t), stats.docCount)
+      }.toMap
+      if (weights.isEmpty)
+        return spark.range(0).select(col("id").as("docId"), lit(0).as("passage"),
+          lit(0d).as("score"), lit(0).as("char_start"), lit(0).as("char_end"))
+      val wCol = weights.foldLeft(lit(0d)) { case (acc, (t, wt)) =>
+        when(col("term") === t, lit(wt)).otherwise(acc)
+      }
+      val base = offsets.filter(col("term").isin(weights.keys.toSeq: _*))
+      val scoped = docIds.fold(base)(ids => base.filter(col("docId").isin(ids: _*)))
+      val occ = scoped
+        .select(col("docId"), col("term"), explode(arrays_zip(col("poss"), col("starts"), col("ends"))).as("o"))
+        .select(col("docId"), (col("o.poss") / window).cast("int").as("passage"),
+          wCol.as("w"), col("o.starts").as("s"), col("o.ends").as("e"))
+      val perPassage = occ.groupBy("docId", "passage")
+        .agg(sum("w").as("score"), min("s").as("char_start"), max("e").as("char_end"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("docId").orderBy(desc("score"), asc("passage"))
+      perPassage.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= topPassages).drop("__rk")
     }
 
     /** Prefix suggester over the term dictionary, weighted by document
