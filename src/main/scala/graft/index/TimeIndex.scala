@@ -32,7 +32,25 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
  */
 object TimeIndex {
 
+  /** Size rollover cap — the reference's DEFAULT_MAX_EVENT_COUNT_IN_BUCKET
+    * (ivrixdb/index/node/HotBucket.java:24-31): a hot hour must not produce
+    * an unbounded bucket, so a time bucket exceeding the cap splits into
+    * `<ts>.<seq>` sub-buckets of at most this many events each. */
+  val DefaultMaxEventsPerBucket: Int = 401500
+
   private def bucketDir(dir: String, bucket: String) = s"$dir/buckets/b=$bucket"
+
+  /** Time part of a (possibly rolled) bucket id: "2024-01-08T00.3" -> the
+    * hour; '.' never occurs in the yyyy-MM-dd'T'HH format. */
+  def baseId(bucket: String): String = {
+    val i = bucket.indexOf('.')
+    if (i < 0) bucket else bucket.substring(0, i)
+  }
+
+  private def seqOf(bucket: String): Long = {
+    val i = bucket.indexOf('.')
+    if (i < 0) 0L else bucket.substring(i + 1).toLong
+  }
 
   def isCommitted(dir: String, bucket: String): Boolean =
     Files.exists(Paths.get(bucketDir(dir, bucket), "MANIFEST.json"))
@@ -75,20 +93,26 @@ object TimeIndex {
    */
   def build(spark: SparkSession, events: DataFrame, dir: String,
             idCol: String = "event_id", timeCol: String = "ts", rawCol: String = "raw",
-            granularity: String = "day", shufflePartitions: Int = 8): Unit = {
+            granularity: String = "day", shufflePartitions: Int = 8,
+            maxEventsPerBucket: Int = DefaultMaxEventsPerBucket): Unit = {
     import spark.implicits._
     // events without a timestamp cannot be bucketed (IVrixDB requires
-    // `_time`); exclude them explicitly rather than corrupting a null bucket
-    val committed = buckets(dir).toSet
+    // `_time`); exclude them explicitly rather than corrupting a null bucket.
+    // A TIME bucket counts as committed only when its seq-0 (or unrolled)
+    // sub-bucket is committed — the commit loop below writes that manifest
+    // LAST within each time bucket, so a partially rolled-over time bucket
+    // is re-staged whole on resume (sub-bucket contents are deterministic).
+    val committedBases = buckets(dir)
+      .filter(b => !b.contains('.') || b.endsWith(".0")).map(baseId).toSet
     val withBucket = events
       .filter(col(timeCol).isNotNull)
       .select(
         col(idCol).cast("long").as("docId"),
         col(rawCol).cast("string").as("content"),
         date_format(date_trunc(granularity, col(timeCol)), "yyyy-MM-dd'T'HH").as("bucket"))
-      .filter(!col("bucket").isin(committed.toSeq: _*))
+      .filter(!col("bucket").isin(committedBases.toSeq: _*))
     // one analysis pass: postings AND doc stats derive from this
-    val analyzed = withBucket.as[(Long, String, String)]
+    val analyzed0 = withBucket.as[(Long, String, String)]
       .map { case (id, content, bucket) =>
         val (tfs, dl) = graft.analysis.Analyzer.termFreqs(content)
         val terms = new Array[String](tfs.size)
@@ -99,7 +123,24 @@ object TimeIndex {
           graft.util.Digest.sha256Hex(content), terms, freqs)
       }
       .toDF("bucket", "docId", "dl", "normByte", "contentSha256", "terms", "tfs")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // size rollover (HotBucket cap): a time bucket over the cap becomes
+    // `<ts>.<seq>` sub-buckets of <= cap events, sliced by docId rank —
+    // deterministic, so a resumed build re-creates identical sub-buckets.
+    // The rank window shuffles only docstats-sized rows (content dropped);
+    // the heavy (bucket NUL term, docId) pack shuffle below stays single.
+    val analyzed = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy("docId")
+      analyzed0
+        .withColumn("__seq", ((row_number().over(w) - 1) / maxEventsPerBucket).cast("long"))
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+        .withColumn("bucket",
+          when(col("__n") <= maxEventsPerBucket, col("bucket"))
+            .otherwise(concat(col("bucket"), lit("."), col("__seq"))))
+        .drop("__seq", "__n")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val all = analyzed.select("bucket").distinct().as[String].collect().sorted
     if (all.isEmpty) { analyzed.unpersist(); return }
 
@@ -131,10 +172,17 @@ object TimeIndex {
     // second generation of uniquely-named part files would sit next to the
     // orphaned first and spark.read.parquet would read both (duplicated
     // postings/doc stats). Parquet overwrite clears its target; moveDir must
-    // get the same guarantee here.
-    for (b <- all) {
+    // get the same guarantee here. Order: within a time bucket, higher-seq
+    // sub-buckets commit FIRST and seq 0 (the resume sentinel) LAST, so a
+    // crash mid-time-bucket always triggers a whole-time-bucket re-stage.
+    val ordered = all.sortBy(b => (baseId(b), -seqOf(b)))
+    for (b <- ordered) {
       val bd = Paths.get(bucketDir(dir, b))
       Files.createDirectories(bd)
+      // a re-staged sub-bucket may carry a manifest from a partial previous
+      // run: drop it BEFORE touching data, or a crash between the clears
+      // and the new manifest would leave a committed-but-empty bucket
+      Files.deleteIfExists(bd.resolve("MANIFEST.json"))
       graft.util.Fs.rmTree(bd.resolve("postings").toString)
       graft.util.Fs.rmTree(bd.resolve("docstats").toString)
       moveDir(Paths.get(s"$staging/postings/bucket=$b"), bd.resolve("postings"))
@@ -193,7 +241,9 @@ object TimeIndex {
   def topK(spark: SparkSession, dir: String, terms: Seq[String], k: Int,
            fromBucket: String = "", toBucket: String = "￿"): DataFrame = {
     import spark.implicits._
-    val sel = buckets(dir).filter(b => b >= fromBucket && b <= toBucket)
+    // range-select on the TIME part: rolled sub-buckets `<ts>.<seq>` belong
+    // to their hour/day regardless of the suffix
+    val sel = buckets(dir).filter(b => { val t = baseId(b); t >= fromBucket && t <= toBucket })
     if (sel.isEmpty)
       return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
     val (docCount, sumDl) = mergedStats(dir, sel)

@@ -282,14 +282,13 @@ object QueryEngine {
       .orderBy(desc("score"), asc("docId")).limit(k)
   }
 
-  /** OR top-k with caller-built TermInfos (pre-merged stats — used by the
-    * time-bucketed index, where collection stats merge across buckets). */
-  def topKWithInfos(spark: SparkSession, blocks: Dataset[BlockRow],
-                    infos: Seq[TermInfo], k: Int,
-                    excludeDocs: Option[DataFrame] = None): DataFrame = {
+  /** All matching docs scored with caller-built TermInfos: (docId, score),
+    * no order/limit — shared by [[topKWithInfos]] and the single-pass
+    * top-k+count used by search-job previews. */
+  def scoredDocsWithInfos(spark: SparkSession, blocks: Dataset[BlockRow],
+                          infos: Seq[TermInfo],
+                          excludeDocs: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    if (infos.isEmpty)
-      return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
     val grouped = scoredPostings(spark, blocks, infos, 0f)
       .groupBy("docId")
       .agg(collect_list(struct($"ti", $"score")).as("parts"))
@@ -299,7 +298,48 @@ object QueryEngine {
       case None => grouped
     }
     live.select($"docId", combinedScore)
+  }
+
+  /** OR top-k with caller-built TermInfos (pre-merged stats — used by the
+    * time-bucketed index, where collection stats merge across buckets). */
+  def topKWithInfos(spark: SparkSession, blocks: Dataset[BlockRow],
+                    infos: Seq[TermInfo], k: Int,
+                    excludeDocs: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    if (infos.isEmpty)
+      return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
+    scoredDocsWithInfos(spark, blocks, infos, excludeDocs)
       .orderBy(desc("score"), asc("docId")).limit(k)
+  }
+
+  /** Top-k AND total matching-doc count in ONE job (search-job previews
+    * need both per bucket; a separate count() job would double per-bucket
+    * work): each partition folds its scored docs into a bounded worst-out
+    * heap plus a counter, the driver merges the tiny per-partition states.
+    * Same (score DESC, docId ASC) order as [[topKWithInfos]]. */
+  def topKWithInfosAndCount(spark: SparkSession, blocks: Dataset[BlockRow],
+                            infos: Seq[TermInfo], k: Int): (Seq[(Long, Float)], Long) = {
+    import spark.implicits._
+    if (infos.isEmpty) return (Nil, 0L)
+    // worst-first ordering: lowest score, then highest docId dequeues first
+    implicit val worstFirst: Ordering[(Long, Float)] =
+      Ordering.by { case (id, s) => (-s, id) }
+    val partials = scoredDocsWithInfos(spark, blocks, infos, None)
+      .as[(Long, Float)]
+      .mapPartitions { it =>
+        var n = 0L
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Float)]
+        it.foreach { r =>
+          n += 1
+          heap.enqueue(r)
+          if (heap.size > k) heap.dequeue(): Unit
+        }
+        Iterator.single((n, heap.toArray))
+      }
+      .collect()
+    val hits = partials.iterator.flatMap(_._2)
+      .toArray.sortBy { case (id, s) => (-s, id) }.take(k).toSeq
+    (hits, partials.iterator.map(_._1).sum)
   }
 
   /** Single-term BM25 scores over all matching docs (no limit): the leaf

@@ -69,9 +69,11 @@ final class SearchJob private[streaming] (
     state.set("RUNNING")
     try {
       import spark.implicits._
-      // newest-first (IVrixDB HOT->WARM->COLD search order)
+      // newest-first (IVrixDB HOT->WARM->COLD search order); range-select
+      // on the TIME part so rolled `<ts>.<seq>` sub-buckets stay in range
       val sel = TimeIndex.buckets(dir)
-        .filter(b => b >= fromBucket && b <= toBucket).sorted.reverse
+        .filter(b => { val t = TimeIndex.baseId(b); t >= fromBucket && t <= toBucket })
+        .sorted.reverse
       snapshot.set(Preview(0, sel.size, 0L, Nil))
       if (sel.isEmpty) { state.set("DONE"); tEnd = System.nanoTime(); return }
       // merged collection stats from manifests + ONE df lookup across the
@@ -95,9 +97,11 @@ final class SearchJob private[streaming] (
       var hitCount = 0L
       for ((b, i) <- sel.zipWithIndex if !cancelled.get()) {
         val bucketBlocks = TimeIndex.readBlocks(spark, dir, Seq(b))
-        val rows = QueryEngine.topKWithInfos(spark, bucketBlocks, infos, k)
-          .collect().map(r => (r.getLong(0), r.getFloat(1)))
-        hitCount += QueryEngine.matchingDocs(spark, bucketBlocks, qs).count()
+        // ONE job per bucket: top-k and the preview's hit counter come out
+        // of the same pass (a second matchingDocs().count() job would
+        // double per-bucket work)
+        val (rows, bucketHits) = QueryEngine.topKWithInfosAndCount(spark, bucketBlocks, infos, k)
+        hitCount += bucketHits
         // buckets partition docs, so merging per-bucket top-k keeps the
         // global top-k exact (same (score DESC, docId ASC) order)
         merged = (merged ++ rows)

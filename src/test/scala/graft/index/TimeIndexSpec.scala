@@ -59,4 +59,51 @@ class TimeIndexSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(!after.contains(0L) && after.contains(4L))
   }
+
+  test("size rollover: a hot bucket splits into capped sub-buckets; results unchanged") {
+    import org.apache.spark.sql.functions._
+    // 1000 events in ONE day + 10 in another: cap 100 -> day 1 rolls into
+    // 10 sub-buckets, day 2 stays a plain bucket
+    val many = spark.range(0, 1000)
+      .select(col("id").as("event_id"), lit(ts(1)).as("ts"),
+        concat(lit("spark event num"), col("id") % 7).as("raw"))
+      .union(spark.range(1000, 1010)
+        .select(col("id").as("event_id"), lit(ts(2)).as("ts"),
+          lit("quiet spark day").as("raw")))
+    val dir = Files.createTempDirectory("graft-tidx-roll").toString
+    TimeIndex.build(spark, many, dir, shufflePartitions = 4, maxEventsPerBucket = 100)
+    val bs = TimeIndex.buckets(dir)
+    assert(bs.count(_.startsWith("2024-01-01T00.")) === 10)
+    assert(bs.contains("2024-01-02T00")) // under the cap: unrolled id
+    // every sub-bucket holds at most the cap
+    bs.filter(_.contains('.')).foreach { b =>
+      val (n, _) = TimeIndex.mergedStats(dir, Seq(b))
+      assert(n <= 100, s"$b holds $n events")
+    }
+    // scores identical to a build with no rollover (merged stats span subs)
+    val flatDir = Files.createTempDirectory("graft-tidx-flat").toString
+    TimeIndex.build(spark, many, flatDir, shufflePartitions = 4)
+    val got = TimeIndex.topK(spark, dir, Seq("spark", "num3"), 20)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val want = TimeIndex.topK(spark, flatDir, Seq("spark", "num3"), 20)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+    // range selection includes rolled sub-buckets of the requested hours
+    val day1 = TimeIndex.topK(spark, dir, Seq("spark"), 2000,
+      fromBucket = "2024-01-01T00", toBucket = "2024-01-01T23")
+      .collect().map(_.getLong(0)).toSet
+    assert(day1.size === 1000)
+    // resume skip: seq-0 manifest is the sentinel; rebuild is a no-op
+    val m0 = java.nio.file.Paths.get(s"$dir/buckets/b=2024-01-01T00.0/MANIFEST.json")
+    val mtime = Files.getLastModifiedTime(m0)
+    TimeIndex.build(spark, many, dir, shufflePartitions = 4, maxEventsPerBucket = 100)
+    assert(Files.getLastModifiedTime(m0) === mtime)
+    // a time bucket missing its seq-0 sentinel is re-staged whole
+    TimeIndex.dropBucket(dir, "2024-01-01T00.0")
+    TimeIndex.build(spark, many, dir, shufflePartitions = 4, maxEventsPerBucket = 100)
+    val again = TimeIndex.topK(spark, dir, Seq("spark", "num3"), 20)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(again === want)
+  }
 }

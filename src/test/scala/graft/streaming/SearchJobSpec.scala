@@ -38,6 +38,60 @@ class SearchJobSpec extends SparkSpec {
     assert(job.durationMs > 0)
   }
 
+  test("single-pass previews: top-k + hit count costs fewer jobs than the two-pass shape") {
+    import graft.query.{BM25, QueryEngine}
+    val dir = buildTimeIdx(1)
+    val sel = TimeIndex.buckets(dir)
+    val blocks = TimeIndex.readBlocks(spark, dir, sel).cache()
+    blocks.count()
+    val (docCount, sumDl) = TimeIndex.mergedStats(dir, sel)
+    val qs = Seq("error", "disk")
+    val dfs = blocks.filter(org.apache.spark.sql.functions.col("term").isin(qs: _*))
+      .groupBy("term").agg(org.apache.spark.sql.functions.sum("n").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val infos = qs.zipWithIndex.collect { case (t, i) if dfs.contains(t) =>
+      val sc = BM25.termScorer(1f, BM25.DefaultK1, BM25.DefaultB, dfs(t), docCount, sumDl)
+      QueryEngine.TermInfo(t, i, sc, sc.score(Int.MaxValue.toFloat, 0.toByte))
+    }
+
+    def countJobs(work: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet(): Unit
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        work
+        var last = -1
+        while (jobs.get() != last) { last = jobs.get(); Thread.sleep(200) }
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+
+    var got: (Seq[(Long, Float)], Long) = (Nil, -1L)
+    val jNew = countJobs { got = QueryEngine.topKWithInfosAndCount(spark, blocks, infos, 15) }
+    var oldHits: Seq[(Long, Float)] = Nil
+    var oldCount = -1L
+    val jOld = countJobs {
+      oldHits = QueryEngine.topKWithInfos(spark, blocks, infos, 15)
+        .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      oldCount = QueryEngine.matchingDocs(spark, blocks, qs).count()
+    }
+    // identical results, strictly fewer jobs than the two-pass shape
+    assert(got._1 === oldHits)
+    assert(got._2 === oldCount)
+    assert(got._2 === 10L) // 10 error docs per day x 1 day
+    assert(jNew < jOld, s"single pass ran $jNew jobs vs two-pass $jOld")
+    blocks.unpersist()
+
+    // end-to-end: the job surface still reports the exact hit count
+    val dir4 = buildTimeIdx(4)
+    val job = SearchJobs.submit(spark, dir4, Seq("error", "disk"), 15)
+    job.result(timeoutMs = 120000)
+    assert(job.preview.hitCount === 40L)
+  }
+
   test("previews are monotonic and early previews favor the newest buckets") {
     val dir = buildTimeIdx(6)
     val job = SearchJobs.submit(spark, dir, Seq("error"), 10)
