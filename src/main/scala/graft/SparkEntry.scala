@@ -190,6 +190,22 @@ object SparkEntry {
         children, Seq("o_orderkey"))
     }),
 
+    // block-join ScoreMode.Max (ToParentBlockJoinQuery): parent score =
+    // max matching-child score — exact doubles, no rounding needed
+    "q48_blockjoin_max" -> ((s, d) => R.parentBlockJoin(
+      rd(s, d, "orders").select("o_orderkey", "o_orderstatus"),
+      rd(s, d, "lineitem").filter(col("l_quantity") >= 45),
+      "o_orderkey", "l_orderkey", "l_extendedprice", "max")),
+
+    // block-join ScoreMode.Avg: parent score = mean matching-child score
+    // (round 5 — double partial-sum order differs across engines)
+    "q49_blockjoin_avg" -> ((s, d) => R.parentBlockJoin(
+        rd(s, d, "orders").select("o_orderkey"),
+        rd(s, d, "lineitem").filter(col("l_quantity") >= 45),
+        "o_orderkey", "l_orderkey", "l_extendedprice", "avg")
+      .select(col("o_orderkey"), round(col("score"), 5).as("score"),
+        col("n_matching_children"))),
+
     "q22_fetch" -> ((s, d) => {
       val ev = rd(s, d, "events")
       val dim = ev.groupBy("user_id").agg(count("*").as("n_events"))
@@ -754,6 +770,18 @@ object SparkEntry {
         """WITH ch AS (SELECT l_orderkey AS o_orderkey, count(*) AS n_matching_children
           |  FROM lineitem WHERE l_quantity >= 45 GROUP BY l_orderkey)
           | SELECT o.o_orderkey, o.o_orderstatus, ch.n_matching_children
+          | FROM orders o JOIN ch ON o.o_orderkey = ch.o_orderkey""".stripMargin,
+      "q48_blockjoin_max" ->
+        """WITH ch AS (SELECT l_orderkey AS o_orderkey, max(l_extendedprice) AS score,
+          |  count(*) AS n_matching_children
+          |  FROM lineitem WHERE l_quantity >= 45 GROUP BY l_orderkey)
+          | SELECT o.o_orderkey, o.o_orderstatus, ch.score, ch.n_matching_children
+          | FROM orders o JOIN ch ON o.o_orderkey = ch.o_orderkey""".stripMargin,
+      "q49_blockjoin_avg" ->
+        """WITH ch AS (SELECT l_orderkey AS o_orderkey, round(avg(l_extendedprice), 5) AS score,
+          |  count(*) AS n_matching_children
+          |  FROM lineitem WHERE l_quantity >= 45 GROUP BY l_orderkey)
+          | SELECT o.o_orderkey, ch.score, ch.n_matching_children
           | FROM orders o JOIN ch ON o.o_orderkey = ch.o_orderkey""".stripMargin,
       "q22_fetch" ->
         """WITH dim AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)

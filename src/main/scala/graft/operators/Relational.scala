@@ -24,6 +24,34 @@ import org.apache.spark.sql.functions._
  */
 object Relational {
 
+  /**
+   * Parent block join with child-score propagation (reference
+   * lucene/join/src/java/org/apache/lucene/search/join/
+   * ToParentBlockJoinQuery.java ScoreMode): parents with >= 1 matching
+   * child, parent score = Max / Min / Avg / Total of the matching
+   * children's `scoreCol` (None -> 0), plus the child match count. The
+   * caller filters `children` to the matching set first (the child query);
+   * the aggregation is map-side-combinable, so the shuffle carries one
+   * partial per (partition, parent key).
+   */
+  def parentBlockJoin(parents: DataFrame, children: DataFrame,
+                      parentKey: String, childKey: String,
+                      scoreCol: String, scoreMode: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val scoreAgg = scoreMode.toLowerCase match {
+      case "max"   => max(col(scoreCol))
+      case "min"   => min(col(scoreCol))
+      case "avg"   => avg(col(scoreCol))
+      case "total" => sum(col(scoreCol))
+      case "none"  => first(lit(0.0))
+      case m => throw new IllegalArgumentException(
+        s"scoreMode must be one of max/min/avg/total/none, got $m")
+    }
+    val ch = children.groupBy(col(childKey).as(parentKey))
+      .agg(scoreAgg.cast("double").as("score"), count("*").as("n_matching_children"))
+    parents.join(ch, Seq(parentKey))
+  }
+
   /** innerJoin (InnerJoinStream.java:35) — sort-merge/hash equi-join. */
   def innerJoin(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
     l.join(r, keys, "inner")

@@ -172,23 +172,25 @@ object Similarity extends Serializable {
 
     for (_ <- 0 until iters) {
       val cs = centroids
-      val assigned = embs.select(col(vecCol))
-        .as[Seq[Float]]
-        .map { v => (nearestCentroid(v, cs), v.toArray) }
-        .toDF("centroid", "v")
-      // new centroid = mean of member vectors (element-wise, one agg);
-      // quantized to 1e-6 so partial-sum order (partitioning-dependent for
-      // double addition) cannot flip assignments except exactly at a
-      // quantization boundary
       val dims = cs(0).length
-      val sums = assigned.groupBy("centroid")
-        .agg(count("*").as("n"),
-          array((0 until dims).map(i => sum(col("v").getItem(i))): _*).as("s"))
+      // new centroid = mean of member vectors, via ONE typed vector-sum
+      // aggregator (buffer = dims+1 doubles, last slot the member count):
+      // a per-dimension sum() column would generate `dims` catalyst
+      // expressions — codegen-hostile and driver-plan bloat at 512-1536-d.
+      // Quantized to 1e-6 so partial-sum order (partitioning-dependent for
+      // double addition) cannot flip assignments except exactly at a
+      // quantization boundary.
+      val sums = embs.select(col(vecCol))
+        .as[Seq[Float]]
+        .map { v => (nearestCentroid(v, cs), v) }
+        .groupByKey(_._1)
+        .agg(new VecSumCount(dims).toColumn.name("s"))
         .collect()
       val next = cs.clone()
-      sums.foreach { r =>
-        val c = r.getInt(0); val cnt = r.getLong(1).toDouble
-        next(c) = r.getSeq[Double](2).map(x => math.rint(x / cnt * 1e6) / 1e6).toArray
+      sums.foreach { case (c, s) =>
+        val cnt = s(dims)
+        if (cnt > 0)
+          next(c) = Array.tabulate(dims)(i => math.rint(s(i) / cnt * 1e6) / 1e6)
       }
       centroids = next
     }
@@ -214,6 +216,32 @@ object Similarity extends Serializable {
       .sortBy(-_._2).take(nprobe).map(_._1)
     rescoreTopK(assignments.filter(col("centroid").isin(probes.toIndexedSeq: _*)),
       idCol, vecCol, query, k)
+  }
+
+  /** Element-wise vector sum + count in one buffer (dims+1 doubles): the
+    * scale-safe centroid-update aggregate — map-side combinable, constant
+    * plan size regardless of dimensionality. */
+  private final class VecSumCount(dims: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[(Int, Seq[Float]), Array[Double], Seq[Double]] {
+    def zero: Array[Double] = new Array[Double](dims + 1)
+    def reduce(b: Array[Double], a: (Int, Seq[Float])): Array[Double] = {
+      val v = a._2
+      var i = 0
+      val n = math.min(dims, v.length)
+      while (i < n) { b(i) += v(i); i += 1 }
+      b(dims) += 1
+      b
+    }
+    def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i <= dims) { x(i) += y(i); i += 1 }
+      x
+    }
+    def finish(r: Array[Double]): Seq[Double] = r.toIndexedSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
   /** Pairwise cosine for co-bucketed pairs (see Dedup.embeddingNearDup). */

@@ -230,7 +230,7 @@ object TextOps {
           val lists = r.getSeq[scala.collection.Seq[Int]](1)
           val best =
             if (!hasRepeats) minRangeSweep(lists)
-            else minRangeWithRepeats(lists, termOfSlot)
+            else minRangeWithRepeats(lists, termOfSlot, slop)
           if (best <= slop) Iterator.single(org.apache.spark.sql.Row(r.get(0), best))
           else Iterator.empty
         }
@@ -260,22 +260,38 @@ object TextOps {
   }
 
   /** Min adjusted-position range over assignments of one occurrence per
-    * slot where same-term slots use DISTINCT raw positions. Branch-and-
-    * bound DFS: the partial range only widens as slots are added, so any
-    * partial >= best prunes. Worst case is exponential in phrase length —
-    * phrases are short and per-doc occurrence lists small; the no-repeat
-    * fast path never enters here. */
+    * slot where same-term slots use DISTINCT raw positions, bounded by the
+    * caller's slop budget: returns the exact minimum iff it is <= `slop`,
+    * Int.MaxValue otherwise. Branch-and-bound DFS with a WINDOW bound —
+    * once any slot is fixed, later slots only try candidates inside
+    * [curMax - slop, curMin + slop] (a candidate outside can never end
+    * <= slop), found by binary search. Per-slot adjusted positions are
+    * distinct, so branching after the first slot is <= slop + 1 per slot
+    * REGARDLESS of occurrence-list length: a pathological doc with 10^4
+    * repeats of one phrase term costs O(L1 * (slop+1)^(n-1)), not O(L1^n)
+    * (pathological-doc test in OperatorsSpec). */
   private[graft] def minRangeWithRepeats(lists: scala.collection.Seq[scala.collection.Seq[Int]],
-                                         termOfSlot: Array[Int]): Int = {
+                                         termOfSlot: Array[Int],
+                                         slop: Int = Int.MaxValue - 1): Int = {
     val n = lists.size
+    val arrs = lists.map(_.toArray).toArray // sorted ascending (caller sorts)
     var best = Int.MaxValue
     val chosenRaw = new Array[Int](n)
+    def lowerBound(a: Array[Int], v: Int): Int = {
+      var lo = 0; var hi = a.length
+      while (lo < hi) { val m = (lo + hi) >>> 1; if (a(m) < v) lo = m + 1 else hi = m }
+      lo
+    }
     def dfs(s: Int, curMin: Int, curMax: Int): Unit = {
+      if (s > 0 && curMax - curMin > slop) return
       if (s > 0 && best != Int.MaxValue && curMax - curMin >= best) return
       if (s == n) { best = curMax - curMin; return }
-      val l = lists(s)
-      var i = 0
-      while (i < l.size) {
+      val l = arrs(s)
+      // window bound: candidates below curMax - slop or above curMin + slop
+      // cannot be part of a <= slop assignment
+      var i = if (s == 0) 0 else lowerBound(l, curMax - slop)
+      val hiV = if (s == 0) Int.MaxValue else safeAdd(curMin, slop)
+      while (i < l.length && l(i) <= hiV) {
         val q = l(i)
         val raw = q + s
         var ok = true
@@ -292,7 +308,12 @@ object TextOps {
       }
     }
     dfs(0, Int.MaxValue, Int.MinValue)
-    best
+    if (best <= slop) best else Int.MaxValue
+  }
+
+  @inline private def safeAdd(a: Int, b: Int): Int = {
+    val s = a.toLong + b.toLong
+    if (s > Int.MaxValue) Int.MaxValue else s.toInt
   }
 
   /**

@@ -137,7 +137,7 @@ object Searcher {
       .flatMap { case (docId, lists) =>
         val best =
           if (!hasRepeats) TextOps.minRangeSweep(lists)
-          else TextOps.minRangeWithRepeats(lists, termOfSlot)
+          else TextOps.minRangeWithRepeats(lists, termOfSlot, slop)
         if (best <= slop) Iterator.single((docId, 1f)) else Iterator.empty
       }
       .toDF("docId", "score")

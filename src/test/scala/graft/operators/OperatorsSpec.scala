@@ -78,6 +78,55 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L) === 4) // reversal of 3 terms: q = 2,0,-2 -> range 4
   }
 
+  test("sloppy repeats kernel: pathological doc (10^4 repeats) stays fast and exact") {
+    // four slots of the SAME term over 10^4 occurrences spaced 2 apart:
+    // the unbounded DFS is O(L^n); the slop-window bound caps branching at
+    // slop+1 per slot after the first
+    val raws = (0 until 10000).map(_ * 2)
+    val lists = (0 until 4).map(i => raws.map(_ - i): Seq[Int])
+    val termOfSlot = Array(0, 0, 0, 0)
+    val t0 = System.nanoTime()
+    // distinct raws 0,2,4,6 -> adjusted 0,1,2,3 -> min range 3
+    assert(TextOps.minRangeWithRepeats(lists, termOfSlot, slop = 3) === 3)
+    // nothing fits slop 2 (adjusted range of 4 distinct evens is >= 3)
+    assert(TextOps.minRangeWithRepeats(lists, termOfSlot, slop = 2) === Int.MaxValue)
+    val ms = (System.nanoTime() - t0) / 1000000
+    assert(ms < 2000, s"pathological doc took ${ms}ms")
+  }
+
+  test("sloppy repeats kernel: randomized parity with brute-force enumeration") {
+    val rnd = new scala.util.Random(11)
+    def bruteMin(lists: Seq[Seq[Int]], termOfSlot: Array[Int]): Int = {
+      def rec(s: Int, chosen: List[Int]): Int =
+        if (s == lists.size) {
+          val qs = chosen.reverse
+          qs.max - qs.min
+        } else lists(s).foldLeft(Int.MaxValue) { (best, q) =>
+          val raw = q + s
+          val clash = (0 until s).exists(j =>
+            termOfSlot(j) == termOfSlot(s) && chosen.reverse(j) + j == raw)
+          if (clash) best else math.min(best, rec(s + 1, q :: chosen))
+        }
+      rec(0, Nil)
+    }
+    for (_ <- 1 to 200) {
+      val nSlots = 2 + rnd.nextInt(3)
+      val nTerms = 1 + rnd.nextInt(nSlots)
+      val termOfSlot = Array.fill(nSlots)(rnd.nextInt(nTerms))
+      // same-term slots must share the SAME raw occurrence list (shifted)
+      val rawByTerm = (0 until nTerms).map { _ =>
+        val size = 1 + rnd.nextInt(4)
+        Seq.fill(size)(rnd.nextInt(12)).distinct.sorted
+      }
+      val lists = (0 until nSlots).map(s => rawByTerm(termOfSlot(s)).map(_ - s))
+      val slop = rnd.nextInt(8)
+      val want0 = bruteMin(lists, termOfSlot)
+      val want = if (want0 <= slop) want0 else Int.MaxValue
+      val got = TextOps.minRangeWithRepeats(lists, termOfSlot, slop)
+      assert(got === want, s"lists=$lists terms=${termOfSlot.toSeq} slop=$slop")
+    }
+  }
+
   test("minShouldMatch and disjunctionMax") {
     val msm = TextOps.minShouldMatch(docs, "doc_id", "text", Seq("spark", "query", "data"), 2)
       .select("doc_id").as[Long].collect().toSet
@@ -164,6 +213,35 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val ivf = Similarity.ivfTopK(assign, cents, "vec_id", "embedding", q, 10, nprobe = 2)
       .select("vec_id").as[Long].collect().toSet
     assert(ivf.intersect(exact).size >= 8, s"recall too low: ${ivf.intersect(exact).size}/10")
+  }
+
+  test("IVF at 512 dims: typed vector-sum centroid update, recall holds") {
+    val rnd = new scala.util.Random(13)
+    val dims = 512
+    // 3 well-separated high-dim clusters
+    val centers = (0 until 3).map(c => Array.fill(dims)(if (rnd.nextBoolean()) 1f else -1f))
+    val embs = (0L until 90L).map { i =>
+      val base = centers((i % 3).toInt)
+      (i, base.map(_ + rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val (assign, cents) = Similarity.ivfIndex(embs, "vec_id", "embedding", k = 4, iters = 2)
+    assert(assign.count() === 90)
+    assert(cents.forall(_.length === dims))
+    val q = centers(1).map(_ + 0.01f)
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(assign, cents, "vec_id", "embedding", q, 10, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.intersect(exact).size >= 8, s"recall too low: ${ivf.intersect(exact).size}/10")
+    assign.unpersist()
+  }
+
+  test("sign sketch rejects more than 64 planes with a clear message") {
+    val embs = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.withSignSketch(embs, "embedding", planes = 65)
+    }
+    assert(e.getMessage.contains("planes must be in [1, 64]"))
   }
 
   test("multimodal: media table schema, decode stub, frame sampling") {
