@@ -22,15 +22,25 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Cap each bucket at `maxBucketSize` members, kept deterministically by
-    * ascending id. The window shuffles on the same (bucket) keys the
-    * candidate self-join uses, so it adds no new shuffle dimension. */
+    * ascending id. Two-phase so healthy corpora barely pay for the guard:
+    * bucket sizes come from a map-side-combinable count, and the sort
+    * window (the expensive part — a full sort shuffle of the banded rows)
+    * runs ONLY over rows of oversized buckets, which in a non-degenerate
+    * corpus is a tiny residue. The round-2 single-phase window sorted
+    * every banded row and cost the dd_minhash/dd_simhash headlines ~2x. */
   private def capBuckets(banded: DataFrame, keyCols: Seq[String], idCol: String,
                          maxBucketSize: Int): DataFrame = {
     require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
-    banded.withColumn("__rn", row_number().over(w))
+    val keys = keyCols.map(col)
+    val sizes = banded.groupBy(keys: _*).agg(count("*").as("__bn"))
+    val marked = banded.join(sizes, keyCols)
+    val small = marked.filter(col("__bn") <= maxBucketSize).drop("__bn")
+    val w = Window.partitionBy(keys: _*).orderBy(col(idCol))
+    val cappedBig = marked.filter(col("__bn") > maxBucketSize).drop("__bn")
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxBucketSize)
       .drop("__rn")
+    small.unionByName(cappedBig)
   }
 
   /** Exact dedup: keep the first doc (by `order`) of each identical-content

@@ -377,15 +377,30 @@ object QueryEngine {
   }
 
   /** Per-doc phrase frequency (number of consecutive-match start positions)
-    * over the positions tier; slot i matches any of its terms. */
+    * over the positions tier; slot i matches any of its terms.
+    *
+    * ONE shuffle regardless of phrase length: the positions of ALL slots'
+    * terms are read in one pruned scan, each occurrence is tagged with the
+    * slots its term serves (a tiny broadcast (term, slot) table — a term
+    * can serve several slots), and a single groupBy(docId) builds every
+    * slot's adjusted-position list as a conditional collect_list. The old
+    * shape (per-slot groupBy + N-way join) cost one shuffle per slot —
+    * a 5-term phrase on common terms was 5 shuffles + 4 joins. */
   def phraseFreqs(positions: DataFrame, slots: Seq[Seq[String]]): DataFrame = {
     require(slots.nonEmpty && slots.forall(_.nonEmpty))
-    val parts = slots.zipWithIndex.map { case (ts, i) =>
-      positions.filter(col("term").isin(ts: _*))
-        .select(col("docId"), explode(col("poss")).as("__p"))
-        .groupBy("docId").agg(collect_list(col("__p") - i).as(s"p$i"))
-    }
-    val joined = parts.reduceLeft((a, b) => a.join(b, "docId"))
+    val spark = positions.sparkSession
+    import spark.implicits._
+    val termSlots = slots.zipWithIndex
+      .flatMap { case (ts, i) => ts.distinct.map(t => (t, i)) }
+    val lookup = broadcast(termSlots.toDF("term", "__slot"))
+    val allTerms = termSlots.map(_._1).distinct
+    val occ = positions.filter(col("term").isin(allTerms: _*))
+      .join(lookup, "term")
+      .select(col("docId"), col("__slot"), explode(col("poss")).as("__p"))
+    val slotLists = slots.indices.map(i =>
+      collect_list(when(col("__slot") === i, col("__p") - i)).as(s"p$i"))
+    val joined = occ.groupBy("docId").agg(slotLists.head, slotLists.tail: _*)
+      .filter(slots.indices.map(i => size(col(s"p$i")) > 0).reduce(_ && _))
     val starts = (1 until slots.length).foldLeft(col("p0")) { (acc, i) =>
       array_intersect(acc, col(s"p$i"))
     }
