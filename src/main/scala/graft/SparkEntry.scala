@@ -611,6 +611,13 @@ object SparkEntry {
     "ta_quality" -> ((s, d) => TextOps.qualityStats(rd(s, d, "documents"),
       "doc_id", "text", Stopwords)),
 
+    // composed cleaning pipeline: langid filter -> quality thresholds ->
+    // exact-dedup keep-first, one declarative plan (filters BEFORE the
+    // dedup shuffle)
+    "tp_clean_pipeline" -> ((s, d) => TextOps.cleanCorpus(rd(s, d, "documents"),
+      "doc_id", "text", LangMarkers, keepLangs = Seq("en"),
+      stopwords = Stopwords, minTokens = 30, maxStopwordRatio = 0.15)),
+
     "ta_langid" -> ((s, d) => TextOps.languageId(rd(s, d, "documents"),
       "doc_id", "text", LangMarkers).select("doc_id", "lang_pred")),
 
@@ -1118,6 +1125,17 @@ object SparkEntry {
           |   CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS DOUBLE), 5)
           |   AS distinct_ratio
           | FROM documents""".stripMargin,
+      "tp_clean_pipeline" ->
+        s"""WITH toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+           | q AS (SELECT doc_id, text, len(ts) AS n_tokens,
+           |   round(len(list_filter(ts, t -> t IN ($stopInList))) /
+           |     CAST(greatest(len(ts), 1) AS DOUBLE), 5) AS stopword_ratio FROM toks),
+           | l AS ($langIdSql),
+           | s AS (SELECT q.doc_id, q.text, l.lang_pred, CAST(q.n_tokens AS INT) AS n_tokens, q.stopword_ratio
+           |   FROM q JOIN l ON q.doc_id = l.doc_id
+           |   WHERE l.lang_pred IN ('en') AND q.n_tokens >= 30 AND q.stopword_ratio <= 0.15),
+           | d AS (SELECT *, row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn FROM s)
+           | SELECT doc_id, lang_pred, n_tokens, stopword_ratio FROM d WHERE rn = 1""".stripMargin,
       "ta_tokens" ->
         """SELECT doc_id,
           | len(regexp_split_to_array(trim(text), '\s+')) AS n_words,

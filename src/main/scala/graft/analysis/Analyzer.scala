@@ -26,13 +26,22 @@ final case class OffsetToken(term: String, pos: Int, start: Int, end: Int)
  * corpora (SURVEY.md §7.4.2): word chars are Unicode letters/digits;
  * '_' (ExtendNumLet) joins words; MidLetter/MidNumLet/MidNum characters
  * ('.', ':', '\'' between letters; '.'/',' between digits) join when
- * flanked by word chars on both sides. Everything else breaks.
+ * flanked by word chars on both sides; CJK ideographs emit one token per
+ * character (StandardTokenizer IDEOGRAPHIC type — UAX#29 gives Han no
+ * joining rule; Katakana/Hangul remain letter runs). Everything else
+ * breaks. Remaining gap vs the reference scanner: emoji token classes.
  */
 object Analyzer extends Serializable {
   val MaxTokenLength = 255
 
   @inline private def isWordChar(cp: Int): Boolean =
     Character.isLetter(cp) || Character.isDigit(cp)
+
+  /** CJK ideographs are single-codepoint tokens (UAX#29 gives Han no
+    * word-joining rule; reference StandardTokenizer emits IDEOGRAPHIC
+    * type per character — analysis/standard/StandardTokenizerImpl.java).
+    * Katakana/Hangul stay letter runs, also per UAX#29. */
+  @inline private def isIdeograph(cp: Int): Boolean = Character.isIdeographic(cp)
 
   @inline private def isExtend(cp: Int): Boolean = cp == '_'
 
@@ -72,7 +81,12 @@ object Analyzer extends Serializable {
     while (i < n) {
       val cp = text.codePointAt(i)
       val w = Character.charCount(cp)
-      if (isWordChar(cp) || (isExtend(cp) && sb.length > 0)) {
+      if (isIdeograph(cp)) {
+        if (sb.length > 0) flush()
+        sb.appendCodePoint(cp)
+        flush() // one token per ideograph
+        i += w
+      } else if (isWordChar(cp) || (isExtend(cp) && sb.length > 0)) {
         sb.appendCodePoint(cp)
         i += w
       } else if (sb.length > 0 && i + w < n && joins(cp, sb.codePointBefore(sb.length), text.codePointAt(i + w))) {
@@ -126,7 +140,13 @@ object Analyzer extends Serializable {
     while (i < n) {
       val cp = text.codePointAt(i)
       val w = Character.charCount(cp)
-      if (isWordChar(cp) || (isExtend(cp) && sb.length > 0)) {
+      if (isIdeograph(cp)) {
+        if (sb.length > 0) flush()
+        tokStart = i
+        sb.appendCodePoint(cp)
+        flush() // one token per ideograph
+        i += w
+      } else if (isWordChar(cp) || (isExtend(cp) && sb.length > 0)) {
         if (sb.length == 0) tokStart = i
         sb.appendCodePoint(cp)
         i += w
@@ -190,7 +210,12 @@ object Analyzer extends Serializable {
     while (i < n) {
       val cp = text.codePointAt(i)
       val w = Character.charCount(cp)
-      if (isWordChar(cp) || (isExtend(cp) && sb.length > 0)) {
+      if (isIdeograph(cp)) {
+        if (sb.length > 0) flush()
+        sb.appendCodePoint(cp)
+        flush() // one token per ideograph
+        i += w
+      } else if (isWordChar(cp) || (isExtend(cp) && sb.length > 0)) {
         sb.appendCodePoint(cp)
         i += w
       } else if (sb.length > 0 && i + w < n && joins(cp, sb.codePointBefore(sb.length), text.codePointAt(i + w))) {

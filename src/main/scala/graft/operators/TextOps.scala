@@ -425,6 +425,37 @@ object TextOps {
     docs.select(col(idCol),
       md5(concat_ws(" ", array_sort(array_distinct(tokensOf(textCol))))).as("fp"))
 
+  /**
+   * Composed corpus-cleaning pipeline — the standard pretraining-data
+   * pass, as ONE declarative plan Catalyst optimizes end-to-end:
+   * language-ID filter -> quality-stat thresholds -> exact dedup
+   * keep-first. Each stage is the already-oracled operator; composing
+   * them stays a single pipeline (langid/quality are narrow projections,
+   * dedup adds its one content-hash shuffle). Returns the surviving
+   * (idCol, lang_pred, n_tokens, stopword_ratio) rows.
+   *
+   * At 100 TB this is the shape that matters: filters run BEFORE the
+   * dedup shuffle, so the only wide exchange sees already-cleaned rows.
+   */
+  def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  markers: Seq[(String, Seq[String])], keepLangs: Seq[String],
+                  stopwords: Seq[String], minTokens: Int,
+                  maxStopwordRatio: Double): DataFrame = {
+    val lang = languageId(docs, idCol, textCol, markers)
+      .filter(col("lang_pred").isin(keepLangs: _*))
+    val quality = qualityStats(docs, idCol, textCol, stopwords)
+      .filter(col("n_tokens") >= minTokens && col("stopword_ratio") <= maxStopwordRatio)
+      .select(col(idCol), col("n_tokens"), col("stopword_ratio"))
+    val surviving = docs.select(col(idCol), col(textCol))
+      .join(lang, idCol).join(quality, idCol)
+    // exact dedup LAST (its shuffle sees only cleaned rows); keep-first
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(lower(col(textCol)))).orderBy(col(idCol))
+    surviving.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("lang_pred"), col("n_tokens"), col("stopword_ratio"))
+  }
+
   /** IVrixDB-style search-time field extraction: k:v pairs pulled out of a
     * raw string with regex, typed by cast attempt (FieldExtractionStream). */
   def extractField(raw: Column, key: String): Column =

@@ -30,6 +30,26 @@ class AnalyzerSpec extends AnyFunSuite {
   test("unicode letters kept and lowercased per code point") {
     assert(Analyzer.terms("Größe ÉTÉ") === Seq("größe", "été"))
   }
+  test("CJK ideographs: one token per character; kana/hangul stay runs") {
+    assert(Analyzer.terms("日本語") === Seq("日", "本", "語"))
+    assert(Analyzer.terms("hello世界ok") === Seq("hello", "世", "界", "ok"))
+    assert(Analyzer.terms("カタカナ") === Seq("カタカナ")) // katakana run
+    assert(Analyzer.terms("한국어 텍스트") === Seq("한국어", "텍스트")) // hangul runs
+    // positions advance per ideograph token
+    assert(Analyzer.analyze("x 中国 y").map(t => (t.term, t.pos)) ===
+      Seq(("x", 0), ("中", 1), ("国", 2), ("y", 3)))
+    // all scanner variants agree, offsets slice the original
+    val texts = Seq("日本語です", "mixed中文and英文 tokens", "中", "a中b")
+    texts.foreach { t =>
+      val base = Analyzer.analyze(t)
+      val off = Analyzer.analyzeWithOffsets(t)
+      assert(off.map(o => (o.term, o.pos)) === base.map(b => (b.term, b.pos)))
+      off.foreach(o => assert(Analyzer.lowercase(t.substring(o.start, o.end)) === o.term))
+      var streamed = List.empty[String]
+      Analyzer.foreachTerm(t)(s => streamed ::= s)
+      assert(streamed.reverse === base.map(_.term))
+    }
+  }
   test("termFreqs counts and doc length") {
     val (tfs, dl) = Analyzer.termFreqs("a b a c a b")
     assert(dl === 6)
