@@ -22,24 +22,25 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Cap each bucket at `maxBucketSize` members, kept deterministically by
-    * ascending id. Two-phase so healthy corpora barely pay for the guard:
-    * bucket sizes come from a map-side-combinable count, and the sort
-    * window (the expensive part — a full sort shuffle of the banded rows)
-    * runs ONLY over rows of oversized buckets, which in a non-degenerate
-    * corpus is a tiny residue. The round-2 single-phase window sorted
-    * every banded row and cost the dd_minhash/dd_simhash headlines ~2x. */
+    * ascending id. One exchange, reused: a COUNT window (partition keys
+    * only, no ordering) tags each row with its bucket size; under-cap rows
+    * pass through, and the row_number sort — the expensive part — runs
+    * only over the oversized residue, whose exchange Spark reuses
+    * (ReuseExchange: both branches read the same shuffle). In a healthy
+    * corpus the residue is tiny, so the guard costs one count window
+    * instead of a full (keys, id) sort of every banded row. */
   private def capBuckets(banded: DataFrame, keyCols: Seq[String], idCol: String,
                          maxBucketSize: Int): DataFrame = {
     require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
     val keys = keyCols.map(col)
-    val sizes = banded.groupBy(keys: _*).agg(count("*").as("__bn"))
-    val marked = banded.join(sizes, keyCols)
-    val small = marked.filter(col("__bn") <= maxBucketSize).drop("__bn")
+    val counted = banded.withColumn("__bn",
+      count(lit(1)).over(Window.partitionBy(keys: _*)))
+    val small = counted.filter(col("__bn") <= maxBucketSize).drop("__bn")
     val w = Window.partitionBy(keys: _*).orderBy(col(idCol))
-    val cappedBig = marked.filter(col("__bn") > maxBucketSize).drop("__bn")
+    val cappedBig = counted.filter(col("__bn") > maxBucketSize)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxBucketSize)
-      .drop("__rn")
+      .drop("__bn", "__rn")
     small.unionByName(cappedBig)
   }
 
