@@ -23,7 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     val withIds = DocIds.assign(CorpusGen.corpus(spark, 200, 4).toDF(),
       Seq("repo", "path", "commit"), 4)
     IndexStore.build(spark, withIds, d, numSegments = 1, shufflePartitions = 4,
-      withPositions = true, docValueCols = Seq("lang"))
+      withPositions = true, docValueCols = Seq("lang"), withOffsets = true)
     (d, IndexStore.OpenIndex(spark, d))
   }
 
@@ -75,6 +75,34 @@ class PlanAuditSpec extends SparkSpec {
     val plan = planOf(slice)
     assert(plan.contains("PushedFilters") &&
       (plan.contains("GreaterThanOrEqual(docId,500)") || plan.contains("docId")), plan.take(1000))
+  }
+
+  test("phraseFreqs: ONE exchange regardless of phrase length") {
+    val plan = graft.query.QueryEngine.phraseFreqs(idx.positions,
+        Seq(Seq("public"), Seq("static"), Seq("void")))
+      .queryExecution.executedPlan.toString
+    // one grouping shuffle; the (term, slot) lookup must be broadcast
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 data exchange for a 3-slot phrase, got $exchanges:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan.take(1500))
+  }
+
+  test("fuzzy candidates: a keyed probe of the gram sidecar, not a postings/vocab scan") {
+    val df = idx.fuzzyCandidates("mergepolicy", 1)
+    val plan = df.queryExecution.executedPlan.toString
+    // reads the persisted sidecar (in-memory scan), filtered by the
+    // query's grams — NOT a levenshtein over the full termstats
+    assert(plan.contains("InMemoryTableScan"), plan.take(1200))
+    assert(!plan.toLowerCase.contains("levenshtein"), plan.take(1200))
+    val vocab = idx.termstats.count()
+    assert(df.count() < vocab / 10, "candidate set not pruned")
+  }
+
+  test("passage highlighting reads only the query terms' offset rows") {
+    val plan = idx.highlightPassages(Seq("public"), 16, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan.take(1200))
+    assert(plan.contains("term"), plan.take(1200))
   }
 
   test("whole-stage codegen spans the relational hot path; custom Bm25Score stays codegen'd") {
