@@ -37,9 +37,16 @@ object IndexCli {
       // cached: build's density check + each segment slice re-scan the ids
       val withIds = DocIds.assign(corpus, Seq("repo", "path", "commit"), math.max(8, spark.sparkContext.defaultParallelism))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // --english: StopFilter + PorterStemFilter chain (persisted with the
+      // index; query/search/spell then analyze through it automatically)
+      val chain =
+        if (rest.contains("--english"))
+          graft.analysis.AnalyzerChain.english(Set("the", "a", "of", "and"))
+        else graft.analysis.AnalyzerChain.standard
       val t0 = System.nanoTime()
       IndexStore.build(spark, withIds, dir, segs, spark.sparkContext.defaultParallelism,
-        withPositions = rest.contains("--pos"))
+        withPositions = rest.contains("--pos"), withOffsets = rest.contains("--offsets"),
+        analyzer = chain)
       val secs = (System.nanoTime() - t0) / 1e9
       val idx = IndexStore.OpenIndex(spark, dir)
       println(f"built: docs=${idx.stats.docCount} sumTtf=${idx.stats.sumTotalTermFreq} terms=${idx.termstats.count()} blocks=${idx.blocks.count()} in $secs%.1fs (${n.toLong / secs}%.0f files/s)")
@@ -67,10 +74,14 @@ object IndexCli {
         val Array(sc, id) = rest(afterIdx + 1).split(",")
         Some((sc.toFloat, id.toLong))
       } else None
+      // query text goes through the INDEX's own analysis chain (identity
+      // for standard indexes; stems/stops for an --english one)
+      val qTerms = terms.filterNot(_.contains(",")).flatMap(idx.analyzeQuery)
+      val qNot = mustNot.flatMap(idx.analyzeQuery)
       val t0 = System.nanoTime()
       val hits = after match {
-        case Some((sc, id)) => idx.topKAfter(terms.filterNot(_.contains(",")), k.toInt, sc, id, mode).collect()
-        case None => idx.topK(terms, k.toInt, mode, mustNot,
+        case Some((sc, id)) => idx.topKAfter(qTerms, k.toInt, sc, id, mode).collect()
+        case None => idx.topK(qTerms, k.toInt, mode, qNot,
           prune = flags.contains("--prune"), wand = flags.contains("--wand")).collect()
       }
       val ms = (System.nanoTime() - t0) / 1e6
@@ -145,6 +156,27 @@ object IndexCli {
       IndexStore.compact(spark, dir, out, spark.sparkContext.defaultParallelism)
       val idx = IndexStore.OpenIndex(spark, out)
       println(s"compacted: docs=${idx.stats.docCount} segments=${IndexStore.readManifests(out).size}")
+
+    // highlight <indexDir> <window> <topPassages> term... : passage-ranked
+    // highlighting over the offsets tier (build with --offsets)
+    case "highlight" :: dir :: window :: top :: terms if terms.nonEmpty =>
+      val idx = IndexStore.OpenIndex(spark, dir)
+      val analyzed = terms.flatMap(idx.analyzeQuery)
+      val rows = idx.highlightPassages(analyzed, window.toInt, top.toInt)
+        .orderBy(org.apache.spark.sql.functions.col("docId"),
+          org.apache.spark.sql.functions.col("passage"))
+        .limit(20).collect()
+      println(s"passages for ${analyzed.mkString(" ")} (window=$window top=$top, first 20):")
+      rows.foreach(r => println(s"  doc=${r.getLong(0)} passage=${r.getInt(1)} " +
+        s"matches=${r.getLong(2)} chars=[${r.getInt(3)},${r.getInt(4)})"))
+
+    // fuzzy <indexDir> <k> <word> [maxEdits] : gram-pruned fuzzy expansion
+    case "fuzzy" :: dir :: k :: word :: rest =>
+      val e = rest.headOption.map(_.toInt).getOrElse(2)
+      val idx = IndexStore.OpenIndex(spark, dir)
+      val expanded = idx.fuzzyExpand(word, e).take(k.toInt)
+      println(s"fuzzy $word~$e -> ${expanded.size} terms (df-ranked):")
+      expanded.foreach(t => println(s"  $t"))
 
     case "manifests" :: dir :: Nil =>
       IndexStore.readManifests(dir).foreach(println)
