@@ -335,10 +335,13 @@ object SparkEntry {
       "doc_id", "text", Seq("spark", "query", "join"), 2)),
 
     "q16_sig_terms" -> ((s, d) => {
+      // fg (en docs) is a SUBSET of bg (all docs): one tokenization pass,
+      // one shuffle with conditional counts — the generic two-table
+      // significantTerms tokenized the corpus twice and joined
       val docs = rd(s, d, "documents")
-      val tok = TextOps.tokenTable(docs, "doc_id", "text")
-      val fgTok = TextOps.tokenTable(docs.filter(col("lang") === "en"), "doc_id", "text")
-      R.significantTerms(fgTok, tok, "tok", minDf = 5)
+      val tok = docs.select(col("lang"),
+        explode(TextOps.tokensOf("text")).as("tok"))
+      R.significantTermsSubset(tok, col("lang") === "en", "tok", minDf = 5)
         .select(col("tok").as("term"), col("fg").as("fg_count"),
           col("bg").as("bg_count"), round(col("score"), 5).as("score"))
     }),

@@ -167,6 +167,26 @@ object Relational {
       .drop("__fgTot", "__bgTot")
   }
 
+  /** [[significantTerms]] for the common Solr case where the foreground IS
+    * a subset of the background (fg = query matches, bg = whole
+    * collection): ONE pass over the token table with conditional counts —
+    * no second tokenization, no join. `fgFlag` marks foreground rows.
+    * Result identical to significantTerms(tokens.filter(fgFlag), tokens)
+    * (oracle-checked via q16). */
+  def significantTermsSubset(tokens: DataFrame, fgFlag: Column, termCol: String,
+                             minDf: Long = 1): DataFrame = {
+    val counts = tokens.groupBy(termCol).agg(
+      count(when(fgFlag, 1)).as("fg"), count("*").as("bg"))
+    // totals over ALL terms (same as significantTerms: pre-minDf, and the
+    // fg side naturally sums only foreground occurrences)
+    val tot = counts.agg(sum("fg").cast("double").as("__fgTot"),
+      sum("bg").cast("double").as("__bgTot"))
+    counts.crossJoin(broadcast(tot))
+      .filter(col("fg") > 0 && col("bg") >= minDf)
+      .withColumn("score", (col("fg") / col("__fgTot")) / (col("bg") / col("__bgTot")))
+      .drop("__fgTot", "__bgTot")
+  }
+
   /** parallel (ParallelStream.java:42-48) — hash-repartition a sub-plan on
     * its keys; the Spark shuffle IS this operator. */
   def parallelOn(df: DataFrame, n: Int, keys: String*): DataFrame =
