@@ -60,6 +60,32 @@ class TimeIndexSpec extends SparkSpec {
     assert(!after.contains(0L) && after.contains(4L))
   }
 
+  test("crash between data move and manifest commit: resume does NOT duplicate postings") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-tidx-crash").toString
+    TimeIndex.build(spark, events, dir, shufflePartitions = 2)
+    val before = TimeIndex.topK(spark, dir, Seq("spark", "error"), 10)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val (n0, sum0) = TimeIndex.mergedStats(dir, Seq("2024-01-02T00"))
+    // simulate the died-mid-commit state the round-2 advice flagged: data
+    // files moved into the bucket dir but the MANIFEST commit never ran —
+    // the orphaned part files must not survive next to a second generation
+    val bd = java.nio.file.Paths.get(s"$dir/buckets/b=2024-01-02T00")
+    Files.delete(bd.resolve("MANIFEST.json"))
+    val orphans = java.nio.file.Files.list(bd.resolve("postings")).count()
+    assert(orphans > 0)
+    TimeIndex.build(spark, events, dir, shufflePartitions = 2)
+    val (n1, sum1) = TimeIndex.mergedStats(dir, Seq("2024-01-02T00"))
+    assert((n1, sum1) === ((n0, sum0)), "re-committed bucket stats changed")
+    // postings not doubled: df of a term in the bucket is unchanged
+    val blocks = TimeIndex.readBlocks(spark, dir, Seq("2024-01-02T00"))
+    val df2 = blocks.filter(col("term") === "spark").agg(sum("n")).head().getLong(0)
+    assert(df2 === 1L, s"duplicated postings after resume: df=$df2")
+    val after = TimeIndex.topK(spark, dir, Seq("spark", "error"), 10)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(after === before)
+  }
+
   test("size rollover: a hot bucket splits into capped sub-buckets; results unchanged") {
     import org.apache.spark.sql.functions._
     // 1000 events in ONE day + 10 in another: cap 100 -> day 1 rolls into
