@@ -3,7 +3,7 @@ package graft
 import graft.corpus.CorpusGen
 import graft.index.{IndexBuilder, IndexStore}
 import graft.codec.PostingsCodec
-import graft.operators.{Dedup, Multimodal, Relational => R, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Relational => R, Similarity, Spans, TextOps}
 import graft.query.QueryEngine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -559,6 +559,39 @@ object SparkEntry {
     "q42_sloppy" -> ((s, d) => TextOps.sloppyPhraseMatch(rd(s, d, "documents"),
       "doc_id", "text", Seq("group", "data"), slop = 3)),
 
+    // span-query family (Lucene search/spans): composable position-aware
+    // queries over the token-position table — see operators/Spans.scala
+    // ordered near: "sort ... merge" with <= 2 positions between
+    "sp_near_ordered" -> ((s, d) => Spans.matchingDocs(rd(s, d, "documents"),
+      "doc_id", "text",
+      Spans.SpanNear(Seq(Spans.SpanTerm("sort"), Spans.SpanTerm("merge")),
+        slop = 2, inOrder = true))),
+
+    // unordered near: query/window within 3, either direction
+    "sp_near_unordered" -> ((s, d) => Spans.matchingDocs(rd(s, d, "documents"),
+      "doc_id", "text",
+      Spans.SpanNear(Seq(Spans.SpanTerm("query"), Spans.SpanTerm("window")),
+        slop = 3, inOrder = false))),
+
+    // spanFirst: 'spark' within the first 10 token positions
+    "sp_first" -> ((s, d) => Spans.matchingDocs(rd(s, d, "documents"),
+      "doc_id", "text", Spans.SpanFirst(Spans.SpanTerm("spark"), end = 10))),
+
+    // near over an OR clause: (sort|hash) immediately before merge
+    "sp_or_near" -> ((s, d) => Spans.matchingDocs(rd(s, d, "documents"),
+      "doc_id", "text",
+      Spans.SpanNear(Seq(
+        Spans.SpanOr(Seq(Spans.SpanTerm("sort"), Spans.SpanTerm("hash"))),
+        Spans.SpanTerm("merge")), slop = 1, inOrder = true))),
+
+    // spanNot: ordered group..data near-spans NOT containing 'slow'
+    "sp_not" -> ((s, d) => Spans.matchingDocs(rd(s, d, "documents"),
+      "doc_id", "text",
+      Spans.SpanNot(
+        Spans.SpanNear(Seq(Spans.SpanTerm("group"), Spans.SpanTerm("data")),
+          slop = 3, inOrder = true),
+        Spans.SpanTerm("slow")))),
+
     // more-like-this (KnnStream parity): docs ranked by shared-distinct-token
     // count with doc 0
     "q37_mlt" -> ((s, d) => {
@@ -1096,6 +1129,52 @@ object SparkEntry {
           | FROM t a JOIN t b ON a.doc_id = b.doc_id
           | WHERE a.tok = 'group' AND b.tok = 'data'
           | GROUP BY a.doc_id HAVING min(abs((b.pos - 1) - a.pos)) <= 3""".stripMargin,
+      // span family: 1-based DuckDB positions cancel in differences; the
+      // Spark span (start, end) maps to an (a.pos, b.pos) pair uniquely
+      // (one token per position), so count(*) = distinct-span count
+      "sp_near_ordered" ->
+        """WITH t AS (SELECT doc_id,
+          |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          |  FROM documents)
+          | SELECT a.doc_id, count(*) AS n_spans FROM t a JOIN t b
+          |  ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+          | WHERE a.tok = 'sort' AND b.tok = 'merge' GROUP BY a.doc_id""".stripMargin,
+      "sp_near_unordered" ->
+        """WITH t AS (SELECT doc_id,
+          |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          |  FROM documents)
+          | SELECT a.doc_id, count(*) AS n_spans FROM t a JOIN t b
+          |  ON a.doc_id = b.doc_id AND abs(b.pos - a.pos) - 1 <= 3
+          | WHERE a.tok = 'query' AND b.tok = 'window' GROUP BY a.doc_id""".stripMargin,
+      "sp_first" ->
+        """WITH t AS (SELECT doc_id,
+          |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          |  FROM documents)
+          | SELECT doc_id, count(*) AS n_spans FROM t
+          | WHERE tok = 'spark' AND pos <= 10 GROUP BY doc_id""".stripMargin,
+      "sp_or_near" ->
+        """WITH t AS (SELECT doc_id,
+          |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          |  FROM documents)
+          | SELECT a.doc_id, count(*) AS n_spans FROM t a JOIN t b
+          |  ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.pos - 1 <= 1
+          | WHERE a.tok IN ('sort', 'hash') AND b.tok = 'merge'
+          | GROUP BY a.doc_id""".stripMargin,
+      "sp_not" ->
+        """WITH t AS (SELECT doc_id,
+          |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          |  FROM documents)
+          | SELECT a.doc_id, count(*) AS n_spans FROM t a JOIN t b
+          |  ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.pos - 1 <= 3
+          | WHERE a.tok = 'group' AND b.tok = 'data'
+          |  AND NOT EXISTS (SELECT 1 FROM t c WHERE c.doc_id = a.doc_id
+          |    AND c.tok = 'slow' AND c.pos BETWEEN a.pos AND b.pos)
+          | GROUP BY a.doc_id""".stripMargin,
       "q37_mlt" ->
         s"""WITH toks AS (SELECT DISTINCT doc_id, tok FROM ($tok)),
            | q AS (SELECT tok FROM toks WHERE doc_id = 0)
