@@ -664,6 +664,19 @@ object SparkEntry {
     "ta_tokens" -> ((s, d) => TextOps.tokenCounts(rd(s, d, "documents"),
       "doc_id", "text")),
 
+    // word-bigram shingles through the REAL analysis chain (ShingleFilter,
+    // outputUnigrams=false): corpus-wide shingle counts — the word-ngram
+    // feature table a training-data pipeline derives
+    "ta_shingles" -> ((s, d) => {
+      import s.implicits._
+      val chain = graft.analysis.AnalyzerChain(
+        Seq(graft.analysis.ShingleFilter(2, outputUnigrams = false)))
+      rd(s, d, "documents").select(col("text").as[String])
+        .flatMap(t => chain.terms(t)).toDF("shingle")
+        .groupBy("shingle").agg(count("*").as("cnt"))
+        .filter(col("cnt") >= 30)
+    }),
+
     // ---- dedup ----
     "dd_exact" -> ((s, d) => Dedup.exact(rd(s, d, "documents"), "doc_id", "text")),
 
@@ -1218,6 +1231,14 @@ object SparkEntry {
            |   WHERE l.lang_pred IN ('en') AND q.n_tokens >= 30 AND q.stopword_ratio <= 0.15),
            | d AS (SELECT *, row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn FROM s)
            | SELECT doc_id, lang_pred, n_tokens, stopword_ratio FROM d WHERE rn = 1""".stripMargin,
+      "ta_shingles" ->
+        """WITH t AS (SELECT doc_id,
+          |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          |  FROM documents)
+          | SELECT a.tok || ' ' || b.tok AS shingle, count(*) AS cnt
+          | FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          | GROUP BY 1 HAVING count(*) >= 30""".stripMargin,
       "ta_tokens" ->
         """SELECT doc_id,
           | len(regexp_split_to_array(trim(text), '\s+')) AS n_words,

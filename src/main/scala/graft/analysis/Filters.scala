@@ -58,6 +58,105 @@ final case class SynonymFilter(synonyms: Map[String, Seq[String]]) extends Token
   }
 }
 
+/** Fold accented Latin characters to their ASCII base form
+  * (analysis/miscellaneous/ASCIIFoldingFilter.java — here the NFD
+  * decomposition + combining-mark strip subset, plus the common
+  * non-decomposable ligatures/letters; positions unchanged). */
+case object AsciiFoldingFilter extends TokenFilter {
+  private val special = Map(
+    'ß' -> "ss", 'æ' -> "ae", 'œ' -> "oe", 'ø' -> "o", 'đ' -> "d",
+    'þ' -> "th", 'ð' -> "d", 'ł' -> "l", 'ħ' -> "h", 'ı' -> "i")
+  private[analysis] def fold(s: String): String = {
+    // fast path: pure ASCII stays identity with zero allocation
+    var i = 0; var ascii = true
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) return s
+    val pre = s.flatMap(c => special.getOrElse(c, c.toString))
+    java.text.Normalizer.normalize(pre, java.text.Normalizer.Form.NFD)
+      .filterNot(c => Character.getType(c) == Character.NON_SPACING_MARK)
+  }
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) =
+    (tokens.map(t => t.copy(term = fold(t.term))), overlaps)
+}
+
+/** Drop tokens with length outside [min, max]; position holes remain
+  * (analysis/miscellaneous/LengthFilter.java / FilteringTokenFilter). */
+final case class LengthFilter(min: Int, max: Int) extends TokenFilter {
+  require(min >= 1 && max >= min, s"bad length bounds [$min,$max]")
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) = {
+    val keep = tokens.indices.filter { i =>
+      val l = tokens(i).term.length; l >= min && l <= max
+    }
+    (keep.map(tokens), keep.map(overlaps))
+  }
+}
+
+/** Word-ngram shingles of ADJACENT positions joined by a single space
+  * (analysis/shingle/ShingleFilter.java with the default " " separator):
+  * each n-gram (n in [2, maxShingleSize]) is emitted at its first token's
+  * position as an overlap; unigrams kept when outputUnigrams. Skips over
+  * position holes (a stop-worded gap breaks the shingle window, matching
+  * the reference's filler-token behavior of not joining across _ holes
+  * when fillerToken is disabled). */
+final case class ShingleFilter(maxShingleSize: Int = 2,
+                               outputUnigrams: Boolean = true) extends TokenFilter {
+  require(maxShingleSize >= 2, "maxShingleSize must be >= 2")
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) = {
+    val outT = Seq.newBuilder[Token]
+    val outO = Seq.newBuilder[Boolean]
+    // only non-overlap tokens form the shingle backbone (injected synonyms
+    // would otherwise multiply shingles combinatorially)
+    val base = tokens.indices.filterNot(overlaps)
+    tokens.indices.foreach { i =>
+      if (outputUnigrams || overlaps(i)) { outT += tokens(i); outO += overlaps(i) }
+    }
+    base.indices.foreach { bi =>
+      var n = 2
+      while (n <= maxShingleSize && bi + n - 1 < base.size) {
+        val window = (0 until n).map(k => tokens(base(bi + k)))
+        // adjacency check: consecutive positions only (no joins across holes)
+        if (window.sliding(2).forall { case Seq(a, b) => b.pos == a.pos + 1 }) {
+          outT += Token(window.map(_.term).mkString(" "), window.head.pos)
+          outO += true
+        }
+        n += 1
+      }
+    }
+    (outT.result(), outO.result())
+  }
+}
+
+/** Edge n-grams of each token: prefixes of length [min, max] at the same
+  * position as overlaps, original kept when preserveOriginal
+  * (analysis/ngram/EdgeNGramTokenFilter.java) — the autocomplete /
+  * search-as-you-type index-time filter. */
+final case class EdgeNGramFilter(minGram: Int, maxGram: Int,
+                                 preserveOriginal: Boolean = true) extends TokenFilter {
+  require(minGram >= 1 && maxGram >= minGram, s"bad gram bounds [$minGram,$maxGram]")
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) = {
+    val outT = Seq.newBuilder[Token]
+    val outO = Seq.newBuilder[Boolean]
+    tokens.indices.foreach { i =>
+      val t = tokens(i)
+      var emittedOriginal = false
+      var g = minGram
+      while (g <= math.min(maxGram, t.term.length)) {
+        val isWhole = g == t.term.length
+        outT += Token(t.term.substring(0, g), t.pos)
+        // first gram of a token is its "real" slot; the rest stack on it
+        outO += (overlaps(i) || g != minGram)
+        if (isWhole) emittedOriginal = true
+        g += 1
+      }
+      if (preserveOriginal && !emittedOriginal && t.term.length > 0) {
+        outT += t
+        outO += (overlaps(i) || t.term.length > minGram)
+      }
+    }
+    (outT.result(), outO.result())
+  }
+}
+
 /**
  * The analysis chain: the standard tokenizer ([[Analyzer]]: UAX#29 subset
  * + lowercase) followed by the configured filters. `AnalyzerChain(Nil)`
@@ -119,17 +218,35 @@ object AnalyzerChain {
           s"${word(k)}:[${vs.map(word).mkString(",")}]"
         }
         s"""{"type":"synonym","map":{${entries.mkString(",")}}}"""
+      case AsciiFoldingFilter => """{"type":"ascii"}"""
+      case LengthFilter(mn, mx) => s"""{"type":"length","min":$mn,"max":$mx}"""
+      case ShingleFilter(mx, uni) =>
+        s"""{"type":"shingle","max":$mx,"unigrams":$uni}"""
+      case EdgeNGramFilter(mn, mx, orig) =>
+        s"""{"type":"edgengram","min":$mn,"max":$mx,"original":$orig}"""
     }
     s"""{"filters":[${fs.mkString(",")}]}"""
   }
 
   def fromJson(json: String): AnalyzerChain = {
-    val filterRe = """\{"type":"(stop|porter|synonym)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
+    val filterRe =
+      """\{"type":"(stop|porter|synonym|ascii|length|shingle|edgengram)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
     val wordsRe = """"([^"]+)"""".r
+    def intField(body: String, k: String): Int =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
+    def boolField(body: String, k: String): Boolean =
+      s""""$k":(true|false)""".r.findFirstMatchIn(body).get.group(1).toBoolean
     val filters = filterRe.findAllMatchIn(json).map { m =>
       val body = m.matched
       m.group(1) match {
         case "porter" => PorterStemFilter
+        case "ascii"  => AsciiFoldingFilter
+        case "length" => LengthFilter(intField(body, "min"), intField(body, "max"))
+        case "shingle" =>
+          ShingleFilter(intField(body, "max"), boolField(body, "unigrams"))
+        case "edgengram" =>
+          EdgeNGramFilter(intField(body, "min"), intField(body, "max"),
+            boolField(body, "original"))
         case "stop" =>
           val arr = body.substring(body.indexOf('['), body.indexOf(']') + 1)
           StopFilter(wordsRe.findAllMatchIn(arr).map(_.group(1)).toSet)

@@ -134,12 +134,69 @@ class FiltersSpec extends AnyFunSuite {
     }
   }
 
+  test("ascii folding: accents stripped, ligatures expanded, ascii untouched") {
+    val chain = AnalyzerChain(Seq(AsciiFoldingFilter))
+    assert(chain.terms("café naïve Zürich") === Seq("cafe", "naive", "zurich"))
+    assert(chain.terms("straße œuvre Ærø") === Seq("strasse", "oeuvre", "aero"))
+    assert(chain.terms("plain ascii7 text") === Seq("plain", "ascii7", "text"))
+    // positions unchanged
+    assert(chain.analyze("é b ç").map(_.pos) === Seq(0, 1, 2))
+  }
+
+  test("length filter drops out-of-range tokens leaving holes") {
+    val chain = AnalyzerChain(Seq(LengthFilter(2, 4)))
+    val toks = chain.analyze("a bb ccc dddd eeeee")
+    assert(toks.map(_.term) === Seq("bb", "ccc", "dddd"))
+    assert(toks.map(_.pos) === Seq(1, 2, 3))
+  }
+
+  test("shingle filter: adjacent bigrams as overlaps at the first position") {
+    val chain = AnalyzerChain(Seq(ShingleFilter(maxShingleSize = 2)))
+    val (toks, over) = chain.analyzeWithOverlaps("fast table scan")
+    val uni = toks.zip(over).filter(!_._2).map(_._1)
+    val shingles = toks.zip(over).filter(_._2).map(_._1)
+    assert(uni.map(_.term) === Seq("fast", "table", "scan"))
+    assert(shingles.map(t => (t.term, t.pos)) ===
+      Seq(("fast table", 0), ("table scan", 1)))
+    // dl discounts shingles (overlaps): 3 base tokens
+    assert(chain.termFreqs("fast table scan")._2 === 3)
+  }
+
+  test("shingles do not join across stop-word holes") {
+    val chain = AnalyzerChain(Seq(StopFilter(Set("the")), ShingleFilter(2)))
+    val (toks, over) = chain.analyzeWithOverlaps("scan the table")
+    val shingles = toks.zip(over).filter(_._2).map(_._1.term)
+    assert(shingles.isEmpty) // 'scan'@0 and 'table'@2 are not adjacent
+  }
+
+  test("trigram shingles include bigrams and trigrams") {
+    val chain = AnalyzerChain(Seq(ShingleFilter(maxShingleSize = 3)))
+    val (toks, over) = chain.analyzeWithOverlaps("a b c d")
+    val shingles = toks.zip(over).filter(_._2).map(_._1.term).sorted
+    assert(shingles === Seq("a b", "a b c", "b c", "b c d", "c d").sorted)
+  }
+
+  test("edge ngram filter: prefixes stacked at the token position") {
+    val chain = AnalyzerChain(Seq(EdgeNGramFilter(2, 3)))
+    val (toks, over) = chain.analyzeWithOverlaps("spark ml")
+    val got = toks.zip(over).map { case (t, o) => (t.term, t.pos, o) }
+    assert(got === Seq(
+      ("sp", 0, false), ("spa", 0, true), ("spark", 0, true),
+      ("ml", 1, false)))
+    // short token below minGram: preserved as original, not dropped
+    val (t2, _) = chain.analyzeWithOverlaps("a")
+    assert(t2.map(_.term) === Seq("a"))
+  }
+
   test("chain config round-trips through JSON") {
     val chains = Seq(
       AnalyzerChain.standard,
       AnalyzerChain(Seq(StopFilter(Set("the", "a", "of")))),
       AnalyzerChain(Seq(PorterStemFilter)),
       AnalyzerChain.english(Set("the", "a")),
+      AnalyzerChain(Seq(AsciiFoldingFilter, LengthFilter(2, 255))),
+      AnalyzerChain(Seq(ShingleFilter(3, outputUnigrams = false))),
+      AnalyzerChain(Seq(EdgeNGramFilter(1, 4, preserveOriginal = false))),
       AnalyzerChain(Seq(
         StopFilter(Set("the")),
         SynonymFilter(Map("fast" -> Seq("quick"), "big" -> Seq("large", "huge"))),
