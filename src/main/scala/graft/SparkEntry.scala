@@ -149,6 +149,24 @@ object SparkEntry {
         round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
         round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"))),
 
+    // field collapse (CollapsingQParserPlugin): best-scoring doc per source
+    // for a BM25 query, with the collapsed group size
+    "q48_collapse" -> ((s, d) => R.collapseOn(
+      TextOps.bm25All(rd(s, d, "documents"), "doc_id", "text",
+          Seq("spark", "query", "join"))
+        .join(rd(s, d, "documents").select("doc_id", "source"), "doc_id"),
+      "source", "score", "doc_id")),
+
+    // re-ranking (ReRankQParserPlugin / QueryRescorer): top-50 of the main
+    // query re-scored by a weighted second query
+    "q49_rerank" -> ((s, d) => TextOps.reRank(rd(s, d, "documents"),
+      "doc_id", "text", Seq("spark", "query"), Seq("join", "data"),
+      reRankDocs = 50, weight = 2.0)),
+
+    // two-level pivot facet (facet.pivot=lang,source, facet.limit 3/2)
+    "q50_pivot" -> ((s, d) => R.facetPivot(rd(s, d, "documents"),
+      "lang", "source", topA = 3, topBPerA = 2)),
+
     // ---- joins (SURVEY §2.4) ----
     "q2_join_inner" -> ((s, d) => R.innerJoin(
         rd(s, d, "orders"), rd(s, d, "customer").withColumnRenamed("c_custkey", "o_custkey"),
@@ -807,6 +825,23 @@ object SparkEntry {
           | round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
           | round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept
           | FROM lineitem, c GROUP BY c.m2, c.m3, c.m4""".stripMargin,
+      "q48_collapse" ->
+        s"""WITH scored AS (SELECT * FROM (${bm25Sql(Seq("spark", "query", "join"), "or", Nil)})),
+           | j AS (SELECT s.doc_id, s.score, d.source
+           |   FROM scored s JOIN documents d USING (doc_id)),
+           | r AS (SELECT *,
+           |   row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rn,
+           |   CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS group_size FROM j)
+           | SELECT doc_id, score, source, group_size FROM r WHERE rn = 1""".stripMargin,
+      "q49_rerank" -> reRankSql(Seq("spark", "query"), Seq("join", "data"), 50, 2.0),
+      "q50_pivot" ->
+        """WITH ab AS (SELECT lang, source, count(*) AS count_b FROM documents GROUP BY lang, source),
+          | l1 AS (SELECT lang, CAST(sum(count_b) AS BIGINT) AS count_a FROM ab GROUP BY lang),
+          | keep AS (SELECT * FROM l1 ORDER BY count_a DESC, lang ASC LIMIT 3),
+          | nested AS (SELECT ab.lang, keep.count_a, ab.source, ab.count_b,
+          |     row_number() OVER (PARTITION BY ab.lang ORDER BY ab.count_b DESC, ab.source ASC) AS rn
+          |   FROM ab JOIN keep USING (lang))
+          | SELECT lang, count_a, source, count_b FROM nested WHERE rn <= 2""".stripMargin,
       "q2_join_inner" ->
         """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
           | FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment""".stripMargin,
@@ -1371,6 +1406,33 @@ object SparkEntry {
        |  FROM qt JOIN dfs ON qt.tok = dfs.tok JOIN dl ON qt.doc_id = dl.doc_id, st)
        | SELECT doc_id, round(sum(s), 5) AS score FROM sc
        | WHERE 1=1 $notClause GROUP BY doc_id $havingClause""".stripMargin
+  }
+
+  /** ReRank oracle: per-(doc, term) BM25 frame shared by both passes (same
+    * arithmetic as bm25Sql but keeping `tok`), the main-query top-n window
+    * ordered (first_pass DESC, doc_id ASC), combined score = first_pass +
+    * weight * rescore (0 when the window doc misses the rescore query). */
+  private def reRankSql(mainTerms: Seq[String], reTerms: Seq[String],
+                        n: Int, weight: Double): String = {
+    val all = (mainTerms ++ reTerms).distinct.map(t => s"'$t'").mkString(",")
+    val ml = mainTerms.map(t => s"'$t'").mkString(",")
+    val rl = reTerms.map(t => s"'$t'").mkString(",")
+    s"""WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+       | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),
+       | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+       | st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+       |               (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+       | qt AS (SELECT * FROM tf WHERE tok IN ($all)),
+       | dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM qt GROUP BY tok),
+       | sc AS (SELECT qt.doc_id, qt.tok,
+       |   ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * qt.tf /
+       |   (qt.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+       |  FROM qt JOIN dfs ON qt.tok = dfs.tok JOIN dl ON qt.doc_id = dl.doc_id, st),
+       | main AS (SELECT doc_id, round(sum(s), 5) AS first_pass FROM sc WHERE tok IN ($ml) GROUP BY doc_id),
+       | re AS (SELECT doc_id, round(sum(s), 5) AS re_s FROM sc WHERE tok IN ($rl) GROUP BY doc_id),
+       | win AS (SELECT doc_id, first_pass FROM main ORDER BY first_pass DESC, doc_id ASC LIMIT $n)
+       | SELECT w.doc_id, round(w.first_pass + $weight * coalesce(r.re_s, 0), 5) AS score, w.first_pass
+       |  FROM win w LEFT JOIN re r USING (doc_id)""".stripMargin
   }
 
   /** Language-ID oracle mirroring TextOps.languageId's argmax + tie rule. */

@@ -214,4 +214,62 @@ object Relational {
         countAs.map(n => sum(col("__cnt")).as(n)).toSeq
     phase1.groupBy(keys.map(col): _*).agg(phase2Aggs.head, phase2Aggs.tail: _*)
   }
+
+  /**
+   * Field collapse (reference solr/core/src/java/org/apache/solr/search/
+   * CollapsingQParserPlugin.java: one representative document per collapse
+   * key, chosen by max score — ties to the lowest doc id, matching the
+   * collector's first-seen-docid behavior): returns the head row of each
+   * `groupCol` group plus the group's size.
+   *
+   * Scale shape: a single partial-aggregated groupBy (`max_by` over a
+   * comparable struct), NOT a window sort — map-side combine reduces each
+   * group to one partial per partition before the exchange, so the shuffle
+   * carries O(#groups x #partitions) rows regardless of corpus size.
+   */
+  def collapseOn(df: DataFrame, groupCol: String, orderCol: String,
+                 idCol: String): DataFrame = {
+    val pick = struct(col(orderCol), (-col(idCol)).as("__negid"))
+    df.groupBy(groupCol)
+      .agg(max_by(struct(df.columns.map(col): _*), pick).as("__head"),
+        count("*").as("group_size"))
+      .select(col("__head.*"), col("group_size"))
+  }
+
+  /**
+   * Expand component (reference solr/core/src/java/org/apache/solr/handler/
+   * component/ExpandComponent.java): for each collapsed group, the top-n
+   * rows BEHIND the head, in head order — the "show more from this group"
+   * companion of [[collapseOn]]. Window-ranked; n is facet-sized so the
+   * per-group sort state is bounded.
+   */
+  def expandGroups(df: DataFrame, groupCol: String, order: Seq[Column],
+                   n: Int): DataFrame = {
+    require(!df.columns.contains("__rn"), "input already has a '__rn' column")
+    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1 && col("__rn") <= n + 1)
+      .drop("__rn")
+  }
+
+  /**
+   * Two-level pivot facet (reference solr/core/src/java/org/apache/solr/
+   * handler/component/PivotFacetProcessor.java): counts of `colB` nested
+   * under `colA`, each level keeping its top-n by (count DESC, value ASC) —
+   * Solr's facet.pivot=A,B with facet.limit per level.
+   *
+   * One data pass: the (A, B) aggregation feeds both levels (level-1 counts
+   * are re-aggregated from it, never a second scan); the level-1 winners are
+   * facet.limit-sized, so the nested filter is a broadcast semi-join.
+   */
+  def facetPivot(df: DataFrame, colA: String, colB: String,
+                 topA: Int, topBPerA: Int): DataFrame = {
+    val ab = df.groupBy(colA, colB).agg(count("*").as("count_b"))
+    val keepA = ab.groupBy(colA).agg(sum("count_b").as("count_a"))
+      .orderBy(col("count_a").desc, col(colA).asc).limit(topA)
+    topPerGroup(ab.join(broadcast(keepA), Seq(colA)),
+        Seq(colA), Seq(col("count_b").desc, col(colB).asc), topBPerA)
+      .drop("rn")
+      .select(col(colA), col("count_a"), col(colB), col("count_b"))
+  }
 }

@@ -153,6 +153,40 @@ object TextOps {
       .groupBy(idCol)
       .agg(round(max("s") + lit(tiebreak) * (sum("s") - max("s")), 5).as("score"))
 
+  /**
+   * Re-ranking (reference solr/core/src/java/org/apache/solr/search/
+   * ReRankQParserPlugin.java; lucene/core/src/java/org/apache/lucene/search/
+   * QueryRescorer.java): the top `reRankDocs` of the main query are
+   * re-scored as firstPass + weight * rescoreQuery score; docs in the window
+   * that don't match the rescore query keep their first-pass score
+   * (QueryRescorer.combine with secondPassMatches=false). Returns
+   * (idCol, score, first_pass) for the re-ranked window.
+   *
+   * Determinism: both passes round to 5 before combining and the window
+   * boundary orders by (first_pass DESC, id ASC), so the oracle's double
+   * arithmetic reproduces the exact row set. Scale shape: the corpus is
+   * tokenized ONCE for both term sets (shared scoredTerms frame); window
+   * selection is TakeOrderedAndProject (bounded per-partition heaps), and
+   * the rescore join touches only the reRankDocs-sized window.
+   */
+  def reRank(docs: DataFrame, idCol: String, textCol: String,
+             mainTerms: Seq[String], rescoreTerms: Seq[String],
+             reRankDocs: Int, weight: Double,
+             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val st = scoredTerms(docs, idCol, textCol,
+      (mainTerms ++ rescoreTerms).distinct, k1, b)
+    val main = st.filter(col("tok").isin(mainTerms: _*)).groupBy(idCol)
+      .agg(round(sum("s"), 5).as("first_pass"))
+    val re = st.filter(col("tok").isin(rescoreTerms: _*)).groupBy(idCol)
+      .agg(round(sum("s"), 5).as("__re"))
+    main.orderBy(col("first_pass").desc, col(idCol).asc).limit(reRankDocs)
+      .join(re, Seq(idCol), "left")
+      .select(col(idCol),
+        round(col("first_pass") + lit(weight) * coalesce(col("__re"), lit(0.0)), 5)
+          .as("score"),
+        col("first_pass"))
+  }
+
   /** minShouldMatch (MinShouldMatchSumScorer): docs matching >= n of terms. */
   def minShouldMatch(docs: DataFrame, idCol: String, textCol: String,
                      terms: Seq[String], n: Int): DataFrame =

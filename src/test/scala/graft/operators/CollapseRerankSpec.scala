@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Field collapse / expand (CollapsingQParserPlugin, ExpandComponent),
+  * re-ranking (ReRankQParserPlugin / QueryRescorer) and pivot facets
+  * (PivotFacetProcessor) — semantics on hand-checkable frames; the
+  * corpus-scale versions are oracle-checked as q48/q49/q50. */
+class CollapseRerankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame = Seq(
+    // (id, group, score)
+    (1L, "a", 3.0), (2L, "a", 5.0), (3L, "a", 5.0), (4L, "b", 1.0),
+    (5L, "b", 2.0), (6L, "c", 7.0)
+  ).toDF("id", "grp", "score")
+
+  test("collapseOn keeps the max-score head, ties to lowest id, with group size") {
+    val got = Relational.collapseOn(frame, "grp", "score", "id")
+      .select("grp", "id", "score", "group_size")
+      .as[(String, Long, Double, Long)].collect().sortBy(_._1)
+    // group a: score tie 5.0 between ids 2 and 3 -> id 2 wins
+    assert(got.toSeq === Seq(("a", 2L, 5.0, 3L), ("b", 5L, 2.0, 2L), ("c", 6L, 7.0, 1L)))
+  }
+
+  test("expandGroups returns the rows behind each head, capped at n") {
+    val got = Relational.expandGroups(frame, "grp",
+        Seq(col("score").desc, col("id").asc), n = 1)
+      .select("grp", "id").as[(String, Long)].collect().sortBy(_._1)
+    // a: head=2, next=3 (tie order by id); b: head=5, next=4; c: no tail
+    assert(got.toSeq === Seq(("a", 3L), ("b", 4L)))
+  }
+
+  test("collapse heads + expand tails partition each group (no overlap, no loss)") {
+    val heads = Relational.collapseOn(frame, "grp", "score", "id")
+      .select("id").as[Long].collect().toSet
+    val tails = Relational.expandGroups(frame, "grp",
+        Seq(col("score").desc, col("id").asc), n = 100)
+      .select("id").as[Long].collect().toSet
+    assert((heads & tails).isEmpty)
+    assert(heads ++ tails === (1L to 6L).toSet)
+  }
+
+  test("reRank: combined = first_pass + w * rescore inside the window only") {
+    val docs = Seq(
+      (1L, "spark spark spark"),          // strong main, no rescore terms
+      (2L, "spark join join"),            // main + rescore
+      (3L, "join data"),                  // rescore only -> not in main results
+      (4L, "spark data")                  // main + rescore
+    ).toDF("doc_id", "text")
+    // window of 2: top-2 by first_pass get re-scored; doc outside window drops
+    val got = TextOps.reRank(docs, "doc_id", "text",
+        mainTerms = Seq("spark"), rescoreTerms = Seq("join", "data"),
+        reRankDocs = 2, weight = 10.0)
+      .select("doc_id", "score", "first_pass")
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    // top-2 by first pass: doc 1 (tf=3) and doc 4 (len-2 doc beats doc 2's
+    // len-3 doc on BM25 length normalization); doc 3 never enters (no main term)
+    assert(got.map(_._1) === Seq(1L, 4L))
+    val byId = got.map(g => g._1 -> g).toMap
+    // doc 1 misses the rescore query: combined == first_pass
+    assert(byId(1L)._2 === byId(1L)._3)
+    // doc 4 matches it ("data"): combined > first_pass
+    assert(byId(4L)._2 > byId(4L)._3)
+  }
+
+  test("facetPivot nests top-B counts under top-A values with level totals") {
+    val df = Seq(
+      ("en", "web"), ("en", "web"), ("en", "book"), ("en", "wiki"),
+      ("fr", "web"), ("fr", "book"),
+      ("de", "web")
+    ).toDF("lang", "src")
+    val got = Relational.facetPivot(df, "lang", "src", topA = 2, topBPerA = 1)
+      .select("lang", "count_a", "src", "count_b")
+      .as[(String, Long, String, Long)].collect().sortBy(_._1).toSeq
+    // top-2 langs by total: en (4), fr (2); per lang top-1 source: web
+    assert(got === Seq(("en", 4L, "web", 2L), ("fr", 2L, "book", 1L)))
+  }
+}
