@@ -151,7 +151,7 @@ object SparkEntry {
 
     // field collapse (CollapsingQParserPlugin): best-scoring doc per source
     // for a BM25 query, with the collapsed group size
-    "q48_collapse" -> ((s, d) => R.collapseOn(
+    "q51_collapse" -> ((s, d) => R.collapseOn(
       TextOps.bm25All(rd(s, d, "documents"), "doc_id", "text",
           Seq("spark", "query", "join"))
         .join(rd(s, d, "documents").select("doc_id", "source"), "doc_id"),
@@ -159,12 +159,12 @@ object SparkEntry {
 
     // re-ranking (ReRankQParserPlugin / QueryRescorer): top-50 of the main
     // query re-scored by a weighted second query
-    "q49_rerank" -> ((s, d) => TextOps.reRank(rd(s, d, "documents"),
+    "q52_rerank" -> ((s, d) => TextOps.reRank(rd(s, d, "documents"),
       "doc_id", "text", Seq("spark", "query"), Seq("join", "data"),
       reRankDocs = 50, weight = 2.0)),
 
     // two-level pivot facet (facet.pivot=lang,source, facet.limit 3/2)
-    "q50_pivot" -> ((s, d) => R.facetPivot(rd(s, d, "documents"),
+    "q53_pivot" -> ((s, d) => R.facetPivot(rd(s, d, "documents"),
       "lang", "source", topA = 3, topBPerA = 2)),
 
     // ---- joins (SURVEY §2.4) ----
@@ -825,7 +825,7 @@ object SparkEntry {
           | round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
           | round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept
           | FROM lineitem, c GROUP BY c.m2, c.m3, c.m4""".stripMargin,
-      "q48_collapse" ->
+      "q51_collapse" ->
         s"""WITH scored AS (SELECT * FROM (${bm25Sql(Seq("spark", "query", "join"), "or", Nil)})),
            | j AS (SELECT s.doc_id, s.score, d.source
            |   FROM scored s JOIN documents d USING (doc_id)),
@@ -833,8 +833,8 @@ object SparkEntry {
            |   row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rn,
            |   CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS group_size FROM j)
            | SELECT doc_id, score, source, group_size FROM r WHERE rn = 1""".stripMargin,
-      "q49_rerank" -> reRankSql(Seq("spark", "query"), Seq("join", "data"), 50, 2.0),
-      "q50_pivot" ->
+      "q52_rerank" -> reRankSql(Seq("spark", "query"), Seq("join", "data"), 50, 2.0),
+      "q53_pivot" ->
         """WITH ab AS (SELECT lang, source, count(*) AS count_b FROM documents GROUP BY lang, source),
           | l1 AS (SELECT lang, CAST(sum(count_b) AS BIGINT) AS count_a FROM ab GROUP BY lang),
           | keep AS (SELECT * FROM l1 ORDER BY count_a DESC, lang ASC LIMIT 3),

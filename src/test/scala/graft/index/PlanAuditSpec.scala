@@ -120,4 +120,42 @@ class PlanAuditSpec extends SparkSpec {
       .filter($"s" > 0f)
     assert(planOf(scored).contains("*("), planOf(scored).take(1200))
   }
+
+  test("collapse: ONE partial-aggregated shuffle, no window sort") {
+    val df = (0 until 1000).map(i => (i.toLong, s"g${i % 7}", (i % 13).toDouble))
+      .toDF("id", "grp", "score")
+    val plan = planOf(graft.operators.Relational.collapseOn(df, "grp", "score", "id"))
+    // head selection is max_by aggregation: exactly one grouping exchange,
+    // partial+final (map-side combine), and NO Window/global Sort operator
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(plan.contains("partial_max_by") || plan.contains("max_by"), plan.take(1500))
+  }
+
+  test("facetPivot: level-1 winners join back as a BROADCAST, one data pass") {
+    val df = (0 until 1000).map(i => (s"l${i % 5}", s"s${i % 11}")).toDF("lang", "src")
+    val pivot = graft.operators.Relational.facetPivot(df, "lang", "src", 3, 2)
+    pivot.collect() // AQE: final plan materializes after execution
+    // audit the FINAL adaptive plan only (the trailing "Initial Plan"
+    // section is the pre-reuse shape)
+    val plan = planOf(pivot).split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan.take(2000))
+    // the raw table is scanned once: the level-1 branch REUSES the (A, B)
+    // grouping exchange instead of re-scanning the input
+    val scans = "LocalTableScan".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 input scan, got $scans:\n${plan.take(2000)}")
+    assert(plan.contains("ReusedExchange"), plan.take(2000))
+  }
+
+  test("reRank: window selection is TakeOrderedAndProject; corpus tokenized once") {
+    val docs = (0 until 300).map(i => (i.toLong, s"spark query join data doc$i"))
+      .toDF("doc_id", "text")
+    val rr = graft.operators.TextOps.reRank(docs, "doc_id", "text",
+      Seq("spark", "query"), Seq("join", "data"), 20, 2.0)
+    val plan = planOf(rr)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("Sort ["), plan.take(2000))
+  }
 }
