@@ -167,6 +167,23 @@ object SparkEntry {
     "q53_pivot" -> ((s, d) => R.facetPivot(rd(s, d, "documents"),
       "lang", "source", topA = 3, topBPerA = 2)),
 
+    // query elevation (QueryElevationComponent): docs 7 and 3 pinned in
+    // that order, doc 11 excluded; unmatched pins inserted at score 0
+    "q54_elevate" -> ((s, d) => TextOps.elevate(
+      TextOps.bm25All(rd(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "query")),
+      "doc_id", pinned = Seq(7L, 3L), excluded = Seq(11L))),
+
+    // function-score boost (FunctionScoreQuery.boostByValue): BM25 score
+    // scaled by a reciprocal doc-length feature (recip-style recency shape)
+    "q55_boost" -> ((s, d) => TextOps.boostByValue(
+      TextOps.bm25All(rd(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "join")),
+      "doc_id",
+      rd(s, d, "documents").select(col("doc_id"),
+        round(lit(1000.0) / (col("n_chars") + 1000.0), 6).as("boost")),
+      "boost")),
+
     // ---- joins (SURVEY §2.4) ----
     "q2_join_inner" -> ((s, d) => R.innerJoin(
         rd(s, d, "orders"), rd(s, d, "customer").withColumnRenamed("c_custkey", "o_custkey"),
@@ -834,6 +851,21 @@ object SparkEntry {
            |   CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS group_size FROM j)
            | SELECT doc_id, score, source, group_size FROM r WHERE rn = 1""".stripMargin,
       "q52_rerank" -> reRankSql(Seq("spark", "query"), Seq("join", "data"), 50, 2.0),
+      "q54_elevate" ->
+        s"""WITH scored AS (SELECT * FROM (${bm25Sql(Seq("spark", "query"), "or", Nil)})),
+           | pins(doc_id, pin_pos) AS (VALUES (7, 1), (3, 2)),
+           | kept AS (SELECT * FROM scored WHERE doc_id <> 11)
+           | SELECT k.doc_id, k.score, coalesce(p.pin_pos, 0) AS pin_pos,
+           |   coalesce(p.pin_pos, 0) > 0 AS elevated
+           |  FROM kept k LEFT JOIN pins p USING (doc_id)
+           | UNION ALL
+           | SELECT p.doc_id, 0.0 AS score, p.pin_pos, TRUE AS elevated FROM pins p
+           |  WHERE p.doc_id NOT IN (SELECT doc_id FROM kept)""".stripMargin,
+      "q55_boost" ->
+        s"""WITH scored AS (SELECT * FROM (${bm25Sql(Seq("spark", "join"), "or", Nil)})),
+           | f AS (SELECT doc_id, round(1000.0 / (n_chars + 1000.0), 6) AS boost FROM documents)
+           | SELECT s.doc_id, round(s.score * greatest(f.boost, 0), 5) AS score
+           |  FROM scored s JOIN f USING (doc_id)""".stripMargin,
       "q53_pivot" ->
         """WITH ab AS (SELECT lang, source, count(*) AS count_b FROM documents GROUP BY lang, source),
           | l1 AS (SELECT lang, CAST(sum(count_b) AS BIGINT) AS count_a FROM ab GROUP BY lang),

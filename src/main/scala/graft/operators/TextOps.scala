@@ -187,6 +187,52 @@ object TextOps {
         col("first_pass"))
   }
 
+  /**
+   * Query elevation (reference solr/core/src/java/org/apache/solr/handler/
+   * component/QueryElevationComponent.java): editorially pinned docs rank
+   * first — in configured order — ahead of the organic results; excluded
+   * docs are removed; pinned docs ABSENT from the organic result set are
+   * inserted (the component rewrites the query to include them) with score
+   * 0. Returns (idCol, score, pin_pos, elevated); consumers order by
+   * (elevated DESC, pin_pos ASC, score DESC, id) — sort keys, not a
+   * materialized global rank, so no single-partition window exists at scale.
+   *
+   * Scale shape: the pin/exclude lists are editorial-tiny, so the organic
+   * pass is one broadcast join; the missing-pin probe anti-joins the tiny
+   * list against the result frame (one exchange of the already-aggregated
+   * results — nothing scales with corpus size except that frame).
+   */
+  def elevate(scored: DataFrame, idCol: String, pinned: Seq[Long],
+              excluded: Seq[Long] = Nil): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val pins = pinned.zipWithIndex.map { case (id, i) => (id, i + 1) }
+      .toDF(idCol, "pin_pos")
+    val kept = if (excluded.isEmpty) scored
+               else scored.filter(!col(idCol).isin(excluded: _*))
+    val organic = kept.join(broadcast(pins), Seq(idCol), "left")
+      .select(col(idCol), col("score"),
+        coalesce(col("pin_pos"), lit(0)).as("pin_pos"))
+    val missing = pins.join(kept.select(idCol), Seq(idCol), "left_anti")
+      .select(col(idCol), lit(0.0).as("score"), col("pin_pos"))
+    organic.unionByName(missing)
+      .withColumn("elevated", col("pin_pos") > 0)
+  }
+
+  /**
+   * Function-score boosting (reference lucene/queries/src/java/org/apache/
+   * lucene/queries/function/FunctionScoreQuery.java boostByValue): final
+   * score = query score * max(0, feature value) — recency/popularity/
+   * quality boosts from a doc-values-shaped feature frame. The multiply
+   * happens AFTER the scoring aggregation, so the join carries only
+   * matching docs, and the feature read is a narrow column scan.
+   */
+  def boostByValue(scored: DataFrame, idCol: String,
+                   features: DataFrame, featureCol: String): DataFrame =
+    scored.join(features.select(col(idCol), col(featureCol)), Seq(idCol))
+      .select(col(idCol),
+        round(col("score") * greatest(col(featureCol), lit(0.0)), 5).as("score"))
+
   /** minShouldMatch (MinShouldMatchSumScorer): docs matching >= n of terms. */
   def minShouldMatch(docs: DataFrame, idCol: String, textCol: String,
                      terms: Seq[String], n: Int): DataFrame =

@@ -65,6 +65,30 @@ class CollapseRerankSpec extends SparkSpec {
     assert(byId(4L)._2 > byId(4L)._3)
   }
 
+  test("elevate: pins rank first in config order, exclusions drop, unmatched pins insert") {
+    val scored = Seq((10L, 5.0), (11L, 4.0), (12L, 3.0), (13L, 2.0))
+      .toDF("doc_id", "score")
+    // pin 13 then 99 (99 not in results -> inserted at score 0); exclude 11
+    val got = TextOps.elevate(scored, "doc_id", pinned = Seq(13L, 99L),
+        excluded = Seq(11L))
+      .orderBy(col("elevated").desc, col("pin_pos").asc, col("score").desc, col("doc_id"))
+      .select("doc_id", "score", "pin_pos", "elevated")
+      .as[(Long, Double, Int, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (13L, 2.0, 1, true),   // pinned first despite lowest organic score
+      (99L, 0.0, 2, true),   // inserted unmatched pin, config order kept
+      (10L, 5.0, 0, false),  // organic by score
+      (12L, 3.0, 0, false))) // doc 11 excluded entirely
+  }
+
+  test("boostByValue multiplies by the clamped feature") {
+    val scored = Seq((1L, 2.0), (2L, 3.0)).toDF("doc_id", "score")
+    val feats = Seq((1L, 0.5), (2L, -1.0)).toDF("doc_id", "f")
+    val got = TextOps.boostByValue(scored, "doc_id", feats, "f")
+      .as[(Long, Double)].collect().toMap
+    assert(got === Map(1L -> 1.0, 2L -> 0.0)) // negative feature clamps to 0
+  }
+
   test("facetPivot nests top-B counts under top-A values with level totals") {
     val df = Seq(
       ("en", "web"), ("en", "web"), ("en", "book"), ("en", "wiki"),
