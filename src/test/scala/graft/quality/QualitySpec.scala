@@ -67,11 +67,14 @@ class QualitySpec extends SparkSpec {
     // the TREC convention
     val goldenMap = 0.41482000851120554
     val goldenP10 = 1.0
-    info(f"MAP=${engine.map}%.6f meanP@10=${engine.meanP10}%.6f")
+    val goldenNdcg10 = 1.0
+    info(f"MAP=${engine.map}%.6f meanP@10=${engine.meanP10}%.6f meanNDCG@10=${engine.meanNdcg10}%.6f")
     assert(math.abs(engine.map - goldenMap) < 1e-6,
       f"MAP drifted from golden: ${engine.map}%.8f vs $goldenMap%.8f")
     assert(math.abs(engine.meanP10 - goldenP10) < 1e-6,
       f"P@10 drifted from golden: ${engine.meanP10}%.8f")
+    assert(math.abs(engine.meanNdcg10 - goldenNdcg10) < 1e-6,
+      f"NDCG@10 drifted from golden: ${engine.meanNdcg10}%.8f")
   }
 
   test("metric arithmetic: AP and P@k on known lists") {
@@ -83,5 +86,12 @@ class QualitySpec extends SparkSpec {
     assert(Quality.averagePrecision(Seq(9L, 8L), rel) === 0.0)
     // perfect ranking of all relevant docs => AP 1
     assert(Quality.averagePrecision(Seq(2L, 1L, 3L), rel) === 1.0)
+    // NDCG: perfect ranking => 1; hits at ranks 1,3 of 2 ideal slots
+    assert(math.abs(Quality.ndcgAt(Seq(2L, 1L, 3L), rel, 10) - 1.0) < 1e-12)
+    val got = Quality.ndcgAt(Seq(1L, 9L, 2L), Set(1L, 2L), 10)
+    val expect = (1.0 + math.log(2) / math.log(4)) / (1.0 + math.log(2) / math.log(3))
+    assert(math.abs(got - expect) < 1e-12)
+    assert(Quality.ndcgAt(Seq(9L, 8L), rel, 10) === 0.0)
+    assert(Quality.ndcgAt(Nil, rel, 10) === 0.0)
   }
 }
