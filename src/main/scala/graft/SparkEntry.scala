@@ -174,6 +174,16 @@ object SparkEntry {
         Seq("spark", "query")),
       "doc_id", pinned = Seq(7L, 3L), excluded = Seq(11L))),
 
+    // graph streaming expressions over a deterministic doc-id DAG
+    // (src -> src+3 and src -> src*2, targets clipped to existing ids)
+    "q56_gather" -> ((s, d) => R.gatherNodes(
+      graphEdges(rd(s, d, "documents")), "src", "dst",
+      seeds = Seq(1L), hops = 3)),
+
+    "q57_shortest" -> ((s, d) => R.shortestPaths(
+      graphEdges(rd(s, d, "documents")), "src", "dst",
+      from = 1L, to = 20L, maxDepth = 6)),
+
     // function-score boost (FunctionScoreQuery.boostByValue): BM25 score
     // scaled by a reciprocal doc-length feature (recip-style recency shape)
     "q55_boost" -> ((s, d) => TextOps.boostByValue(
@@ -861,6 +871,25 @@ object SparkEntry {
            | UNION ALL
            | SELECT p.doc_id, 0.0 AS score, p.pin_pos, TRUE AS elevated FROM pins p
            |  WHERE p.doc_id NOT IN (SELECT doc_id FROM kept)""".stripMargin,
+      "q56_gather" ->
+        s"""WITH RECURSIVE $GraphEdgesSql,
+           | walk(node, depth) AS (
+           |   SELECT CAST(1 AS BIGINT), 0
+           |   UNION ALL
+           |   SELECT e.dst, w.depth + 1 FROM walk w JOIN e ON e.src = w.node
+           |    WHERE w.depth < 3)
+           | SELECT node, CAST(min(depth) AS INT) AS depth FROM walk GROUP BY node""".stripMargin,
+      "q57_shortest" ->
+        s"""WITH RECURSIVE $GraphEdgesSql,
+           | walk(node, path, depth) AS (
+           |   SELECT CAST(1 AS BIGINT), CAST('1' AS VARCHAR), 0
+           |   UNION ALL
+           |   SELECT e.dst, w.path || '->' || CAST(e.dst AS VARCHAR), w.depth + 1
+           |   FROM walk w JOIN e ON e.src = w.node
+           |   WHERE w.depth < 6 AND w.node <> 20),
+           | hits AS (SELECT path, depth FROM walk WHERE node = 20)
+           | SELECT path, CAST(depth AS INT) AS depth FROM hits
+           |  WHERE depth = (SELECT min(depth) FROM hits)""".stripMargin,
       "q55_boost" ->
         s"""WITH scored AS (SELECT * FROM (${bm25Sql(Seq("spark", "join"), "or", Nil)})),
            | f AS (SELECT doc_id, round(1000.0 / (n_chars + 1000.0), 6) AS boost FROM documents)
@@ -1439,6 +1468,25 @@ object SparkEntry {
        | SELECT doc_id, round(sum(s), 5) AS score FROM sc
        | WHERE 1=1 $notClause GROUP BY doc_id $havingClause""".stripMargin
   }
+
+  /** Deterministic DAG over the doc-id space for the graph queries:
+    * src -> src+3 and src -> src*2, keeping only edges whose target exists
+    * (semi-join) — SF-independent semantics, acyclic (both ops increase). */
+  private def graphEdges(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    ids.select(col("doc_id").as("src"), (col("doc_id") + 3).as("dst"))
+      .unionByName(ids.select(col("doc_id").as("src"), (col("doc_id") * 2).as("dst")))
+      .join(ids.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi")
+  }
+
+  /** Shared oracle CTE prefix for the graph queries: the same (+3, x2) DAG. */
+  private val GraphEdgesSql =
+    """ids AS (SELECT doc_id FROM documents),
+      | e AS (SELECT doc_id AS src, doc_id + 3 AS dst FROM ids
+      |        WHERE doc_id + 3 IN (SELECT doc_id FROM ids)
+      |       UNION ALL
+      |       SELECT doc_id, doc_id * 2 FROM ids
+      |        WHERE doc_id * 2 IN (SELECT doc_id FROM ids))""".stripMargin
 
   /** ReRank oracle: per-(doc, term) BM25 frame shared by both passes (same
     * arithmetic as bm25Sql but keeping `tok`), the main-query top-n window

@@ -216,6 +216,86 @@ object Relational {
   }
 
   /**
+   * gatherNodes (reference solr/solrj/src/java/org/apache/solr/client/
+   * solrj/io/graph/GatherNodesStream.java): breadth-first frontier
+   * expansion over an edge frame — `hops` rounds of frontier ⋈ edges with
+   * the visited set subtracted, returning every reached node with its
+   * FIRST-reach depth (seeds at depth 0).
+   *
+   * Scale shape (same iterative discipline as
+   * [[graft.operators.Dedup.connectedComponents]]): each hop is one keyed
+   * join + one anti-join; `localCheckpoint` truncates the iterative
+   * lineage; the driver sees only an emptiness probe per hop. Frontiers
+   * are node-id-only — no payload rides the loop.
+   */
+  def gatherNodes(edges: DataFrame, srcCol: String, dstCol: String,
+                  seeds: Seq[Long], hops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast("long").as("__src"),
+      col(dstCol).cast("long").as("__dst"))
+    var visited = seeds.distinct.map(s => (s, 0)).toDF("node", "depth")
+      .localCheckpoint(true)
+    var frontier = visited.select("node")
+    var h = 0
+    while (h < hops && frontier.limit(1).count() > 0) {
+      h += 1
+      val next = e.join(frontier, e("__src") === col("node"))
+        .select(col("__dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("depth", lit(h))
+        .localCheckpoint(true)
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = next.select("node")
+    }
+    visited
+  }
+
+  /**
+   * shortestPath (reference solr/solrj/src/java/org/apache/solr/client/
+   * solrj/io/graph/ShortestPathStream.java): BFS from `from` toward `to`,
+   * returning ALL shortest paths (as "a->b->c" strings, plus their depth)
+   * within `maxDepth` hops; empty when unreachable. Nodes reached at an
+   * earlier depth are pruned from later frontiers — sound for shortest
+   * paths (a min-depth path visits every node at its first-reach depth) and
+   * the reason frontier size stays bounded on dense graphs.
+   */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    from: Long, to: Long, maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast("long").as("__src"),
+      col(dstCol).cast("long").as("__dst"))
+    val empty = Seq.empty[(String, Int)].toDF("path", "depth")
+    if (from == to) return Seq((from.toString, 0)).toDF("path", "depth")
+    var frontier = Seq((from, Seq(from))).toDF("node", "path")
+    var visited = frontier.select("node")
+    var depth = 0
+    var result: Option[DataFrame] = None
+    while (result.isEmpty && depth < maxDepth) {
+      depth += 1
+      val next = e.join(frontier, e("__src") === col("node"))
+        .select(col("__dst").as("node"),
+          concat(col("path"), array(col("__dst"))).as("path"))
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      val hits = next.filter(col("node") === to)
+      if (hits.limit(1).count() > 0) result = Some(hits)
+      else if (next.limit(1).count() == 0) result = Some(next.limit(0))
+      else {
+        frontier = next
+        visited = visited.union(next.select("node").distinct()).localCheckpoint(true)
+      }
+    }
+    result match {
+      case Some(hits) =>
+        hits.select(array_join(col("path"), "->").as("path"),
+          lit(depth).cast("int").as("depth"))
+      case None => empty
+    }
+  }
+
+  /**
    * Field collapse (reference solr/core/src/java/org/apache/solr/search/
    * CollapsingQParserPlugin.java: one representative document per collapse
    * key, chosen by max score — ties to the lowest doc id, matching the

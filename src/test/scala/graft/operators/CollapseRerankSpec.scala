@@ -89,6 +89,35 @@ class CollapseRerankSpec extends SparkSpec {
     assert(got === Map(1L -> 1.0, 2L -> 0.0)) // negative feature clamps to 0
   }
 
+  test("gatherNodes: first-reach depths over a cyclic graph, bounded hops") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    val got = Relational.gatherNodes(edges, "src", "dst", Seq(1L), hops = 2)
+      .as[(Long, Int)].collect().toMap
+    // 1 at 0; 2,3 at 1 (3 via the shortcut, NOT depth 2); 4 at 2; cycle ignored
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+    // zero hops returns just the seeds
+    assert(Relational.gatherNodes(edges, "src", "dst", Seq(2L), 0)
+      .as[(Long, Int)].collect().toMap === Map(2L -> 0))
+  }
+
+  test("shortestPaths: ALL shortest paths, cycles terminate, unreachable is empty") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (2L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val got = Relational.shortestPaths(edges, "src", "dst", 1L, 4L, maxDepth = 5)
+      .as[(String, Int)].collect().toSet
+    // two depth-2 routes; the depth-3 route 1->2->3->4 is NOT shortest
+    assert(got === Set(("1->3->4", 2), ("1->2->4", 2)))
+    // cycle route found when it IS the shortest: 3 -> 4 -> 1 -> 2
+    assert(Relational.shortestPaths(edges, "src", "dst", 3L, 2L, 5)
+      .as[(String, Int)].collect().toSeq === Seq(("3->4->1->2", 3)))
+    // unreachable target -> empty (search stops when the frontier dies)
+    assert(Relational.shortestPaths(edges, "src", "dst", 1L, 9L, 5).count() === 0)
+    // from == to -> the trivial path
+    assert(Relational.shortestPaths(edges, "src", "dst", 2L, 2L, 5)
+      .as[(String, Int)].collect().toSeq === Seq(("2", 0)))
+  }
+
   test("facetPivot nests top-B counts under top-A values with level totals") {
     val df = Seq(
       ("en", "web"), ("en", "web"), ("en", "book"), ("en", "wiki"),
