@@ -28,14 +28,63 @@ final case class OffsetToken(term: String, pos: Int, start: Int, end: Int)
  * ('.', ':', '\'' between letters; '.'/',' between digits) join when
  * flanked by word chars on both sides; CJK ideographs emit one token per
  * character (StandardTokenizer IDEOGRAPHIC type — UAX#29 gives Han no
- * joining rule; Katakana/Hangul remain letter runs). Everything else
- * breaks. Remaining gap vs the reference scanner: emoji token classes.
+ * joining rule; Katakana/Hangul remain letter runs). Emoji clusters emit
+ * ONE token per cluster (StandardTokenizer <EMOJI> type): a pictographic
+ * base plus its variation selector / skin-tone modifiers, ZWJ-joined
+ * sequences, and regional-indicator PAIRS (flags). The pictographic set is
+ * a documented block-range approximation of Extended_Pictographic (the
+ * main emoji blocks; keycap sequences and text-presentation symbols
+ * outside those blocks are out of scope). Everything else breaks.
  */
 object Analyzer extends Serializable {
   val MaxTokenLength = 255
 
   @inline private def isWordChar(cp: Int): Boolean =
     Character.isLetter(cp) || Character.isDigit(cp)
+
+  /** Emoji cluster base: the main pictographic blocks + regional
+    * indicators (flag halves). Approximates Extended_Pictographic
+    * (reference StandardTokenizerImpl emoji classes). */
+  @inline private def isEmojiBase(cp: Int): Boolean =
+    (cp >= 0x1F300 && cp <= 0x1FAFF) || // pictographs/emoticons/transport/supplemental
+    (cp >= 0x2600 && cp <= 0x27BF)   || // misc symbols + dingbats
+    cp == 0x2B50 || cp == 0x2B55     || // star / heavy circle
+    (cp >= 0x1F1E6 && cp <= 0x1F1FF)    // regional indicators
+
+  /** In-cluster continuation: ZWJ, variation selector 16, skin tones. */
+  @inline private def isEmojiCont(cp: Int): Boolean =
+    cp == 0x200D || cp == 0xFE0F || (cp >= 0x1F3FB && cp <= 0x1F3FF)
+
+  /** Exclusive end of the emoji cluster starting at `start` (which must
+    * point at an emoji base): consumes modifiers/VS16, ZWJ + next base
+    * repeatedly; a regional-indicator base pairs with exactly one
+    * following regional indicator (a flag). */
+  private def emojiEnd(text: String, start: Int): Int = {
+    val n = text.length
+    val cp0 = text.codePointAt(start)
+    var i = start + Character.charCount(cp0)
+    if (cp0 >= 0x1F1E6 && cp0 <= 0x1F1FF) {
+      if (i < n) {
+        val cp1 = text.codePointAt(i)
+        if (cp1 >= 0x1F1E6 && cp1 <= 0x1F1FF) i += Character.charCount(cp1)
+      }
+      return i
+    }
+    var done = false
+    while (!done && i < n) {
+      val cp = text.codePointAt(i)
+      if (isEmojiCont(cp)) {
+        val w = Character.charCount(cp)
+        if (cp == 0x200D) {
+          val j = i + w
+          if (j < n && isEmojiBase(text.codePointAt(j)))
+            i = j + Character.charCount(text.codePointAt(j))
+          else done = true
+        } else i += w
+      } else done = true
+    }
+    i
+  }
 
   /** CJK ideographs are single-codepoint tokens (UAX#29 gives Han no
     * word-joining rule; reference StandardTokenizer emits IDEOGRAPHIC
@@ -81,7 +130,13 @@ object Analyzer extends Serializable {
     while (i < n) {
       val cp = text.codePointAt(i)
       val w = Character.charCount(cp)
-      if (isIdeograph(cp)) {
+      if (cp >= 0x2600 && isEmojiBase(cp)) {
+        if (sb.length > 0) flush()
+        val e = emojiEnd(text, i)
+        out += Token(text.substring(i, e), pos)
+        pos += 1
+        i = e
+      } else if (isIdeograph(cp)) {
         if (sb.length > 0) flush()
         sb.appendCodePoint(cp)
         flush() // one token per ideograph
@@ -140,7 +195,13 @@ object Analyzer extends Serializable {
     while (i < n) {
       val cp = text.codePointAt(i)
       val w = Character.charCount(cp)
-      if (isIdeograph(cp)) {
+      if (cp >= 0x2600 && isEmojiBase(cp)) {
+        if (sb.length > 0) flush()
+        val e = emojiEnd(text, i)
+        out += OffsetToken(text.substring(i, e), pos, i, e)
+        pos += 1
+        i = e
+      } else if (isIdeograph(cp)) {
         if (sb.length > 0) flush()
         tokStart = i
         sb.appendCodePoint(cp)
@@ -210,7 +271,12 @@ object Analyzer extends Serializable {
     while (i < n) {
       val cp = text.codePointAt(i)
       val w = Character.charCount(cp)
-      if (isIdeograph(cp)) {
+      if (cp >= 0x2600 && isEmojiBase(cp)) {
+        if (sb.length > 0) flush()
+        val e = emojiEnd(text, i)
+        f(text.substring(i, e))
+        i = e
+      } else if (isIdeograph(cp)) {
         if (sb.length > 0) flush()
         sb.appendCodePoint(cp)
         flush() // one token per ideograph

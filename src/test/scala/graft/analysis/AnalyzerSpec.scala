@@ -55,6 +55,37 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(dl === 6)
     assert(tfs === Map("a" -> 3, "b" -> 2, "c" -> 1))
   }
+
+  test("emoji clusters: one token per cluster, ZWJ sequences and flags atomic") {
+    // simple pictographs split from words, one token each
+    assert(Analyzer.terms("ship 🚀 it🔥") ===
+      Seq("ship", "🚀", "it", "🔥"))
+    // VS16 and skin-tone modifiers stay inside the cluster
+    assert(Analyzer.terms("ok ❤️ done") === Seq("ok", "❤️", "done"))
+    assert(Analyzer.terms("👍🏽 yes") ===
+      Seq("👍🏽", "yes"))
+    // ZWJ family sequence = ONE token
+    val family = "👨‍👩‍👧"
+    assert(Analyzer.terms(s"a $family b") === Seq("a", family, "b"))
+    // regional indicators pair into flags; adjacent flags split per pair
+    val us = "🇺🇸"; val fr = "🇫🇷"
+    assert(Analyzer.terms(s"go $us$fr now") === Seq("go", us, fr, "now"))
+    // positions advance per cluster
+    assert(Analyzer.analyze(s"x $us y").map(t => (t.term, t.pos)) ===
+      Seq(("x", 0), (us, 1), ("y", 2)))
+    // all scanner variants agree; offsets slice the original text
+    val texts = Seq(s"mix $family and$us", "😀😀",
+      s"tail $us", "❤️", s"${family}lead")
+    texts.foreach { t =>
+      val base = Analyzer.analyze(t)
+      val off = Analyzer.analyzeWithOffsets(t)
+      assert(off.map(o => (o.term, o.pos)) === base.map(b => (b.term, b.pos)), s"[$t]")
+      off.foreach(o => assert(Analyzer.lowercase(t.substring(o.start, o.end)) === o.term))
+      var streamed = List.empty[String]
+      Analyzer.foreachTerm(t)(s => streamed ::= s)
+      assert(streamed.reverse === base.map(_.term), s"[$t]")
+    }
+  }
 }
 
 class FastPathSpec extends org.scalatest.funsuite.AnyFunSuite {
@@ -63,10 +94,14 @@ class FastPathSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("foreachTerm is exactly analyze().map(_.term) on random mixed text") {
     val rnd = new scala.util.Random(42)
     val pool = "abcXYZ019 \n\t(){};.:'_,\u00c4\u00df\u4e2d\u00e9\u03a3"
+    val emoji = Seq("\ud83d\ude80", "\u2764\ufe0f", "\ud83d\udc4d\ud83c\udffd", "\ud83d\udc68\u200d\ud83d\udc69\u200d\ud83d\udc67", "\ud83c\uddfa\ud83c\uddf8")
     for (trial <- 0 until 500) {
       val len = rnd.nextInt(120)
       val sb = new StringBuilder
-      for (_ <- 0 until len) sb += pool(rnd.nextInt(pool.length))
+      for (_ <- 0 until len) {
+        if (rnd.nextInt(12) == 0) sb ++= emoji(rnd.nextInt(emoji.length))
+        else sb += pool(rnd.nextInt(pool.length))
+      }
       if (trial % 50 == 0) sb ++= " " + ("x" * (250 + rnd.nextInt(350))) + "." + sb.toString
       val s = sb.toString
       val slow = Analyzer.analyze(s).map(_.term)
