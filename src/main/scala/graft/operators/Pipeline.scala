@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data pipeline operators beyond the reference's own surface:
+ * benchmark decontamination, token-budget sequence packing, and
+ * deterministic stratified sampling. These are the corpus-preparation
+ * steps a large-scale LLM-training pipeline runs over the `documents`
+ * table after cleaning/dedup (TextOps.cleanCorpus, Dedup.*).
+ *
+ * Scale notes (100 TB):
+ *  - decontaminate: the benchmark fragment set is tiny relative to the
+ *    corpus (thousands of eval prompts vs billions of docs), so it rides
+ *    a broadcast hash join against the exploded doc shingles — no
+ *    shuffle of document text, and the shingle explode is a narrow map.
+ *  - packSequences: a global running token count is a sequential
+ *    dependency; the distributed shape is the classic two-phase prefix
+ *    sum (per-partition subtotals -> O(#partitions) driver scan ->
+ *    broadcast offsets -> per-partition running sum), NOT a global
+ *    one-partition window sort.
+ *  - stratifiedSample: pure arithmetic hash predicate after a broadcast
+ *    join with the per-stratum rate table — a narrow filter, no shuffle,
+ *    reproducible across runs/clusters (no rand()).
+ */
+object Pipeline {
+
+  /** Deterministic benchmark fragment set derived from the corpus itself
+    * (stand-in for eval-set prompts; no external data in the sandbox):
+    * the first `n` analyzer tokens of every doc with id % mod == rem.
+    * Mirrors the DuckDB oracle's list_slice over the same token regex. */
+  def benchmarkFragments(docs: DataFrame, idCol: String, textCol: String,
+                         mod: Long = 97, rem: Long = 3, n: Int = 8): DataFrame = {
+    val toks = TextOps.tokensOf(textCol)
+    docs.filter(col(idCol) % mod === rem)
+      .select(concat_ws(" ", slice(toks, 1, n)).as("frag"), size(toks).as("nt"))
+      .filter(col("nt") >= n)
+      .select("frag").distinct()
+  }
+
+  /** Benchmark decontamination (the n-gram-overlap check run before
+    * training): a doc is contaminated iff any of its `n`-token shingles
+    * equals a benchmark fragment. Returns (doc_id, n_hits = #distinct
+    * fragments present), contaminated docs only.
+    *
+    * Shape: explode each doc into its n-gram shingles (narrow map), then
+    * a broadcast hash join against the fragment set, then one count
+    * aggregation keyed by doc id. Document text never enters a shuffle;
+    * only (doc_id, matched frag) pairs do, and only for hits. */
+  def decontaminate(docs: DataFrame, fragments: DataFrame,
+                    idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val shingled = docs
+      .select(col(idCol), TextOps.tokensOf(textCol).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("frag"))
+    shingled.join(broadcast(fragments), "frag")
+      .groupBy(idCol).agg(countDistinct("frag").as("n_hits"))
+  }
+
+  /** Token-budget sequence packing: assign docs (in id order) to training
+    * sequences of ~`budget` tokens. seq_id = floor(prefix_tokens / budget)
+    * where prefix_tokens counts all tokens of strictly-earlier docs —
+    * i.e. contiguous chunked packing, the deterministic variant used when
+    * document order must be stable across runs (a doc straddling a
+    * boundary starts the earlier sequence's tail; exact-budget splitting
+    * happens downstream at tensorization).
+    *
+    * Distributed two-phase prefix sum: range-partition by id, subtotal
+    * per partition (one O(#partitions) driver collect), broadcast the
+    * partition offsets, then a per-partition running sum. RDD zip-with-
+    * index style mapPartitionsWithIndex is the sanctioned imperative
+    * kernel here — Spark's ORDER BY window with no PARTITION BY would
+    * pull the whole corpus into one task. */
+  def packSequences(spark: SparkSession, docs: DataFrame, idCol: String,
+                    textCol: String, budget: Long = 2048,
+                    partitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+                else spark.sessionState.conf.numShufflePartitions
+    val counted = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        size(TextOps.tokensOf(textCol)).cast("long").as("n_tokens"))
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+    val rdd = counted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // phase 1: per-partition token subtotals (RangePartitioner assigns
+    // ascending key ranges to ascending partition indices)
+    val subtotals = rdd
+      .mapPartitionsWithIndex { case (pi, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((pi, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = subtotals.scanLeft(0L)(_ + _) // offsets(pi) = tokens before partition pi
+    // phase 2: running sum from the partition's offset
+    val packed = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      var cum = offsets(pi)
+      it.map { case (id, nt) =>
+        val seqId = cum / budget
+        cum += nt
+        (id, nt, seqId)
+      }
+    }
+    val out = packed.toDF("doc_id", "n_tokens", "seq_id")
+    out.withColumnRenamed("doc_id", idCol)
+  }
+
+  /** Deterministic stratified sampling: keep a per-stratum fraction of
+    * docs, selected by a multiplicative hash of the id (uniform over a
+    * prime modulus; id*K is a permutation of residues mod P since
+    * gcd(K, P)=1) — reproducible, cluster-size independent, and
+    * expressible in the DuckDB oracle with the same arithmetic.
+    *
+    * rates: stratum value -> keep fraction in [0,1]; strata not listed
+    * keep `defaultRate`. The rate table broadcasts; the predicate is a
+    * narrow codegen filter. */
+  val SampleModulus = 1009L
+  val SampleMultiplier = 2654435761L
+
+  def sampleBucket(idCol: Column): Column =
+    pmod(idCol.cast("long") * SampleMultiplier, lit(SampleModulus))
+
+  def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rateDf = rates.toSeq.toDF(strataCol, "keep_rate")
+    docs.join(broadcast(rateDf), Seq(strataCol), "left")
+      .withColumn("keep_rate", coalesce(col("keep_rate"), lit(defaultRate)))
+      .filter(sampleBucket(col(idCol)) < col("keep_rate") * SampleModulus)
+      .drop("keep_rate")
+  }
+
+  /** Gopher-style repetition metric (the "duplicate n-gram fraction"
+    * quality rule used to drop boilerplate/spam docs before training):
+    * per doc, the fraction of its n-token shingles that are repeats of an
+    * earlier shingle in the SAME doc. Pure narrow codegen — array ops per
+    * row, no shuffle, no explode. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    val toks = TextOps.tokensOf(textCol)
+    // guard: sequence(0, negative) would produce a DESCENDING range
+    val sh = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array())
+    docs.select(col(idCol),
+        size(sh).cast("long").as("n_shingles"),
+        size(array_distinct(sh)).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(when(col("n_shingles") > 0,
+          (col("n_shingles") - col("n_distinct")) / col("n_shingles").cast("double"))
+          .otherwise(0.0), 5))
+  }
+
+  /** PII redaction (standard pre-training scrub): replace email
+    * addresses, IPv4 addresses, and long digit runs (phone/account
+    * numbers) with typed placeholder tokens. RE2-compatible patterns (no
+    * backreferences/lookaround) so the DuckDB oracle runs the SAME
+    * regexes; a narrow chained regexp_replace in codegen. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val LongDigitsRe = "[0-9]{7,}"
+
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.withColumn(textCol,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        LongDigitsRe, "<NUM>"))
+}
