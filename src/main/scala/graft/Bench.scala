@@ -206,7 +206,9 @@ object Bench {
     * keep the best round per level. */
   private def runInterleaved(loCores: Int, hiCores: Int, numDocs: Long,
                              corpusPath: String): (Double, Double, Double, Double) = {
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "4").toInt
+    // 5 rounds: the median pair then tolerates TWO host-noise-corrupted
+    // windows (the VM sees multi-second stalls) instead of one
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
     val ratio = hiCores.toDouble / loCores
     var loBuilds, hiBuilds, pairEffs = List.empty[Double]
     var loQ, hiQ, qPairEffs = List.empty[Double]

@@ -3,7 +3,7 @@ package graft
 import graft.corpus.CorpusGen
 import graft.index.{IndexBuilder, IndexStore}
 import graft.codec.PostingsCodec
-import graft.operators.{Dedup, Multimodal, Relational => R, Similarity, Spans, TextOps}
+import graft.operators.{Dedup, Ltr, Multimodal, Pipeline => P, Relational => R, Similarity, Spans, TextOps}
 import graft.query.QueryEngine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -494,6 +494,47 @@ object SparkEntry {
     "ft_engine_spell" -> ((s, d) => docIndex(s, d).spellCorrect("spark", 2, 10)
       .select(col("term"), col("dist"), col("df"))),
 
+    // infix suggester (AnalyzingInfixSuggester): dictionary terms
+    // containing the query substring anywhere, weighted by df
+    "ft_engine_suggest_infix" -> ((s, d) => docIndex(s, d).suggestInfix("ar", 10)),
+
+    // spell collation (SpellCheckComponent collate=true): per-word best
+    // correction + verified hit count of the collated AND query
+    "ft_spell_collate" -> ((s, d) => docIndex(s, d)
+      .spellCollate(Seq("sprak", "quary"), 2)),
+
+    // term vector of one doc read from the positions tier (TermVectors
+    // capability) with the docId predicate pushed into the parquet scan
+    "ft_engine_termvec" -> ((s, d) => docIndex(s, d).termVector(7L)),
+
+    // interval facet with OVERLAPPING explicit intervals (facet.interval)
+    "ft_facet_interval" -> ((s, d) => R.intervalFacet(rd(s, d, "documents"),
+      "n_chars", Seq(("short", 0.0, Some(200.0)), ("mid", 150.0, Some(400.0)),
+        ("long", 400.0, None)))),
+
+    // spatial heatmap facet (facet.heatmap): grid-cell counts over the
+    // synthetic lat/lon derived as in q46_geo
+    "ft_geo_heatmap" -> ((s, d) => {
+      val ev = rd(s, d, "events").select(
+        (col("user_id") % 17000 / 100.0 - 85.0).as("lat"),
+        (col("user_id") % 35900 / 100.0 - 179.5).as("lon"))
+      graft.operators.Geo.heatmap(
+        ev.filter(col("lat").between(-85, -65) && col("lon").between(-180, -160)),
+        "lat", "lon", latMin = -85.0, lonMin = -180.0, cellDeg = 2.0)
+    }),
+
+    // learning-to-rank linear-model rescore of the BM25 top-40 window
+    // (Solr LTR plugin: feature extraction + LinearModel re-ranking)
+    "ft_ltr" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+      val first = TextOps.bm25All(docs, "doc_id", "text", Seq("spark", "query", "join"))
+      Ltr.rescore(first, "doc_id", "score", docs,
+        Seq(("loglen", log(lit(1.0) + col("n_chars"))),
+          ("is_en", (col("lang") === "en").cast("int"))),
+        Ltr.LinearModel(Seq(("first_pass", 1.0), ("loglen", 0.3), ("is_en", 0.5))),
+        n = 40)
+    }),
+
     // snippet highlighter (lucene/highlighter capability): first-match
     // window with <em>-wrapped query terms — fully deterministic built-ins
     "ft_highlight" -> ((s, d) => TextOps.highlight(rd(s, d, "documents"),
@@ -720,6 +761,63 @@ object SparkEntry {
         .flatMap(t => chain.terms(t)).toDF("shingle")
         .groupBy("shingle").agg(count("*").as("cnt"))
         .filter(col("cnt") >= 30)
+    }),
+
+    // export handler (/export): the FULL sorted match set, no limit —
+    // Solr's bulk-retrieval path; a distributed range-partitioned sort
+    "ft_export_sorted" -> ((s, d) => docIndex(s, d)
+      .exportSorted(Seq("spark"), Seq(("lang", true)))
+      .select(col("docId").as("doc_id"), col("lang"))),
+
+    // context-filtered suggester (CompletionQuery contexts): completions
+    // weighted by in-context df only
+    "ft_suggest_context" -> ((s, d) => TextOps.contextSuggest(
+      rd(s, d, "documents"), "doc_id", "text", "lang", "fr", "s", 10)),
+
+    // ClassicSimilarity (TF-IDF) — the reference's other stock similarity
+    "ft_tfidf" -> ((s, d) => TextOps.tfidfAll(rd(s, d, "documents"),
+      "doc_id", "text", Seq("spark", "query"))),
+
+    // phonetic (Soundex) matching: docs with a token phonetically equal
+    // to the (misspelled) query word — "joyn" finds "join" (J500)
+    "ft_phonetic" -> ((s, d) => TextOps.phoneticMatch(rd(s, d, "documents"),
+      "doc_id", "text", "joyn")),
+
+    // ---- training-pipeline corpus preparation (Pipeline.scala) ----
+    // benchmark decontamination: n-gram overlap of the training split vs a
+    // held-out eval-fragment set (docs with id%97==3 stand in for the eval
+    // set; n=2 because the synthetic vocabulary is tiny — real corpora use
+    // n=8..13). Fragments broadcast; text never shuffles.
+    "tp_decontam" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+      val frags = P.benchmarkFragments(docs, "doc_id", "text", mod = 97, rem = 3, n = 2)
+      P.decontaminate(docs.filter(col("doc_id") % 97 =!= 3), frags,
+        "doc_id", "text", n = 2)
+    }),
+
+    // token-budget sequence packing via distributed two-phase prefix sum
+    "tp_pack" -> ((s, d) => P.packSequences(s, rd(s, d, "documents"),
+      "doc_id", "text", budget = 2048)),
+
+    // deterministic stratified sampling: per-language keep rates, hash-based
+    "tp_sample" -> ((s, d) => P.stratifiedSample(rd(s, d, "documents"),
+      "doc_id", "lang", Map("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)
+      .select("doc_id", "lang")),
+
+    // Gopher-rule repetition metric: duplicate 3-gram fraction per doc
+    "tp_repetition" -> ((s, d) => P.repetitionStats(rd(s, d, "documents"),
+      "doc_id", "text", n = 3)),
+
+    // PII scrub: the corpus is PII-free by construction, so a
+    // deterministic synthetic suffix (email + IPv4 + long digit run
+    // derived from doc_id) is appended on BOTH sides before redaction
+    "tp_pii" -> ((s, d) => {
+      val withPii = rd(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+          lit("@mail.example.com from 10.0."),
+          (col("doc_id") % 256).cast("string"),
+          lit(".7 acct 9001234567")).as("text"))
+      P.redactPii(withPii, "doc_id", "text")
     }),
 
     // ---- dedup ----
@@ -1030,6 +1128,85 @@ object SparkEntry {
            | SELECT tok AS term, CAST(levenshtein(tok, 'spark') AS INT) AS dist, df
            | FROM tf WHERE levenshtein(tok, 'spark') <= 2 AND tok <> 'spark'
            | ORDER BY dist ASC, df DESC, tok ASC LIMIT 10""".stripMargin,
+      "ft_tfidf" ->
+        """WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+          | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),
+          | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+          | n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+          | qt AS (SELECT * FROM tf WHERE tok IN ('spark', 'query')),
+          | dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM qt GROUP BY tok),
+          | sc AS (SELECT qt.doc_id,
+          |   sqrt(qt.tf) * pow(1 + ln((n.n + 1.0) / (dfs.df + 1.0)), 2) / sqrt(dl.dl) AS s
+          |  FROM qt JOIN dfs ON qt.tok = dfs.tok JOIN dl ON qt.doc_id = dl.doc_id, n)
+          | SELECT doc_id, round(sum(s), 5) AS score FROM sc GROUP BY doc_id""".stripMargin,
+      "ft_export_sorted" ->
+        s"""WITH m AS (SELECT DISTINCT doc_id FROM ($tok) WHERE tok = 'spark')
+           | SELECT m.doc_id, d.lang FROM m JOIN documents d ON m.doc_id = d.doc_id""".stripMargin,
+      "ft_suggest_context" ->
+        s"""WITH tf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ($tok)
+           |   WHERE lang = 'fr' AND tok LIKE 's%' GROUP BY tok)
+           | SELECT tok AS term, df FROM tf ORDER BY df DESC, tok ASC LIMIT 10""".stripMargin,
+      "ft_phonetic" -> phoneticSql("joyn"),
+      "ft_engine_suggest_infix" ->
+        s"""WITH tf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ($tok) GROUP BY tok)
+           | SELECT tok AS term, df FROM tf WHERE contains(tok, 'ar')
+           | ORDER BY df DESC, tok ASC LIMIT 10""".stripMargin,
+      "ft_spell_collate" ->
+        s"""WITH tf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ($tok) GROUP BY tok),
+           | q AS (SELECT * FROM (VALUES (1, 'sprak'), (2, 'quary')) AS v(i, w)),
+           | cand AS (SELECT i, w, tok AS term, levenshtein(w, tok) AS d, df
+           |          FROM q, tf WHERE levenshtein(w, tok) <= 2),
+           | best AS (SELECT i, term FROM (
+           |   SELECT *, row_number() OVER (PARTITION BY i ORDER BY d ASC, df DESC, term ASC) AS rn
+           |   FROM cand) WHERE rn = 1),
+           | coll AS (SELECT array_to_string(list(term ORDER BY i), ' ') AS collated FROM best),
+           | hits AS (SELECT count(*) AS n_hits FROM (
+           |   SELECT doc_id FROM ($tok) WHERE tok IN (SELECT term FROM best)
+           |   GROUP BY doc_id
+           |   HAVING count(DISTINCT tok) = (SELECT count(DISTINCT term) FROM best)))
+           | SELECT collated, n_hits FROM coll, hits""".stripMargin,
+      "ft_engine_termvec" ->
+        """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          |  FROM documents WHERE doc_id = 7)
+          | SELECT tok AS term, count(*) AS tf,
+          |  array_to_string(list(pos - 1 ORDER BY pos), ',') AS positions
+          | FROM t GROUP BY tok""".stripMargin,
+      "ft_facet_interval" ->
+        """SELECT * FROM (
+          | SELECT 'short' AS interval,
+          |  (SELECT count(*) FROM documents WHERE n_chars >= 0 AND n_chars < 200) AS cnt
+          | UNION ALL SELECT 'mid',
+          |  (SELECT count(*) FROM documents WHERE n_chars >= 150 AND n_chars < 400)
+          | UNION ALL SELECT 'long',
+          |  (SELECT count(*) FROM documents WHERE n_chars >= 400))""".stripMargin,
+      "ft_geo_heatmap" ->
+        """WITH ev AS (SELECT user_id % 17000 / 100.0 - 85.0 AS lat,
+          |   user_id % 35900 / 100.0 - 179.5 AS lon FROM events)
+          | SELECT CAST(floor((lat - (-85.0)) / 2.0) AS BIGINT) AS grid_lat,
+          |  CAST(floor((lon - (-180.0)) / 2.0) AS BIGINT) AS grid_lon,
+          |  count(*) AS cnt
+          | FROM ev WHERE lat BETWEEN -85 AND -65 AND lon BETWEEN -180 AND -160
+          | GROUP BY 1, 2""".stripMargin,
+      "ft_ltr" ->
+        """WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+          | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),
+          | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+          | st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+          |               (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+          | qt AS (SELECT * FROM tf WHERE tok IN ('spark', 'query', 'join')),
+          | dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM qt GROUP BY tok),
+          | sc AS (SELECT qt.doc_id,
+          |   ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * qt.tf /
+          |   (qt.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+          |  FROM qt JOIN dfs ON qt.tok = dfs.tok JOIN dl ON qt.doc_id = dl.doc_id, st),
+          | main AS (SELECT doc_id, round(sum(s), 5) AS first_pass FROM sc GROUP BY doc_id),
+          | win AS (SELECT doc_id, first_pass FROM main
+          |         ORDER BY first_pass DESC, doc_id ASC LIMIT 40)
+          | SELECT w.doc_id, round(w.first_pass, 5) AS first_pass,
+          |  round(w.first_pass + 0.3 * ln(1 + d.n_chars)
+          |        + 0.5 * (CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END), 5) AS ltr_score
+          | FROM win w JOIN documents d USING (doc_id)""".stripMargin,
       "ft_highlight" ->
         """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
           | sel AS (SELECT doc_id, toks,
@@ -1346,6 +1523,47 @@ object SparkEntry {
       "ta_fingerprint" ->
         """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
           | regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS fp FROM documents""".stripMargin,
+      "tp_decontam" ->
+        """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+          | frags AS (SELECT DISTINCT array_to_string(list_slice(t, 1, 2), ' ') AS frag
+          |           FROM toks WHERE doc_id % 97 = 3 AND len(t) >= 2),
+          | docn AS (SELECT doc_id, ' ' || array_to_string(t, ' ') || ' ' AS s
+          |          FROM toks WHERE doc_id % 97 <> 3 AND len(t) >= 2)
+          | SELECT doc_id, count(DISTINCT frag) AS n_hits
+          | FROM docn JOIN frags ON contains(s, ' ' || frag || ' ')
+          | GROUP BY doc_id""".stripMargin,
+      "tp_pack" ->
+        """WITH t AS (SELECT doc_id,
+          |   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+          |  FROM documents)
+          | SELECT doc_id, n_tokens,
+          |  CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS seq_id
+          | FROM t""".stripMargin,
+      "tp_sample" ->
+        """SELECT doc_id, lang FROM documents
+          | WHERE (doc_id * 2654435761) % 1009 <
+          |   (CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25 ELSE 0.1 END) * 1009""".stripMargin,
+      "tp_repetition" ->
+        """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+          | s AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+          |    list_transform(range(1, len(toks) - 1),
+          |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+          |   ELSE [] END AS sh FROM t)
+          | SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+          |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+          |  round(CASE WHEN len(sh) > 0
+          |    THEN (len(sh) - len(list_distinct(sh))) / CAST(len(sh) AS DOUBLE)
+          |    ELSE 0.0 END, 5) AS rep_ratio
+          | FROM s""".stripMargin,
+      "tp_pii" ->
+        """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+          |   text || ' contact u' || doc_id || '@mail.example.com from 10.0.' ||
+          |     (doc_id % 256) || '.7 acct 9001234567',
+          |   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          |   '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+          |   '[0-9]{7,}', '<NUM>', 'g') AS text
+          | FROM documents""".stripMargin,
       "dd_exact" ->
         """SELECT doc_id, content_hash, group_size, is_kept FROM (
           | SELECT doc_id, md5(lower(text)) AS content_hash,
@@ -1513,6 +1731,29 @@ object SparkEntry {
        | win AS (SELECT doc_id, first_pass FROM main ORDER BY first_pass DESC, doc_id ASC LIMIT $n)
        | SELECT w.doc_id, round(w.first_pass + $weight * coalesce(r.re_s, 0), 5) AS score, w.first_pass
        |  FROM win w LEFT JOIN re r USING (doc_id)""".stripMargin
+  }
+
+  /** Soundex oracle mirroring [[graft.analysis.Soundex.encodeCol]] step
+    * for step: h/w/digit strip -> consonant-class map (vowels '0') ->
+    * first-letter-code prepend -> adjacent-equal collapse (list_filter
+    * with 1-based index — DuckDB's RE2 has no backreferences) -> strip
+    * sentinel + zeros -> pad to letter+3. */
+  private def phoneticSql(word: String): String = {
+    val code = graft.analysis.Soundex.encode(word)
+    s"""WITH tokd AS (SELECT DISTINCT doc_id, tok FROM (
+       |   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)),
+       | m AS (SELECT doc_id, tok,
+       |   translate(substr(tok, 1, 1), 'abcdefghijklmnopqrstuvwxyz', '01230120022455012623010202') ||
+       |   translate(regexp_replace(substr(tok, 2), '[hw0-9]', '', 'g'),
+       |     'bfpvcgjkqsxzdtlmnraeiouy', '111122222222334556000000') AS mapped
+       |  FROM tokd WHERE regexp_matches(tok, '^[a-z]')),
+       | c AS (SELECT doc_id, tok, regexp_extract_all(mapped, '.') AS cs FROM m),
+       | e AS (SELECT doc_id, tok,
+       |   upper(substr(tok, 1, 1)) || rpad(substr(replace(substr(
+       |     array_to_string(list_filter(cs, (x, i) -> i = 1 OR x <> cs[i-1]), ''),
+       |     2), '0', ''), 1, 3), 3, '0') AS code
+       |  FROM c)
+       | SELECT DISTINCT doc_id FROM e WHERE code = '$code'""".stripMargin
   }
 
   /** Language-ID oracle mirroring TextOps.languageId's argmax + tie rule. */
