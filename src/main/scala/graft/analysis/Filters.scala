@@ -224,13 +224,14 @@ object AnalyzerChain {
         s"""{"type":"shingle","max":$mx,"unigrams":$uni}"""
       case EdgeNGramFilter(mn, mx, orig) =>
         s"""{"type":"edgengram","min":$mn,"max":$mx,"original":$orig}"""
+      case PhoneticFilter(inj) => s"""{"type":"phonetic","inject":$inj}"""
     }
     s"""{"filters":[${fs.mkString(",")}]}"""
   }
 
   def fromJson(json: String): AnalyzerChain = {
     val filterRe =
-      """\{"type":"(stop|porter|synonym|ascii|length|shingle|edgengram)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
+      """\{"type":"(stop|porter|synonym|ascii|length|shingle|edgengram|phonetic)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
     val wordsRe = """"([^"]+)"""".r
     def intField(body: String, k: String): Int =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
@@ -247,6 +248,7 @@ object AnalyzerChain {
         case "edgengram" =>
           EdgeNGramFilter(intField(body, "min"), intField(body, "max"),
             boolField(body, "original"))
+        case "phonetic" => PhoneticFilter(boolField(body, "inject"))
         case "stop" =>
           val arr = body.substring(body.indexOf('['), body.indexOf(']') + 1)
           StopFilter(wordsRe.findAllMatchIn(arr).map(_.group(1)).toSet)

@@ -268,6 +268,39 @@ object IndexStore {
   }
 
   /**
+   * IndexWriter.updateDocument analogue (reference index/IndexWriter.java
+   * updateDocument — an atomic delete-by-term + addDocument): tombstone
+   * the superseded docIds, then commit the replacement docs as a fresh
+   * sealed segment analyzed through the index's OWN persisted chain.
+   * Replacements must carry NEW docIds outside every committed segment's
+   * range (docIds are immutable ordinals — exactly Lucene, where an
+   * updated doc gets a new internal id; sealHot enforces the no-overlap
+   * invariant). Readers see the update atomically at the manifest commit:
+   * until then queries serve the old versions (tombstones are written
+   * first, but a query between the two steps just sees a delete — never a
+   * duplicate).
+   */
+  def updateDocuments(spark: SparkSession, dir: String, replacedIds: Seq[Long],
+                      newDocs: DataFrame, idCol: String, contentCol: String,
+                      shufflePartitions: Int): Unit = {
+    import spark.implicits._
+    val chain = OpenIndex(spark, dir).analyzer
+    delete(spark, dir, replacedIds)
+    val segId = committedSegmentDirs(dir)
+      .map(p => p.substring(p.lastIndexOf('=') + 1).toInt).max + 1
+    val hot = newDocs
+      .select(col(idCol).cast("long"), col(contentCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (docId, content) =>
+        val (tfs, dl) = chain.termFreqs(content)
+        val nb = graft.codec.SmallFloat.intToByte4(dl)
+        tfs.iterator.map { case (t, f) => (t, docId, f, nb, dl) }
+      }
+      .toDF("term", "docId", "tf", "normByte", "dl")
+    sealHot(spark, hot, dir, segId, shufflePartitions)
+  }
+
+  /**
    * Segment compaction (TieredMergePolicy analogue, reference
    * index/SegmentMerger.java:97 — k-way sort-merge of segments): unpack all
    * committed segments' blocks to posting rows, re-shuffle by (term, docId)
@@ -740,6 +773,48 @@ object IndexStore {
         .select(col("term"), col("dist"), col("df"))
     }
 
+    /** Infix suggester (reference lucene/suggest AnalyzingInfixSuggester
+      * capability): dictionary terms CONTAINING the query anywhere, ranked
+      * by df (weight) then term. Same narrow 2-column termstats scan as
+      * the prefix suggester — an infix match can't use the term-ordered
+      * sort, exactly like the reference's separate infix index. */
+    def suggestInfix(q: String, k: Int): DataFrame =
+      termstats.filter(col("term").contains(q))
+        .orderBy(desc("df"), asc("term")).limit(k)
+        .select(col("term"), col("df"))
+
+    /** Spell collation (Solr SpellCheckComponent collate=true): correct
+      * each query word to its best dictionary term (edit distance ASC, df
+      * DESC, term ASC; exact dictionary words stay as themselves at
+      * distance 0), then verify the collated query actually returns hits
+      * — one row (collation, n_hits). Candidate generation per word goes
+      * through the gram-pruned [[fuzzyCandidates]]; the driver loop is
+      * O(#query words), each word a tiny bounded job. */
+    def spellCollate(words: Seq[String], maxEdits: Int): DataFrame = {
+      import spark.implicits._
+      val corrected = words.map { w =>
+        val dist = levenshtein(col("term"), lit(w))
+        fuzzyCandidates(w, maxEdits)
+          .filter(dist <= maxEdits)
+          .orderBy(dist.cast("int").asc, desc("df"), asc("term")).limit(1)
+          .select("term").as[String].collect().headOption.getOrElse(w)
+      }
+      val matched = QueryEngine.matchingDocs(spark, blocks, corrected, QueryEngine.And)
+      val live = deletes.fold(matched)(d => matched.join(d, Seq("docId"), "left_anti"))
+      val nHits = live.count()
+      // "collated", not "collation" — COLLATION is a reserved SQL keyword
+      Seq((corrected.mkString(" "), nHits)).toDF("collated", "n_hits")
+    }
+
+    /** Term vector of one document (reference index/TermVectors capability,
+      * Lucene50TermVectorsFormat): (term, tf, positions CSV) read from the
+      * positions tier with the docId predicate pushed into the parquet
+      * scan — no other doc's postings are decoded. */
+    def termVector(docId: Long): DataFrame =
+      positions.filter(col("docId") === docId)
+        .select(col("term"), size(col("poss")).cast("long").as("tf"),
+          concat_ws(",", col("poss")).as("positions"))
+
     /** Exact-phrase docIds via the stored positions table. */
     def phrase(terms: Seq[String]): DataFrame = {
       val r = QueryEngine.phraseMatch(positions, terms)
@@ -775,6 +850,24 @@ object IndexStore {
       live.join(docvalues, "docId")
         .orderBy(sortCols: _*)
         .limit(k)
+    }
+
+    /** Export handler (Solr /export, reference solr/core .../handler/
+      * export/ExportWriter.java capability): the FULL match set sorted by
+      * doc-values fields — Solr's bulk-retrieval path for streaming
+      * expressions. Unlike [[topKByField]] there is no limit, so Spark
+      * plans a range-partitioned distributed sort (each partition sorts
+      * its range independently; no single-node bottleneck) over ONLY the
+      * narrow docvalues columns. */
+    def exportSorted(terms: Seq[String], sortBys: Seq[(String, Boolean)],
+                     mode: QueryEngine.Mode = QueryEngine.And): DataFrame = {
+      require(sortBys.nonEmpty)
+      val matched = QueryEngine.matchingDocs(spark, blocks, terms, mode)
+      val live = deletes.fold(matched)(d => matched.join(d, Seq("docId"), "left_anti"))
+      val sortCols = sortBys.map { case (f, asc_) =>
+        if (asc_) asc(f) else desc(f)
+      } :+ asc("docId")
+      live.join(docvalues, "docId").orderBy(sortCols: _*)
     }
 
     /** Facet counts over the matching docs of a term query (Solr's

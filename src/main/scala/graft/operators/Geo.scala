@@ -91,4 +91,18 @@ object Geo {
         haversineMeters(col(latCol), col(lonCol), lit(lat), lit(lon)))
       .orderBy(asc("dist_m"), asc(idCol))
       .limit(k)
+
+  /** Spatial heatmap facet (Solr facet.heatmap /
+    * HeatmapFacetCounter.java capability): per-grid-cell counts over a
+    * degree-grid anchored at (latMin, lonMin) with `cellDeg` cells.
+    * One map-side-combined groupBy on two small integer keys — the
+    * shuffle carries at most one row per populated cell per partition,
+    * independent of row count; order (grid_lat, grid_lon). */
+  def heatmap(df: DataFrame, latCol: String, lonCol: String,
+              latMin: Double, lonMin: Double, cellDeg: Double): DataFrame =
+    df.groupBy(
+        floor((col(latCol) - latMin) / cellDeg).cast("long").as("grid_lat"),
+        floor((col(lonCol) - lonMin) / cellDeg).cast("long").as("grid_lon"))
+      .agg(count("*").as("cnt"))
+      .orderBy(asc("grid_lat"), asc("grid_lon"))
 }

@@ -352,4 +352,29 @@ object Relational {
       .drop("rn")
       .select(col(colA), col("count_a"), col(colB), col("count_b"))
   }
+
+  /**
+   * Interval facet (reference solr/core IntervalFacets.java —
+   * facet.interval with explicit {!key=..}[lo,hi) sets): counts per
+   * arbitrary, possibly OVERLAPPING [lo, hi) interval of a numeric field.
+   * Hi = None means unbounded above.
+   *
+   * One pass, zero shuffles of row data: each interval is a conditional
+   * SUM in a single global aggregate (partial map-side sums -> one tiny
+   * final reduce), then the fixed-width result row unpivots driver-side
+   * into (interval, cnt) rows. Overlap is free — a row feeds every
+   * interval it lands in, which a groupBy-CASE could not express.
+   */
+  def intervalFacet(df: DataFrame, field: String,
+                    intervals: Seq[(String, Double, Option[Double])]): DataFrame = {
+    require(intervals.nonEmpty)
+    val aggs = intervals.map { case (name, lo, hiOpt) =>
+      val cond = hiOpt.fold(col(field) >= lo)(hi => col(field) >= lo && col(field) < hi)
+      sum(when(cond, 1L).otherwise(0L)).as(name)
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = intervals.map { case (name, _, _) => s"'$name', `$name`" }.mkString(", ")
+    one.select(expr(s"stack(${intervals.size}, $stackArgs) AS (interval, cnt)"))
+      .orderBy(asc("interval"))
+  }
 }

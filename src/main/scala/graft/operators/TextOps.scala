@@ -81,6 +81,34 @@ object TextOps {
       .select(col(idCol), col("tok"), col("s"))
   }
 
+  /** ClassicSimilarity (TF-IDF) scoring — the reference's other stock
+    * similarity (search/similarities/ClassicSimilarity.java /
+    * TFIDFSimilarity.java): score = Σ sqrt(tf) · idf² · (1/sqrt(dl)) with
+    * idf = 1 + ln((docCount+1)/(df+1)). Same shuffle shape as [[bm25All]]; only
+    * the arithmetic differs (queryNorm/coord were removed in Lucene 7+,
+    * matching this formula). */
+  def tfidfAll(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], mode: String = "or"): DataFrame = {
+    val tf = termFreqs(docs, idCol, textCol)
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val n = docs.agg(count("*").as("n"))
+    val qtf = tf.filter(col("tok").isin(terms: _*))
+    val dfs = qtf.groupBy("tok").agg(count("*").as("df"))
+    val scored = qtf
+      .join(broadcast(dfs), "tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(n))
+      .withColumn("idf", lit(1.0) + log((col("n") + 1.0) / (col("df") + 1.0)))
+      .withColumn("s", sqrt(col("tf")) * col("idf") * col("idf") / sqrt(col("dl")))
+      .groupBy(idCol)
+      .agg(sum("s").as("score_raw"), count("*").as("nMatched"))
+    val filtered = mode match {
+      case "and" => scored.filter(col("nMatched") === terms.distinct.size)
+      case _     => scored
+    }
+    filtered.select(col(idCol), round(col("score_raw"), 5).as("score"))
+  }
+
   def bm25All(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
               k1: Double = 1.2, b: Double = 0.75,
               mode: String = "or", mustNot: Seq[String] = Nil): DataFrame = {
@@ -452,6 +480,33 @@ object TextOps {
   /** GPT-2-ish pre-tokenizer pattern: letter runs, digit runs, single
     * non-alnum marks (the "BPE-ish regex" token estimator — training-data
     * budgeting counts subword-ish units, not just whitespace words). */
+  /** Context-filtered suggestions (reference lucene/suggest
+    * CompletionQuery contexts capability): completions of `prefix` drawn
+    * only from docs whose `ctxCol` equals `ctx`, weighted by IN-CONTEXT
+    * document frequency. The context filter lands before the explode, so
+    * only the context's tokens are generated at all. */
+  def contextSuggest(docs: DataFrame, idCol: String, textCol: String,
+                     ctxCol: String, ctx: String, prefix: String, k: Int): DataFrame =
+    docs.filter(col(ctxCol) === ctx)
+      .select(col(idCol), explode(tokensOf(textCol)).as("tok"))
+      .filter(col("tok").startsWith(prefix))
+      .groupBy("tok").agg(countDistinct(idCol).as("df"))
+      .orderBy(desc("df"), asc("tok")).limit(k)
+      .select(col("tok").as("term"), col("df"))
+
+  /** Phonetic search (Solr PhoneticFilterFactory capability, query side):
+    * docs containing any token whose Soundex code equals the query
+    * word's. The encoding is the pure-builtin Column chain
+    * ([[graft.analysis.Soundex.encodeCol]]) — a narrow codegen filter on
+    * the exploded token table; the lit() side uses the scalar encoder,
+    * which PhoneticSpec fuzz-ties to the Column version. */
+  def phoneticMatch(docs: DataFrame, idCol: String, textCol: String,
+                    word: String): DataFrame =
+    tokenTable(docs, idCol, textCol)
+      .filter(graft.analysis.Soundex.encodeCol(col("tok")) ===
+        lit(graft.analysis.Soundex.encode(word)))
+      .select(idCol).distinct()
+
   val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
   /** Per-doc token budget counts: whitespace words, analyzer tokens, and

@@ -13,6 +13,9 @@ import org.apache.spark.sql.SparkSession
  *   buildParquet <indexDir> <parquet> <idCol> <contentCol> [segments]
  *   query <indexDir> <k> [--and] [--prune] [--not t1,t2] term...
  *   search <indexDir> <k> <classic query string>  (+a -b "c d"~2 pre* f~1 [x TO y])
+ *   collate <indexDir> word...        did-you-mean with verified hit count
+ *   infix <indexDir> <k> <substring>  infix suggester
+ *   termvec <indexDir> <docId>        term vector from the positions tier
  *   manifests <indexDir>
  */
 object IndexCli {
@@ -116,6 +119,22 @@ object IndexCli {
     case "spell" :: dir :: k :: word :: Nil =>
       IndexStore.OpenIndex(spark, dir).spellCorrect(word, 2, k.toInt).collect()
         .foreach(r => println(s"  ${r.getString(0)} (dist=${r.getInt(1)} df=${r.getLong(2)})"))
+
+    // collate <indexDir> word... : spell-correct every word + verified hit count
+    case "collate" :: dir :: words if words.nonEmpty =>
+      val r = IndexStore.OpenIndex(spark, dir).spellCollate(words, 2).head()
+      println(s"  did-you-mean: '${r.getString(0)}' (${r.getLong(1)} hits)")
+
+    // infix <indexDir> <k> <substring> : infix suggester
+    case "infix" :: dir :: k :: q :: Nil =>
+      IndexStore.OpenIndex(spark, dir).suggestInfix(q, k.toInt).collect()
+        .foreach(r => println(s"  ${r.getString(0)} (df=${r.getLong(1)})"))
+
+    // termvec <indexDir> <docId> : term vector from the positions tier
+    case "termvec" :: dir :: docId :: Nil =>
+      IndexStore.OpenIndex(spark, dir).termVector(docId.toLong).collect()
+        .sortBy(_.getString(0))
+        .foreach(r => println(s"  ${r.getString(0)} tf=${r.getLong(1)} pos=[${r.getString(2)}]"))
 
     // searchjob <timeIndexDir> <k> <from> <to> term... : submit + poll previews
     case "searchjob" :: dir :: k :: from :: to :: terms if terms.nonEmpty =>

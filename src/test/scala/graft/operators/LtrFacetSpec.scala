@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** LTR linear-model rescoring, interval facets (overlap semantics), and
+  * the heatmap facet grid. */
+class LtrFacetSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Ltr.rescore: window is top-n of first pass; model reorders within it") {
+    val first = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0), (4L, 7.0))
+      .toDF("id", "score")
+    val src = Seq((1L, 0.0), (2L, 5.0), (3L, 9.0), (4L, 100.0))
+      .toDF("id", "boost")
+    val model = Ltr.LinearModel(Seq(("first_pass", 1.0), ("boost", 1.0)))
+    val got = Ltr.rescore(first, "id", "score", src,
+      Seq(("boost", col("boost"))), model, n = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // doc 4 (huge boost) is OUTSIDE the top-3 window -> absent;
+    // within the window the boost inverts the order
+    assert(got.toSeq === Seq((3L, 17.0), (2L, 14.0), (1L, 10.0)))
+  }
+
+  test("Ltr.rescore: ties break by id ascending; missing features score 0") {
+    val first = Seq((5L, 1.0), (6L, 1.0)).toDF("id", "score")
+    val src = Seq((5L, Some(0.0)), (6L, None)).toDF("id", "f")
+    val model = Ltr.LinearModel(Seq(("first_pass", 1.0), ("f", 3.0)), intercept = 2.0)
+    val got = Ltr.rescore(first, "id", "score", src,
+      Seq(("f", col("f"))), model, n = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq === Seq((5L, 3.0), (6L, 3.0)))
+  }
+
+  test("intervalFacet: overlapping intervals each count their full membership") {
+    val df = Seq(10, 20, 30, 40, 50).toDF("v")
+    val got = Relational.intervalFacet(df, "v", Seq(
+      ("a_low", 0.0, Some(25.0)),     // 10, 20
+      ("b_mid", 15.0, Some(45.0)),    // 20, 30, 40 (overlaps a_low on 20)
+      ("c_high", 40.0, None)))        // 40, 50 (unbounded above)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a_low" -> 2L, "b_mid" -> 3L, "c_high" -> 2L))
+  }
+
+  test("heatmap: grid cells partition the filtered region; counts sum to rows") {
+    val pts = Seq((0.5, 0.5), (0.7, 0.1), (1.5, 0.5), (0.5, 1.5), (2.9, 2.9))
+      .toDF("lat", "lon")
+    val got = Geo.heatmap(pts, "lat", "lon", latMin = 0.0, lonMin = 0.0, cellDeg = 1.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === Map((0L, 0L) -> 2L, (1L, 0L) -> 1L, (0L, 1L) -> 1L, (2L, 2L) -> 1L))
+    assert(got.values.sum === 5L)
+  }
+}
