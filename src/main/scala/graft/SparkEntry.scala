@@ -494,6 +494,13 @@ object SparkEntry {
     "ft_engine_spell" -> ((s, d) => docIndex(s, d).spellCorrect("spark", 2, 10)
       .select(col("term"), col("dist"), col("df"))),
 
+    // transposition-aware spell (FuzzyQuery's DEFAULT metric): "sprak"
+    // reaches "spark" at ONE edit; oracle via DuckDB damerau_levenshtein
+    // (full DL == OSA on every distance<=1 set, and this query caps at 1)
+    "ft_spell_damerau" -> ((s, d) => docIndex(s, d)
+      .spellCorrect("sprak", 1, 10, transpositions = true)
+      .select(col("term"), col("dist"), col("df"))),
+
     // infix suggester (AnalyzingInfixSuggester): dictionary terms
     // containing the query substring anywhere, weighted by df
     "ft_engine_suggest_infix" -> ((s, d) => docIndex(s, d).suggestInfix("ar", 10)),
@@ -1151,6 +1158,11 @@ object SparkEntry {
         s"""WITH tf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ($tok) GROUP BY tok)
            | SELECT tok AS term, df FROM tf WHERE contains(tok, 'ar')
            | ORDER BY df DESC, tok ASC LIMIT 10""".stripMargin,
+      "ft_spell_damerau" ->
+        s"""WITH tf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ($tok) GROUP BY tok)
+           | SELECT tok AS term, CAST(damerau_levenshtein(tok, 'sprak') AS INT) AS dist, df
+           | FROM tf WHERE damerau_levenshtein(tok, 'sprak') <= 1 AND tok <> 'sprak'
+           | ORDER BY dist ASC, df DESC, tok ASC LIMIT 10""".stripMargin,
       "ft_spell_collate" ->
         s"""WITH tf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ($tok) GROUP BY tok),
            | q AS (SELECT * FROM (VALUES (1, 'sprak'), (2, 'quary')) AS v(i, w)),

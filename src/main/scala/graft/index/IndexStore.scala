@@ -730,9 +730,12 @@ object IndexStore {
       *  3. length-pruned scan (rare: long words with degenerate gram sets,
       *     e.g. "aaaaaaaaaaaa" — correct, just wider).
       * Callers apply exact levenshtein on the candidate set. */
-    def fuzzyCandidates(word: String, maxEdits: Int): DataFrame = {
+    def fuzzyCandidates(word: String, maxEdits: Int,
+                        transpositions: Boolean = false): DataFrame = {
       val grams = (0 until word.length - 1).map(i => word.substring(i, i + 2)).distinct
-      val threshold = grams.size - 2 * maxEdits
+      // one substitution/indel destroys <= 2 distinct-bigram occurrences;
+      // a transposition touches bigrams at i-1, i, i+1 -> <= 3
+      val threshold = grams.size - (if (transpositions) 3 else 2) * maxEdits
       val lenOk = abs(length(col("term")) - word.length) <= maxEdits
       if (threshold >= 1)
         spellGrams
@@ -764,9 +767,17 @@ object IndexStore {
       * ranked (edit distance ASC, df DESC, term ASC). Candidates come from
       * the gram-pruned [[fuzzyCandidates]]; exact levenshtein runs only on
       * that small set. */
-    def spellCorrect(word: String, maxEdits: Int, k: Int): DataFrame = {
-      val dist = levenshtein(col("term"), lit(word))
-      fuzzyCandidates(word, maxEdits)
+    def spellCorrect(word: String, maxEdits: Int, k: Int,
+                     transpositions: Boolean = false): DataFrame = {
+      // transpositions=true is the reference DEFAULT (FuzzyQuery.java:69):
+      // adjacent swaps cost ONE edit (OSA metric, graft_damerau codegen
+      // expression); the deletion-neighborhood sidecar bound still holds
+      // (a transposed pair shares a deletion variant at the same depth)
+      val dist =
+        if (transpositions)
+          graft.functions.DamerauLevenshtein(col("term"), lit(word))
+        else levenshtein(col("term"), lit(word))
+      fuzzyCandidates(word, maxEdits, transpositions)
         .filter(dist <= maxEdits && col("term") =!= word)
         .withColumn("dist", dist.cast("int"))
         .orderBy(asc("dist"), desc("df"), asc("term")).limit(k)

@@ -158,4 +158,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
     assert(!plan.contains("Sort ["), plan.take(2000))
   }
+
+  private lazy val pipeDocs = (0 until 300).map(i =>
+    (i.toLong, s"alpha beta gamma doc$i token", s"l${i % 5}"))
+    .toDF("doc_id", "text", "lang")
+
+  test("decontaminate: fragment set is the BROADCAST side; doc text never shuffles") {
+    val frags = graft.operators.Pipeline.benchmarkFragments(
+      pipeDocs, "doc_id", "text", 97, 3, 2)
+    val plan = planOf(graft.operators.Pipeline.decontaminate(
+      pipeDocs, frags, "doc_id", "text", 2))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    // the post-join exchanges carry only (doc_id, frag) aggregate keys —
+    // the text column must not appear in any Exchange's output
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(!_.contains("text#")), plan.take(2000))
+  }
+
+  test("stratifiedSample: broadcast rate join + codegen filter, ZERO exchanges") {
+    val plan = planOf(graft.operators.Pipeline.stratifiedSample(
+      pipeDocs, "doc_id", "lang", Map("l0" -> 0.5, "l1" -> 0.25), 0.1))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("Ltr.rescore: the top-N window is the BROADCAST build side of the feature join") {
+    val first = pipeDocs.select($"doc_id", ($"doc_id" % 13).cast("double").as("score"))
+    val plan = planOf(graft.operators.Ltr.rescore(first, "doc_id", "score",
+      pipeDocs.withColumn("n_chars", length($"text")),
+      Seq(("loglen", log(lit(1.0) + $"n_chars"))),
+      graft.operators.Ltr.LinearModel(Seq(("first_pass", 1.0), ("loglen", 0.3))), 40))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
 }
