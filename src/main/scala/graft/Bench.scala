@@ -39,7 +39,12 @@ object Bench {
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", Partitions.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE off: the build's plan shape is fixed (explicit data-sized
+      // partition counts), and the tiny top-k queries pay AQE's per-stage
+      // driver re-planning as pure SERIAL overhead — with `cores`
+      // concurrent query streams that serial slice is exactly what Amdahl
+      // caps the hi level by (the driver event loop is one thread)
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // shuffle on tmpfs: the sandbox has ONE virtio disk; a real 4N-executor
       // cluster has per-node shuffle disks, so measuring compute scaling
@@ -129,10 +134,17 @@ object Bench {
       IndexStore.build(spark, corpus, dir, numSegments = segs, shufflePartitions = Partitions)
       val buildSecs = (System.nanoTime() - t0) / 1e9
       val querySecs = if (!withQueries) Double.NaN else {
+        // query phase runs in a sibling session with QUERY-sized shuffle
+        // partitions (8, identical at both levels): the 64 build-sized
+        // partitions would cost 64 post-shuffle tasks per tiny top-k —
+        // with AQE off nothing coalesces them. newSession() shares the
+        // SparkContext AND the cache (SharedState), only the conf differs.
+        val qSpark = spark.newSession()
+        qSpark.conf.set("spark.sql.shuffle.partitions", "8")
         // warm with a FIXED cached-partition count (data-sized, identical at
         // both levels): per-query tasks = cached partitions, and 64 build
         // output files would cost 64 task launches per tiny top-k query
-        val idx = IndexStore.OpenIndex(spark, dir).warm(numPartitions = 16)
+        val idx = IndexStore.OpenIndex(qSpark, dir).warm(numPartitions = 16)
         // warm the reader path, postings cache, DfCache (term stats memo)
         // and JIT BEFORE the measured window: one full untimed pass over the
         // query set — otherwise the first measured queries pay one-time
@@ -176,7 +188,9 @@ object Bench {
     } finally spark.stop()
   }
 
-  private val QueryReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_REPS", "8").toInt
+  /** 16 passes x 11 queries per measured window: at ~30 QPS the hi-level
+    * window is ~6 s — short windows (the old 8) sampled scheduler noise. */
+  private val QueryReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_REPS", "16").toInt
 
   /** Host-capacity calibration: fixed TOTAL work (64 tasks x `HashIters`
     * sha256 of a 1 MiB buffer) timed at a parallelism level. Pure CPU, no
@@ -260,6 +274,8 @@ object Bench {
     queryBestPairEff = qPairEffs.max
     queryMedianPairEff = cleanMedian(qPairEffs, median)
     queryAllMedianPairEff = median(qPairEffs)
+    buildPairList = pairEffs.reverse
+    queryPairList = qPairEffs.reverse
     (numDocs / loBuilds.min, numDocs / hiBuilds.min,
       QuerySet.size / loQ.min, QuerySet.size / hiQ.min)
   }
@@ -272,6 +288,8 @@ object Bench {
   private var roundCeilings: List[Double] = Nil
   private var allMedianPairEff: Double = Double.NaN
   private var queryAllMedianPairEff: Double = Double.NaN
+  private var buildPairList: List[Double] = Nil
+  private var queryPairList: List[Double] = Nil
 
   /** Best / median matched-conditions (same interleaved round) scaling
     * efficiency. Max can overshoot when the LO half of a pair stalls;
@@ -327,7 +345,9 @@ object Bench {
     // every numeric field through num() — the f-interpolator formats with
     // the default locale, which in a comma-decimal locale corrupts the JSON
     val ceilsJson = roundCeilings.map(c => num(c, 3)).mkString("[", ",", "]")
+    val bpJson = buildPairList.map(c => num(c, 3)).mkString("[", ",", "]")
+    val qpJson = queryPairList.map(c => num(c, 3)).mkString("[", ",", "]")
     println(
-      s"""{"metric":"index-build files/sec @ local[$hiCores] (scaling eff ${num(medianPairEff, 2)} vs local[$loCores], median of host-clean pairs; host ceiling ${num(hostCeiling, 2)})","value":${num(bHi, 1)},"unit":"files/sec","sf":"$sfDir","queries":$queriesJson,"headline_total_sec":${num(total, 2)},"bench_docs":$numDocs,"build_files_per_sec_lo":${num(bLo, 1)},"build_files_per_sec_hi":${num(bHi, 1)},"build_scaling_efficiency":${num(buildEff, 3)},"build_scaling_efficiency_best_pair":${num(bestPairEff, 3)},"build_scaling_efficiency_median_pair":${num(medianPairEff, 3)},"build_scaling_efficiency_median_all_rounds":${num(allMedianPairEff, 3)},"query_qps_lo":${num(qLo, 2)},"query_qps_hi":${num(qHi, 2)},"query_scaling_efficiency":${num(queryEff, 3)},"query_scaling_efficiency_best_pair":${num(queryBestPairEff, 3)},"query_scaling_efficiency_median_pair":${num(queryMedianPairEff, 3)},"query_scaling_efficiency_median_all_rounds":${num(queryAllMedianPairEff, 3)},"round_host_ceilings":$ceilsJson,"clean_rounds":$cleanRounds,"host_calib_mb_per_sec_lo":${num(calibLo, 1)},"host_calib_mb_per_sec_hi":${num(calibHi, 1)},"host_ceiling_efficiency":${num(hostCeiling, 3)},"lo_cores":$loCores,"hi_cores":$hiCores}""")
+      s"""{"metric":"index-build files/sec @ local[$hiCores] (scaling eff ${num(medianPairEff, 2)} vs local[$loCores], median of host-clean pairs; host ceiling ${num(hostCeiling, 2)})","value":${num(bHi, 1)},"unit":"files/sec","sf":"$sfDir","queries":$queriesJson,"headline_total_sec":${num(total, 2)},"bench_docs":$numDocs,"build_files_per_sec_lo":${num(bLo, 1)},"build_files_per_sec_hi":${num(bHi, 1)},"build_scaling_efficiency":${num(buildEff, 3)},"build_scaling_efficiency_best_pair":${num(bestPairEff, 3)},"build_scaling_efficiency_median_pair":${num(medianPairEff, 3)},"build_scaling_efficiency_median_all_rounds":${num(allMedianPairEff, 3)},"query_qps_lo":${num(qLo, 2)},"query_qps_hi":${num(qHi, 2)},"query_scaling_efficiency":${num(queryEff, 3)},"query_scaling_efficiency_best_pair":${num(queryBestPairEff, 3)},"query_scaling_efficiency_median_pair":${num(queryMedianPairEff, 3)},"query_scaling_efficiency_median_all_rounds":${num(queryAllMedianPairEff, 3)},"round_host_ceilings":$ceilsJson,"build_pair_effs":$bpJson,"query_pair_effs":$qpJson,"clean_rounds":$cleanRounds,"host_calib_mb_per_sec_lo":${num(calibLo, 1)},"host_calib_mb_per_sec_hi":${num(calibHi, 1)},"host_ceiling_efficiency":${num(hostCeiling, 3)},"lo_cores":$loCores,"hi_cores":$hiCores}""")
   }
 }

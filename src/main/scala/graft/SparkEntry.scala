@@ -781,6 +781,40 @@ object SparkEntry {
     "ft_suggest_context" -> ((s, d) => TextOps.contextSuggest(
       rd(s, d, "documents"), "doc_id", "text", "lang", "fr", "s", 10)),
 
+    // JoinUtil score-mode join (lucene/join ScoreMode.Max): dimension rows
+    // scored by the max BM25 score of their member docs
+    "q58_scorejoin" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+      val scored = TextOps.bm25All(docs, "doc_id", "text", Seq("spark", "query"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+      R.scoreJoin(scored, docs.select("source").distinct(),
+        "source", "source", "score", "max")
+    }),
+
+    // facet.missing=true: per-value buckets plus the null bucket
+    "q59_facet_missing" -> ((s, d) => R.facetWithMissing(
+      rd(s, d, "documents").select(col("doc_id"),
+        when(col("lang") =!= "de", col("lang")).as("lang2")), "lang2")),
+
+    // Solr function queries termfreq/docfreq/idf as per-doc columns
+    "ft_func_tfdf" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+      val tfCol = size(filter(TextOps.tokensOf("text"), t => t === "spark")).cast("long")
+      val withTf = docs.select(col("doc_id"), tfCol.as("tf_spark"))
+      val stats = withTf.agg(
+        sum(when(col("tf_spark") > 0, 1L).otherwise(0L)).as("df_spark"),
+        count("*").cast("double").as("n"))
+      withTf.crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("tf_spark"), col("df_spark"),
+          round(log(lit(1.0) + (col("n") - col("df_spark") + 0.5) / (col("df_spark") + 0.5)), 5)
+            .as("idf_spark"))
+    }),
+
+    // SortField.setMissingValue semantics: missing sort keys order LAST
+    "ft_sort_missing" -> ((s, d) => rd(s, d, "documents")
+      .select(col("doc_id"), when(col("lang") =!= "de", col("lang")).as("lang2"))
+      .orderBy(col("lang2").asc_nulls_last, col("doc_id").asc).limit(50)),
+
     // ClassicSimilarity (TF-IDF) — the reference's other stock similarity
     "ft_tfidf" -> ((s, d) => TextOps.tfidfAll(rd(s, d, "documents"),
       "doc_id", "text", Seq("spark", "query"))),
@@ -1135,6 +1169,25 @@ object SparkEntry {
            | SELECT tok AS term, CAST(levenshtein(tok, 'spark') AS INT) AS dist, df
            | FROM tf WHERE levenshtein(tok, 'spark') <= 2 AND tok <> 'spark'
            | ORDER BY dist ASC, df DESC, tok ASC LIMIT 10""".stripMargin,
+      "q58_scorejoin" ->
+        s"""WITH sc AS (${bm25Sql(Seq("spark", "query"), "or", Nil)}),
+           | j AS (SELECT d.source, sc.score FROM sc JOIN documents d ON sc.doc_id = d.doc_id)
+           | SELECT source, round(max(score), 5) AS join_score FROM j GROUP BY source""".stripMargin,
+      "q59_facet_missing" ->
+        """SELECT CASE WHEN lang <> 'de' THEN lang END AS lang2, count(*) AS cnt
+          | FROM documents GROUP BY 1 ORDER BY lang2 ASC NULLS LAST""".stripMargin,
+      "ft_func_tfdf" ->
+        """WITH t AS (SELECT doc_id,
+          |   CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+          |     x -> x = 'spark')) AS BIGINT) AS tf_spark FROM documents),
+          | d AS (SELECT CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df,
+          |        CAST(count(*) AS DOUBLE) AS n FROM t)
+          | SELECT doc_id, tf_spark, d.df AS df_spark,
+          |  round(ln(1 + (d.n - d.df + 0.5) / (d.df + 0.5)), 5) AS idf_spark
+          | FROM t, d""".stripMargin,
+      "ft_sort_missing" ->
+        """SELECT doc_id, CASE WHEN lang <> 'de' THEN lang END AS lang2
+          | FROM documents ORDER BY lang2 ASC NULLS LAST, doc_id ASC LIMIT 50""".stripMargin,
       "ft_tfidf" ->
         """WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
           | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),

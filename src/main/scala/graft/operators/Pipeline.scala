@@ -87,6 +87,11 @@ object Pipeline {
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]
     val rdd = counted.rdd
+    // persisted because BOTH prefix-sum phases consume it (subtotals now,
+    // running sums when the caller materializes). Lifecycle: freed on
+    // context GC / unpersist by the caller's session; a pipeline runs this
+    // once per corpus snapshot, so there is no per-query accumulation
+    // (unlike the memoized signIndex, which needed an explicit cache)
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // phase 1: per-partition token subtotals (RangePartitioner assigns
     // ascending key ranges to ascending partition indices)

@@ -354,6 +354,40 @@ object Relational {
   }
 
   /**
+   * Query-time join with score aggregation (reference lucene/join
+   * JoinUtil.createJoinQuery ScoreMode, join/ScoreMode.java: Max / Total /
+   * Avg / Min): each TO-side row is scored by aggregating the FROM side's
+   * scores sharing its join key. One partial-aggregated groupBy on the
+   * FROM side collapses it to one row per key BEFORE the join, so the
+   * join input is #keys-sized (usually broadcastable), never #docs-sized.
+   */
+  def scoreJoin(fromScored: DataFrame, to: DataFrame, fromKey: String,
+                toKey: String, scoreCol: String, mode: String): DataFrame = {
+    val agg = mode match {
+      case "max"   => max(col(scoreCol))
+      case "min"   => min(col(scoreCol))
+      case "total" => sum(col(scoreCol))
+      case "avg"   => avg(col(scoreCol))
+      case m => throw new IllegalArgumentException(s"unknown ScoreMode $m")
+    }
+    val keyScores = fromScored.groupBy(fromKey)
+      .agg(round(agg, 5).as("join_score"))
+      .withColumnRenamed(fromKey, toKey)
+    to.join(broadcast(keyScores), Seq(toKey))
+  }
+
+  /**
+   * Facet with a missing bucket (Solr facet.missing=true): per-value
+   * counts plus one row counting docs whose facet field is NULL — the
+   * reference emits it as an unlabeled trailing bucket; here the value
+   * column is null on that row. One aggregation pass (null groups
+   * naturally).
+   */
+  def facetWithMissing(df: DataFrame, field: String): DataFrame =
+    df.groupBy(field).agg(count(lit(1)).as("cnt"))
+      .orderBy(col(field).asc_nulls_last)
+
+  /**
    * Interval facet (reference solr/core IntervalFacets.java —
    * facet.interval with explicit {!key=..}[lo,hi) sets): counts per
    * arbitrary, possibly OVERLAPPING [lo, hi) interval of a numeric field.
