@@ -781,6 +781,11 @@ object SparkEntry {
     "ft_suggest_context" -> ((s, d) => TextOps.contextSuggest(
       rd(s, d, "documents"), "doc_id", "text", "lang", "fr", "s", 10)),
 
+    // child-doc transformer ([child]): parents with ordered nested children
+    "q60_children" -> ((s, d) => R.childTransform(
+      rd(s, d, "orders").select(col("o_orderkey")),
+      rd(s, d, "lineitem"), "o_orderkey", "l_orderkey", "l_linenumber")),
+
     // JoinUtil score-mode join (lucene/join ScoreMode.Max): dimension rows
     // scored by the max BM25 score of their member docs
     "q58_scorejoin" -> ((s, d) => {
@@ -1169,6 +1174,11 @@ object SparkEntry {
            | SELECT tok AS term, CAST(levenshtein(tok, 'spark') AS INT) AS dist, df
            | FROM tf WHERE levenshtein(tok, 'spark') <= 2 AND tok <> 'spark'
            | ORDER BY dist ASC, df DESC, tok ASC LIMIT 10""".stripMargin,
+      "q60_children" ->
+        """SELECT o.o_orderkey, count(l.l_linenumber) AS n_children,
+          |  array_to_string(list_sort(list(l.l_linenumber)), ',') AS children_csv
+          | FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          | GROUP BY o.o_orderkey""".stripMargin,
       "q58_scorejoin" ->
         s"""WITH sc AS (${bm25Sql(Seq("spark", "query"), "or", Nil)}),
            | j AS (SELECT d.source, sc.score FROM sc JOIN documents d ON sc.doc_id = d.doc_id)

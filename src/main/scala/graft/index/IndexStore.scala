@@ -268,6 +268,45 @@ object IndexStore {
   }
 
   /**
+   * In-place numeric doc-values update (reference index/IndexWriter.java
+   * updateNumericDocValue — Lucene's one mutable-field mechanism: the
+   * docvalues generation sidecar, no re-index): append-only patch rows
+   * (docId, field, value, seq); readers coalesce the LATEST patch over
+   * the stored column. Patches bake in at [[compact]] (Lucene: dv
+   * generations collapse at merge). Idempotent, crash-safe (append-only
+   * parquet; a torn write without footer is unreadable and re-written).
+   */
+  def updateNumericDocValue(spark: SparkSession, dir: String, docIds: Seq[Long],
+                            field: String, value: Double): Unit = {
+    import spark.implicits._
+    val seq = System.nanoTime()
+    docIds.map(id => (id, field, value, seq))
+      .toDF("docId", "field", "value", "seq")
+      .write.mode("append").parquet(s"$dir/dvpatch")
+  }
+
+  /** Coalesce the latest numeric patches over the stored docvalues
+    * columns; patch values cast back to each column's declared type. */
+  private[index] def applyDvPatches(spark: SparkSession, dir: String,
+                                    dv: DataFrame): DataFrame = {
+    if (!Files.exists(Paths.get(s"$dir/dvpatch"))) return dv
+    val latest = spark.read.parquet(s"$dir/dvpatch")
+      .groupBy("docId", "field")
+      .agg(max_by(col("value"), col("seq")).as("value"))
+    // O(#patched-fields) driver loop; each field's patch set broadcasts
+    val fields = latest.select("field").distinct()
+      .collect().map(_.getString(0)).filter(dv.columns.contains)
+    fields.foldLeft(dv) { (df, f) =>
+      val p = latest.filter(col("field") === f)
+        .select(col("docId"), col("value").as("__patch"))
+      val origType = df.schema(df.schema.fieldIndex(f)).dataType
+      df.join(broadcast(p), Seq("docId"), "left")
+        .withColumn(f, coalesce(col("__patch").cast(origType), col(f)))
+        .drop("__patch")
+    }
+  }
+
+  /**
    * IndexWriter.updateDocument analogue (reference index/IndexWriter.java
    * updateDocument — an atomic delete-by-term + addDocument): tombstone
    * the superseded docIds, then commit the replacement docs as a fresh
@@ -347,12 +386,14 @@ object IndexStore {
         .repartitionByRange(shufflePartitions, col("term"))
         .sortWithinPartitions(col("term"), col("docId"))
         .write.mode("overwrite").parquet(s"$outDir/segments/seg=0/positions")
-    // carry the doc-values tier likewise
+    // carry the doc-values tier likewise, BAKING IN any numeric dv
+    // patches (Lucene: docvalues update generations collapse at merge)
     val dvDirs = segDirs.filter(d => Files.exists(Paths.get(d, "docvalues")))
     if (dvDirs.nonEmpty)
-      dead.foldLeft(spark.read.parquet(dvDirs.map(_ + "/docvalues"): _*)) {
+      applyDvPatches(spark, dir,
+        dead.foldLeft(spark.read.parquet(dvDirs.map(_ + "/docvalues"): _*)) {
           (df, d) => df.join(d, Seq("docId"), "left_anti")
-        }
+        })
         .write.mode("overwrite").parquet(s"$outDir/segments/seg=0/docvalues")
     val m = ds.agg(count("*"), sum(col("dl").cast("long")),
       bit_xor(xxhash64(col("contentSha256"))), max("docId")).head()
@@ -839,7 +880,9 @@ object IndexStore {
         .filter(p => Files.exists(Paths.get(p)))
       require(dvDirs.nonEmpty, s"index at $dir has no doc-values tier " +
         "(build with docValueCols = ...)")
-      spark.read.parquet(dvDirs: _*)
+      // readers see in-place numeric updates on (lazy) reopen —
+      // IndexWriter.updateNumericDocValue semantics
+      IndexStore.applyDvPatches(spark, dir, spark.read.parquet(dvDirs: _*))
     }
 
     /**

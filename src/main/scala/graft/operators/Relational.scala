@@ -377,6 +377,23 @@ object Relational {
   }
 
   /**
+   * Child-document transformer (Solr [child] —
+   * ChildDocTransformerFactory): each parent row returned with its
+   * ordered child set nested as a CSV projection (the join-shaped
+   * equivalent of Lucene block-join child retrieval). Children collapse
+   * to one row per parent BEFORE the join (map-side combined), so the
+   * join carries #parents rows, not #children.
+   */
+  def childTransform(parents: DataFrame, children: DataFrame,
+                     parentKey: String, childKey: String,
+                     childOrd: String): DataFrame = {
+    val nested = children.groupBy(col(childKey).as(parentKey))
+      .agg(count(lit(1)).as("n_children"),
+        concat_ws(",", sort_array(collect_list(col(childOrd)))).as("children_csv"))
+    parents.select(parentKey).join(nested, parentKey)
+  }
+
+  /**
    * Facet with a missing bucket (Solr facet.missing=true): per-value
    * counts plus one row counting docs whose facet field is NULL — the
    * reference emits it as an unlabeled trailing bucket; here the value

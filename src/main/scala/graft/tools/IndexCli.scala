@@ -191,11 +191,17 @@ object IndexCli {
 
     // fuzzy <indexDir> <k> <word> [maxEdits] : gram-pruned fuzzy expansion
     case "fuzzy" :: dir :: k :: word :: rest =>
-      val e = rest.headOption.map(_.toInt).getOrElse(2)
+      val e = rest.filterNot(_.startsWith("--")).headOption.map(_.toInt).getOrElse(2)
       val idx = IndexStore.OpenIndex(spark, dir)
-      val expanded = idx.fuzzyExpand(word, e).take(k.toInt)
-      println(s"fuzzy $word~$e -> ${expanded.size} terms (df-ranked):")
-      expanded.foreach(t => println(s"  $t"))
+      // --transpose: OSA metric (adjacent swap = 1 edit, the Lucene default)
+      if (rest.contains("--transpose")) {
+        idx.spellCorrect(word, e, k.toInt, transpositions = true).collect()
+          .foreach(r => println(s"  ${r.getString(0)} (osa=${r.getInt(1)} df=${r.getLong(2)})"))
+      } else {
+        val expanded = idx.fuzzyExpand(word, e).take(k.toInt)
+        println(s"fuzzy $word~$e -> ${expanded.size} terms (df-ranked):")
+        expanded.foreach(t => println(s"  $t"))
+      }
 
     case "manifests" :: dir :: Nil =>
       IndexStore.readManifests(dir).foreach(println)
