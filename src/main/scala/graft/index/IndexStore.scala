@@ -34,6 +34,17 @@ object IndexStore {
   val ShortLen = 12
   val SidecarEdits = 2
 
+  /** queryResultCache capacity (Solr's default cache sizes are O(100s)). */
+  val QueryResultCacheSize: Int = 256
+
+  /** topK output schema, shared by the result cache's local re-wrap. */
+  val TopKSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("docId",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.FloatType, nullable = false)))
+
   /** Every variant of `s` with up to `maxDeletes` characters removed
     * (including `s` itself). */
   def deleteVariants(s: String, maxDeletes: Int): Set[String] = {
@@ -265,6 +276,31 @@ object IndexStore {
   def delete(spark: SparkSession, dir: String, docIds: Seq[Long]): Unit = {
     import spark.implicits._
     docIds.toDF("docId").write.mode("append").parquet(s"$dir/deletes")
+  }
+
+  /**
+   * Snapshot / backup (Solr ReplicationHandler backup + Lucene
+   * SnapshotDeletionPolicy capability): copy the COMMITTED state —
+   * manifest-bearing segment dirs, stats (incl. the persisted analyzer
+   * chain), deletes, dv patches — to `destDir`, which is then itself a
+   * complete index directory. Committed-manifest filtering means an
+   * in-flight build's uncommitted segment is NOT captured: the snapshot
+   * is a consistent commit-point view. Driver-side copy here; at cluster
+   * scale the same path set goes through a storage-layer copy (distcp /
+   * object-store clone) — the manifest filter is the part that matters.
+   */
+  def snapshot(dir: String, destDir: String): Unit = {
+    require(Files.exists(Paths.get(dir, "segments")), s"no index at $dir")
+    val dest = Paths.get(destDir)
+    Files.createDirectories(dest)
+    committedSegmentDirs(dir).foreach { seg =>
+      val name = Paths.get(seg).getFileName.toString
+      graft.util.Fs.copyTree(Paths.get(seg), dest.resolve("segments").resolve(name))
+    }
+    Seq("stats", "deletes", "dvpatch").foreach { sub =>
+      val p = Paths.get(dir, sub)
+      if (Files.exists(p)) graft.util.Fs.copyTree(p, dest.resolve(sub))
+    }
   }
 
   /**
@@ -530,6 +566,35 @@ object IndexStore {
              wand: Boolean = false): DataFrame =
       QueryEngine.topK(spark, blocks, termstats, stats, terms, k, mode, mustNot, prune, wand,
         excludeDocs = deletes, dfCache = Some(dfCache))
+
+    /** Solr queryResultCache analogue (solr/core .../search/SolrIndexSearcher
+      * queryResultCache; Lucene LRUQueryCache is the filter-level cousin):
+      * bounded LRU of COLLECTED top-k results keyed by the full query
+      * signature. Safe without invalidation because an OpenIndex is an
+      * immutable snapshot (all tiers are lazy vals over committed
+      * segments) — a reopened index is a NEW OpenIndex with an empty
+      * cache, exactly Solr's per-searcher cache lifecycle. Entries are
+      * k-row arrays: driver memory is O(cacheSize x k). */
+    private val resultCache =
+      new java.util.LinkedHashMap[String, Array[org.apache.spark.sql.Row]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[org.apache.spark.sql.Row]]): Boolean =
+          size() > IndexStore.QueryResultCacheSize
+      }
+
+    def topKCached(terms: Seq[String], k: Int, mode: QueryEngine.Mode = QueryEngine.Or,
+                   mustNot: Seq[String] = Nil, prune: Boolean = false,
+                   wand: Boolean = false): DataFrame = {
+      val key = s"${terms.mkString(",")}|$k|$mode|${mustNot.mkString(",")}|$prune|$wand"
+      // on a hit, do NOT even construct the underlying plan (query planning
+      // runs driver-side stats lookups) — the hit costs zero Spark jobs
+      val rows = resultCache.synchronized(Option(resultCache.get(key))).getOrElse {
+        val r = topK(terms, k, mode, mustNot, prune, wand).collect()
+        resultCache.synchronized(resultCache.put(key, r))
+        r
+      }
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), IndexStore.TopKSchema)
+    }
 
     /**
      * Time-budgeted top-k (reference TimeLimitingCollector /

@@ -14,4 +14,23 @@ object Fs {
   }
 
   def rmTree(path: String): Unit = rmTree(new java.io.File(path))
+
+  /** Recursive copy (regular files + dirs; symlinks skipped — an index
+    * tree never contains them, and following one would copy outside the
+    * tree). Existing destination files are replaced. */
+  def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isSymbolicLink(src)) return
+    if (java.nio.file.Files.isDirectory(src)) {
+      java.nio.file.Files.createDirectories(dst)
+      val it = java.nio.file.Files.list(src).iterator()
+      while (it.hasNext) {
+        val c = it.next()
+        copyTree(c, dst.resolve(c.getFileName))
+      }
+    } else {
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.copy(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+  }
 }
