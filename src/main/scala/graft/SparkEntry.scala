@@ -850,6 +850,24 @@ object SparkEntry {
       "doc_id", "lang", Map("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)
       .select("doc_id", "lang")),
 
+    // the COMPOSED end-to-end training-prep pipeline: langid+quality clean
+    // -> exact dedup -> eval-set & contamination removal -> deterministic
+    // 50% sample -> token-budget packing, one declarative plan
+    "tp_full_prep" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+      val cleaned = TextOps.cleanCorpus(docs, "doc_id", "text", LangMarkers,
+        keepLangs = Seq("en"), stopwords = Stopwords,
+        minTokens = 30, maxStopwordRatio = 0.15)
+      val frags = P.benchmarkFragments(docs, "doc_id", "text", 97, 3, 2)
+      val contaminated = P.decontaminate(docs.filter(col("doc_id") % 97 =!= 3),
+        frags, "doc_id", "text", 2).select("doc_id")
+      val kept = cleaned.filter(col("doc_id") % 97 =!= 3)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(P.sampleBucket(col("doc_id")) < 0.5 * P.SampleModulus)
+      P.packCounted(s, kept.select(col("doc_id"), col("n_tokens").cast("long")),
+        "doc_id", budget = 512)
+    }),
+
     // Gopher-rule repetition metric: duplicate 3-gram fraction per doc
     "tp_repetition" -> ((s, d) => P.repetitionStats(rd(s, d, "documents"),
       "doc_id", "text", n = 3)),
@@ -1619,6 +1637,30 @@ object SparkEntry {
         """SELECT doc_id, lang FROM documents
           | WHERE (doc_id * 2654435761) % 1009 <
           |   (CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25 ELSE 0.1 END) * 1009""".stripMargin,
+      "tp_full_prep" ->
+        s"""WITH toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+           | q AS (SELECT doc_id, text, len(ts) AS n_tokens,
+           |   round(len(list_filter(ts, t -> t IN ($stopInList))) /
+           |     CAST(greatest(len(ts), 1) AS DOUBLE), 5) AS stopword_ratio FROM toks),
+           | l AS ($langIdSql),
+           | s AS (SELECT q.doc_id, q.text, q.n_tokens
+           |   FROM q JOIN l ON q.doc_id = l.doc_id
+           |   WHERE l.lang_pred IN ('en') AND q.n_tokens >= 30 AND q.stopword_ratio <= 0.15),
+           | dd AS (SELECT *, row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn FROM s),
+           | clean AS (SELECT doc_id, n_tokens FROM dd WHERE rn = 1),
+           | frags AS (SELECT DISTINCT array_to_string(list_slice(ts, 1, 2), ' ') AS frag
+           |           FROM toks WHERE doc_id % 97 = 3 AND len(ts) >= 2),
+           | docn AS (SELECT doc_id, ' ' || array_to_string(ts, ' ') || ' ' AS str
+           |          FROM toks WHERE doc_id % 97 <> 3 AND len(ts) >= 2),
+           | cont AS (SELECT DISTINCT doc_id FROM docn JOIN frags ON contains(str, ' ' || frag || ' ')),
+           | kept AS (SELECT c.doc_id, c.n_tokens FROM clean c
+           |   WHERE c.doc_id % 97 <> 3
+           |     AND c.doc_id NOT IN (SELECT doc_id FROM cont)
+           |     AND (c.doc_id * 2654435761) % 1009 < 0.5 * 1009)
+           | SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS seq_id
+           | FROM kept""".stripMargin,
       "tp_repetition" ->
         """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
           | s AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN

@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.bm25ScoreFunction)
+    ext.injectFunction(GraftExtensions.damerauFunction)
   }
 }
 
@@ -49,5 +50,14 @@ object GraftExtensions {
       val sumTtf = longLit(args(4), "sumTotalTermFreq")
       val scorer = BM25.termScorer(1f, BM25.DefaultK1, BM25.DefaultB, df, docCount, sumTtf)
       Bm25Score(args(0), args(1), scorer.weight, scorer.cache)
+    })
+
+  /** SQL surface for the OSA distance: graft_damerau(a, b). */
+  val damerauFunction: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("graft_damerau"),
+    new ExpressionInfo(classOf[DamerauLevenshtein].getName, "graft_damerau"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "graft_damerau(a STRING, b STRING)")
+      DamerauLevenshtein(args(0), args(1))
     })
 }

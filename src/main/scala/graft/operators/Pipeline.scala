@@ -76,13 +76,22 @@ object Pipeline {
     * pull the whole corpus into one task. */
   def packSequences(spark: SparkSession, docs: DataFrame, idCol: String,
                     textCol: String, budget: Long = 2048,
-                    partitions: Int = 0): DataFrame = {
+                    partitions: Int = 0): DataFrame =
+    packCounted(spark,
+      docs.select(col(idCol), size(TextOps.tokensOf(textCol)).cast("long").as("n_tokens")),
+      idCol, budget, partitions)
+
+  /** Packing over PRE-COUNTED docs — (idCol, n_tokens) — so upstream
+    * stages (cleaning, decontamination, sampling) that already computed
+    * token counts don't tokenize twice. */
+  def packCounted(spark: SparkSession, counts: DataFrame, idCol: String,
+                  budget: Long, partitions: Int = 0): DataFrame = {
     import spark.implicits._
     val parts = if (partitions > 0) partitions
                 else spark.sessionState.conf.numShufflePartitions
-    val counted = docs
+    val counted = counts
       .select(col(idCol).cast("long").as("doc_id"),
-        size(TextOps.tokensOf(textCol)).cast("long").as("n_tokens"))
+        col("n_tokens").cast("long").as("n_tokens"))
       .repartitionByRange(parts, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]

@@ -87,6 +87,9 @@ class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
         spark.sql("SELECT graft_bm25_score(3, CAST(5 AS TINYINT), id, 1000L, 50000L) FROM range(1)").collect()
       }
       assert(err.getMessage.contains("literal"))
+      // the OSA distance is registered too
+      assert(spark.sql("SELECT graft_damerau('sprak', 'spark') AS d")
+        .head().getInt(0) === 1)
     } finally {
       // restore the shared session for later suites (do NOT stop the
       // shared SparkContext)
