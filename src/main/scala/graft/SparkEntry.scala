@@ -868,6 +868,11 @@ object SparkEntry {
         "doc_id", budget = 512)
     }),
 
+    // exact-substring dedup signal (Lee et al. 2022): per-doc fraction of
+    // 3-token windows that also occur in ANOTHER document
+    "tp_dup_spans" -> ((s, d) => P.duplicatedSpans(rd(s, d, "documents"),
+      "doc_id", "text", n = 3)),
+
     // Gopher-rule repetition metric: duplicate 3-gram fraction per doc
     "tp_repetition" -> ((s, d) => P.repetitionStats(rd(s, d, "documents"),
       "doc_id", "text", n = 3)),
@@ -1661,6 +1666,17 @@ object SparkEntry {
            |  CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS seq_id
            | FROM kept""".stripMargin,
+      "tp_dup_spans" ->
+        """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+          | w AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+          |     i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+          |   FROM t WHERE len(ts) >= 3),
+          | dfq AS (SELECT sh, count(DISTINCT doc_id) AS ddf FROM w GROUP BY sh),
+          | j AS (SELECT w.doc_id, CASE WHEN dfq.ddf >= 2 THEN 1 ELSE 0 END AS dup
+          |   FROM w JOIN dfq ON w.sh = dfq.sh)
+          | SELECT doc_id, count(*) AS n_windows, CAST(sum(dup) AS BIGINT) AS n_dup,
+          |  round(sum(dup) / CAST(count(*) AS DOUBLE), 5) AS dup_fraction
+          | FROM j GROUP BY doc_id""".stripMargin,
       "tp_repetition" ->
         """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
           | s AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN

@@ -150,6 +150,37 @@ object Pipeline {
       .drop("keep_rate")
   }
 
+  /** Cross-document duplicated-span detection — the shingle-granular form
+    * of exact-substring dedup ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022: repeated spans across the
+    * corpus are memorization hot-spots and get removed before training).
+    * An n-token window occurring in MORE THAN ONE document marks
+    * duplicated text in every doc containing it; output per doc:
+    * (n_windows, n_dup, dup_fraction).
+    *
+    * Shape: one groupBy on the shingle for its cross-doc frequency
+    * (map-side combined), one shuffle join of window occurrences against
+    * those frequencies, one groupBy doc — three exchanges total, each on
+    * narrow (id, shingle-hash) rows; document text never shuffles. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    val toks = TextOps.tokensOf(textCol)
+    val windows = docs
+      .select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("sh"))
+    val ddf = windows.select(col(idCol), col("sh")).distinct()
+      .groupBy("sh").agg(count(lit(1)).as("ddf"))
+    windows.join(ddf, "sh")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("ddf") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_fraction",
+        round(col("n_dup") / col("n_windows").cast("double"), 5))
+  }
+
   /** Gopher-style repetition metric (the "duplicate n-gram fraction"
     * quality rule used to drop boilerplate/spam docs before training):
     * per doc, the fraction of its n-token shingles that are repeats of an

@@ -68,6 +68,20 @@ class PipelineSpec extends SparkSpec {
     assert(packed.map(_._2).sum === 500L)
   }
 
+  test("duplicatedSpans: cross-doc windows flagged in every doc containing them") {
+    val docs = docsDf(Seq(
+      (0L, "aa bb cc dd ee", "en"),   // shares "aa bb cc" with doc 1
+      (1L, "xx aa bb cc yy", "en"),
+      (2L, "pp qq rr ss tt", "en"),   // fully unique
+      (3L, "aa bb", "en")))           // too short for n=3 -> absent
+    val got = Pipeline.duplicatedSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(0L) === ((3L, 1L))) // windows: aa-bb-cc*, bb-cc-dd, cc-dd-ee
+    assert(got(1L) === ((3L, 1L)))
+    assert(got(2L) === ((3L, 0L)))
+    assert(!got.contains(3L))
+  }
+
   test("repetitionStats: duplicate-shingle fraction; short docs guard to empty") {
     val docs = docsDf(Seq(
       (0L, "a b c a b c a b c", "en"),  // 7 shingles: abc bca cab ×2 + abc -> 4 distinct
