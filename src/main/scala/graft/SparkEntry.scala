@@ -908,6 +908,30 @@ object SparkEntry {
     "dd_simhash" -> ((s, d) => Dedup.simHashCandidates(
       Dedup.simHash(rd(s, d, "documents"), "doc_id", "text"), "doc_id", maxHamming = 3)),
 
+    // planted-duplicate oracle-checked variants of the approximate dedup
+    // paths (the dd_embedding pattern): an exact copy of every document
+    // under doc_id+1000000 has an IDENTICAL signature, so signature →
+    // banding → bucket join → verify must recover every (doc, copy) pair —
+    // recall on them is structural (identical band buckets), not
+    // probabilistic, and the whole LSH pipeline is exercised end-to-end.
+    "dd_minhash_planted" -> ((s, d) => {
+      val docs = rd(s, d, "documents").select("doc_id", "text")
+      val planted = docs.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val sigs = Dedup.minHashSignatures(docs.unionByName(planted), "doc_id", "text", 64)
+      Dedup.minHashCandidates(sigs, "doc_id", bands = 16, rowsPerBand = 4, threshold = 1.0)
+        .filter(col("id_b") === col("id_a") + 1000000)
+        .select(col("id_a"), col("id_b"))
+    }),
+
+    "dd_simhash_planted" -> ((s, d) => {
+      val docs = rd(s, d, "documents").select("doc_id", "text")
+      val planted = docs.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val sh = Dedup.simHash(docs.unionByName(planted), "doc_id", "text")
+      Dedup.simHashCandidates(sh, "doc_id", maxHamming = 0)
+        .filter(col("id_b") === col("id_a") + 1000000)
+        .select(col("id_a"), col("id_b"))
+    }),
+
     // embedding near-dup with PLANTED duplicates: positive-scaled copies of
     // every vector (cosine exactly 1; the sign sketch is scale-invariant, so
     // LSH recall on them is guaranteed 1.0) — the query only goes green if
@@ -1715,6 +1739,14 @@ object SparkEntry {
       "dd_embedding" ->
         """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, CAST(1.0 AS DOUBLE) AS cos
           | FROM embeddings""".stripMargin,
+      // every doc pairs with its planted identical copy (empty docs share
+      // the all-sentinel minhash signature, so they pair too)
+      "dd_minhash_planted" ->
+        "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents",
+      // simhash emits no row for token-less docs (no tf rows to sign-sum)
+      "dd_simhash_planted" ->
+        """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents
+          | WHERE regexp_matches(lower(text), '[a-z0-9]')""".stripMargin,
       "dd_components" ->
         """WITH RECURSIVE
           | d AS (SELECT doc_id, lower(text) AS t FROM documents),

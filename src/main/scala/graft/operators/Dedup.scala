@@ -184,19 +184,48 @@ object Dedup {
    * xxhash64 bits. Near-dups = pairs within `maxHamming` — candidates found
    * by banding the 64 bits into 4×16-bit chunks (pigeonhole: hamming<=3
    * pairs share at least one exact chunk).
+   *
+   * One NARROW typed pass: per doc, local tf map → 64 signed accumulators →
+   * sign bits. The declarative form (token explode → tf groupBy → 64-column
+   * agg) shuffles every token row TWICE before reducing to one long per doc;
+   * at 100 TB that is the dominant cost of the whole simhash path, while
+   * this map shuffles nothing. Token hash = Spark's `xxhash64` (seed 42,
+   * via the same catalyst kernel), so results are bit-identical to the
+   * declarative form — asserted by OperatorsSpec's parity test. Docs with
+   * no tokens yield no row (matching the aggregation form's semantics).
    */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = TextOps.termFreqs(docs, idCol, textCol)
-    val withHash = tf.withColumn("h", xxhash64(col("tok")))
-    val bitCols = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"b$i")
-    }
-    val agg = withHash.groupBy(idCol).agg(bitCols.head, bitCols.tail: _*)
-    val sh = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col(idCol), sh.as("simhash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), lower(coalesce(col(textCol), lit(""))))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val tf = new java.util.HashMap[String, Int]()
+        val m = TokenRe.matcher(text)
+        while (m.find()) tf.merge(m.group(), 1, Integer.sum)
+        if (tf.isEmpty) None
+        else {
+          val acc = new Array[Long](64)
+          val it = tf.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+              org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey),
+              org.apache.spark.sql.types.StringType, 42L)
+            val w = e.getValue.toLong
+            var i = 0
+            while (i < 64) {
+              if (((h >>> i) & 1L) == 1L) acc(i) += w else acc(i) -= w
+              i += 1
+            }
+          }
+          var sh = 0L
+          var i = 0
+          while (i < 64) { if (acc(i) > 0) sh |= (1L << i); i += 1 }
+          Some((id, sh))
+        }
+      }
+      .toDF(idCol, "simhash")
   }
 
   /** Hamming distance between two long columns. */

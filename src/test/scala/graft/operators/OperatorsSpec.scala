@@ -159,6 +159,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(cands.exists { case (a, b, h) => a == 0L && b == 4L && h == 0L })
   }
 
+  test("simhash typed kernel is bit-identical to the declarative tf-weighted form") {
+    // the declarative reference: token explode -> tf groupBy -> 64 signed
+    // column sums -> sign bits (the pre-optimization implementation)
+    val tf = TextOps.termFreqs(docs, "doc_id", "text")
+      .withColumn("h", xxhash64($"tok"))
+    val bitCols = (0 until 64).map { i =>
+      sum(when(shiftright($"h", i).bitwiseAND(1) === 1, $"tf")
+        .otherwise(-$"tf")).as(s"b$i")
+    }
+    val sh = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val expected = tf.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      .select($"doc_id", sh.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   test("ngram jaccard: identical=1, disjoint~0") {
     val d = Seq((0L, "abcdefg", "abcdefg"), (1L, "abcdefg", "zzzzyyy"))
       .toDF("id", "a", "b")
