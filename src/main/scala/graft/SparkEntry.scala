@@ -770,6 +770,30 @@ object SparkEntry {
         .filter(col("cnt") >= 30)
     }),
 
+    // word-delimiter analysis (WordDelimiterGraphFilter — the camelCase /
+    // alnum identifier splitter, THE code-corpus filter): per-doc token
+    // counts through a chain with the splitter in its pre-lowercase slot.
+    // The documents text is all-lowercase, so a deterministic camelCase
+    // identifier is appended per doc ("Doc<id>V2" → doc, <id>, v, 2) to
+    // make the splits non-vacuous; the DuckDB oracle replicates the split
+    // as maximal letter-or-digit runs over the lowercased text (equivalent
+    // for case-free input; case splits are covered by FiltersSpec goldens)
+    "ta_worddelim" -> ((s, d) => {
+      import s.implicits._
+      val chain = graft.analysis.AnalyzerChain(Nil,
+        Some(graft.analysis.WordDelimiterFilter(
+          preserveOriginal = false, stemPossessive = false)))
+      rd(s, d, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" Doc"), col("doc_id"), lit("V2")).as("t"))
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          val ts = chain.terms(t)
+          (id, ts.length.toLong, ts.distinct.length.toLong)
+        }
+        .toDF("doc_id", "n_tokens", "n_distinct")
+    }),
+
     // export handler (/export): the FULL sorted match set, no limit —
     // Solr's bulk-retrieval path; a distributed range-partitioned sort
     "ft_export_sorted" -> ((s, d) => docIndex(s, d)
@@ -1626,6 +1650,12 @@ object SparkEntry {
            |   WHERE l.lang_pred IN ('en') AND q.n_tokens >= 30 AND q.stopword_ratio <= 0.15),
            | d AS (SELECT *, row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn FROM s)
            | SELECT doc_id, lang_pred, n_tokens, stopword_ratio FROM d WHERE rn = 1""".stripMargin,
+      "ta_worddelim" ->
+        """SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+          |  CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct
+          | FROM (SELECT doc_id, regexp_extract_all(
+          |   lower(text || ' Doc' || doc_id || 'V2'), '[a-z]+|[0-9]+') AS ts
+          |  FROM documents)""".stripMargin,
       "ta_shingles" ->
         """WITH t AS (SELECT doc_id,
           |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,

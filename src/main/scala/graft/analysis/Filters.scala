@@ -45,8 +45,8 @@ case object PorterStemFilter extends TokenFilter {
   * marked as overlaps (posIncrement 0). */
 final case class SynonymFilter(synonyms: Map[String, Seq[String]]) extends TokenFilter {
   def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) = {
-    val outT = Seq.newBuilder[Token]
-    val outO = Seq.newBuilder[Boolean]
+    val outT = Vector.newBuilder[Token] // Vector: downstream filters index into the stream
+    val outO = Vector.newBuilder[Boolean]
     tokens.indices.foreach { i =>
       val t = tokens(i)
       outT += t; outO += overlaps(i)
@@ -102,8 +102,8 @@ final case class ShingleFilter(maxShingleSize: Int = 2,
                                outputUnigrams: Boolean = true) extends TokenFilter {
   require(maxShingleSize >= 2, "maxShingleSize must be >= 2")
   def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) = {
-    val outT = Seq.newBuilder[Token]
-    val outO = Seq.newBuilder[Boolean]
+    val outT = Vector.newBuilder[Token] // Vector: downstream filters index into the stream
+    val outO = Vector.newBuilder[Boolean]
     // only non-overlap tokens form the shingle backbone (injected synonyms
     // would otherwise multiply shingles combinatorially)
     val base = tokens.indices.filterNot(overlaps)
@@ -134,8 +134,8 @@ final case class EdgeNGramFilter(minGram: Int, maxGram: Int,
                                  preserveOriginal: Boolean = true) extends TokenFilter {
   require(minGram >= 1 && maxGram >= minGram, s"bad gram bounds [$minGram,$maxGram]")
   def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) = {
-    val outT = Seq.newBuilder[Token]
-    val outO = Seq.newBuilder[Boolean]
+    val outT = Vector.newBuilder[Token] // Vector: downstream filters index into the stream
+    val outO = Vector.newBuilder[Boolean]
     tokens.indices.foreach { i =>
       val t = tokens(i)
       var emittedOriginal = false
@@ -158,18 +158,116 @@ final case class EdgeNGramFilter(minGram: Int, maxGram: Int,
 }
 
 /**
+ * Word-delimiter splitting (analysis/miscellaneous/
+ * WordDelimiterGraphFilter.java, default flags GENERATE_WORD_PARTS |
+ * GENERATE_NUMBER_PARTS | SPLIT_ON_CASE_CHANGE | SPLIT_ON_NUMERICS |
+ * STEM_ENGLISH_POSSESSIVE): each token splits into subwords at
+ * non-alphanumeric characters (dropped), letter↔digit boundaries,
+ * lower→Upper transitions, and before the last upper of an acronym run
+ * followed by lowercase ("HTTPServer" → HTTP, Server). The critical
+ * deployment detail — and why this is a dedicated [[AnalyzerChain]] slot,
+ * not an ordinary list entry — is that it must see the RAW-case token
+ * stream (Solr schema ordering tokenizer → WDGF → LowerCaseFilter); the
+ * chain's other filters run post-lowercase. For source-code corpora this
+ * is the camelCase-identifier splitter ("parseConfig" → parse, config).
+ *
+ * Position semantics: parts occupy consecutive positions starting at the
+ * original token's (shifted) position — downstream tokens shift right, as
+ * in the reference's graph. With `preserveOriginal` the whole token is
+ * ALSO emitted at the first part's position as an overlap (posInc 0).
+ * A token with no alphanumerics at all (emoji cluster, symbol run)
+ * passes through unsplit; one that is ALL delimiters never occurs here
+ * (the tokenizer never emits such tokens).
+ */
+final case class WordDelimiterFilter(preserveOriginal: Boolean = true,
+                                     stemPossessive: Boolean = true) extends TokenFilter {
+
+  /** Subword char categories. */
+  @inline private def cat(c: Char): Int =
+    if (Character.isDigit(c)) 3
+    else if (Character.isLetter(c)) { if (Character.isUpperCase(c) || Character.isTitleCase(c)) 2 else 1 }
+    else 0
+
+  private[analysis] def parts(term0: String): Seq[String] = {
+    if (!term0.exists(c => cat(c) != 0)) return Seq(term0) // emoji/symbol pass-through
+    // STEM_ENGLISH_POSSESSIVE: trailing 's goes before any splitting
+    val term = if (stemPossessive && term0.length > 2 &&
+      term0.charAt(term0.length - 2) == '\'' &&
+      (term0.last == 's' || term0.last == 'S')) term0.dropRight(2) else term0
+    val out = Seq.newBuilder[String]
+    val sb = new java.lang.StringBuilder(term.length)
+    var i = 0
+    while (i < term.length) {
+      val c = term.charAt(i)
+      val t = cat(c)
+      if (t == 0) { if (sb.length > 0) { out += sb.toString; sb.setLength(0) } }
+      else {
+        if (sb.length > 0) {
+          val p = cat(sb.charAt(sb.length - 1))
+          val caseSplit = p == 1 && t == 2
+          val acronymEnd = p == 2 && t == 2 && i + 1 < term.length && cat(term.charAt(i + 1)) == 1
+          val alnumSplit = (p == 3) != (t == 3)
+          if (caseSplit || acronymEnd || alnumSplit) { out += sb.toString; sb.setLength(0) }
+        }
+        sb.append(c)
+      }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.result()
+  }
+
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) = {
+    val outT = Vector.newBuilder[Token] // Vector: downstream filters index into the stream
+    val outO = Vector.newBuilder[Boolean]
+    var shift = 0
+    tokens.indices.foreach { i =>
+      val t = tokens(i)
+      val ps = parts(t.term)
+      val base = t.pos + shift
+      if (ps.length == 1 && ps.head == t.term) {
+        outT += t.copy(pos = base); outO += overlaps(i)
+      } else {
+        if (preserveOriginal) { outT += t.copy(pos = base); outO += true }
+        ps.indices.foreach { j =>
+          outT += Token(ps(j), base + j); outO += overlaps(i)
+        }
+        shift += ps.length - 1
+      }
+    }
+    (outT.result(), outO.result())
+  }
+}
+
+/**
  * The analysis chain: the standard tokenizer ([[Analyzer]]: UAX#29 subset
  * + lowercase) followed by the configured filters. `AnalyzerChain(Nil)`
  * is bit-compatible with the bare [[Analyzer]] (the round-1/2 default).
+ * `wordDelimiter`, when set, runs between segmentation and lowercasing
+ * (it needs the raw case — see [[WordDelimiterFilter]]); `filters` run
+ * after lowercasing as before.
  */
-final case class AnalyzerChain(filters: Seq[TokenFilter]) extends Serializable {
+final case class AnalyzerChain(filters: Seq[TokenFilter],
+                               wordDelimiter: Option[WordDelimiterFilter] = None)
+    extends Serializable {
+  require(!filters.exists(_.isInstanceOf[WordDelimiterFilter]),
+    "WordDelimiterFilter goes in the wordDelimiter slot (it must run on " +
+      "the raw-case stream, before lowercasing), not in filters")
 
   /** Tokens (with positions) after the whole chain. */
   def analyze(text: String): Seq[Token] = analyzeWithOverlaps(text)._1
 
   def analyzeWithOverlaps(text: String): (Seq[Token], Seq[Boolean]) = {
-    val base = Analyzer.analyze(text)
-    filters.foldLeft((base, base.map(_ => false))) { case ((ts, os), f) => f(ts, os) }
+    val base = wordDelimiter match {
+      case Some(wdf) =>
+        val seg = Analyzer.segment(text)
+        val (ts, os) = wdf(seg, seg.map(_ => false))
+        (ts.map(t => t.copy(term = Analyzer.lowercase(t.term))), os)
+      case None =>
+        val b = Analyzer.analyze(text)
+        (b, b.map(_ => false))
+    }
+    filters.foldLeft(base) { case ((ts, os), f) => f(ts, os) }
   }
 
   def terms(text: String): Seq[String] = analyze(text).map(_.term)
@@ -178,15 +276,19 @@ final case class AnalyzerChain(filters: Seq[TokenFilter]) extends Serializable {
     * non-overlap tokens only (discountOverlaps=true); tf counts every
     * occurrence including injected synonyms (they are real postings). */
   def termFreqs(text: String): (scala.collection.Map[String, Int], Int) = {
-    if (filters.isEmpty) return Analyzer.termFreqs(text) // allocation-light hot path
+    if (filters.isEmpty && wordDelimiter.isEmpty)
+      return Analyzer.termFreqs(text) // allocation-light hot path
     val (tokens, overlaps) = analyzeWithOverlaps(text)
     val m = new java.util.HashMap[String, Int](64)
     var dl = 0
-    var i = 0
-    while (i < tokens.length) {
-      if (!overlaps(i)) dl += 1
-      m.merge(tokens(i).term, 1, (a, b) => a + b)
-      i += 1
+    // iterator walk, never Seq.apply(i): filter outputs may be Lists, and
+    // an indexed loop over a List is O(n^2) per doc (observed as a
+    // build-time hang on long documents)
+    val it = tokens.iterator
+    val io = overlaps.iterator
+    while (it.hasNext) {
+      if (!io.next()) dl += 1
+      m.merge(it.next().term, 1, (a, b) => a + b)
     }
     (scala.jdk.CollectionConverters.MapHasAsScala(m).asScala, dl)
   }
@@ -226,12 +328,14 @@ object AnalyzerChain {
         s"""{"type":"edgengram","min":$mn,"max":$mx,"original":$orig}"""
       case PhoneticFilter(inj) => s"""{"type":"phonetic","inject":$inj}"""
     }
-    s"""{"filters":[${fs.mkString(",")}]}"""
+    val wd = chain.wordDelimiter.map(w =>
+      s"""{"type":"worddelim","original":${w.preserveOriginal},"possessive":${w.stemPossessive}}""").toSeq
+    s"""{"filters":[${(wd ++ fs).mkString(",")}]}"""
   }
 
   def fromJson(json: String): AnalyzerChain = {
     val filterRe =
-      """\{"type":"(stop|porter|synonym|ascii|length|shingle|edgengram|phonetic)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
+      """\{"type":"(stop|porter|synonym|ascii|length|shingle|edgengram|phonetic|worddelim)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
     val wordsRe = """"([^"]+)"""".r
     def intField(body: String, k: String): Int =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
@@ -249,6 +353,8 @@ object AnalyzerChain {
           EdgeNGramFilter(intField(body, "min"), intField(body, "max"),
             boolField(body, "original"))
         case "phonetic" => PhoneticFilter(boolField(body, "inject"))
+        case "worddelim" =>
+          WordDelimiterFilter(boolField(body, "original"), boolField(body, "possessive"))
         case "stop" =>
           val arr = body.substring(body.indexOf('['), body.indexOf(']') + 1)
           StopFilter(wordsRe.findAllMatchIn(arr).map(_.group(1)).toSet)
@@ -260,6 +366,8 @@ object AnalyzerChain {
           }.toMap)
       }
     }.toSeq
-    AnalyzerChain(filters)
+    // worddelim routes to its dedicated pre-lowercase slot, not the list
+    val (wds, rest) = filters.partition(_.isInstanceOf[WordDelimiterFilter])
+    AnalyzerChain(rest, wds.headOption.map(_.asInstanceOf[WordDelimiterFilter]))
   }
 }

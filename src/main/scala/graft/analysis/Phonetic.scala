@@ -92,8 +92,8 @@ final case class PhoneticFilter(inject: Boolean = true) extends TokenFilter {
     if (!inject)
       (tokens.map(t => t.copy(term = Soundex.encode(t.term))), overlaps)
     else {
-      val outT = Seq.newBuilder[Token]
-      val outO = Seq.newBuilder[Boolean]
+      val outT = Vector.newBuilder[Token] // Vector: downstream filters index into the stream
+      val outO = Vector.newBuilder[Boolean]
       tokens.indices.foreach { i =>
         val t = tokens(i)
         outT += t; outO += overlaps(i)

@@ -170,7 +170,11 @@ object Pipeline {
       .filter(size(col("toks")) >= n)
       .select(col(idCol), explode(
         transform(sequence(lit(0), size(col("toks")) - n),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("sh"))
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("sh0"))
+      // shuffle the 8-byte shingle hash, not the shingle text: all three
+      // exchanges below carry (id, long) rows (collision odds ~n^2/2^64 —
+      // and deterministic, so the oracle would catch one at test scale)
+      .select(col(idCol), xxhash64(col("sh0")).as("sh"))
     val ddf = windows.select(col(idCol), col("sh")).distinct()
       .groupBy("sh").agg(count(lit(1)).as("ddf"))
     windows.join(ddf, "sh")

@@ -41,11 +41,17 @@ object IndexCli {
       val withIds = DocIds.assign(corpus, Seq("repo", "path", "commit"), math.max(8, spark.sparkContext.defaultParallelism))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // --english: StopFilter + PorterStemFilter chain (persisted with the
-      // index; query/search/spell then analyze through it automatically)
-      val chain =
+      // index; query/search/spell then analyze through it automatically);
+      // --code: camelCase/alnum identifier splitting (WordDelimiterFilter
+      // with preserveOriginal) — the source-code analyzer
+      val base =
         if (rest.contains("--english"))
           graft.analysis.AnalyzerChain.english(Set("the", "a", "of", "and"))
         else graft.analysis.AnalyzerChain.standard
+      val chain =
+        if (rest.contains("--code"))
+          base.copy(wordDelimiter = Some(graft.analysis.WordDelimiterFilter()))
+        else base
       val t0 = System.nanoTime()
       IndexStore.build(spark, withIds, dir, segs, spark.sparkContext.defaultParallelism,
         withPositions = rest.contains("--pos"), withOffsets = rest.contains("--offsets"),

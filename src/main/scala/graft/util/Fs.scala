@@ -22,11 +22,14 @@ object Fs {
     if (java.nio.file.Files.isSymbolicLink(src)) return
     if (java.nio.file.Files.isDirectory(src)) {
       java.nio.file.Files.createDirectories(dst)
-      val it = java.nio.file.Files.list(src).iterator()
-      while (it.hasNext) {
-        val c = it.next()
-        copyTree(c, dst.resolve(c.getFileName))
-      }
+      val stream = java.nio.file.Files.list(src)
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          copyTree(c, dst.resolve(c.getFileName))
+        }
+      } finally stream.close() // one open dir handle per recursion level, not per entry
     } else {
       java.nio.file.Files.createDirectories(dst.getParent)
       java.nio.file.Files.copy(src, dst,

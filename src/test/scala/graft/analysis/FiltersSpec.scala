@@ -188,9 +188,50 @@ class FiltersSpec extends AnyFunSuite {
     assert(t2.map(_.term) === Seq("a"))
   }
 
+  test("word delimiter: case/alnum/acronym splits and possessive stem (reference goldens)") {
+    // goldens from analysis/miscellaneous/WordDelimiterGraphFilter.java
+    // javadoc + TestWordDelimiterGraphFilter expectations
+    val wdf = WordDelimiterFilter(preserveOriginal = false)
+    assert(wdf.parts("PowerShot") === Seq("Power", "Shot"))
+    assert(wdf.parts("SD500") === Seq("SD", "500"))
+    assert(wdf.parts("HTTPServer") === Seq("HTTP", "Server"))
+    assert(wdf.parts("McKinley") === Seq("Mc", "Kinley"))
+    assert(wdf.parts("j2se") === Seq("j", "2", "se"))
+    assert(wdf.parts("O'Neil's") === Seq("O", "Neil")) // possessive 's stripped, ' splits
+    assert(wdf.parts("parseConfig") === Seq("parse", "Config"))
+    assert(wdf.parts("plain") === Seq("plain"))
+    // no-alnum tokens (emoji clusters) pass through unsplit
+    assert(wdf.parts("😀") === Seq("😀"))
+  }
+
+  test("word delimiter chain: parts at consecutive positions, original as overlap") {
+    val chain = AnalyzerChain(Nil, Some(WordDelimiterFilter(preserveOriginal = true)))
+    val (toks, over) = chain.analyzeWithOverlaps("parseConfig fast")
+    assert(toks.map(t => (t.term, t.pos)) ===
+      Seq(("parseconfig", 0), ("parse", 0), ("config", 1), ("fast", 2)))
+    assert(over === Seq(true, false, false, false))
+    // dl discounts the preserved original (an overlap): parse, config, fast
+    assert(chain.termFreqs("parseConfig fast")._2 === 3)
+    // unsplit tokens carry no duplicate original
+    val (t2, o2) = chain.analyzeWithOverlaps("plain text")
+    assert(t2.map(t => (t.term, t.pos)) === Seq(("plain", 0), ("text", 1)))
+    assert(o2 === Seq(false, false))
+  }
+
+  test("word delimiter runs pre-lowercase; downstream filters see split parts") {
+    // post-lowercase the case information is gone — the dedicated slot is
+    // what makes camelCase splitting possible at all
+    val chain = AnalyzerChain(Seq(StopFilter(Set("config"))),
+      Some(WordDelimiterFilter(preserveOriginal = false)))
+    assert(chain.terms("parseConfig runs") === Seq("parse", "runs"))
+  }
+
   test("chain config round-trips through JSON") {
     val chains = Seq(
       AnalyzerChain.standard,
+      AnalyzerChain(Seq(StopFilter(Set("the"))),
+        Some(WordDelimiterFilter(preserveOriginal = false, stemPossessive = true))),
+      AnalyzerChain(Nil, Some(WordDelimiterFilter())),
       AnalyzerChain(Seq(StopFilter(Set("the", "a", "of")))),
       AnalyzerChain(Seq(PorterStemFilter)),
       AnalyzerChain.english(Set("the", "a")),
