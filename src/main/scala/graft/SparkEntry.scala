@@ -685,6 +685,24 @@ object SparkEntry {
           slop = 3, inOrder = true),
         Spans.SpanTerm("slow")))),
 
+    // spanContaining: join..table windows that ENCLOSE a 'the' (result
+    // spans come from the big clause — SpanContainingQuery)
+    "sp_containing" -> ((s, d) => Spans.matchingDocs(rd(s, d, "documents"),
+      "doc_id", "text",
+      Spans.SpanContaining(
+        Spans.SpanNear(Seq(Spans.SpanTerm("join"), Spans.SpanTerm("table")),
+          slop = 3, inOrder = true),
+        Spans.SpanTerm("the")))),
+
+    // spanWithin: 'the' occurrences enclosed by a sort..merge window
+    // (result spans come from the little clause — SpanWithinQuery)
+    "sp_within" -> ((s, d) => Spans.matchingDocs(rd(s, d, "documents"),
+      "doc_id", "text",
+      Spans.SpanWithin(
+        Spans.SpanNear(Seq(Spans.SpanTerm("sort"), Spans.SpanTerm("merge")),
+          slop = 4, inOrder = true),
+        Spans.SpanTerm("the")))),
+
     // more-like-this (KnnStream parity): docs ranked by shared-distinct-token
     // count with doc 0
     "q37_mlt" -> ((s, d) => {
@@ -1607,6 +1625,31 @@ object SparkEntry {
           |  AND NOT EXISTS (SELECT 1 FROM t c WHERE c.doc_id = a.doc_id
           |    AND c.tok = 'slow' AND c.pos BETWEEN a.pos AND b.pos)
           | GROUP BY a.doc_id""".stripMargin,
+      // enclosure in 1-based positions: big (a.pos .. b.pos) encloses the
+      // little token at c.pos iff a.pos <= c.pos <= b.pos (offsets cancel)
+      "sp_containing" ->
+        """WITH t AS (SELECT doc_id,
+          |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          |  FROM documents)
+          | SELECT a.doc_id, count(*) AS n_spans FROM t a JOIN t b
+          |  ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.pos - 1 <= 3
+          | WHERE a.tok = 'join' AND b.tok = 'table'
+          |  AND EXISTS (SELECT 1 FROM t c WHERE c.doc_id = a.doc_id
+          |    AND c.tok = 'the' AND c.pos BETWEEN a.pos AND b.pos)
+          | GROUP BY a.doc_id""".stripMargin,
+      "sp_within" ->
+        """WITH t AS (SELECT doc_id,
+          |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          |  FROM documents)
+          | SELECT c.doc_id, count(DISTINCT c.pos) AS n_spans FROM t c
+          | WHERE c.tok = 'the' AND EXISTS (
+          |   SELECT 1 FROM t a JOIN t b ON a.doc_id = b.doc_id
+          |     AND b.pos > a.pos AND b.pos - a.pos - 1 <= 4
+          |   WHERE a.doc_id = c.doc_id AND a.tok = 'sort' AND b.tok = 'merge'
+          |     AND a.pos <= c.pos AND c.pos <= b.pos)
+          | GROUP BY c.doc_id""".stripMargin,
       "q37_mlt" ->
         s"""WITH toks AS (SELECT DISTINCT doc_id, tok FROM ($tok)),
            | q AS (SELECT tok FROM toks WHERE doc_id = 0)

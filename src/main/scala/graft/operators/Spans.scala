@@ -43,6 +43,8 @@ object Spans {
       case SpanOr(cs)             => cs.flatMap(_.terms).toSet
       case SpanNot(inc, exc)      => inc.terms ++ exc.terms
       case SpanFirst(inner, _)    => inner.terms
+      case SpanContaining(b, l)   => b.terms ++ l.terms
+      case SpanWithin(b, l)       => b.terms ++ l.terms
     }
   }
   final case class SpanTerm(term: String) extends SpanQuery
@@ -59,6 +61,12 @@ object Spans {
   /** Spans of `inner` ending at or before token position `end`
     * (`SpanFirstQuery.java`). */
   final case class SpanFirst(inner: SpanQuery, end: Int) extends SpanQuery
+  /** Spans of `big` that fully ENCLOSE at least one span of `little`
+    * (`SpanContainingQuery.java`: result spans come from `big`). */
+  final case class SpanContaining(big: SpanQuery, little: SpanQuery) extends SpanQuery
+  /** Spans of `little` fully enclosed by at least one span of `big`
+    * (`SpanWithinQuery.java`: result spans come from `little`). */
+  final case class SpanWithin(big: SpanQuery, little: SpanQuery) extends SpanQuery
 
   /** Budget on near-combination enumeration per doc; beyond it the kernel
     * keeps the combinations found so far (greedy earliest matches are
@@ -82,6 +90,16 @@ object Spans {
         val ex = eval(exc, pos)
         eval(inc, pos).filter { case (s, e) =>
           !ex.exists { case (xs, xe) => xs < e && s < xe }
+        }
+      case SpanContaining(big, little) =>
+        val ls = eval(little, pos)
+        eval(big, pos).filter { case (s, e) =>
+          ls.exists { case (ls1, le) => s <= ls1 && le <= e }
+        }
+      case SpanWithin(big, little) =>
+        val bs = eval(big, pos)
+        eval(little, pos).filter { case (s, e) =>
+          bs.exists { case (bs1, be) => bs1 <= s && e <= be }
         }
       case SpanNear(cs, slop, inOrder) =>
         val lists = cs.map(eval(_, pos)).toArray

@@ -42,6 +42,19 @@ class SpansSpec extends SparkSpec {
     assert(eval(SpanNot(near, SpanTerm("d")), pm).toSeq === Seq((0, 2)))
   }
 
+  test("containing/within: enclosure algebra (result spans from big / little)") {
+    val pm = posMap("a b c a d b a")
+    val near = SpanNear(Seq(SpanTerm("a"), SpanTerm("b")), 1, inOrder = true) // (0,2),(3,6)
+    // containing: near-spans that enclose a d -> only (3,6) contains d@4
+    assert(eval(SpanContaining(near, SpanTerm("d")), pm).toSeq === Seq((3, 6)))
+    // within: d-spans enclosed by a near-span -> d@4 inside (3,6)
+    assert(eval(SpanWithin(near, SpanTerm("d")), pm).toSeq === Seq((4, 5)))
+    // b@1 is inside (0,2); b@5 inside (3,6): both within
+    assert(eval(SpanWithin(near, SpanTerm("b")), pm).toSeq === Seq((1, 2), (5, 6)))
+    // nothing encloses c@2 (near spans (0,2) excludes end)
+    assert(eval(SpanContaining(near, SpanTerm("c")), pm).isEmpty)
+  }
+
   test("ordered near requires order; unordered accepts both directions") {
     val pm = posMap("x y z y x")
     val o = SpanNear(Seq(SpanTerm("y"), SpanTerm("z")), 0, inOrder = true)
