@@ -182,6 +182,14 @@ object IndexCli {
       val idx = IndexStore.OpenIndex(spark, out)
       println(s"compacted: docs=${idx.stats.docCount} segments=${IndexStore.readManifests(out).size}")
 
+    // snapshot <indexDir> <destDir>: commit-point backup (committed
+    // segments + stats/deletes/dvpatch); the destination is itself a
+    // complete, queryable index directory
+    case "snapshot" :: dir :: dest :: Nil =>
+      IndexStore.snapshot(dir, dest)
+      val idx = IndexStore.OpenIndex(spark, dest)
+      println(s"snapshot: docs=${idx.stats.docCount} segments=${IndexStore.readManifests(dest).size} at $dest")
+
     // highlight <indexDir> <window> <topPassages> term... : passage-ranked
     // highlighting over the offsets tier (build with --offsets)
     case "highlight" :: dir :: window :: top :: terms if terms.nonEmpty =>

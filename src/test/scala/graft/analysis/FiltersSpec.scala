@@ -204,6 +204,45 @@ class FiltersSpec extends AnyFunSuite {
     assert(wdf.parts("😀") === Seq("😀"))
   }
 
+  test("word delimiter parts: property parity with an independent spec") {
+    // independent reference: category-tag the chars, split where the
+    // category pair is a boundary, drop delimiter chars
+    def refParts(term: String): Seq[String] = {
+      def c(ch: Char): Int =
+        if (Character.isDigit(ch)) 3
+        else if (Character.isLetter(ch)) { if (ch.isUpper || Character.isTitleCase(ch)) 2 else 1 }
+        else 0
+      if (!term.exists(c(_) != 0)) return Seq(term)
+      val t = if (term.length > 2 && term(term.length - 2) == '\'' &&
+        (term.last == 's' || term.last == 'S')) term.dropRight(2) else term
+      val tagged = t.map(ch => (ch, c(ch)))
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var cur = new StringBuilder
+      for (i <- tagged.indices) {
+        val (ch, tc) = tagged(i)
+        if (tc == 0) { if (cur.nonEmpty) { out += cur.toString; cur = new StringBuilder } }
+        else {
+          val boundary = cur.nonEmpty && {
+            val pc = c(cur.last)
+            (pc == 1 && tc == 2) || ((pc == 3) != (tc == 3)) ||
+              (pc == 2 && tc == 2 && i + 1 < tagged.length && tagged(i + 1)._2 == 1)
+          }
+          if (boundary) { out += cur.toString; cur = new StringBuilder }
+          cur += ch
+        }
+      }
+      if (cur.nonEmpty) out += cur.toString
+      out.toSeq
+    }
+    val wdf = WordDelimiterFilter(preserveOriginal = false)
+    val rnd = new scala.util.Random(11)
+    val pool = "aAbB9'_zZ05xY"
+    for (_ <- 1 to 2000) {
+      val s = Seq.fill(1 + rnd.nextInt(12))(pool(rnd.nextInt(pool.length))).mkString
+      assert(wdf.parts(s) === refParts(s), s"input: $s")
+    }
+  }
+
   test("word delimiter chain: parts at consecutive positions, original as overlap") {
     val chain = AnalyzerChain(Nil, Some(WordDelimiterFilter(preserveOriginal = true)))
     val (toks, over) = chain.analyzeWithOverlaps("parseConfig fast")
