@@ -866,6 +866,11 @@ object SparkEntry {
     "ft_tfidf" -> ((s, d) => TextOps.tfidfAll(rd(s, d, "documents"),
       "doc_id", "text", Seq("spark", "query"))),
 
+    // LMDirichletSimilarity — Bayesian-smoothed language-model ranking
+    // (the engine-side norm-quantized twin is query.LMDirichletSim)
+    "ft_lmdirichlet" -> ((s, d) => TextOps.lmDirichletAll(rd(s, d, "documents"),
+      "doc_id", "text", Seq("spark", "query"))),
+
     // phonetic (Soundex) matching: docs with a token phonetically equal
     // to the (misspelled) query word — "joyn" finds "join" (J500)
     "ft_phonetic" -> ((s, d) => TextOps.phoneticMatch(rd(s, d, "documents"),
@@ -1287,6 +1292,18 @@ object SparkEntry {
       "ft_sort_missing" ->
         """SELECT doc_id, CASE WHEN lang <> 'de' THEN lang END AS lang2
           | FROM documents ORDER BY lang2 ASC NULLS LAST, doc_id ASC LIMIT 50""".stripMargin,
+      "ft_lmdirichlet" ->
+        """WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+          | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),
+          | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+          | st AS (SELECT sum(tf) AS sum_ttf FROM tf),
+          | qt AS (SELECT * FROM tf WHERE tok IN ('spark', 'query')),
+          | ttfs AS (SELECT tok, sum(tf) AS ttf FROM qt GROUP BY tok),
+          | sc AS (SELECT qt.doc_id,
+          |   greatest(0.0, ln(1 + qt.tf / (2000.0 * ((ttfs.ttf + 1.0) / (st.sum_ttf + 1.0))))
+          |     + ln(2000.0 / (dl.dl + 2000.0))) AS s
+          |  FROM qt JOIN ttfs USING (tok) JOIN dl USING (doc_id) CROSS JOIN st)
+          | SELECT doc_id, round(sum(s), 5) AS score FROM sc GROUP BY doc_id""".stripMargin,
       "ft_tfidf" ->
         """WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
           | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),
@@ -1295,7 +1312,7 @@ object SparkEntry {
           | qt AS (SELECT * FROM tf WHERE tok IN ('spark', 'query')),
           | dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM qt GROUP BY tok),
           | sc AS (SELECT qt.doc_id,
-          |   sqrt(qt.tf) * pow(1 + ln((n.n + 1.0) / (dfs.df + 1.0)), 2) / sqrt(dl.dl) AS s
+          |   sqrt(qt.tf) * (1 + ln((n.n + 1.0) / (dfs.df + 1.0))) / sqrt(dl.dl) AS s
           |  FROM qt JOIN dfs ON qt.tok = dfs.tok JOIN dl ON qt.doc_id = dl.doc_id, n)
           | SELECT doc_id, round(sum(s), 5) AS score FROM sc GROUP BY doc_id""".stripMargin,
       "ft_export_sorted" ->

@@ -563,9 +563,10 @@ object IndexStore {
 
     def topK(terms: Seq[String], k: Int, mode: QueryEngine.Mode = QueryEngine.Or,
              mustNot: Seq[String] = Nil, prune: Boolean = false,
-             wand: Boolean = false): DataFrame =
+             wand: Boolean = false,
+             sim: graft.query.Similarity = null): DataFrame =
       QueryEngine.topK(spark, blocks, termstats, stats, terms, k, mode, mustNot, prune, wand,
-        excludeDocs = deletes, dfCache = Some(dfCache))
+        excludeDocs = deletes, dfCache = Some(dfCache), sim = sim)
 
     /** Solr queryResultCache analogue (solr/core .../search/SolrIndexSearcher
       * queryResultCache; Lucene LRUQueryCache is the filter-level cousin):

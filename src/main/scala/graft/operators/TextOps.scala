@@ -82,11 +82,12 @@ object TextOps {
   }
 
   /** ClassicSimilarity (TF-IDF) scoring — the reference's other stock
-    * similarity (search/similarities/ClassicSimilarity.java /
-    * TFIDFSimilarity.java): score = Σ sqrt(tf) · idf² · (1/sqrt(dl)) with
-    * idf = 1 + ln((docCount+1)/(df+1)). Same shuffle shape as [[bm25All]]; only
-    * the arithmetic differs (queryNorm/coord were removed in Lucene 7+,
-    * matching this formula). */
+    * similarity (search/similarities/ClassicSimilarity.java:39-63 /
+    * TFIDFSimilarity.java:543-549): score = Σ sqrt(tf) · idf · (1/sqrt(dl))
+    * with idf = 1 + ln((docCount+1)/(df+1)) — idf applied ONCE
+    * (TFIDFScorer.score = tf(freq) · queryWeight · normValue, queryWeight =
+    * boost · idf; the idf² of pre-7 Lucene died with queryNorm). Same
+    * shuffle shape as [[bm25All]]; only the arithmetic differs. */
   def tfidfAll(docs: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], mode: String = "or"): DataFrame = {
     val tf = termFreqs(docs, idCol, textCol)
@@ -99,7 +100,7 @@ object TextOps {
       .join(dl, idCol)
       .crossJoin(broadcast(n))
       .withColumn("idf", lit(1.0) + log((col("n") + 1.0) / (col("df") + 1.0)))
-      .withColumn("s", sqrt(col("tf")) * col("idf") * col("idf") / sqrt(col("dl")))
+      .withColumn("s", sqrt(col("tf")) * col("idf") / sqrt(col("dl")))
       .groupBy(idCol)
       .agg(sum("s").as("score_raw"), count("*").as("nMatched"))
     val filtered = mode match {
@@ -107,6 +108,32 @@ object TextOps {
       case _     => scored
     }
     filtered.select(col(idCol), round(col("score_raw"), 5).as("score"))
+  }
+
+  /** LMDirichletSimilarity scoring — Bayesian-smoothed language model
+    * (search/similarities/LMDirichletSimilarity.java:73-78; collection model
+    * LMSimilarity.java:148-156): per matched term
+    *   p(w|C) = (ttf+1)/(sumTtf+1)
+    *   s      = max(0, ln(1 + tf/(mu·p)) + ln(mu/(dl+mu)))
+    * summed per doc; double arithmetic rounded to 5 (oracle-parity path;
+    * the norm-quantized engine version is `LMDirichletSim`). Same shuffle
+    * shape as [[bm25All]]. */
+  def lmDirichletAll(docs: DataFrame, idCol: String, textCol: String,
+                     terms: Seq[String], mu: Double = 2000.0): DataFrame = {
+    val tf = termFreqs(docs, idCol, textCol)
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val sumTtf = tf.agg(sum("tf").as("sum_ttf"))
+    val qtf = tf.filter(col("tok").isin(terms: _*))
+    val ttfs = qtf.groupBy("tok").agg(sum("tf").as("ttf"))
+    qtf
+      .join(broadcast(ttfs), "tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(sumTtf))
+      .withColumn("p", (col("ttf") + 1.0) / (col("sum_ttf") + 1.0))
+      .withColumn("s", greatest(lit(0.0),
+        log(lit(1.0) + col("tf") / (lit(mu) * col("p"))) +
+          log(lit(mu) / (col("dl") + mu))))
+      .groupBy(idCol).agg(round(sum("s"), 5).as("score"))
   }
 
   def bm25All(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],

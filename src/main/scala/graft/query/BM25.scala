@@ -47,7 +47,7 @@ object BM25 {
   }
 
   /** Per-term scorer with precomputed weight + norm cache (Lucene's BM25Scorer). */
-  final case class TermScorer(weight: Float, cache: Array[Float]) extends Serializable {
+  final case class TermScorer(weight: Float, cache: Array[Float]) extends SimScorer {
     /** Exact reference arithmetic: freq float, denominator double, result float. */
     def score(freq: Float, normByte: Byte): Float = {
       val norm: Double = cache(normByte & 0xFF).toDouble

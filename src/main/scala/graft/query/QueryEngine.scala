@@ -44,7 +44,7 @@ object QueryEngine {
     * search/IndexSearcher.java getMaxClauseCount). */
   val MaxClauseCount = 1024
 
-  final case class TermInfo(term: String, ti: Int, scorer: BM25.TermScorer, globalMaxScore: Float)
+  final case class TermInfo(term: String, ti: Int, scorer: SimScorer, globalMaxScore: Float)
 
   /** Per-index term-dictionary memo: term -> Some(df) | None (term absent).
     * Lucene keeps the term dictionary hot in memory; here each queried
@@ -72,22 +72,40 @@ object QueryEngine {
   }
 
   /** Look up (df, ttf) for query terms and build scorers. Terms absent from
-    * the index are dropped (they match nothing). */
+    * the index are dropped (they match nothing). `sim` picks the scoring
+    * model (default BM25); a `needsTtf` similarity (LMDirichlet's collection
+    * model) fetches (df, ttf) directly, bypassing the df-only memo. */
   def plan(termstats: DataFrame, stats: CorpusStats, terms: Seq[String],
            k1: Float = BM25.DefaultK1, b: Float = BM25.DefaultB, boost: Float = 1f,
-           dfCache: Option[DfCache] = None): Seq[TermInfo] = {
+           dfCache: Option[DfCache] = None,
+           sim: Similarity = null): Seq[TermInfo] = {
+    val similarity = if (sim == null) Bm25Sim(k1, b) else sim
     val qs = terms.distinct
-    val found = lookupDfs(termstats, qs, dfCache)
+    val found: Map[String, (Long, Long)] =
+      if (similarity.needsTtf)
+        termstats.filter(col("term").isin(qs: _*))
+          .select("term", "df", "ttf").collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      else lookupDfs(termstats, qs, dfCache).map { case (t, df) => t -> (df, 0L) }
     qs.zipWithIndex.collect { case (t, i) if found.contains(t) =>
-      val scorer = BM25.termScorer(boost, k1, b, found(t), stats.docCount, stats.sumTotalTermFreq)
+      val (df, ttf) = found(t)
+      val scorer = similarity.scorer(boost, df, ttf, stats.docCount, stats.sumTotalTermFreq)
       // global max score of a term: tf -> inf, shortest doc (norm byte 0..)
       // conservative: score with the best possible impact (freq=Int.Max, norm=0)
       TermInfo(t, i, scorer, scorer.score(Int.MaxValue.toFloat, 0.toByte))
     }
   }
 
+  /** The explain and hot-tier codegen paths read BM25 internals (weight,
+    * norm cache) and are wired for the default similarity only. */
+  private def asBm25(s: SimScorer): BM25.TermScorer = s match {
+    case t: BM25.TermScorer => t
+    case other => throw new IllegalArgumentException(
+      s"this path supports the BM25 similarity only, got ${other.getClass.getSimpleName}")
+  }
+
   /** Upper bound of any doc's score within a block, from competitive impacts. */
-  def blockBound(scorer: BM25.TermScorer, impactFreqs: Array[Int], impactNorms: Array[Byte]): Float = {
+  def blockBound(scorer: SimScorer, impactFreqs: Array[Int], impactNorms: Array[Byte]): Float = {
     var m = 0f
     var i = 0
     while (i < impactFreqs.length) {
@@ -154,9 +172,10 @@ object QueryEngine {
            terms: Seq[String], k: Int, mode: Mode = Or, mustNot: Seq[String] = Nil,
            prune: Boolean = false, wand: Boolean = false,
            excludeDocs: Option[DataFrame] = None,
-           dfCache: Option[DfCache] = None): DataFrame = {
+           dfCache: Option[DfCache] = None,
+           sim: Similarity = null): DataFrame = {
     import spark.implicits._
-    val infos = plan(termstats, stats, terms, dfCache = dfCache)
+    val infos = plan(termstats, stats, terms, dfCache = dfCache, sim = sim)
     if (infos.isEmpty || (mode == And && infos.size < terms.distinct.size))
       return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
     if (wand && mustNot.isEmpty && excludeDocs.isEmpty)
@@ -534,7 +553,7 @@ object QueryEngine {
           val nb = blk.norms(i)
           Iterator.single((blk.term, info.ti, tfs(i), nb.toInt & 0xFF,
             graft.codec.SmallFloat.byte4ToInt(nb),
-            info.scorer.weight, k1, b,
+            asBm25(info.scorer).weight, k1, b,
             info.scorer.score(tfs(i).toFloat, nb)))
         }
       }
@@ -622,7 +641,7 @@ object QueryEngine {
       hot.filter(col("term") === info.term)
         .select(col("docId").cast("long").as("docId"), lit(info.ti).as("ti"),
           graft.functions.Bm25Score(col("tf").cast("int"), col("normByte").cast("byte"),
-            info.scorer.weight, info.scorer.cache).as("score"))
+            asBm25(info.scorer).weight, asBm25(info.scorer).cache).as("score"))
     }.reduce(_.unionByName(_)).as[ScoredPosting]
     mainScored.union(hotScored)
       .groupBy("docId")

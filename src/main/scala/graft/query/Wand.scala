@@ -38,7 +38,7 @@ object Wand {
   final case class Hit(docId: Long, score: Float)
 
   /** Per-term, per-bucket block list entry (decoded lazily). */
-  private final class TermBlocks(val ti: Int, val scorer: BM25.TermScorer,
+  private final class TermBlocks(val ti: Int, val scorer: SimScorer,
                                  val blocks: Array[BlockRow], val bounds: Array[Float],
                                  decodeCounter: Option[org.apache.spark.util.LongAccumulator]) {
     var idx = 0

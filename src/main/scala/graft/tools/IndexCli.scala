@@ -87,11 +87,18 @@ object IndexCli {
       // for standard indexes; stems/stops for an --english one)
       val qTerms = terms.filterNot(_.contains(",")).flatMap(idx.analyzeQuery)
       val qNot = mustNot.flatMap(idx.analyzeQuery)
+      // --sim classic|lmdirichlet: rank with a non-default similarity
+      // (same index, same norms — Similarity.scorer() pluggability)
+      val sim: graft.query.Similarity =
+        if (flags.contains("--sim-classic")) graft.query.ClassicSim
+        else if (flags.contains("--sim-lmd")) graft.query.LMDirichletSim()
+        else null
       val t0 = System.nanoTime()
       val hits = after match {
         case Some((sc, id)) => idx.topKAfter(qTerms, k.toInt, sc, id, mode).collect()
         case None => idx.topK(qTerms, k.toInt, mode, qNot,
-          prune = flags.contains("--prune"), wand = flags.contains("--wand")).collect()
+          prune = flags.contains("--prune"), wand = flags.contains("--wand"),
+          sim = sim).collect()
       }
       val ms = (System.nanoTime() - t0) / 1e6
       println(f"top-${k} for ${terms.mkString(" ")} (mode=$mode prune=${flags.contains("--prune")} wand=${flags.contains("--wand")}) in $ms%.0f ms:")

@@ -1,0 +1,88 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.codec.SmallFloat
+import graft.corpus.CorpusGen
+import graft.index.{DocIds, IndexBuilder}
+
+/** Pluggable-similarity parity: the engine with ClassicSim / LMDirichletSim
+  * must match the brute-force oracle (same norm quantization, float casts,
+  * tie-break) rank- AND score-identically — the same bar EngineSpec holds
+  * BM25 to. Scorer arithmetic is additionally pinned by value goldens. */
+class SimilaritiesSpec extends SparkSpec {
+
+  val N = 400
+  lazy val corpusLocal: Seq[OracleScorer.Doc] =
+    (0L until N).map(i => CorpusGen.genFile(i))
+      .sortBy(f => (f.repo, f.path, f.commit))
+      .zipWithIndex.map { case (f, i) => OracleScorer.Doc(i.toLong, f.content) }
+  lazy val withIds =
+    DocIds.assign(CorpusGen.corpus(spark, N, 5).toDF(), Seq("repo", "path", "commit"), 4).cache()
+  lazy val blocks = IndexBuilder.packBlocks(spark, IndexBuilder.invert(spark, withIds), 6).cache()
+  lazy val termstats = IndexBuilder.termStats(blocks).cache()
+  lazy val stats = IndexBuilder.corpusStats(IndexBuilder.docStats(spark, withIds))
+
+  private def engineTopK(terms: Seq[String], k: Int, sim: Similarity,
+                         wand: Boolean = false): Seq[(Long, Float)] =
+    QueryEngine.topK(spark, blocks, termstats, stats, terms, k, wand = wand, sim = sim)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+
+  val queries: Seq[Seq[String]] = Seq(
+    Seq("public"),
+    Seq("parseconfig", "handler7"),
+    Seq("import", "return", "uniq_10_1"),
+    Seq("12", "buildindex", "def", "queryengine", "val"))
+
+  test("classic TF-IDF scorer arithmetic (reference TFIDFScorer)") {
+    // docCount=99, df=9: idf = (ln(100/10)+1); freq=4, dl=16 -> norm byte
+    // decodes back to 16, lengthNorm = 1/sqrt(16) = 0.25; tf = sqrt(4) = 2
+    val s = ClassicSim.scorer(1f, 9L, 0L, 99L, 0L)
+    val want = (Math.sqrt(4.0).toFloat * (Math.log(100 / 10.0) + 1.0).toFloat) * 0.25f
+    assert(s.score(4f, SmallFloat.intToByte4(16)) === want)
+    // norm byte 0 is the reference's 1/normTable[255] quirk, not Infinity
+    assert(java.lang.Float.isFinite(s.score(4f, 0.toByte)))
+  }
+
+  test("LMDirichlet scorer: rare-term gain, length penalty, zero clip") {
+    val sim = LMDirichletSim()
+    // rare term (ttf=2) in a short doc: strongly positive
+    val rare = sim.scorer(1f, 1L, 2L, 1000L, 100000L)
+    assert(rare.score(2f, SmallFloat.intToByte4(20)) > 0f)
+    // very common term (collection prob ~0.5) in a long doc: the doc-length
+    // penalty dominates and the reference clips the sum at zero
+    val common = sim.scorer(1f, 900L, 50000L, 1000L, 100000L)
+    val clipped = common.score(1f, SmallFloat.intToByte4(10000))
+    assert(clipped === 0f)
+    // exact arithmetic pin: double math, clip BEFORE the float cast
+    val p = (2L + 1d) / (100000L + 1d)
+    val dl = SmallFloat.byte4ToInt(SmallFloat.intToByte4(20)).toDouble
+    val want = (Math.log(1 + 2f / (2000f * p)) + Math.log(2000f / (dl + 2000f))).toFloat
+    assert(rare.score(2f, SmallFloat.intToByte4(20)) === want)
+  }
+
+  test("engine with ClassicSim matches the brute-force classic oracle") {
+    for (terms <- queries; k <- Seq(1, 10, 50)) {
+      val got = engineTopK(terms, k, ClassicSim)
+      val want = OracleScorer.topKSim(corpusLocal, terms, k, ClassicSim)
+      assert(got === want, s"terms=$terms k=$k")
+    }
+  }
+
+  test("engine with LMDirichletSim matches the brute-force LM oracle") {
+    for (terms <- queries; k <- Seq(1, 10, 50)) {
+      val got = engineTopK(terms, k, LMDirichletSim())
+      val want = OracleScorer.topKSim(corpusLocal, terms, k, LMDirichletSim())
+      assert(got === want, s"terms=$terms k=$k")
+    }
+  }
+
+  test("block-max WAND is similarity-generic: classic WAND == classic oracle") {
+    // the WAND bounds come from scorer.score over impact pairs, which is a
+    // valid upper bound for ANY freq-monotone/length-antitone similarity
+    for (terms <- queries; k <- Seq(10, 50)) {
+      val got = engineTopK(terms, k, ClassicSim, wand = true)
+      val want = OracleScorer.topKSim(corpusLocal, terms, k, ClassicSim)
+      assert(got === want, s"terms=$terms k=$k")
+    }
+  }
+}
