@@ -77,6 +77,18 @@ case object ClassicSim extends Similarity {
   }
 }
 
+/** BooleanSimilarity (`BooleanSimilarity.java`): score = boost for every
+  * match — tf, norms, and collection stats are all ignored (the "filter
+  * scoring" model; Lucene's ConstantScoreQuery cousin at the similarity
+  * level). */
+case object BooleanSim extends Similarity {
+  private final case class Scorer(boost: Float) extends SimScorer {
+    def score(freq: Float, normByte: Byte): Float = boost
+  }
+  def scorer(boost: Float, docFreq: Long, totalTermFreq: Long,
+             docCount: Long, sumTotalTermFreq: Long): SimScorer = Scorer(boost)
+}
+
 /**
  * LMDirichletSimilarity — Bayesian-smoothed language model
  * (`LMDirichletSimilarity.java:73-78`, collection model

@@ -60,6 +60,14 @@ class SimilaritiesSpec extends SparkSpec {
     assert(rare.score(2f, SmallFloat.intToByte4(20)) === want)
   }
 
+  test("BooleanSim: every match scores the boost; OR sum counts matched terms") {
+    val got = engineTopK(Seq("parseconfig", "handler7"), 50, BooleanSim)
+    val want = OracleScorer.topKSim(corpusLocal, Seq("parseconfig", "handler7"), 50, BooleanSim)
+    assert(got === want)
+    // scores are exactly 1.0 or 2.0 (number of matched clauses x boost)
+    assert(got.map(_._2).toSet.subsetOf(Set(1f, 2f)))
+  }
+
   test("engine with ClassicSim matches the brute-force classic oracle") {
     for (terms <- queries; k <- Seq(1, 10, 50)) {
       val got = engineTopK(terms, k, ClassicSim)
