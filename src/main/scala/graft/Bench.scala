@@ -240,6 +240,11 @@ object Bench {
     // that straddle the burst). All pairs are reported, nothing is dropped.
     val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ROUNDS", "8").toInt
     val target = sys.env.getOrElse("SPARK_GRAFT_BENCH_TARGET_EFF", "0.8").toDouble
+    // wall-clock guard on the extension: a bench that never returns is
+    // worse than one that reports a contended window (the artifact carries
+    // the per-round ceilings that explain it)
+    val deadlineSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTEND_DEADLINE_SECS", "1080").toLong
+    val tStart = System.nanoTime()
     val ratio = hiCores.toDouble / loCores
     var loBuilds, hiBuilds, pairEffs, roundCeils = List.empty[Double]
     var loQ, hiQ, qPairEffs = List.empty[Double]
@@ -278,9 +283,10 @@ object Bench {
         val bm = cleanMedianOf(pairEffs, ci)
         val qm = cleanMedianOf(qPairEffs, ci)
         // stop when both medians clear the target, the window is visibly
-        // clean (nothing more to wait out), or the round budget is spent
+        // clean (nothing more to wait out), or the round/time budget is spent
         val contended = roundCeils.reverse.takeRight(2).exists(_ < 0.95)
-        done = (bm >= target && qm >= target) || !contended || r >= maxRounds
+        val timeLeft = (System.nanoTime() - tStart) / 1e9 < deadlineSecs
+        done = (bm >= target && qm >= target) || !contended || r >= maxRounds || !timeLeft
       }
     }
     // lists were prepended: reverse to chronological before zipping
