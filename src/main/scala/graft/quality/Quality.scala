@@ -66,10 +66,14 @@ object Quality {
       averagePrecision(ranked, topic.relevant),
       ndcgAt(ranked, topic.relevant, 10), ranked.size)
 
-  /** Run every topic through the engine's BM25 top-k and judge it. */
-  def run(idx: IndexStore.OpenIndex, topics: Seq[Topic], k: Int = 100): Report =
+  /** Run every topic through the engine's top-k and judge it. `sim` picks
+    * the ranking model (default BM25) — the harness then compares ranking
+    * QUALITY across similarities on identical topics/qrels, the
+    * QualityBenchmark use-case the similarity zoo exists for. */
+  def run(idx: IndexStore.OpenIndex, topics: Seq[Topic], k: Int = 100,
+          sim: graft.query.Similarity = null): Report =
     Report(topics.map { t =>
-      judge(t, rankedDocs(idx.topK(t.terms, k)))
+      judge(t, rankedDocs(idx.topK(t.terms, k, sim = sim)))
     })
 
   def rankedDocs(hits: DataFrame): Seq[Long] =

@@ -77,6 +77,28 @@ class QualitySpec extends SparkSpec {
       f"NDCG@10 drifted from golden: ${engine.meanNdcg10}%.8f")
   }
 
+  test("harness compares ranking models: BM25 vs classic vs LMDirichlet on one index") {
+    // the QualityBenchmark use-case the similarity zoo exists for: same
+    // index, same topics/qrels, three ranking models judged side by side
+    val topics = topicsWithQrels
+    val bm25 = Quality.run(idx, topics, k = 100)
+    val classic = Quality.run(idx, topics, k = 100, sim = graft.query.ClassicSim)
+    val lmd = Quality.run(idx, topics, k = 100, sim = graft.query.LMDirichletSim())
+    // every model retrieves and produces sane metrics
+    for (r <- Seq(bm25, classic, lmd)) {
+      assert(r.topics.size === topics.size)
+      assert(r.map > 0.0 && r.map <= 1.0, s"MAP ${r.map}")
+    }
+    // classic must equal its own brute-force judge (rank identity end-to-end)
+    val classicOracle = Report_(topics.map { t =>
+      Quality.judge(t, OracleScorer.topKSim(localDocs, t.terms, 100,
+        graft.query.ClassicSim).map(_._1))
+    })
+    assert(math.abs(classic.map - classicOracle.map) < 1e-12)
+  }
+
+  private def Report_(rs: Seq[Quality.TopicResult]) = Quality.Report(rs)
+
   test("metric arithmetic: AP and P@k on known lists") {
     val rel = Set(1L, 2L, 3L)
     // ranks 1 and 3 relevant: AP = (1/1 + 2/3)/3
