@@ -373,6 +373,12 @@ object SparkEntry {
     "ft_reqopt" -> ((s, d) => TextOps.bm25ReqOpt(rd(s, d, "documents"),
       "doc_id", "text", required = Seq("spark"), optional = Seq("query", "join"))),
 
+    // CommonTermsQuery: df-split query-time stop-wording — 'dup' (df≈5% of
+    // docs) is the required low-frequency term; 'the'/'scan' (df≈80%) only
+    // add score. The oracle hardcodes the split (deterministic corpus).
+    "ft_commonterms" -> ((s, d) => TextOps.commonTerms(rd(s, d, "documents"),
+      "doc_id", "text", Seq("dup", "the", "scan"), maxTermFrequency = 0.5)),
+
     "q20_dismax" -> ((s, d) => TextOps.disjunctionMax(rd(s, d, "documents"),
       "doc_id", "text", Seq("spark", "query", "data"), 0.1)),
 
@@ -1436,6 +1442,22 @@ object SparkEntry {
            |  FROM qt JOIN dfs ON qt.tok = dfs.tok JOIN dl ON qt.doc_id = dl.doc_id, st)
            | SELECT doc_id, round(sum(s), 5) AS score FROM sc GROUP BY doc_id
            | HAVING sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) = 1""".stripMargin,
+      // req-opt shape with the commonTerms df split baked in: at sf0.01
+      // df(dup)=25, df(the)=382, df(scan)=398 of N=500, cutoff 0.5
+      "ft_commonterms" ->
+        s"""WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+           | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),
+           | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+           | st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+           |               (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+           | qt AS (SELECT * FROM tf WHERE tok IN ('dup','the','scan')),
+           | dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM qt GROUP BY tok),
+           | sc AS (SELECT qt.doc_id, qt.tok,
+           |   ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * qt.tf /
+           |   (qt.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+           |  FROM qt JOIN dfs ON qt.tok = dfs.tok JOIN dl ON qt.doc_id = dl.doc_id, st)
+           | SELECT doc_id, round(sum(s), 5) AS score FROM sc GROUP BY doc_id
+           | HAVING sum(CASE WHEN tok = 'dup' THEN 1 ELSE 0 END) = 1""".stripMargin,
       "ft_bm25_or" -> bm25Sql(Seq("spark", "query", "join"), "or", Nil),
       "ft_bm25_and" -> bm25Sql(Seq("spark", "data"), "and", Nil),
       "ft_bm25_not" -> bm25Sql(Seq("spark", "query"), "or", Seq("slow")),

@@ -169,6 +169,33 @@ object TextOps {
   }
 
   /**
+   * CommonTermsQuery (reference lucene/queries/src/java/org/apache/lucene/
+   * queries/CommonTermsQuery.java): terms split by document frequency —
+   * df > maxTermFrequency·docCount marks a HIGH-frequency (stop-like)
+   * term. Low-frequency terms are REQUIRED, high-frequency terms only add
+   * score — query-time stop-wording that keeps "the" from gating matches
+   * while preserving its scoring contribution. No low-frequency terms →
+   * plain OR (the reference's rewrite when the low-freq boolean is empty).
+   * The df split is an O(#query-terms) driver-side stats lookup, like all
+   * query planning; the engine twin is [[graft.query.Searcher.commonTerms]]
+   * (termstats lookup, no corpus pass).
+   */
+  def commonTerms(docs: DataFrame, idCol: String, textCol: String,
+                  terms: Seq[String], maxTermFrequency: Double,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qs = terms.distinct
+    val docCount = docs.count().toDouble
+    val dfs = tokenTable(docs, idCol, textCol)
+      .filter(col("tok").isin(qs: _*))
+      .groupBy("tok").agg(countDistinct(idCol).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (high, low) = qs.partition(t =>
+      dfs.getOrElse(t, 0L) > maxTermFrequency * docCount)
+    if (low.isEmpty) bm25All(docs, idCol, textCol, qs, k1, b)
+    else bm25ReqOpt(docs, idCol, textCol, required = low, optional = high, k1, b)
+  }
+
+  /**
    * SynonymQuery scoring semantics (reference search/SynonymQuery.java:50-55,
    * 203-217): the terms are scored as if indexed as ONE pseudo-term — match
    * any of them, but invoke the similarity a single time on the SUMMED term

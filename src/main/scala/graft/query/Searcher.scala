@@ -28,6 +28,22 @@ object Searcher {
 
   /** Parse + rank: top-k (docId, score) with tombstones excluded before
     * the limit. */
+  /** CommonTermsQuery over the index (reference lucene/queries/
+    * CommonTermsQuery.java): df-split via the termstats dictionary (a
+    * cached O(#terms) lookup, no corpus pass), then low-frequency terms
+    * required / high-frequency optional through the boolean AST — exactly
+    * the reference's rewrite into a +low / high boolean. */
+  def commonTerms(idx: OpenIndex, terms: Seq[String], k: Int,
+                  maxTermFrequency: Double): DataFrame = {
+    val qs = terms.distinct
+    require(qs.forall(_.matches("[^\\s+\\-\"(){}\\[\\]^~*?:\\\\]+")),
+      "commonTerms takes analyzed terms, not query syntax")
+    val dfs = QueryEngine.lookupDfs(idx.termstats, qs, Some(idx.dfCache))
+    val cutoff = maxTermFrequency * idx.stats.docCount
+    val (high, low) = qs.partition(t => dfs.getOrElse(t, 0L) > cutoff)
+    search(idx, (low.map("+" + _) ++ high).mkString(" "), k)
+  }
+
   def search(idx: OpenIndex, query: String, k: Int): DataFrame = {
     val scored = eval(idx, QueryParser.parse(query))
     val live = idx.deletes.fold(scored)(d => scored.join(d, Seq("docId"), "left_anti"))

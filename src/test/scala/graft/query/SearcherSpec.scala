@@ -115,6 +115,20 @@ class SearcherSpec extends SparkSpec {
     }
   }
 
+  test("commonTerms: df split makes high-df terms optional, low-df required") {
+    // 'public' is the mega term (df ~ every doc); 'uniq_5_0' is a singleton.
+    // cutoff 0.5: public -> high/optional, uniq_5_0 -> low/required
+    val got = hits(Searcher.commonTerms(idx, Seq("uniq_5_0", "public"), 1000, 0.5))
+    val want = hits(idx.search("+uniq_5_0 public", 1000))
+    assert(got === want)
+    assert(got.nonEmpty)
+    val uniqDocs = hits(idx.topK(Seq("uniq_5_0"), 1000)).map(_._1).toSet
+    assert(got.map(_._1).toSet === uniqDocs) // gated by the rare term only
+    // cutoff above every df: nothing is high-frequency -> all required
+    val allReq = hits(Searcher.commonTerms(idx, Seq("import", "handler3"), 1000, 1.1))
+    assert(allReq === hits(idx.search("+import +handler3", 1000)))
+  }
+
   test("boost multiplies clause scores; boosted should-clause reorders the merge") {
     val plain = hits(idx.search("public import", 100000)).toMap
     val boosted = hits(idx.search("public^3 import", 100000)).toMap
