@@ -41,9 +41,28 @@ object TextOps {
   def tokenPosTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), posexplode(tokensOf(textCol)).as(Seq("pos", "tok")))
 
-  /** Per-doc term frequencies: (id, tok, tf). */
-  def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    tokenTable(docs, idCol, textCol).groupBy(idCol, "tok").agg(count("*").as("tf"))
+  private val TokenRe = java.util.regex.Pattern.compile(TokenPattern)
+
+  /** Per-doc term frequencies: (id, tok, tf). ONE narrow typed pass — the
+    * tf aggregation happens in a per-doc local map, so token occurrences
+    * never enter a shuffle (the declarative explode→groupBy(id,tok) form
+    * shuffled every token row; tf counts are per-doc quantities, and a doc
+    * lives in one task). Output identical (same tokenization regex, tf as
+    * LONG, ids cast long — every caller's id columns are int64). */
+  def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), lower(coalesce(col(textCol), lit(""))))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val m = new java.util.HashMap[String, Int]()
+        val it = TokenRe.matcher(text)
+        while (it.find()) m.merge(it.group(), 1, Integer.sum)
+        scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
+          .iterator.map { case (t, c) => (id, t, c.toLong) }
+      }
+      .toDF(idCol, "tok", "tf")
+  }
 
   /**
    * BM25 scores of every matching doc for an OR query, computed declaratively

@@ -115,3 +115,30 @@ final case class LMDirichletSim(mu: Float = 2000f) extends Similarity {
              docCount: Long, sumTotalTermFreq: Long): SimScorer =
     Scorer(boost, (totalTermFreq + 1d) / (sumTotalTermFreq + 1d), mu)
 }
+
+/**
+ * LMJelinekMercerSimilarity — linear-interpolation smoothing
+ * (`LMJelinekMercerSimilarity.java:63-68`; same collection model and norm
+ * decode as Dirichlet):
+ *
+ *   score = boost * ln(1 + ((1-λ)·freq/dl) / (λ·p(w|C)))    // double
+ *
+ * always positive (no clip needed); λ≈0.1 suits short queries, ≈0.7 long
+ * ones (the reference javadoc's guidance).
+ */
+final case class LMJelinekMercerSim(lambda: Float = 0.1f) extends Similarity {
+  require(lambda > 0f && lambda <= 1f, s"lambda must be in (0,1], got $lambda")
+  override def needsTtf: Boolean = true
+
+  private final case class Scorer(boost: Float, collProb: Double, l: Float)
+      extends SimScorer {
+    def score(freq: Float, normByte: Byte): Float = {
+      val dl = SmallFloat.byte4ToInt(normByte).toDouble
+      (boost * Math.log(1 + ((1 - l) * freq / dl) / (l * collProb))).toFloat
+    }
+  }
+
+  def scorer(boost: Float, docFreq: Long, totalTermFreq: Long,
+             docCount: Long, sumTotalTermFreq: Long): SimScorer =
+    Scorer(boost, (totalTermFreq + 1d) / (sumTotalTermFreq + 1d), lambda)
+}

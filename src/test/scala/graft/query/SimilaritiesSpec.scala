@@ -84,6 +84,20 @@ class SimilaritiesSpec extends SparkSpec {
     }
   }
 
+  test("engine with LMJelinekMercerSim matches the brute-force oracle; arithmetic pinned") {
+    // arithmetic: boost * ln(1 + ((1-l)*freq/dl) / (l*p)), no clip needed
+    val s = LMJelinekMercerSim(0.1f).scorer(1f, 1L, 2L, 1000L, 100000L)
+    val p = (2L + 1d) / (100000L + 1d)
+    val dl = SmallFloat.byte4ToInt(SmallFloat.intToByte4(20)).toDouble
+    val want = (1f * Math.log(1 + ((1 - 0.1f) * 2f / dl) / (0.1f * p))).toFloat
+    assert(s.score(2f, SmallFloat.intToByte4(20)) === want)
+    for (terms <- queries; k <- Seq(10, 50)) {
+      val got = engineTopK(terms, k, LMJelinekMercerSim())
+      val wantTop = OracleScorer.topKSim(corpusLocal, terms, k, LMJelinekMercerSim())
+      assert(got === wantTop, s"terms=$terms k=$k")
+    }
+  }
+
   test("block-max WAND is similarity-generic: classic WAND == classic oracle") {
     // the WAND bounds come from scorer.score over impact pairs, which is a
     // valid upper bound for ANY freq-monotone/length-antitone similarity
