@@ -117,6 +117,39 @@ final case class LMDirichletSim(mu: Float = 2000f) extends Similarity {
 }
 
 /**
+ * DFRSimilarity with the I(n)·L·H2 combination — the classic "InL2"
+ * divergence-from-randomness model (`DFRSimilarity.java:110-114`,
+ * `BasicModelIn.java:33-43`, `AfterEffectL.java:32-34`,
+ * `NormalizationH2.java:58-60`):
+ *
+ *   tfn   = freq · log2(1 + c·avgdl/dl)            // H2, c default 1
+ *   A     = log2((N+1)/(df+0.5))                   // I(n)
+ *   score = boost · A · 1.0 · (1 − 1/(1+tfn))      // L: aeTimes1pTfn = 1
+ *
+ * avgdl = sumTotalTermFreq/docCount in double (`SimilarityBase.java:112`);
+ * dl decodes from the shared norm byte like every SimilarityBase model.
+ */
+final case class DfrInL2Sim(c: Float = 1f) extends Similarity {
+  require(c > 0f, s"H2 normalization needs c > 0, got $c")
+  private val Log2 = Math.log(2)
+
+  private final case class Scorer(boost: Float, a: Double, avgdl: Double, c0: Float)
+      extends SimScorer {
+    def score(freq: Float, normByte: Byte): Float = {
+      val dl = SmallFloat.byte4ToInt(normByte).toDouble
+      val tfn = freq * (Math.log(1 + c0 * avgdl / dl) / Math.log(2))
+      (boost * (a * (1 - 1 / (1 + tfn)))).toFloat
+    }
+  }
+
+  def scorer(boost: Float, docFreq: Long, totalTermFreq: Long,
+             docCount: Long, sumTotalTermFreq: Long): SimScorer = {
+    val a = Math.log((docCount + 1) / (docFreq + 0.5)) / Log2
+    Scorer(boost, a, sumTotalTermFreq / docCount.toDouble, c)
+  }
+}
+
+/**
  * LMJelinekMercerSimilarity — linear-interpolation smoothing
  * (`LMJelinekMercerSimilarity.java:63-68`; same collection model and norm
  * decode as Dirichlet):

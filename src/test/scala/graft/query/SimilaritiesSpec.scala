@@ -98,6 +98,21 @@ class SimilaritiesSpec extends SparkSpec {
     }
   }
 
+  test("engine with DFR InL2 matches the brute-force oracle; arithmetic pinned") {
+    // tfn = freq*log2(1+avgdl/dl); A = log2((N+1)/(df+0.5)); A*(1-1/(1+tfn))
+    val s = DfrInL2Sim().scorer(1f, 9L, 0L, 99L, 1980L)
+    val avgdl = 1980L / 99d
+    val dl = SmallFloat.byte4ToInt(SmallFloat.intToByte4(16)).toDouble
+    val tfn = 4f * (Math.log(1 + 1f * avgdl / dl) / Math.log(2))
+    val a = Math.log(100 / 9.5) / Math.log(2)
+    assert(s.score(4f, SmallFloat.intToByte4(16)) === (a * (1 - 1 / (1 + tfn))).toFloat)
+    for (terms <- queries; k <- Seq(10, 50)) {
+      val got = engineTopK(terms, k, DfrInL2Sim())
+      val want = OracleScorer.topKSim(corpusLocal, terms, k, DfrInL2Sim())
+      assert(got === want, s"terms=$terms k=$k")
+    }
+  }
+
   test("block-max WAND is similarity-generic: classic WAND == classic oracle") {
     // the WAND bounds come from scorer.score over impact pairs, which is a
     // valid upper bound for ANY freq-monotone/length-antitone similarity
