@@ -92,6 +92,9 @@ object IndexCli {
       val sim: graft.query.Similarity =
         if (flags.contains("--sim-classic")) graft.query.ClassicSim
         else if (flags.contains("--sim-lmd")) graft.query.LMDirichletSim()
+        else if (flags.contains("--sim-lmjm")) graft.query.LMJelinekMercerSim()
+        else if (flags.contains("--sim-dfr")) graft.query.DfrInL2Sim()
+        else if (flags.contains("--sim-bool")) graft.query.BooleanSim
         else null
       val t0 = System.nanoTime()
       val hits = after match {
