@@ -3,7 +3,7 @@ package graft
 import graft.corpus.CorpusGen
 import graft.index.{IndexBuilder, IndexStore}
 import graft.codec.PostingsCodec
-import graft.operators.{Dedup, Ltr, Multimodal, Pipeline => P, Relational => R, Similarity, Spans, TextOps}
+import graft.operators.{Classify, Dedup, Ltr, Monitor, Multimodal, Pipeline => P, Relational => R, Similarity, Spans, TextOps}
 import graft.query.QueryEngine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -877,6 +877,14 @@ object SparkEntry {
     "ft_lmdirichlet" -> ((s, d) => TextOps.lmDirichletAll(rd(s, d, "documents"),
       "doc_id", "text", Seq("spark", "query"))),
 
+    // DFISimilarity — divergence from independence, standardized measure
+    "ft_dfi" -> ((s, d) => TextOps.dfiAll(rd(s, d, "documents"),
+      "doc_id", "text", Seq("spark", "query"))),
+
+    // AxiomaticF2EXP — axiomatic retrieval model, defaults s=0.25 k=0.35
+    "ft_axiomatic" -> ((s, d) => TextOps.axiomaticAll(rd(s, d, "documents"),
+      "doc_id", "text", Seq("spark", "query"))),
+
     // phonetic (Soundex) matching: docs with a token phonetically equal
     // to the (misspelled) query word — "joyn" finds "join" (J500)
     "ft_phonetic" -> ((s, d) => TextOps.phoneticMatch(rd(s, d, "documents"),
@@ -1047,8 +1055,38 @@ object SparkEntry {
 
     "mm_frames" -> ((s, d) => Multimodal.sampleFrames(
       Multimodal.decodeMeta(Multimodal.asMediaTable(rd(s, d, "documents"), "doc_id", "text")),
-      stride = 2))
+      stride = 2)),
+
+    // ---- reverse search (monitor/percolator): registered queries matched
+    // against the document stream in one broadcast-anchored narrow pass ----
+    "mon_percolate" -> ((s, d) => Monitor.matches(rd(s, d, "documents"),
+      MonitorRegistry)),
+
+    // ---- classification (reference classification module) ----
+    "cls_nb" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+      Classify.naiveBayes(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), classCol = "lang")
+    }),
+
+    "cls_knn" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+      // maxDfRatio 0.9: the synthetic corpus has a ~30-token vocabulary of
+      // near-universal words — the production default (0.5) would stop-word
+      // away everything and leave most docs neighbor-less
+      Classify.knn(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), k = 5, classCol = "lang",
+        maxDfRatio = 0.9)
+    })
   )
+
+  /** Fixed monitor registry for `mon_percolate` (vocabulary terms of the
+    * documents table; the AND anchor is 'stream', the longest term). */
+  private val MonitorRegistry: Seq[Monitor.MQuery] = Seq(
+    Monitor.TermQ("mq_spark", "spark"),
+    Monitor.AndQ("mq_and", Seq("group", "stream")),
+    Monitor.OrQ("mq_or", Seq("slow", "vector")),
+    Monitor.PhraseQ("mq_phrase", Seq("data", "group")))
 
   /** DuckDB-runnable oracles. Keys absent here (ft_engine_topk,
     * ft_engine_wand, q30_hll, dd_minhash, dd_simhash, sim_ann, sim_ivf)
@@ -1320,6 +1358,31 @@ object SparkEntry {
           | sc AS (SELECT qt.doc_id,
           |   sqrt(qt.tf) * (1 + ln((n.n + 1.0) / (dfs.df + 1.0))) / sqrt(dl.dl) AS s
           |  FROM qt JOIN dfs ON qt.tok = dfs.tok JOIN dl ON qt.doc_id = dl.doc_id, n)
+          | SELECT doc_id, round(sum(s), 5) AS score FROM sc GROUP BY doc_id""".stripMargin,
+      "ft_dfi" ->
+        """WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+          | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),
+          | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+          | st AS (SELECT sum(tf) AS sum_ttf FROM tf),
+          | qt AS (SELECT * FROM tf WHERE tok IN ('spark', 'query')),
+          | ttfs AS (SELECT tok, sum(tf) AS ttf FROM qt GROUP BY tok),
+          | sc AS (SELECT qt.doc_id,
+          |   CASE WHEN qt.tf <= (ttfs.ttf + 1.0) * dl.dl / (st.sum_ttf + 1.0) THEN 0.0
+          |   ELSE log2((qt.tf - (ttfs.ttf + 1.0) * dl.dl / (st.sum_ttf + 1.0))
+          |     / sqrt((ttfs.ttf + 1.0) * dl.dl / (st.sum_ttf + 1.0)) + 1.0) END AS s
+          |  FROM qt JOIN ttfs USING (tok) JOIN dl USING (doc_id) CROSS JOIN st)
+          | SELECT doc_id, round(sum(s), 5) AS score FROM sc GROUP BY doc_id""".stripMargin,
+      "ft_axiomatic" ->
+        """WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+          | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),
+          | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+          | st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+          |               (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+          | qt AS (SELECT * FROM tf WHERE tok IN ('spark', 'query')),
+          | dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM qt GROUP BY tok),
+          | sc AS (SELECT qt.doc_id,
+          |   qt.tf / (qt.tf + 0.25 + 0.25 * dl.dl / st.avgdl) * pow((st.n + 1.0) / dfs.df, 0.35) AS s
+          |  FROM qt JOIN dfs ON qt.tok = dfs.tok JOIN dl ON qt.doc_id = dl.doc_id, st)
           | SELECT doc_id, round(sum(s), 5) AS score FROM sc GROUP BY doc_id""".stripMargin,
       "ft_export_sorted" ->
         s"""WITH m AS (SELECT DISTINCT doc_id FROM ($tok) WHERE tok = 'spark')
@@ -1897,7 +1960,79 @@ object SparkEntry {
       "mm_frames" ->
         """SELECT doc_id AS asset_id, CAST(1 + octet_length(encode(text)) // 1000 AS INT) AS n_frames,
           | CAST(unnest(range(0, 1 + octet_length(encode(text)) // 1000, 2)) AS INT) AS frame_idx
-          | FROM documents""".stripMargin
+          | FROM documents""".stripMargin,
+
+      // reverse search: the four registered monitor queries, each as its
+      // own set-select (term / AND / OR / adjacent-position phrase)
+      "mon_percolate" ->
+        """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos FROM documents),
+          | d AS (SELECT DISTINCT doc_id, tok FROM t)
+          | SELECT doc_id, 'mq_spark' AS query_id FROM d WHERE tok = 'spark'
+          | UNION ALL
+          | SELECT doc_id, 'mq_and' AS query_id FROM d WHERE tok IN ('group','stream')
+          |  GROUP BY doc_id HAVING count(*) = 2
+          | UNION ALL
+          | SELECT DISTINCT doc_id, 'mq_or' AS query_id FROM d WHERE tok IN ('slow','vector')
+          | UNION ALL
+          | SELECT DISTINCT a.doc_id, 'mq_phrase' AS query_id FROM t a
+          |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          | WHERE a.tok = 'data' AND b.tok = 'group'""".stripMargin,
+
+      // Naive Bayes: reference arithmetic (class-df likelihood, add-one
+      // smoothing, avg-unique-terms denominator, tf-weighted, prior added),
+      // argmax after 6-decimal rounding with class-desc tie-break
+      "cls_nb" ->
+        """WITH lab AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0),
+          | unl AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+          | ldt AS (SELECT DISTINCT doc_id, tok FROM
+          |   (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM lab)),
+          | ldtc AS (SELECT d.doc_id, d.tok, l.lang AS cls FROM ldt d JOIN lab l USING (doc_id)),
+          | cstats AS (SELECT lang AS cls, CAST(count(*) AS DOUBLE) AS class_docs FROM lab GROUP BY 1),
+          | g AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM lab) AS n,
+          |              (SELECT CAST(count(*) AS DOUBLE) FROM ldtc) / (SELECT count(*) FROM lab) AS avg_unique),
+          | cdf AS (SELECT cls, tok, CAST(count(*) AS DOUBLE) AS dfc FROM ldtc GROUP BY 1, 2),
+          | ut AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM
+          |   (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM unl)
+          |  GROUP BY 1, 2),
+          | xc AS (SELECT ut.doc_id, ut.tok, ut.tf, cs.cls, cs.class_docs, g.n, g.avg_unique
+          |   FROM ut CROSS JOIN cstats cs CROSS JOIN g),
+          | sc AS (SELECT xc.doc_id, xc.cls,
+          |     sum(xc.tf * ln((coalesce(cdf.dfc, 0) + 1) / (xc.avg_unique * xc.class_docs + xc.n))) AS llh,
+          |     any_value(xc.class_docs) AS cd, any_value(xc.n) AS n
+          |   FROM xc LEFT JOIN cdf ON cdf.cls = xc.cls AND cdf.tok = xc.tok
+          |   GROUP BY 1, 2)
+          | SELECT doc_id, cls AS predicted
+          | FROM (SELECT doc_id, cls, round(llh + ln(cd / n), 6) AS score FROM sc)
+          | QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls DESC) = 1""".stripMargin,
+
+      // kNN: per-test-doc BM25-weighted shared-token neighbor ranking,
+      // top-5, majority vote (count, then summed sim, then class desc)
+      "cls_knn" ->
+        """WITH lab AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0),
+          | unl AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+          | ltf AS (SELECT doc_id AS train_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM
+          |   (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM lab)
+          |  GROUP BY 1, 2),
+          | dl AS (SELECT train_id, sum(tf) AS dl FROM ltf GROUP BY 1),
+          | st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM lab) AS n,
+          |               (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM lab) AS avgdl),
+          | dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM ltf GROUP BY 1),
+          | q AS (SELECT DISTINCT doc_id AS test_id, tok FROM
+          |   (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM unl)),
+          | pairs AS (SELECT q.test_id, l.train_id,
+          |     round(sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+          |       l.tf / (l.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS sim
+          |   FROM q JOIN dfs ON q.tok = dfs.tok JOIN ltf l ON l.tok = q.tok
+          |   JOIN dl ON dl.train_id = l.train_id CROSS JOIN st
+          |   WHERE dfs.df <= st.n * 0.9
+          |   GROUP BY 1, 2),
+          | top AS (SELECT * FROM pairs
+          |   QUALIFY row_number() OVER (PARTITION BY test_id ORDER BY sim DESC, train_id) <= 5),
+          | votes AS (SELECT t.test_id, l.lang AS cls, count(*) AS votes, round(sum(t.sim), 6) AS score
+          |   FROM top t JOIN lab l ON l.doc_id = t.train_id GROUP BY 1, 2)
+          | SELECT test_id AS doc_id, cls AS predicted FROM votes
+          | QUALIFY row_number() OVER (PARTITION BY test_id ORDER BY votes DESC, score DESC, cls DESC) = 1""".stripMargin
     )
   }
 

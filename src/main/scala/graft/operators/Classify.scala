@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Index-backed text classification — the reference's classification module
+ * re-expressed as declarative DataFrame plans over token statistics (the
+ * reference classifies by issuing term queries against an IndexReader; here
+ * the same statistics are aggregates over the corpus table).
+ *
+ * - [[naiveBayes]]: `SimpleNaiveBayesClassifier.java:140-270` — add-one-
+ *   smoothed per-class word likelihoods from within-class document
+ *   frequencies, prior = ln(docCount(c)/N).
+ * - [[knn]]: `KNearestNeighborClassifier.java` — nearest labeled neighbors
+ *   by shared-term BM25 weight, majority vote over the top k.
+ *
+ * Both train and classify in ONE Catalyst plan: the model is a (class, token)
+ * aggregate joined back to the unlabeled docs' tokens — partial+final aggs,
+ * broadcast class stats, no driver-side iteration, so the same plan runs at
+ * any corpus size.
+ */
+object Classify {
+
+  /**
+   * Naive Bayes prediction for every unlabeled doc. Reference arithmetic
+   * (`SimpleNaiveBayesClassifier.java:203-268`):
+   *
+   *   prior(c)      = ln(docCount(c)) − ln(N)
+   *   P(w|c)        = (dfc(w,c) + 1) / (avgUniqueTerms · docCount(c) + N)
+   *   llh(d,c)      = Σ_{w occurrences in d} ln P(w|c)     // tf-weighted
+   *   predict(d)    = argmax_c prior(c) + llh(d,c)
+   *
+   * where dfc = docs of class c containing w (`getWordFreqForClass`, a
+   * doc-count not a term-frequency) and avgUniqueTerms = distinct (doc,term)
+   * pairs / N over the labeled set (`getTextTermFreqForClass`). Unseen words
+   * contribute the smoothing floor ln(1/den) — handled by the left join.
+   *
+   * The argmax rounds log-likelihoods to 6 decimals first: summation order
+   * differs between engines (and between cluster sizes), and the tie-break
+   * must stay deterministic — ties then resolve to the lexicographically
+   * LARGEST class.
+   *
+   * @return (idCol, predicted) — one row per unlabeled doc with ≥1 token.
+   */
+  def naiveBayes(labeled: DataFrame, unlabeled: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", classCol: String = "source"): DataFrame = {
+    // distinct (doc, token) pairs of the labeled set, with their class
+    val docTerms = TextOps.termFreqs(labeled, idCol, textCol)
+      .join(labeled.select(col(idCol).cast("long").as(idCol), col(classCol).as("cls")), idCol)
+    // per-class stats: docCount(c); global: N, avg distinct terms per doc
+    val classStats = labeled.groupBy(col(classCol).as("cls"))
+      .agg(count("*").as("class_docs"))
+    val global = labeled.agg(count("*").as("n"))
+      .crossJoin(docTerms.agg(count("*").as("pairs"))) // termFreqs is distinct per (doc,tok)
+      .withColumn("avg_unique", col("pairs") / col("n"))
+    // model: within-class doc frequency of each token
+    val classDf = docTerms.groupBy("cls", "tok").agg(count("*").as("dfc"))
+
+    // unlabeled token occurrences (tf-weighted) crossed with every class
+    val testTf = TextOps.termFreqs(unlabeled, idCol, textCol)
+    val scored = testTf
+      .crossJoin(broadcast(classStats))
+      .join(classDf, Seq("cls", "tok"), "left")
+      .crossJoin(broadcast(global))
+      .withColumn("den", col("avg_unique") * col("class_docs") + col("n"))
+      .withColumn("lp", col("tf") * log((coalesce(col("dfc"), lit(0L)) + lit(1.0)) / col("den")))
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum("lp").as("llh"), first("class_docs").as("class_docs"), first("n").as("n"))
+      .withColumn("score", round(col("llh") + log(col("class_docs") / col("n")), 6))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("cls").desc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("cls").as("predicted"))
+  }
+
+  /**
+   * k-nearest-neighbor classification: each unlabeled doc's distinct tokens
+   * form an OR query over the labeled corpus, neighbors are ranked by the
+   * summed BM25 term weight (`KNearestNeighborClassifier.java` runs the
+   * equivalent MLT query), and the top-k vote — majority count first, summed
+   * score as the tie-break, then class name (reference
+   * `classifyFromTopDocs`: max count, then max score).
+   *
+   * `maxDfRatio` drops query tokens present in more than that fraction of
+   * labeled docs BEFORE the candidate join — the skew control that keeps the
+   * token join bounded at corpus scale (stop-word tokens would otherwise
+   * pair every test doc with every labeled doc; MLT's minDocFreq/maxQueryTerms
+   * serve the same purpose in the reference).
+   */
+  def knn(labeled: DataFrame, unlabeled: DataFrame, k: Int, idCol: String = "doc_id",
+          textCol: String = "text", classCol: String = "source",
+          maxDfRatio: Double = 0.5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ltf = TextOps.termFreqs(labeled, idCol, textCol)
+    val dl = ltf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val stats = labeled.agg(count("*").as("n"))
+      .crossJoin(dl.agg(sum("dl").as("tot")))
+      .withColumn("avgdl", col("tot") / col("n"))
+    val dfs = ltf.groupBy("tok").agg(count("*").as("df"))
+    // query terms: DISTINCT tokens of each test doc (the MLT term set)
+    val qterms = TextOps.termFreqs(unlabeled, idCol, textCol)
+      .select(col(idCol).as("test_id"), col("tok"))
+    val scoredPairs = qterms
+      .join(dfs, "tok").crossJoin(broadcast(stats))
+      .filter(col("df") <= col("n") * maxDfRatio) // stop-word guard
+      .join(ltf.withColumnRenamed(idCol, "train_id"), "tok")
+      .join(dl.withColumnRenamed(idCol, "train_id"), "train_id")
+      .withColumn("s",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") / (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("test_id", "train_id").agg(round(sum("s"), 6).as("sim"))
+    val topK = scoredPairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("test_id").orderBy(col("sim").desc, col("train_id"))))
+      .filter(col("rn") <= k)
+    // labels join on train_id: topK is k rows per test doc (small side at any
+    // scale relative to the labeled corpus) — leave the strategy to Catalyst
+    topK
+      .join(labeled.select(col(idCol).cast("long").as("train_id"),
+        col(classCol).as("cls")), "train_id")
+      .groupBy("test_id", "cls")
+      .agg(count("*").as("votes"), round(sum("sim"), 6).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("test_id").orderBy(col("votes").desc, col("score").desc, col("cls").desc)))
+      .filter(col("rn") === 1)
+      .select(col("test_id").as(idCol), col("cls").as("predicted"))
+  }
+}

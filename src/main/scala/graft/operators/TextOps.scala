@@ -155,6 +155,57 @@ object TextOps {
       .groupBy(idCol).agg(round(sum("s"), 5).as("score"))
   }
 
+  /** DFISimilarity scoring — divergence from independence, standardized
+    * measure (search/similarities/DFISimilarity.java:55-66,
+    * IndependenceStandardized.java:37): per matched term
+    *   expected = (ttf+1)·dl/(sumTtf+1)
+    *   s        = tf <= expected ? 0 : log2((tf−expected)/√expected + 1)
+    * summed per doc (double arithmetic, rounded to 5 — oracle-parity path;
+    * the norm-quantized engine version is `DfiSim`). Same shuffle shape as
+    * [[bm25All]]. */
+  def dfiAll(docs: DataFrame, idCol: String, textCol: String,
+             terms: Seq[String]): DataFrame = {
+    val tf = termFreqs(docs, idCol, textCol)
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val sumTtf = tf.agg(sum("tf").as("sum_ttf"))
+    val qtf = tf.filter(col("tok").isin(terms: _*))
+    val ttfs = qtf.groupBy("tok").agg(sum("tf").as("ttf"))
+    qtf
+      .join(broadcast(ttfs), "tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(sumTtf))
+      .withColumn("expected", (col("ttf") + 1.0) * col("dl") / (col("sum_ttf") + 1.0))
+      .withColumn("s", when(col("tf") <= col("expected"), 0.0)
+        .otherwise(log2((col("tf") - col("expected")) / sqrt(col("expected")) + 1.0)))
+      .groupBy(idCol).agg(round(sum("s"), 5).as("score"))
+  }
+
+  /** AxiomaticF2EXP scoring (search/similarities/AxiomaticF2EXP.java:61-87,
+    * Axiomatic.java:104-114): per matched term
+    *   s = tf/(tf + s0 + s0·dl/avgdl) · ((N+1)/df)^k
+    * summed per doc (tf = ln = 1, gamma = 0 in the F2EXP lens; the clip at
+    * zero never fires for positive components). Same shuffle shape as
+    * [[bm25All]]; the norm-quantized engine version is `AxiomaticF2ExpSim`. */
+  def axiomaticAll(docs: DataFrame, idCol: String, textCol: String,
+                   terms: Seq[String], s0: Double = 0.25,
+                   k: Double = 0.35): DataFrame = {
+    val tf = termFreqs(docs, idCol, textCol)
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val stats = docs.agg(count("*").as("n"))
+      .crossJoin(dl.agg(sum("dl").as("__tot")))
+      .withColumn("avgdl", col("__tot") / col("n"))
+    val qtf = tf.filter(col("tok").isin(terms: _*))
+    val dfs = qtf.groupBy("tok").agg(count("*").as("df"))
+    qtf
+      .join(broadcast(dfs), "tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        col("tf") / (col("tf") + s0 + lit(s0) * col("dl") / col("avgdl")) *
+          pow((col("n") + 1.0) / col("df"), k))
+      .groupBy(idCol).agg(round(sum("s"), 5).as("score"))
+  }
+
   def bm25All(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
               k1: Double = 1.2, b: Double = 0.75,
               mode: String = "or", mustNot: Seq[String] = Nil): DataFrame = {

@@ -150,6 +150,165 @@ final case class DfrInL2Sim(c: Float = 1f) extends Similarity {
 }
 
 /**
+ * DFISimilarity — divergence from independence (`DFISimilarity.java:44-66`):
+ *
+ *   expected = (totalTermFreq + 1) · dl / (sumTotalTermFreq + 1)
+ *   freq <= expected  →  0
+ *   score = boost · log2(independence(freq, expected) + 1)
+ *
+ * with the three reference independence measures
+ * (`IndependenceStandardized.java:37`, `IndependenceSaturated.java:35`,
+ * `IndependenceChiSquared.java:36`). Parameter-free; the reference javadoc
+ * recommends keeping stopwords indexed for this model.
+ */
+final case class DfiSim(measure: DfiSim.Measure = DfiSim.Standardized)
+    extends Similarity {
+  override def needsTtf: Boolean = true
+
+  private final case class Scorer(boost: Float, ttf1: Double, sumTtf1: Double,
+                                  m: DfiSim.Measure) extends SimScorer {
+    def score(freq: Float, normByte: Byte): Float = {
+      val dl = SmallFloat.byte4ToInt(normByte).toDouble
+      val expected = ttf1 * dl / sumTtf1
+      if (freq <= expected) 0f
+      else (boost * (Math.log(m(freq, expected) + 1) / Math.log(2))).toFloat
+    }
+  }
+
+  def scorer(boost: Float, docFreq: Long, totalTermFreq: Long,
+             docCount: Long, sumTotalTermFreq: Long): SimScorer =
+    Scorer(boost, totalTermFreq + 1d, sumTotalTermFreq + 1d, measure)
+}
+
+object DfiSim {
+  sealed trait Measure extends Serializable {
+    def apply(freq: Double, expected: Double): Double
+  }
+  /** (f−e)/sqrt(e) — the chi-square statistic's standardized distance. */
+  case object Standardized extends Measure {
+    def apply(f: Double, e: Double): Double = (f - e) / Math.sqrt(e)
+  }
+  /** (f−e)/e. */
+  case object Saturated extends Measure {
+    def apply(f: Double, e: Double): Double = (f - e) / e
+  }
+  /** (f−e)²/e. */
+  case object ChiSquared extends Measure {
+    def apply(f: Double, e: Double): Double = (f - e) * (f - e) / e
+  }
+}
+
+/**
+ * IBSimilarity — information-based model, distribution ∘ lambda ∘
+ * normalization (`IBSimilarity.java:72-79`):
+ *
+ *   tfn    = H1: freq·c·avgdl/dl   |  H2: freq·log2(1 + c·avgdl/dl)
+ *   lambda = DF: (df+1)/(N+1)      |  TTF: (ttf+1)/(N+1)   // float, nudged off 1
+ *   LL:  score = boost · −ln(λ/(tfn+λ))
+ *   SPL: score = boost · −ln((λ^(1−1/(tfn+1)) − λ)/(1−λ))  // rounding-guarded
+ *
+ * (`DistributionLL.java:30-32`, `DistributionSPL.java:33-57`,
+ * `LambdaDF.java:31-39`, `LambdaTTF.java:30-38`, `NormalizationH1.java:45-47`,
+ * `NormalizationH2.java:58-60`.)
+ */
+final case class IBSim(distribution: IBSim.Distribution = IBSim.SPL,
+                       lambdaFrom: IBSim.Lambda = IBSim.LambdaDF,
+                       normalization: IBSim.Norm = IBSim.H2,
+                       c: Float = 1f) extends Similarity {
+  override def needsTtf: Boolean = true
+
+  private final case class Scorer(boost: Float, lam: Float, avgdl: Double,
+                                  dist: IBSim.Distribution, norm: IBSim.Norm,
+                                  c0: Float) extends SimScorer {
+    def score(freq: Float, normByte: Byte): Float = {
+      val dl = SmallFloat.byte4ToInt(normByte).toDouble
+      val tfn = norm(freq, dl, avgdl, c0)
+      (boost * dist(tfn, lam)).toFloat
+    }
+  }
+
+  def scorer(boost: Float, docFreq: Long, totalTermFreq: Long,
+             docCount: Long, sumTotalTermFreq: Long): SimScorer = {
+    var lam = lambdaFrom match {
+      case IBSim.LambdaDF  => ((docFreq + 1.0) / (docCount + 1.0)).toFloat
+      case IBSim.LambdaTTF => ((totalTermFreq + 1.0) / (docCount + 1.0)).toFloat
+    }
+    // SPL cannot take λ = 1 (reference nudges via nextDown/nextUp)
+    if (lam == 1f) lam = Math.nextDown(lam)
+    Scorer(boost, lam, sumTotalTermFreq / docCount.toDouble,
+      distribution, normalization, c)
+  }
+}
+
+object IBSim {
+  sealed trait Distribution extends Serializable {
+    def apply(tfn: Double, lambda: Float): Double
+  }
+  /** Log-logistic: −ln(λ/(tfn+λ)). */
+  case object LL extends Distribution {
+    def apply(tfn: Double, lambda: Float): Double =
+      -Math.log(lambda / (tfn + lambda))
+  }
+  /** Smoothed power-law, with the reference's two rounding guards. */
+  case object SPL extends Distribution {
+    def apply(tfn: Double, lambda: Float): Double = {
+      var q = 1 - 1 / (tfn + 1)
+      if (q == 1) q = Math.nextDown(1.0)
+      var pow = Math.pow(lambda, q)
+      if (pow == lambda)
+        pow = if (lambda < 1) Math.nextUp(lambda.toDouble)
+              else Math.nextDown(lambda.toDouble)
+      -Math.log((pow - lambda) / (1 - lambda))
+    }
+  }
+  sealed trait Lambda extends Serializable
+  case object LambdaDF extends Lambda
+  case object LambdaTTF extends Lambda
+  sealed trait Norm extends Serializable {
+    def apply(freq: Double, dl: Double, avgdl: Double, c: Float): Double
+  }
+  case object H1 extends Norm {
+    def apply(freq: Double, dl: Double, avgdl: Double, c: Float): Double =
+      freq * c * (avgdl / dl)
+  }
+  case object H2 extends Norm {
+    def apply(freq: Double, dl: Double, avgdl: Double, c: Float): Double =
+      freq * (Math.log(1 + c * avgdl / dl) / Math.log(2))
+  }
+}
+
+/**
+ * AxiomaticF2EXP (`AxiomaticF2EXP.java:61-87`, combination + clip
+ * `Axiomatic.java:104-114`):
+ *
+ *   tfln  = freq / (freq + s + s·dl/avgdl)
+ *   idf   = ((N+1)/df)^k
+ *   score = max(0, boost · tfln · idf)        // tf = ln = 1, gamma = 0
+ *
+ * defaults s = 0.25, k = 0.35 (`Axiomatic.java:99-101`).
+ */
+final case class AxiomaticF2ExpSim(s: Float = 0.25f, k: Float = 0.35f)
+    extends Similarity {
+  require(s >= 0f && s <= 1f, s"s must be in [0,1], got $s")
+  require(k >= 0f && k <= 1f, s"k must be in [0,1], got $k")
+
+  private final case class Scorer(boost: Float, idf: Double, avgdl: Double,
+                                  s0: Float) extends SimScorer {
+    def score(freq: Float, normByte: Byte): Float = {
+      val dl = SmallFloat.byte4ToInt(normByte).toDouble
+      val tfln = freq / (freq + s0 + s0 * dl / avgdl)
+      val sc = tfln * idf * boost
+      (if (sc > 0) sc else 0.0).toFloat
+    }
+  }
+
+  def scorer(boost: Float, docFreq: Long, totalTermFreq: Long,
+             docCount: Long, sumTotalTermFreq: Long): SimScorer =
+    Scorer(boost, Math.pow((docCount + 1.0) / docFreq, k),
+      sumTotalTermFreq / docCount.toDouble, s)
+}
+
+/**
  * LMJelinekMercerSimilarity — linear-interpolation smoothing
  * (`LMJelinekMercerSimilarity.java:63-68`; same collection model and norm
  * decode as Dirichlet):

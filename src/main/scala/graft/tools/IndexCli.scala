@@ -95,6 +95,9 @@ object IndexCli {
         else if (flags.contains("--sim-lmjm")) graft.query.LMJelinekMercerSim()
         else if (flags.contains("--sim-dfr")) graft.query.DfrInL2Sim()
         else if (flags.contains("--sim-bool")) graft.query.BooleanSim
+        else if (flags.contains("--sim-dfi")) graft.query.DfiSim()
+        else if (flags.contains("--sim-ib")) graft.query.IBSim()
+        else if (flags.contains("--sim-ax")) graft.query.AxiomaticF2ExpSim()
         else null
       val t0 = System.nanoTime()
       val hits = after match {

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Classification semantics: NB against an independent local reimplementation
+  * of the reference arithmetic, kNN against planted vocabulary clusters. */
+class ClassifySpec extends SparkSpec {
+
+  private def tokens(t: String): Seq[String] =
+    "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+
+  /** Local Naive Bayes with the exact reference formula
+    * (SimpleNaiveBayesClassifier: class-df likelihood, add-one smoothing,
+    * avg-unique-terms denominator, tf-weighted sum). */
+  private def localNb(labeled: Seq[(Long, String, String)],
+                      text: String): String = {
+    val n = labeled.size.toDouble
+    val docTerms = labeled.map { case (_, t, c) => (tokens(t).distinct, c) }
+    val pairs = docTerms.map(_._1.size).sum
+    val avgUnique = pairs / n
+    val classes = labeled.map(_._3).distinct
+    val toks = tokens(text)
+    classes.map { c =>
+      val classDocs = labeled.count(_._3 == c).toDouble
+      val den = avgUnique * classDocs + n
+      val prior = math.log(classDocs / n)
+      val llh = toks.map { w =>
+        val dfc = docTerms.count { case (ts, cc) => cc == c && ts.contains(w) }
+        math.log((dfc + 1.0) / den)
+      }.sum
+      (c, BigDecimal(prior + llh).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    }.maxBy { case (c, s) => (s, c) }._1
+  }
+
+  private val labeled = Seq(
+    (0L, "spark join shuffle partition executor", "big"),
+    (2L, "shuffle spark stage task executor join", "big"),
+    (4L, "partition spark executor broadcast join", "big"),
+    (6L, "cat dog bird fish pet", "pets"),
+    (8L, "dog cat hamster pet food", "pets"),
+    (10L, "bird cage cat pet toy", "pets"))
+
+  private val unlabeled = Seq(
+    (1L, "spark shuffle join"),
+    (3L, "cat dog pet"),
+    (5L, "executor partition broadcast task"),
+    (7L, "bird fish food"))
+
+  test("naiveBayes matches the reference arithmetic (local oracle)") {
+    import spark.implicits._
+    val l = labeled.toDF("doc_id", "text", "source")
+    val u = unlabeled.toDF("doc_id", "text")
+    val got = Classify.naiveBayes(l, u).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, text) <- unlabeled)
+      assert(got(id) === localNb(labeled, text), s"doc $id")
+    // sanity: the vocabulary clusters actually separate
+    assert(got(1L) === "big" && got(3L) === "pets")
+    assert(got(5L) === "big" && got(7L) === "pets")
+  }
+
+  test("naiveBayes: unseen-word docs still get the prior-driven prediction") {
+    import spark.implicits._
+    // all words unseen -> llh identical across classes up to den(c); the
+    // majority class with the smaller denominator effect wins — just assert
+    // agreement with the local oracle (deterministic tie rule included)
+    val u = Seq((99L, "zzz yyy xxx")).toDF("doc_id", "text")
+    val got = Classify.naiveBayes(labeled.toDF("doc_id", "text", "source"), u)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(99L) === localNb(labeled, "zzz yyy xxx"))
+  }
+
+  test("knn: majority vote of BM25-nearest labeled neighbors") {
+    import spark.implicits._
+    val l = labeled.toDF("doc_id", "text", "source")
+    val u = unlabeled.toDF("doc_id", "text")
+    val got = Classify.knn(l, u, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "big" && got(5L) === "big")
+    assert(got(3L) === "pets" && got(7L) === "pets")
+  }
+
+  test("knn maxDfRatio drops stop-word tokens from the candidate join") {
+    import spark.implicits._
+    // 'common' appears in EVERY labeled doc; with maxDfRatio=0.5 it cannot
+    // create candidate pairs, so a test doc with ONLY that token gets no row
+    val l = labeled.map { case (id, t, c) => (id, t + " common", c) }
+      .toDF("doc_id", "text", "source")
+    val u = Seq((50L, "common")).toDF("doc_id", "text")
+    assert(Classify.knn(l, u, k = 3).collect().isEmpty)
+    // raising the ratio readmits it
+    assert(Classify.knn(l, u, k = 3, maxDfRatio = 1.0).collect().nonEmpty)
+  }
+}

@@ -113,6 +113,56 @@ class SimilaritiesSpec extends SparkSpec {
     }
   }
 
+  test("engine with DFI matches the brute-force oracle; arithmetic pinned") {
+    // expected = (ttf+1)*dl/(sumTtf+1); below-expected freq scores ZERO;
+    // above it: log2(standardized(freq, expected) + 1)
+    val s = DfiSim().scorer(1f, 9L, 40L, 99L, 1980L)
+    val dl = SmallFloat.byte4ToInt(SmallFloat.intToByte4(16)).toDouble
+    val expected = 41d * dl / 1981d
+    val want = (Math.log((4f - expected) / Math.sqrt(expected) + 1) / Math.log(2)).toFloat
+    assert(s.score(4f, SmallFloat.intToByte4(16)) === want)
+    assert(s.score(0.2f, SmallFloat.intToByte4(1000)) === 0f) // freq <= expected
+    for (m <- Seq(DfiSim.Standardized, DfiSim.Saturated, DfiSim.ChiSquared);
+         terms <- queries.take(3); k <- Seq(10, 50)) {
+      val got = engineTopK(terms, k, DfiSim(m))
+      val want2 = OracleScorer.topKSim(corpusLocal, terms, k, DfiSim(m))
+      assert(got === want2, s"measure=$m terms=$terms k=$k")
+    }
+  }
+
+  test("engine with IB (SPL/DF/H2 and LL/TTF/H1) matches the oracle; arithmetic pinned") {
+    // LL: -ln(lambda/(tfn+lambda)) with H1 tfn = freq*c*avgdl/dl, lambda=(ttf+1)/(N+1)
+    val ll = IBSim(IBSim.LL, IBSim.LambdaTTF, IBSim.H1).scorer(1f, 9L, 40L, 99L, 1980L)
+    val avgdl = 1980L / 99d
+    val dl = SmallFloat.byte4ToInt(SmallFloat.intToByte4(16)).toDouble
+    val tfn = 4f * 1f * (avgdl / dl)
+    val lam = ((40L + 1.0) / (99L + 1.0)).toFloat
+    assert(ll.score(4f, SmallFloat.intToByte4(16)) === (-Math.log(lam / (tfn + lam))).toFloat)
+    for ((d, lf, n) <- Seq((IBSim.SPL, IBSim.LambdaDF, IBSim.H2),
+                           (IBSim.LL, IBSim.LambdaTTF, IBSim.H1));
+         terms <- queries.take(3); k <- Seq(10, 50)) {
+      val sim = IBSim(d, lf, n)
+      val got = engineTopK(terms, k, sim)
+      val want2 = OracleScorer.topKSim(corpusLocal, terms, k, sim)
+      assert(got === want2, s"sim=$sim terms=$terms k=$k")
+    }
+  }
+
+  test("engine with AxiomaticF2EXP matches the oracle; arithmetic pinned") {
+    // tfln = freq/(freq + s + s*dl/avgdl); idf = ((N+1)/df)^k
+    val s = AxiomaticF2ExpSim().scorer(1f, 9L, 0L, 99L, 1980L)
+    val avgdl = 1980L / 99d
+    val dl = SmallFloat.byte4ToInt(SmallFloat.intToByte4(16)).toDouble
+    val tfln = 4f / (4f + 0.25f + 0.25f * dl / avgdl)
+    val idf = Math.pow(100.0 / 9, 0.35f)
+    assert(s.score(4f, SmallFloat.intToByte4(16)) === (tfln * idf).toFloat)
+    for (terms <- queries; k <- Seq(10, 50)) {
+      val got = engineTopK(terms, k, AxiomaticF2ExpSim())
+      val want2 = OracleScorer.topKSim(corpusLocal, terms, k, AxiomaticF2ExpSim())
+      assert(got === want2, s"terms=$terms k=$k")
+    }
+  }
+
   test("block-max WAND is similarity-generic: classic WAND == classic oracle") {
     // the WAND bounds come from scorer.score over impact pairs, which is a
     // valid upper bound for ANY freq-monotone/length-antitone similarity
