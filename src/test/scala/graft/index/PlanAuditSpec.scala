@@ -194,4 +194,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
+
+  test("Monitor.matches: ZERO exchanges — one narrow pass over the doc scan") {
+    val docs = (0 until 100).map(i => (i.toLong, s"spark query doc $i")).toDF("doc_id", "text")
+    val plan = planOf(graft.operators.Monitor.matches(docs, Seq(
+      graft.operators.Monitor.TermQ("t", "spark"),
+      graft.operators.Monitor.AndQ("a", Seq("spark", "query")),
+      graft.operators.Monitor.PhraseQ("p", Seq("spark", "query")))))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(plan.contains("MapPartitions"), plan.take(2000))
+  }
+
+  test("Classify: stats broadcast; kNN df-cap precedes the candidate join") {
+    val docs = (0 until 100).map(i =>
+      (i.toLong, s"spark query doc $i words", s"l${i % 3}")).toDF("doc_id", "text", "lang")
+    val nb = planOf(graft.operators.Classify.naiveBayes(
+      docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1),
+      classCol = "lang"))
+    assert(nb.contains("BroadcastExchange"), nb.take(2000))
+    val knn = planOf(graft.operators.Classify.knn(
+      docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1),
+      k = 3, classCol = "lang"))
+    assert(knn.contains("BroadcastExchange"), knn.take(2000))
+  }
 }
