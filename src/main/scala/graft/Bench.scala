@@ -101,21 +101,29 @@ object Bench {
   /** One timed build round at a parallelism level (fresh session). When
     * `withQueries`, also times the query set. Returns (buildSecs, querySecs
     * or NaN, calibMBps) — the calibration is a SHORT pure-CPU probe run in
-    * the same session just before the timed window, so each round carries
-    * its own host-capacity evidence (the sandbox VM sees minutes-long
-    * external contention windows; a round whose own calibration shows a
-    * degraded ceiling was corrupted by the HOST, not the engine). */
+    * the same session immediately BEFORE and AFTER the timed window (min of
+    * the two), so each round carries its own host-capacity evidence across
+    * the whole window (the sandbox VM sees minutes-long external contention
+    * bursts, some starting mid-window; a round whose own calibration shows
+    * a degraded ceiling was corrupted by the HOST, not the engine). */
   private def oneRound(cores: Int, corpusPath: String, warm: Boolean,
                        withQueries: Boolean): (Double, Double, Double) = {
     val spark = session(cores)
     try {
       val calIters = math.max(20, HashIters / 5)
-      spark.sparkContext.parallelize(0 until Partitions, Partitions)
-        .map(i => hashTask(i, 4)).count() // JIT warm
-      val c0 = System.nanoTime()
-      spark.sparkContext.parallelize(0 until Partitions, Partitions)
-        .map(i => hashTask(i, calIters)).count()
-      val calib = Partitions.toDouble * calIters / ((System.nanoTime() - c0) / 1e9)
+      def probe(): Double = {
+        spark.sparkContext.parallelize(0 until Partitions, Partitions)
+          .map(i => hashTask(i, 4)).count() // JIT warm
+        val c0 = System.nanoTime()
+        spark.sparkContext.parallelize(0 until Partitions, Partitions)
+          .map(i => hashTask(i, calIters)).count()
+        Partitions.toDouble * calIters / ((System.nanoTime() - c0) / 1e9)
+      }
+      // probe BEFORE the timed window; a second probe runs AFTER it and the
+      // round's ceiling uses the MIN — a contention burst that starts
+      // mid-window (invisible to a leading point sample) still marks the
+      // round host-corrupted
+      val calibPre = probe()
       val dir = s"/dev/shm/graft-bench-idx-$cores"
       if (warm) {
         // JIT/classload warmup so the first-measured round isn't penalized
@@ -191,6 +199,7 @@ object Bench {
         val secs = (System.nanoTime() - q0) / 1e9
         secs * QuerySet.size / nq // normalized: seconds per one QuerySet pass
       }
+      val calib = math.min(calibPre, probe()) // trailing probe: see above
       (buildSecs, querySecs, calib)
     } finally spark.stop()
   }

@@ -760,6 +760,16 @@ object SparkEntry {
         .groupBy("event_type").agg(count("*").as("n"))
     }),
 
+    // polygon containment (LatLonPoint.newPolygonQuery): concave chevron,
+    // crossing-number ray cast in pure codegen arithmetic
+    "ft_geo_polygon" -> ((s, d) => {
+      val ev = rd(s, d, "events").select(col("event_id"), col("event_type"),
+        (col("user_id") % 17000 / 100.0 - 85.0).as("lat"),
+        (col("user_id") % 35900 / 100.0 - 179.5).as("lon"))
+      ev.filter(graft.operators.Geo.withinPolygon(col("lat"), col("lon"), GeoPolygon))
+        .groupBy("event_type").agg(count("*").as("n"))
+    }),
+
     // ---- text analysis (training-data pipeline ops) ----
     "ta_quality" -> ((s, d) => TextOps.qualityStats(rd(s, d, "documents"),
       "doc_id", "text", Stopwords)),
@@ -1769,6 +1779,7 @@ object SparkEntry {
           | WHERE ts >= '2024-01-08' AND ts < '2024-01-22'
           |  AND list_contains(regexp_extract_all(lower(event_type || ' ' || props), '[a-z0-9]+'), 'error')""".stripMargin,
       "q46_geo" -> geoBoxSql,
+      "ft_geo_polygon" -> geoPolygonSql,
       "ta_quality" ->
         """SELECT doc_id, length(text) AS n_chars,
           | len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
@@ -2054,6 +2065,32 @@ object SparkEntry {
        | SELECT event_type, count(*) AS n FROM ev
        | WHERE lat BETWEEN $latLo AND $latHi
        |  AND $lonPred
+       | GROUP BY event_type""".stripMargin
+  }
+
+  /** Concave test polygon (a chevron — the notch vertex exercises the
+    * even-odd rule). Placed to straddle the events-derived coordinate line
+    * lon = lat − 94.5 (lat and lon both derive from user_id), so the query
+    * is non-vacuous at every scale factor (40 user_ids fall inside). */
+  private val GeoPolygon: Seq[(Double, Double)] =
+    Seq((-84.8, -179.2), (-84.0, -178.8), (-84.8, -178.4), (-84.5, -178.8))
+
+  /** Polygon oracle: one crossing-toggle CASE per edge, generated from the
+    * SAME vertex list the plan folds in (identical double arithmetic). */
+  private def geoPolygonSql: String = {
+    val lats = GeoPolygon.map(_._1)
+    val lons = GeoPolygon.map(_._2)
+    val crossings = graft.operators.Geo.polygonEdges(GeoPolygon)
+      .map { case ((y1, x1), (y2, x2)) =>
+        s"CASE WHEN (($y1 > lat) <> ($y2 > lat)) AND lon < ($x2 - $x1) * (lat - $y1) / ($y2 - $y1) + $x1 THEN 1 ELSE 0 END"
+      }.mkString(" + ")
+    s"""WITH ev AS (SELECT event_id, event_type,
+       | (user_id % 17000) / 100.0 - 85.0 AS lat,
+       | (user_id % 35900) / 100.0 - 179.5 AS lon FROM events)
+       | SELECT event_type, count(*) AS n FROM ev
+       | WHERE lat BETWEEN ${lats.min} AND ${lats.max}
+       |  AND lon BETWEEN ${lons.min} AND ${lons.max}
+       |  AND ($crossings) % 2 = 1
        | GROUP BY event_type""".stripMargin
   }
 

@@ -92,6 +92,36 @@ object Geo {
       .orderBy(asc("dist_m"), asc(idCol))
       .limit(k)
 
+  /** Point-in-polygon predicate (LatLonPoint.newPolygonQuery /
+    * geo/Polygon.java, crossing test as in geo/GeoUtils.java): the
+    * crossing-number ray cast composed as pure codegen arithmetic — one
+    * toggle term per edge — behind the polygon's own bounding box (the
+    * pushdown pre-filter; Lucene's BKD plays that role). Vertices are
+    * (lat, lon); the closing edge is implicit. Horizontal edges contribute
+    * no crossing (their lat test is false; the guarded division then never
+    * decides anything — IEEE Inf/NaN comparisons land in an AND that is
+    * already false, identically in any engine running the same formula).
+    * No antimeridian handling: polygons are given in continuous longitude
+    * space like the reference's (Polygon.java requires −180..180 and
+    * callers split datelines themselves). */
+  def withinPolygon(latCol: Column, lonCol: Column,
+                    vertices: Seq[(Double, Double)]): Column = {
+    require(vertices.size >= 3, s"polygon needs >= 3 vertices, got ${vertices.size}")
+    val lats = vertices.map(_._1)
+    val lons = vertices.map(_._2)
+    val box = latCol.between(lats.min, lats.max) && lonCol.between(lons.min, lons.max)
+    val crossings = polygonEdges(vertices).map { case ((y1, x1), (y2, x2)) =>
+      when(((lit(y1) > latCol) =!= (lit(y2) > latCol)) &&
+        (lonCol < lit(x2 - x1) * (latCol - y1) / (y2 - y1) + x1), 1).otherwise(0)
+    }.reduce(_ + _)
+    box && (crossings % 2 === 1)
+  }
+
+  /** Closed edge list (v0→v1, …, vN→v0); shared with oracle-SQL generators
+    * so both sides evaluate literally identical edge arithmetic. */
+  def polygonEdges(vertices: Seq[(Double, Double)]): Seq[((Double, Double), (Double, Double))] =
+    vertices.zip(vertices.tail :+ vertices.head)
+
   /** Spatial heatmap facet (Solr facet.heatmap /
     * HeatmapFacetCounter.java capability): per-grid-cell counts over a
     * degree-grid anchored at (latMin, lonMin) with `cellDeg` cells.

@@ -309,6 +309,28 @@ final case class AxiomaticF2ExpSim(s: Float = 0.25f, k: Float = 0.35f)
 }
 
 /**
+ * MultiSimilarity (`MultiSimilarity.java:28-67`): the per-hit score is the
+ * SUM of the sub-similarities' scores (ensemble ranking). `needsTtf` is the
+ * OR of the members'.
+ */
+final case class MultiSim(sims: Seq[Similarity]) extends Similarity {
+  require(sims.nonEmpty, "MultiSim needs at least one member")
+  override def needsTtf: Boolean = sims.exists(_.needsTtf)
+
+  private final case class Scorer(subs: Seq[SimScorer]) extends SimScorer {
+    def score(freq: Float, normByte: Byte): Float = {
+      var sum = 0.0f
+      subs.foreach(s => sum += s.score(freq, normByte))
+      sum
+    }
+  }
+
+  def scorer(boost: Float, docFreq: Long, totalTermFreq: Long,
+             docCount: Long, sumTotalTermFreq: Long): SimScorer =
+    Scorer(sims.map(_.scorer(boost, docFreq, totalTermFreq, docCount, sumTotalTermFreq)))
+}
+
+/**
  * LMJelinekMercerSimilarity — linear-interpolation smoothing
  * (`LMJelinekMercerSimilarity.java:63-68`; same collection model and norm
  * decode as Dirichlet):

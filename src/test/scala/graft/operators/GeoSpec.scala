@@ -101,6 +101,33 @@ class GeoSpec extends SparkSpec {
     assert(want.size > 10, "ring near the pole matches at many longitudes")
   }
 
+  test("withinPolygon: crossing-number ray cast == local oracle, concave notch excluded") {
+    // chevron: wings are inside, the notch under the reflex vertex is OUT
+    val poly = Seq((0.0, -40.0), (40.0, 0.0), (0.0, 40.0), (20.0, 0.0))
+    def localInside(lat: Double, lon: Double): Boolean = {
+      val edges = poly.zip(poly.tail :+ poly.head)
+      val crossings = edges.count { case ((y1, x1), (y2, x2)) =>
+        ((y1 > lat) != (y2 > lat)) && lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+      }
+      crossings % 2 == 1
+    }
+    // hand-checked anchors (NOT on any edge — (10, ±20) sits exactly on the
+    // D→A / C→D boundary lines and the strict crossing test excludes it)
+    assert(localInside(15.0, -20.0), "left wing")
+    assert(localInside(15.0, 20.0), "right wing")
+    assert(!localInside(5.0, 0.0), "the notch is outside")
+    assert(!localInside(50.0, 0.0) && !localInside(10.0, 100.0), "outside box")
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 3000).map(i =>
+      (i.toLong, rnd.nextDouble() * 100 - 50, rnd.nextDouble() * 120 - 60))
+    val df = pts.toDF("id", "lat", "lon")
+    val got = df.filter(Geo.withinPolygon(col("lat"), col("lon"), poly))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = pts.filter { case (_, la, lo) => localInside(la, lo) }.map(_._1).toSet
+    assert(got === want)
+    assert(want.size > 100 && want.size < pts.size, "polygon splits the sample")
+  }
+
   test("nearest: distance-ordered bounded top-k with id tie-break") {
     val pts = (0 until 500).map(i => (i.toLong, (i % 50) * 0.5, (i / 50) * 0.5))
     val df = pts.toDF("id", "lat", "lon")

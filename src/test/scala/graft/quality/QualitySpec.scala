@@ -99,6 +99,22 @@ class QualitySpec extends SparkSpec {
 
   private def Report_(rs: Seq[Quality.TopicResult]) = Quality.Report(rs)
 
+  test("harness covers the full similarity zoo: DFI, IB, Axiomatic sane + rank-identical") {
+    val topics = topicsWithQrels
+    val sims = Seq[graft.query.Similarity](
+      graft.query.DfiSim(), graft.query.IBSim(), graft.query.AxiomaticF2ExpSim())
+    for (sim <- sims) {
+      val r = Quality.run(idx, topics, k = 100, sim = sim)
+      assert(r.topics.size === topics.size)
+      assert(r.map > 0.0 && r.map <= 1.0, s"MAP ${r.map} for $sim")
+      // end-to-end rank identity against the brute-force judge per model
+      val oracle = Report_(topics.map { t =>
+        Quality.judge(t, OracleScorer.topKSim(localDocs, t.terms, 100, sim).map(_._1))
+      })
+      assert(math.abs(r.map - oracle.map) < 1e-12, s"$sim")
+    }
+  }
+
   test("metric arithmetic: AP and P@k on known lists") {
     val rel = Set(1L, 2L, 3L)
     // ranks 1 and 3 relevant: AP = (1/1 + 2/3)/3

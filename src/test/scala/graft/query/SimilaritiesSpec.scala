@@ -163,6 +163,19 @@ class SimilaritiesSpec extends SparkSpec {
     }
   }
 
+  test("MultiSim sums member scores; engine matches the oracle") {
+    val multi = MultiSim(Seq(Bm25Sim(), ClassicSim))
+    val s = multi.scorer(1f, 9L, 0L, 99L, 1980L)
+    val want = Bm25Sim().scorer(1f, 9L, 0L, 99L, 1980L).score(4f, SmallFloat.intToByte4(16)) +
+      ClassicSim.scorer(1f, 9L, 0L, 99L, 1980L).score(4f, SmallFloat.intToByte4(16))
+    assert(s.score(4f, SmallFloat.intToByte4(16)) === want)
+    for (terms <- queries.take(3); k <- Seq(10, 50)) {
+      val got = engineTopK(terms, k, multi)
+      val want2 = OracleScorer.topKSim(corpusLocal, terms, k, multi)
+      assert(got === want2, s"terms=$terms k=$k")
+    }
+  }
+
   test("block-max WAND is similarity-generic: classic WAND == classic oracle") {
     // the WAND bounds come from scorer.score over impact pairs, which is a
     // valid upper bound for ANY freq-monotone/length-antitone similarity
