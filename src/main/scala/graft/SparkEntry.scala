@@ -525,6 +525,17 @@ object SparkEntry {
       "n_chars", Seq(("short", 0.0, Some(200.0)), ("mid", 150.0, Some(400.0)),
         ("long", 400.0, None)))),
 
+    // hierarchical (taxonomy) facet: every row counts into each prefix of
+    // its lang/source path — the whole taxonomy in one pass
+    "ft_facet_taxonomy" -> ((s, d) => R.facetTaxonomy(
+      rd(s, d, "documents").select(concat_ws("/", col("lang"), col("source")).as("path")),
+      "path")),
+
+    // taxonomy drill-down: children one level under 'en'
+    "ft_facet_drilldown" -> ((s, d) => R.drillDown(
+      rd(s, d, "documents").select(concat_ws("/", col("lang"), col("source")).as("path")),
+      "path", "en")),
+
     // spatial heatmap facet (facet.heatmap): grid-cell counts over the
     // synthetic lat/lon derived as in q46_geo
     "ft_geo_heatmap" -> ((s, d) => {
@@ -1440,6 +1451,16 @@ object SparkEntry {
           |  (SELECT count(*) FROM documents WHERE n_chars >= 150 AND n_chars < 400)
           | UNION ALL SELECT 'long',
           |  (SELECT count(*) FROM documents WHERE n_chars >= 400))""".stripMargin,
+      "ft_facet_taxonomy" ->
+        """WITH t AS (SELECT lang || '/' || source AS path FROM documents),
+          | p AS (SELECT string_split(path, '/') AS parts FROM t),
+          | pref AS (SELECT CAST(i AS INT) AS level,
+          |     array_to_string(parts[1:i], '/') AS path
+          |   FROM p, unnest(generate_series(1, len(parts))) AS g(i))
+          | SELECT path, level, count(*) AS cnt FROM pref GROUP BY 1, 2""".stripMargin,
+      "ft_facet_drilldown" ->
+        """SELECT source AS child, count(*) AS cnt FROM documents
+          | WHERE lang = 'en' GROUP BY 1""".stripMargin,
       "ft_geo_heatmap" ->
         """WITH ev AS (SELECT user_id % 17000 / 100.0 - 85.0 AS lat,
           |   user_id % 35900 / 100.0 - 179.5 AS lon FROM events)

@@ -428,4 +428,40 @@ object Relational {
     one.select(expr(s"stack(${intervals.size}, $stackArgs) AS (interval, cnt)"))
       .orderBy(asc("interval"))
   }
+
+  /**
+   * Hierarchical (taxonomy) facet counts — the reference facet module's
+   * path dimensions (lucene/facet: FacetsConfig hierarchical dims,
+   * TaxonomyFacetCounts): every row contributes one count to EACH prefix
+   * of its path, so the whole taxonomy's counts come out of ONE pass.
+   *
+   * Plan shape: the prefix explode is a narrow projection (array ops in
+   * codegen, no UDF); the count is a single map-side-combined aggregation
+   * keyed on (path, level) — shuffle rows ≤ populated taxonomy nodes per
+   * partition, independent of corpus size.
+   *
+   * @return (path, level, cnt) — level 1 = root dimension values.
+   */
+  def facetTaxonomy(df: DataFrame, pathCol: String, sep: String = "/"): DataFrame = {
+    val parts = split(col(pathCol), java.util.regex.Pattern.quote(sep))
+    df.select(explode(transform(sequence(lit(1), size(parts)),
+        i => struct(i.cast("int").as("level"),
+          array_join(slice(parts, lit(1), i), sep).as("path")))).as("pref"))
+      .groupBy(col("pref.path").as("path"), col("pref.level").as("level"))
+      .agg(count("*").as("cnt"))
+      .orderBy(asc("level"), desc("cnt"), asc("path"))
+  }
+
+  /** Taxonomy drill-down (reference DrillDownQuery): counts of the children
+    * one level below `prefix`. A pushable startsWith filter + one grouped
+    * count — the narrow per-node navigation step. */
+  def drillDown(df: DataFrame, pathCol: String, prefix: String,
+                sep: String = "/"): DataFrame = {
+    val depth = prefix.split(java.util.regex.Pattern.quote(sep)).length
+    df.filter(col(pathCol).startsWith(prefix + sep))
+      .select(split(col(pathCol), java.util.regex.Pattern.quote(sep))
+        .getItem(depth).as("child"))
+      .groupBy("child").agg(count("*").as("cnt"))
+      .orderBy(desc("cnt"), asc("child"))
+  }
 }

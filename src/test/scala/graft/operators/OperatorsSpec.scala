@@ -353,4 +353,28 @@ class DateMathSpec extends org.scalatest.funsuite.AnyFunSuite with graft.SparkSp
     intercept[IllegalArgumentException](DateMath.parse("YESTERDAY", col("ts")))
     intercept[IllegalArgumentException](DateMath.parse("NOW-7DAYSgarbage", col("ts")))
   }
+
+  test("facetTaxonomy: every prefix counted once per row, 3 levels deep; drillDown children") {
+    import spark.implicits._
+    val paths = Seq("a/x/1", "a/x/2", "a/x/1", "a/y/1", "b/x/1", "b", "a/y/2")
+    val df = paths.toDF("path")
+    val got = Relational.facetTaxonomy(df, "path").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val want = paths.flatMap { p =>
+      val parts = p.split("/")
+      (1 to parts.length).map(i => (parts.take(i).mkString("/"), i))
+    }.groupBy(identity).map { case ((p, l), xs) => (p, l, xs.size.toLong) }.toSet
+    assert(got === want)
+    // anchors: 'a' rolls up all a/* rows; 'b' counts both the leaf-only 'b'
+    // row and b/x/1
+    assert(got.contains(("a", 1, 5L)) && got.contains(("b", 1, 2L)))
+    assert(got.contains(("a/x", 2, 3L)) && got.contains(("a/x/1", 3, 2L)))
+    // drill-down under a/x: children 1 (x2) and 2 (x1); under 'b': only x
+    val dd = Relational.drillDown(df, "path", "a/x").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(dd === Seq(("1", 2L), ("2", 1L)))
+    val db = Relational.drillDown(df, "path", "b").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(db === Seq(("x", 1L))) // the bare 'b' leaf has no child level
+  }
 }
