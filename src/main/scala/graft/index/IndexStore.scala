@@ -901,6 +901,71 @@ object IndexStore {
         .orderBy(desc("df"), asc("term")).limit(k)
         .select(col("term"), col("df"))
 
+    /** Word-break spell suggestions (reference
+      * suggest/spell/WordBreakSpellChecker.java:90,255 —
+      * generateBreakUpSuggestions): split `word` into up to `maxChanges`+1
+      * dictionary words, each with df >= `minFreq` and length >= `minLen`,
+      * ranked like the reference default sort NUM_CHANGES_THEN_SUMMED_FREQ
+      * (fewer breaks first, then higher summed df, then suggestion text).
+      *
+      * Plan shape: dfs for ALL substrings of `word` come from ONE pushed
+      * In(term, ...) probe of the 2-column termstats (O(|word|²) keys, a
+      * handful for real words); the split recursion is word-local driver
+      * arithmetic over that map — exactly the reference's per-term
+      * recursion, never a dictionary scan. */
+    def wordBreak(word: String, k: Int, maxChanges: Int = 1,
+                  minFreq: Long = 1, minLen: Int = 1): DataFrame = {
+      import spark.implicits._
+      val subs = (for {
+        i <- 0 until word.length
+        j <- i + minLen to word.length
+      } yield word.substring(i, j)).distinct
+      val dfs: Map[String, Long] =
+        termstats.filter(col("term").isin(subs: _*))
+          .select("term", "df").as[(String, Long)].collect().toMap
+      def splits(rest: String, breaksLeft: Int): Seq[Seq[String]] =
+        if (rest.isEmpty) Seq(Nil)
+        else (minLen to rest.length).flatMap { cut =>
+          val head = rest.substring(0, cut)
+          if (dfs.getOrElse(head, 0L) < minFreq) Nil
+          else if (cut == rest.length) Seq(Seq(head))
+          else if (breaksLeft == 0) Nil
+          else splits(rest.substring(cut), breaksLeft - 1).map(head +: _)
+        }
+      val out = splits(word, maxChanges)
+        .filter(_.size > 1) // the unbroken word itself is not a suggestion
+        .map(parts => (parts.mkString(" "), parts.size - 1, parts.map(dfs).sum))
+        .sortBy { case (s, breaks, freq) => (breaks, -freq, s) }
+        .take(k)
+      out.toDF("suggestion", "num_breaks", "sum_freq")
+    }
+
+    /** Word-combination suggestions (reference
+      * WordBreakSpellChecker.java:159 — suggestWordCombinations): adjacent
+      * query words whose CONCATENATION is a dictionary term with df >=
+      * `minFreq` (at most `maxChanges`+1 words joined). One pushed In(...)
+      * probe for all candidate concatenations. Output (start_idx, end_idx,
+      * combined, df), ranked df DESC then position. */
+    def combineWords(words: Seq[String], maxChanges: Int = 1,
+                     minFreq: Long = 1): DataFrame = {
+      import spark.implicits._
+      val cands = for {
+        i <- words.indices
+        j <- i + 1 until math.min(words.length, i + 1 + maxChanges)
+      } yield (i, j, words.slice(i, j + 1).mkString)
+      val dfs: Map[String, Long] =
+        if (cands.isEmpty) Map.empty
+        else termstats.filter(col("term").isin(cands.map(_._3).distinct: _*))
+          .select("term", "df").as[(String, Long)].collect().toMap
+      cands
+        .flatMap { case (i, j, c) =>
+          val df = dfs.getOrElse(c, 0L)
+          if (df >= minFreq) Some((i, j, c, df)) else None
+        }
+        .sortBy { case (i, _, _, df) => (-df, i) }
+        .toDF("start_idx", "end_idx", "combined", "df")
+    }
+
     /** Spell collation (Solr SpellCheckComponent collate=true): correct
       * each query word to its best dictionary term (edit distance ASC, df
       * DESC, term ASC; exact dictionary words stay as themselves at

@@ -144,6 +144,16 @@ object IndexCli {
       val r = IndexStore.OpenIndex(spark, dir).spellCollate(words, 2).head()
       println(s"  did-you-mean: '${r.getString(0)}' (${r.getLong(1)} hits)")
 
+    // wordbreak <indexDir> <k> <word> : split run-together words
+    case "wordbreak" :: dir :: k :: word :: Nil =>
+      IndexStore.OpenIndex(spark, dir).wordBreak(word, k.toInt).collect()
+        .foreach(r => println(s"  '${r.getString(0)}' (breaks=${r.getInt(1)} sumdf=${r.getLong(2)})"))
+
+    // combine <indexDir> word... : join adjacent words into dictionary terms
+    case "combine" :: dir :: words if words.nonEmpty =>
+      IndexStore.OpenIndex(spark, dir).combineWords(words).collect()
+        .foreach(r => println(s"  [${r.getInt(0)}..${r.getInt(1)}] -> '${r.getString(2)}' (df=${r.getLong(3)})"))
+
     // infix <indexDir> <k> <substring> : infix suggester
     case "infix" :: dir :: k :: q :: Nil =>
       IndexStore.OpenIndex(spark, dir).suggestInfix(q, k.toInt).collect()

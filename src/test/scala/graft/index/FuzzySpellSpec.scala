@@ -75,4 +75,36 @@ class FuzzySpellSpec extends SparkSpec {
     assert(viaSearch === viaTerms)
     assert(viaSearch.nonEmpty)
   }
+
+  test("wordBreak splits run-together words into dictionary parts; ranked by breaks then freq") {
+    // 'publicstatic' is not a term; 'public' and 'static' are hot
+    val got = idx.wordBreak("publicstatic", 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    assert(got.head._1 === "public static" && got.head._2 === 1)
+    // every suggestion's parts are dictionary terms with the claimed freq sum
+    val vocab = idx.termstats.select("term", "df").as[(String, Long)].collect().toMap
+    got.foreach { case (s, breaks, freq) =>
+      val parts = s.split(" ").toSeq
+      assert(parts.size === breaks + 1)
+      assert(parts.forall(vocab.contains), s"non-dictionary part in '$s'")
+      assert(freq === parts.map(vocab).sum)
+    }
+    // maxChanges bounds the recursion; an unbreakable word yields nothing
+    assert(idx.wordBreak("zzqqxxy", 5).collect().isEmpty)
+    // minLen guards single-char shrapnel: with minLen=4 no 1-char parts
+    idx.wordBreak("publicstatic", 5, maxChanges = 2, minLen = 4).collect()
+      .foreach(r => assert(r.getString(0).split(" ").forall(_.length >= 4)))
+  }
+
+  test("combineWords joins adjacent words whose concatenation is a dictionary term") {
+    // 'merge' + 'policy' -> 'mergepolicy' exists in the corpus vocabulary
+    val got = idx.combineWords(Seq("merge", "policy", "zzz"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) === Seq((0, 1, "mergepolicy")))
+    assert(got.head._4 >= 1L)
+    // no candidate -> empty, never an error
+    assert(idx.combineWords(Seq("zz", "qq")).collect().isEmpty)
+    assert(idx.combineWords(Seq("alone")).collect().isEmpty)
+  }
 }
