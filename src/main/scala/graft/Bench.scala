@@ -282,9 +282,20 @@ object Bench {
     while (!done) {
       r += 1
       // queries measured EVERY round (not just the last): the query metric
-      // gets the same matched-window median-pair robustness as the build
-      val (lb, lq, lc) = oneRound(loCores, corpusPath, warm = r == 1, withQueries = true)
-      val (hb, hq, hc) = oneRound(hiCores, corpusPath, warm = r == 1, withQueries = true)
+      // gets the same matched-window median-pair robustness as the build.
+      // The within-round order ALTERNATES (lo-hi, hi-lo, ...): a monotonic
+      // contention ramp otherwise hands the same half of every pair the
+      // worse window and biases the median in one direction.
+      val (lb, lq, lc, hb, hq, hc) =
+        if (r % 2 == 1) {
+          val (a, b, c) = oneRound(loCores, corpusPath, warm = r == 1, withQueries = true)
+          val (d, e, f) = oneRound(hiCores, corpusPath, warm = r == 1, withQueries = true)
+          (a, b, c, d, e, f)
+        } else {
+          val (d, e, f) = oneRound(hiCores, corpusPath, warm = false, withQueries = true)
+          val (a, b, c) = oneRound(loCores, corpusPath, warm = false, withQueries = true)
+          (a, b, c, d, e, f)
+        }
       loBuilds ::= lb; hiBuilds ::= hb
       pairEffs ::= lb / (ratio * hb) // both runs share one host-noise window
       // per-round host ceiling from the IN-SESSION calibration probes: when
