@@ -923,14 +923,22 @@ object IndexStore {
       val dfs: Map[String, Long] =
         termstats.filter(col("term").isin(subs: _*))
           .select("term", "df").as[(String, Long)].collect().toMap
+      // evaluation budget bounds the recursion on adversarial inputs (a
+      // long word over a dense 1-char vocabulary) — the reference's
+      // maxEvaluations guard (WordBreakSpellChecker.java:47, default 2000)
+      var evals = 0
       def splits(rest: String, breaksLeft: Int): Seq[Seq[String]] =
         if (rest.isEmpty) Seq(Nil)
         else (minLen to rest.length).flatMap { cut =>
-          val head = rest.substring(0, cut)
-          if (dfs.getOrElse(head, 0L) < minFreq) Nil
-          else if (cut == rest.length) Seq(Seq(head))
-          else if (breaksLeft == 0) Nil
-          else splits(rest.substring(cut), breaksLeft - 1).map(head +: _)
+          evals += 1
+          if (evals > 2000) Nil
+          else {
+            val head = rest.substring(0, cut)
+            if (dfs.getOrElse(head, 0L) < minFreq) Nil
+            else if (cut == rest.length) Seq(Seq(head))
+            else if (breaksLeft == 0) Nil
+            else splits(rest.substring(cut), breaksLeft - 1).map(head +: _)
+          }
         }
       val out = splits(word, maxChanges)
         .filter(_.size > 1) // the unbroken word itself is not a suggestion

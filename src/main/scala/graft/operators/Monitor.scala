@@ -71,6 +71,8 @@ object Monitor {
               verifiedAcc: Option[LongAccumulator] = None): DataFrame = {
     require(queries.map(_.id).distinct.size == queries.size,
       "duplicate query ids in the monitor registry")
+    queries.foreach(q => require(q.terms.nonEmpty,
+      s"monitor query '${q.id}' has no terms"))
     val spark = docs.sparkSession
     import spark.implicits._
     // anchor term -> query ordinals (the presearcher's query index)

@@ -112,6 +112,10 @@ class MonitorSpec extends SparkSpec {
       Monitor.matches(Seq((0L, "x")).toDF("doc_id", "text"),
         Seq(TermQ("dup", "a"), TermQ("dup", "b")))
     }
+    intercept[IllegalArgumentException] {
+      Monitor.matches(Seq((0L, "x")).toDF("doc_id", "text"),
+        Seq(AndQ("empty", Nil)))
+    }
     // repeated-term phrase: 'spark spark' must match doc 7, not doc 0
     val got = Monitor.matches(docs.toDF("doc_id", "text"),
       Seq(PhraseQ("pp", Seq("spark", "spark"))))
