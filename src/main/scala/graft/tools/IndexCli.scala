@@ -243,6 +243,13 @@ object IndexCli {
     case "manifests" :: dir :: Nil =>
       IndexStore.readManifests(dir).foreach(println)
 
+    // check <indexDir>: full integrity verification (the reference's
+    // CheckIndex) — exits nonzero when any invariant is violated
+    case "check" :: dir :: Nil =>
+      val report = graft.index.CheckIndex.check(spark, dir)
+      println(report.toJson)
+      if (!report.clean) sys.exit(1)
+
     case other =>
       System.err.println(s"unknown args: $other"); sys.exit(2)
   }
