@@ -781,6 +781,16 @@ object SparkEntry {
         .groupBy("event_type").agg(count("*").as("n"))
     }),
 
+    // free-text (n-gram LM) suggester, FreeTextSuggester semantics: stupid
+    // backoff over a 3-gram model, completing "s..." after "value fast";
+    // score doubles are the same int/int division + 0.4-power product in
+    // both engines, so even the floats are oracle-exact
+    "ft_freetext" -> ((s, d) => {
+      val m = graft.operators.FreeText.model(rd(s, d, "documents"), "text", maxOrder = 3)
+      graft.operators.FreeText.suggest(m, Seq("value", "fast", "s"), 10)
+        .select(col("word"), col("ord"), col("score"))
+    }),
+
     // ---- text analysis (training-data pipeline ops) ----
     "ta_quality" -> ((s, d) => TextOps.qualityStats(rd(s, d, "documents"),
       "doc_id", "text", Stopwords)),
@@ -1604,6 +1614,28 @@ object SparkEntry {
            | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
            |   ORDER BY n_matches DESC, passage ASC) AS rk FROM g)
            | SELECT doc_id, passage, n_matches, char_start, char_end FROM r WHERE rk <= 2""".stripMargin,
+      "ft_freetext" ->
+        s"""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok,
+           |   generate_subscripts(regexp_extract_all(lower(text),'[a-z0-9]+'),1) AS pos FROM documents),
+           | cand3 AS (SELECT c.tok AS word, count(*) AS cnt FROM t a
+           |   JOIN t b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+           |   JOIN t c ON a.doc_id=c.doc_id AND c.pos=a.pos+2
+           |   WHERE a.tok='value' AND b.tok='fast' AND c.tok LIKE 's%' GROUP BY 1),
+           | den3 AS (SELECT count(*) AS d FROM t a JOIN t b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+           |   WHERE a.tok='value' AND b.tok='fast'),
+           | cand2 AS (SELECT b.tok AS word, count(*) AS cnt FROM t a
+           |   JOIN t b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+           |   WHERE a.tok='fast' AND b.tok LIKE 's%' GROUP BY 1),
+           | den2 AS (SELECT count(*) AS d FROM t WHERE tok='fast'),
+           | cand1 AS (SELECT tok AS word, count(*) AS cnt FROM t WHERE tok LIKE 's%' GROUP BY 1),
+           | den1 AS (SELECT count(*) AS d FROM t),
+           | u AS (
+           |  SELECT 3 AS ord, word, CAST(1.0 AS DOUBLE)*(CAST(cnt AS DOUBLE)/CAST(d AS DOUBLE)) AS score FROM cand3, den3
+           |  UNION ALL SELECT 2, word, CAST(0.4 AS DOUBLE)*(CAST(cnt AS DOUBLE)/CAST(d AS DOUBLE)) FROM cand2, den2
+           |  UNION ALL SELECT 1, word, (CAST(0.4 AS DOUBLE)*CAST(0.4 AS DOUBLE))*(CAST(cnt AS DOUBLE)/CAST(d AS DOUBLE)) FROM cand1, den1),
+           | dd AS (SELECT *, row_number() OVER (PARTITION BY word ORDER BY ord DESC) AS rn FROM u)
+           | SELECT word, CAST(ord AS INT) AS ord, score FROM dd WHERE rn=1
+           | ORDER BY score DESC, word LIMIT 10""".stripMargin,
       "ft_stemmed_tf" ->
         s"""WITH toks AS (SELECT doc_id, $stemmedTokensSql AS ts FROM documents)
            | SELECT doc_id, CAST(len(list_filter(ts, t -> t = 'tabl')) AS INT) AS tf
