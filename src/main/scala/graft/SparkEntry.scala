@@ -1100,6 +1100,12 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1), classCol = "lang")
     }),
 
+    "cls_bm25nb" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+      Classify.bm25nb(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), classCol = "lang")
+    }),
+
     "cls_knn" -> ((s, d) => {
       val docs = rd(s, d, "documents")
       // maxDfRatio 0.9: the synthetic corpus has a ~30-token vocabulary of
@@ -2068,6 +2074,39 @@ object SparkEntry {
           |   GROUP BY 1, 2)
           | SELECT doc_id, cls AS predicted
           | FROM (SELECT doc_id, cls, round(llh + ln(cd / n), 6) AS score FROM sc)
+          | QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls DESC) = 1""".stripMargin,
+
+      // BM25 Naive Bayes: P(w|c) = class-term BM25 constant + best BM25
+      // score of w over class docs; llh tf-weighted, prior = ln(class const)
+      "cls_bm25nb" ->
+        """WITH lab AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0),
+          | unl AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+          | ltf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM
+          |   (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM lab)
+          |  GROUP BY 1, 2),
+          | dl AS (SELECT doc_id, sum(tf) AS dl FROM ltf GROUP BY 1),
+          | st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM lab) AS n,
+          |               (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM lab) AS avgdl),
+          | dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM ltf GROUP BY 1),
+          | cc AS (SELECT lang AS cls,
+          |     ln(1 + (st.n - CAST(count(*) AS DOUBLE) + 0.5) / (CAST(count(*) AS DOUBLE) + 0.5)) / (1 + 1.2) AS sc
+          |   FROM lab CROSS JOIN st GROUP BY lang, st.n),
+          | wb AS (SELECT l2.lang AS cls, ltf.tok,
+          |     max(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+          |       ltf.tf / (ltf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS sw
+          |   FROM ltf JOIN lab l2 USING (doc_id) JOIN dl USING (doc_id)
+          |   JOIN dfs ON dfs.tok = ltf.tok CROSS JOIN st
+          |   GROUP BY 1, 2),
+          | ut AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM
+          |   (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM unl)
+          |  GROUP BY 1, 2),
+          | sc AS (SELECT ut.doc_id, cc.cls,
+          |     sum(ut.tf * ln(cc.sc + coalesce(wb.sw, 0))) AS llh,
+          |     any_value(cc.sc) AS c0
+          |   FROM ut CROSS JOIN cc LEFT JOIN wb ON wb.cls = cc.cls AND wb.tok = ut.tok
+          |   GROUP BY 1, 2)
+          | SELECT doc_id, cls AS predicted
+          | FROM (SELECT doc_id, cls, round(llh + ln(c0), 6) AS score FROM sc)
           | QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls DESC) = 1""".stripMargin,
 
       // kNN: per-test-doc BM25-weighted shared-token neighbor ranking,

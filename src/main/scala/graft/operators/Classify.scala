@@ -77,6 +77,62 @@ object Classify {
   }
 
   /**
+   * BM25-weighted Naive Bayes (`BM25NBClassifier.java:205-268`): the term
+   * "probability" for (word, class) is the TOP-1 score of a BooleanQuery
+   * (class term MUST + word SHOULD) under BM25Similarity — i.e. the class
+   * term's own BM25 score plus the best BM25 score of the word over the
+   * class's docs (just the class-term score when the class never contains
+   * the word, since MUST alone still matches). The class field holds one
+   * token per doc, so its BM25 score is the per-class constant
+   * idf(docCount(c)) / (1 + k1):  tf = 1, dl = avgdl = 1 collapses the
+   * norm factor. Log-likelihood sums over token OCCURRENCES of the input
+   * (tf-weighted), prior = ln of the class-term score.
+   *
+   * Same determinism contract as [[naiveBayes]]: scores rounded to 6
+   * decimals before the argmax, ties to the lexicographically largest
+   * class. One Catalyst plan: per-(class, word) max is a partial+final
+   * aggregate, class constants broadcast.
+   */
+  def bm25nb(labeled: DataFrame, unlabeled: DataFrame, idCol: String = "doc_id",
+             textCol: String = "text", classCol: String = "source",
+             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ltf = TextOps.termFreqs(labeled, idCol, textCol) // (idCol, tok, tf)
+    val dl = ltf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val global = labeled.agg(count("*").cast("double").as("n"))
+      .crossJoin(dl.agg(sum("dl").as("tot")))
+      .withColumn("avgdl", col("tot") / col("n"))
+    val dfs = ltf.groupBy("tok").agg(count("*").cast("double").as("df"))
+    val cls = labeled.select(col(idCol).cast("long").as(idCol), col(classCol).as("cls"))
+    // class-term constant: idf over the class "field" (one token per doc)
+    val classConst = cls.groupBy("cls").agg(count("*").cast("double").as("class_docs"))
+      .crossJoin(broadcast(global.select("n")))
+      .withColumn("sc",
+        log(lit(1.0) + (col("n") - col("class_docs") + 0.5) / (col("class_docs") + 0.5))
+          / (lit(1.0) + k1))
+      .select("cls", "sc")
+    // per (class, word): best BM25 score of the word across the class docs
+    val wordBest = ltf.join(cls, idCol).join(dl, idCol).join(dfs, "tok")
+      .crossJoin(broadcast(global))
+      .withColumn("s",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") / (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("cls", "tok").agg(max("s").as("sw"))
+
+    val testTf = TextOps.termFreqs(unlabeled, idCol, textCol)
+    val scored = testTf
+      .crossJoin(broadcast(classConst))
+      .join(wordBest, Seq("cls", "tok"), "left")
+      .withColumn("lp", col("tf") * log(col("sc") + coalesce(col("sw"), lit(0.0))))
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum("lp").as("llh"), first("sc").as("sc"))
+      .withColumn("score", round(col("llh") + log(col("sc")), 6))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("cls").desc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("cls").as("predicted"))
+  }
+
+  /**
    * k-nearest-neighbor classification: each unlabeled doc's distinct tokens
    * form an OR query over the labeled corpus, neighbors are ranked by the
    * summed BM25 term weight (`KNearestNeighborClassifier.java` runs the

@@ -46,6 +46,46 @@ class ClassifySpec extends SparkSpec {
     (5L, "executor partition broadcast task"),
     (7L, "bird fish food"))
 
+  /** Local BM25NB with the exact reference formula (BM25NBClassifier:
+    * P(w|c) = class-term BM25 const + best word BM25 over class docs,
+    * tf-weighted log sum, prior = ln(class const)). */
+  private def localBm25Nb(labeled: Seq[(Long, String, String)],
+                          text: String): String = {
+    val n = labeled.size.toDouble
+    val docToks = labeled.map { case (id, t, c) => (id, tokens(t), c) }
+    val dls = docToks.map { case (id, ts, _) => id -> ts.size.toDouble }.toMap
+    val avgdl = dls.values.sum / n
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    val dfOf = docToks.flatMap { case (_, ts, _) => ts.distinct }
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toDouble }
+    val classes = labeled.map(_._3).distinct
+    val toks = tokens(text)
+    classes.map { c =>
+      val classDocs = labeled.count(_._3 == c).toDouble
+      val sc = idf(classDocs) / (1.0 + 1.2)
+      val llh = toks.map { w =>
+        val best = docToks.collect { case (id, ts, cc) if cc == c && ts.contains(w) =>
+          val tf = ts.count(_ == w).toDouble
+          idf(dfOf(w)) * tf / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dls(id) / avgdl))
+        }
+        math.log(sc + (if (best.isEmpty) 0.0 else best.max))
+      }.sum
+      (c, BigDecimal(llh + math.log(sc)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    }.maxBy { case (c, s) => (s, c) }._1
+  }
+
+  test("bm25nb matches the reference arithmetic (local oracle)") {
+    import spark.implicits._
+    val l = labeled.toDF("doc_id", "text", "source")
+    val u = unlabeled.toDF("doc_id", "text")
+    val got = Classify.bm25nb(l, u).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, text) <- unlabeled)
+      assert(got(id) === localBm25Nb(labeled, text), s"doc $id")
+    assert(got(1L) === "big" && got(3L) === "pets")
+    assert(got(5L) === "big" && got(7L) === "pets")
+  }
+
   test("naiveBayes matches the reference arithmetic (local oracle)") {
     import spark.implicits._
     val l = labeled.toDF("doc_id", "text", "source")
