@@ -781,6 +781,16 @@ object SparkEntry {
         .groupBy("event_type").agg(count("*").as("n"))
     }),
 
+    // interval query (lucene/queries intervals module): minimal ordered
+    // intervals of fast..scan with at most 2 internal gaps, walked by the
+    // reference's iterator algebra over the positions tier — the minimal
+    // pair count per doc is integer-exact, so fully oracle-checkable
+    "ft_intervals" -> ((s, d) => graft.operators.Intervals.query(
+      docIndex(s, d).positions,
+      graft.operators.Intervals.MaxGaps(2, graft.operators.Intervals.Ordered(
+        Seq(graft.operators.Intervals.Term("fast"), graft.operators.Intervals.Term("scan")))))
+      .select(col("docId").as("doc_id"), col("n_intervals"))),
+
     // free-text (n-gram LM) suggester, FreeTextSuggester semantics: stupid
     // backoff over a 3-gram model, completing "s..." after "value fast";
     // score doubles are the same int/int division + 0.4-power product in
@@ -1620,6 +1630,18 @@ object SparkEntry {
            | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
            |   ORDER BY n_matches DESC, passage ASC) AS rk FROM g)
            | SELECT doc_id, passage, n_matches, char_start, char_end FROM r WHERE rk <= 2""".stripMargin,
+      "ft_intervals" ->
+        """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text),'[a-z0-9]+'),1) AS pos FROM documents),
+          | a AS (SELECT doc_id, pos FROM t WHERE tok='fast'),
+          | b AS (SELECT doc_id, pos FROM t WHERE tok='scan'),
+          | pairs AS (SELECT a.doc_id, a.pos AS pa, min(b.pos) AS pb
+          |   FROM a JOIN b ON b.doc_id=a.doc_id AND b.pos > a.pos GROUP BY 1, 2),
+          | minimal AS (SELECT p.doc_id, pa, pb FROM pairs p
+          |   WHERE NOT EXISTS (SELECT 1 FROM a a2
+          |     WHERE a2.doc_id = p.doc_id AND a2.pos > p.pa AND a2.pos < p.pb))
+          | SELECT doc_id, CAST(count(*) AS INT) AS n_intervals FROM minimal
+          | WHERE pb - pa - 1 <= 2 GROUP BY doc_id""".stripMargin,
       "ft_freetext" ->
         s"""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok,
            |   generate_subscripts(regexp_extract_all(lower(text),'[a-z0-9]+'),1) AS pos FROM documents),
