@@ -107,23 +107,35 @@ object Bench {
     * bursts, some starting mid-window; a round whose own calibration shows
     * a degraded ceiling was corrupted by the HOST, not the engine). */
   private def oneRound(cores: Int, corpusPath: String, warm: Boolean,
-                       withQueries: Boolean): (Double, Double, Double) = {
+                       withQueries: Boolean): (Double, Double, Double, Double) = {
     val spark = session(cores)
     try {
       val calIters = math.max(20, HashIters / 5)
-      def probe(): Double = {
+      // two-sided probe: sha256 (cache-resident pure CPU) AND a large-array
+      // copy (memory bandwidth). The sandbox's co-tenants can steal MEMORY
+      // BANDWIDTH while leaving cache-resident CPU untouched — a window like
+      // that shows a clean sha ceiling while the build (string/allocation
+      // heavy) runs up to 10x slow, so both resources must be calibrated for
+      // the round to be self-evidencing (measured: 62 s analyze at 8 cores in
+      // a bandwidth-stolen window vs 6.3 s clean, with the sha probe at 0.98)
+      def probe(): (Double, Double) = {
         spark.sparkContext.parallelize(0 until Partitions, Partitions)
           .map(i => hashTask(i, 4)).count() // JIT warm
         val c0 = System.nanoTime()
         spark.sparkContext.parallelize(0 until Partitions, Partitions)
           .map(i => hashTask(i, calIters)).count()
-        Partitions.toDouble * calIters / ((System.nanoTime() - c0) / 1e9)
+        val cpu = Partitions.toDouble * calIters / ((System.nanoTime() - c0) / 1e9)
+        val m0 = System.nanoTime()
+        spark.sparkContext.parallelize(0 until Partitions, Partitions)
+          .map(i => copyTask(i, CopyIters)).count()
+        val mem = Partitions.toDouble * CopyIters * CopyMB / ((System.nanoTime() - m0) / 1e9)
+        (cpu, mem)
       }
       // probe BEFORE the timed window; a second probe runs AFTER it and the
       // round's ceiling uses the MIN — a contention burst that starts
       // mid-window (invisible to a leading point sample) still marks the
       // round host-corrupted
-      val calibPre = probe()
+      val (calibPreCpu, calibPreMem) = probe()
       val dir = s"/dev/shm/graft-bench-idx-$cores"
       if (warm) {
         // JIT/classload warmup so the first-measured round isn't penalized
@@ -199,8 +211,9 @@ object Bench {
         val secs = (System.nanoTime() - q0) / 1e9
         secs * QuerySet.size / nq // normalized: seconds per one QuerySet pass
       }
-      val calib = math.min(calibPre, probe()) // trailing probe: see above
-      (buildSecs, querySecs, calib)
+      val (calibPostCpu, calibPostMem) = probe() // trailing probe: see above
+      (buildSecs, querySecs, math.min(calibPreCpu, calibPostCpu),
+        math.min(calibPreMem, calibPostMem))
     } finally spark.stop()
   }
 
@@ -215,7 +228,7 @@ object Bench {
     * achieve on this host at that level. */
   private val HashIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB_ITERS", "300").toInt
 
-  private def calibrate(cores: Int): Double = {
+  private def calibrate(cores: Int): (Double, Double) = {
     val spark = session(cores)
     try {
       val iters = HashIters
@@ -225,8 +238,32 @@ object Bench {
       val t0 = System.nanoTime()
       spark.sparkContext.parallelize(0 until Partitions, Partitions)
         .map(i => hashTask(i, iters)).count()
-      Partitions.toDouble * iters / ((System.nanoTime() - t0) / 1e9) // MB hashed /s
+      val cpu = Partitions.toDouble * iters / ((System.nanoTime() - t0) / 1e9) // MB hashed /s
+      val m0 = System.nanoTime()
+      spark.sparkContext.parallelize(0 until Partitions, Partitions)
+        .map(i => copyTask(i, CopyIters)).count()
+      val mem = Partitions.toDouble * CopyIters * CopyMB / ((System.nanoTime() - m0) / 1e9)
+      (cpu, mem)
     } finally spark.stop()
+  }
+
+  /** Memory-bandwidth calibration task: copy an 8 MiB array (beyond any
+    * per-core cache share) `iters` times. MB moved per call = iters * 8. */
+  private val CopyMB = 8
+  private val CopyIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_COPY_ITERS", "24").toInt
+
+  private def copyTask(seed: Int, iters: Int): Long = {
+    val src = new Array[Byte](CopyMB << 20)
+    java.util.Arrays.fill(src, seed.toByte)
+    val dst = new Array[Byte](CopyMB << 20)
+    var i = 0
+    var acc = 0L
+    while (i < iters) {
+      System.arraycopy(src, 0, dst, 0, src.length)
+      acc += dst((i * 31) & (src.length - 1))
+      i += 1
+    }
+    acc
   }
 
   private def hashTask(seed: Int, iters: Int): Long = {
@@ -286,22 +323,24 @@ object Bench {
       // The within-round order ALTERNATES (lo-hi, hi-lo, ...): a monotonic
       // contention ramp otherwise hands the same half of every pair the
       // worse window and biases the median in one direction.
-      val (lb, lq, lc, hb, hq, hc) =
+      val (lb, lq, lc, lm, hb, hq, hc, hm) =
         if (r % 2 == 1) {
-          val (a, b, c) = oneRound(loCores, corpusPath, warm = r == 1, withQueries = true)
-          val (d, e, f) = oneRound(hiCores, corpusPath, warm = r == 1, withQueries = true)
-          (a, b, c, d, e, f)
+          val (a, b, c, c2) = oneRound(loCores, corpusPath, warm = r == 1, withQueries = true)
+          val (d, e, f, f2) = oneRound(hiCores, corpusPath, warm = r == 1, withQueries = true)
+          (a, b, c, c2, d, e, f, f2)
         } else {
-          val (d, e, f) = oneRound(hiCores, corpusPath, warm = false, withQueries = true)
-          val (a, b, c) = oneRound(loCores, corpusPath, warm = false, withQueries = true)
-          (a, b, c, d, e, f)
+          val (d, e, f, f2) = oneRound(hiCores, corpusPath, warm = false, withQueries = true)
+          val (a, b, c, c2) = oneRound(loCores, corpusPath, warm = false, withQueries = true)
+          (a, b, c, c2, d, e, f, f2)
         }
       loBuilds ::= lb; hiBuilds ::= hb
       pairEffs ::= lb / (ratio * hb) // both runs share one host-noise window
       // per-round host ceiling from the IN-SESSION calibration probes: when
-      // external load steals cores, the pure-CPU probe degrades in exactly
-      // the same window — ceiling < threshold marks the round HOST-corrupted
-      roundCeils ::= hc / (ratio * lc)
+      // external load steals cores OR memory bandwidth, the corresponding
+      // probe degrades in exactly the same window — the round's ceiling is
+      // the WORSE of the two resources (ceiling < threshold marks the round
+      // HOST-corrupted and excludes it from the clean median)
+      roundCeils ::= math.min(hc / (ratio * lc), hm / (ratio * lm))
       if (!lq.isNaN && !hq.isNaN) {
         loQ ::= lq; hiQ ::= hq
         qPairEffs ::= lq / (ratio * hq)
@@ -375,9 +414,10 @@ object Bench {
     // host ceiling at this (lo, hi) pair: what a PERFECTLY scaling
     // pure-CPU job achieves on this VM (vCPUs are oversubscribed above
     // ~14 threads — see scaladoc)
-    val calibLo = calibrate(loCores)
-    val calibHi = calibrate(hiCores)
+    val (calibLo, membwLo) = calibrate(loCores)
+    val (calibHi, membwHi) = calibrate(hiCores)
     val hostCeiling = calibHi / (ratio * calibLo)
+    val hostMemCeiling = membwHi / (ratio * membwLo)
 
     val corpusPath = writeCorpus(numDocs, files = 64)
     val (bLo, bHi, qLo, qHi) = runInterleaved(loCores, hiCores, numDocs, corpusPath)
@@ -414,6 +454,6 @@ object Bench {
     val bpJson = buildPairList.map(c => num(c, 3)).mkString("[", ",", "]")
     val qpJson = queryPairList.map(c => num(c, 3)).mkString("[", ",", "]")
     println(
-      s"""{"metric":"index-build files/sec @ local[$hiCores] (scaling eff ${num(medianPairEff, 2)} vs local[$loCores], median of host-clean pairs; host ceiling ${num(hostCeiling, 2)})","value":${num(bHi, 1)},"unit":"files/sec","sf":"$sfDir","queries":$queriesJson,"headline_total_sec":${num(total, 2)},"bench_docs":$numDocs,"build_files_per_sec_lo":${num(bLo, 1)},"build_files_per_sec_hi":${num(bHi, 1)},"build_scaling_efficiency":${num(buildEff, 3)},"build_scaling_efficiency_best_pair":${num(bestPairEff, 3)},"build_scaling_efficiency_median_pair":${num(medianPairEff, 3)},"build_scaling_efficiency_median_all_rounds":${num(allMedianPairEff, 3)},"query_qps_lo":${num(qLo, 2)},"query_qps_hi":${num(qHi, 2)},"query_scaling_efficiency":${num(queryEff, 3)},"query_scaling_efficiency_best_pair":${num(queryBestPairEff, 3)},"query_scaling_efficiency_median_pair":${num(queryMedianPairEff, 3)},"query_scaling_efficiency_median_all_rounds":${num(queryAllMedianPairEff, 3)},"build_scaling_efficiency_host_normalized_median":${num(normBuildMedian, 3)},"query_scaling_efficiency_host_normalized_median":${num(normQueryMedian, 3)},"round_host_ceilings":$ceilsJson,"build_pair_effs":$bpJson,"query_pair_effs":$qpJson,"clean_rounds":$cleanRounds,"host_calib_mb_per_sec_lo":${num(calibLo, 1)},"host_calib_mb_per_sec_hi":${num(calibHi, 1)},"host_ceiling_efficiency":${num(hostCeiling, 3)},"lo_cores":$loCores,"hi_cores":$hiCores}""")
+      s"""{"metric":"index-build files/sec @ local[$hiCores] (scaling eff ${num(medianPairEff, 2)} vs local[$loCores], median of host-clean pairs; host ceiling ${num(hostCeiling, 2)})","value":${num(bHi, 1)},"unit":"files/sec","sf":"$sfDir","queries":$queriesJson,"headline_total_sec":${num(total, 2)},"bench_docs":$numDocs,"build_files_per_sec_lo":${num(bLo, 1)},"build_files_per_sec_hi":${num(bHi, 1)},"build_scaling_efficiency":${num(buildEff, 3)},"build_scaling_efficiency_best_pair":${num(bestPairEff, 3)},"build_scaling_efficiency_median_pair":${num(medianPairEff, 3)},"build_scaling_efficiency_median_all_rounds":${num(allMedianPairEff, 3)},"query_qps_lo":${num(qLo, 2)},"query_qps_hi":${num(qHi, 2)},"query_scaling_efficiency":${num(queryEff, 3)},"query_scaling_efficiency_best_pair":${num(queryBestPairEff, 3)},"query_scaling_efficiency_median_pair":${num(queryMedianPairEff, 3)},"query_scaling_efficiency_median_all_rounds":${num(queryAllMedianPairEff, 3)},"build_scaling_efficiency_host_normalized_median":${num(normBuildMedian, 3)},"query_scaling_efficiency_host_normalized_median":${num(normQueryMedian, 3)},"round_host_ceilings":$ceilsJson,"build_pair_effs":$bpJson,"query_pair_effs":$qpJson,"clean_rounds":$cleanRounds,"host_calib_mb_per_sec_lo":${num(calibLo, 1)},"host_calib_mb_per_sec_hi":${num(calibHi, 1)},"host_ceiling_efficiency":${num(hostCeiling, 3)},"host_membw_mb_per_sec_lo":${num(membwLo, 1)},"host_membw_mb_per_sec_hi":${num(membwHi, 1)},"host_mem_ceiling_efficiency":${num(hostMemCeiling, 3)},"lo_cores":$loCores,"hi_cores":$hiCores}""")
   }
 }
