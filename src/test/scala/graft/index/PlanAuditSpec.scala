@@ -205,6 +205,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("MapPartitions"), plan.take(2000))
   }
 
+  test("Intervals.query: positions scan pruned to the source's own terms") {
+    val src = graft.operators.Intervals.MaxGaps(2, graft.operators.Intervals.Ordered(
+      Seq(graft.operators.Intervals.Term("public"), graft.operators.Intervals.Term("static"))))
+    val plan = planOf(graft.operators.Intervals.query(idx.positions, src))
+    // the In(term, [public,static]) predicate must reach the parquet scan
+    assert(plan.contains("PushedFilters"), plan.take(1500))
+    assert(plan.contains("In(term") || plan.contains("EqualTo(term"), plan.take(1500))
+    // exactly ONE exchange: the per-doc groupByKey of the pruned rows
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan.take(2000))
+  }
+
+  test("FreeText.suggest: per-order denominators broadcast, no model-wide sort") {
+    val docs = (0 until 50).map(i => (i.toLong, s"spark query plan $i")).toDF("doc_id", "text")
+    val model = graft.operators.FreeText.model(docs, "text", maxOrder = 3)
+    val plan = planOf(graft.operators.FreeText.suggest(model, Seq("spark", "query", "p"), 5))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("Classify: stats broadcast; kNN df-cap precedes the candidate join") {
     val docs = (0 until 100).map(i =>
       (i.toLong, s"spark query doc $i words", s"l${i % 3}")).toDF("doc_id", "text", "lang")
