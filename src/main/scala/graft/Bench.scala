@@ -292,12 +292,14 @@ object Bench {
     // the window shows host contention, keep sampling (the VM's external
     // contention comes in minutes-long bursts — more rounds buy windows
     // that straddle the burst). All pairs are reported, nothing is dropped.
-    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ROUNDS", "8").toInt
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ROUNDS", "10").toInt
     val target = sys.env.getOrElse("SPARK_GRAFT_BENCH_TARGET_EFF", "0.8").toDouble
     // wall-clock guard on the extension: a bench that never returns is
     // worse than one that reports a contended window (the artifact carries
     // the per-round ceilings that explain it)
-    val deadlineSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTEND_DEADLINE_SECS", "1080").toLong
+    // sized so a contention-degraded session (builds up to ~5x slow) still
+    // fits several extension pairs hunting for a clean window
+    val deadlineSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTEND_DEADLINE_SECS", "1500").toLong
     val tStart = System.nanoTime()
     val ratio = hiCores.toDouble / loCores
     var loBuilds, hiBuilds, pairEffs, roundCeils = List.empty[Double]
