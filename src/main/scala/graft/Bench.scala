@@ -309,8 +309,19 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    def cleanIdxOf(ceils: Seq[Double]) =
-      ceils.indices.filter(i => ceils(i) >= CleanCeiling)
+    def cleanIdxOf(ceils: Seq[Double]) = {
+      val byThreshold = ceils.indices.filter(i => ceils(i) >= CleanCeiling)
+      if (byThreshold.nonEmpty) byThreshold
+      else if (ceils.isEmpty) Seq.empty
+      else {
+        // no round cleared the threshold (fully contended session): the
+        // median over host-corrupted pairs measures the HOST, not the
+        // engine — fall back to the least-corrupted rounds (within 0.02 of
+        // the best ceiling observed)
+        val best = ceils.max
+        ceils.indices.filter(i => ceils(i) >= best - 0.02)
+      }
+    }
     def cleanMedianOf(xs: List[Double], cleanIdx: Seq[Int]): Double = {
       val chron = xs.reverse
       val clean = cleanIdx.collect { case i if i < chron.size => chron(i) }.toList

@@ -501,6 +501,27 @@ object IndexStore {
     Files.writeString(Paths.get(s"$dir/stats/corpus.json"), json)
   }
 
+  /**
+   * Build a SORTED doc-values tier — the analogue of Lucene's index-time
+   * sort (reference IndexWriterConfig.setIndexSort + TopFieldCollector
+   * early termination): the chosen columns are written range-partitioned
+   * on `sortCol` and sorted (sortCol, docId) within each partition, so a
+   * query sorted the same way terminates after k rows per partition (see
+   * [[OpenIndex.topKByFieldSorted]]) and range predicates prune whole
+   * files by parquet min/max. Like the reference, the sort direction and
+   * field are fixed at write time; in-place DV patches do NOT apply to
+   * this tier (Lucene likewise forbids updating the index-sort field).
+   */
+  def buildSortedDocValues(spark: SparkSession, corpusWithIds: DataFrame,
+                           dir: String, sortCol: String, cols: Seq[String],
+                           partitions: Int): Unit = {
+    corpusWithIds
+      .select((col("docId") +: (sortCol +: cols.filterNot(_ == sortCol)).map(col)): _*)
+      .repartitionByRange(partitions, col(sortCol), col("docId"))
+      .sortWithinPartitions(col(sortCol), col("docId"))
+      .write.mode("overwrite").parquet(s"$dir/dvsorted/$sortCol")
+  }
+
   /** Open a committed index for querying. */
   final case class OpenIndex(spark: SparkSession, dir: String) {
     import spark.implicits._
@@ -1061,6 +1082,60 @@ object IndexStore {
         if (asc_) asc(f) else desc(f)
       } :+ asc("docId")
       live.join(docvalues, "docId").orderBy(sortCols: _*)
+    }
+
+    /** The sorted doc-values tier for `field` (see
+      * [[IndexStore.buildSortedDocValues]]). */
+    def sortedDocValues(field: String): DataFrame = {
+      val p = s"$dir/dvsorted/$field"
+      require(Files.exists(Paths.get(p)),
+        s"index at $dir has no sorted doc-values tier for '$field' " +
+          "(build with IndexStore.buildSortedDocValues)")
+      spark.read.parquet(p)
+    }
+
+    /**
+     * Early-terminated field-sorted top-k — the analogue of Lucene's
+     * index-sort early termination (reference search/TopFieldCollector
+     * .java:40 + CollectionTerminatedException in IndexSearcher.java:
+     * 705-712: when the INDEX sort equals the query sort, each segment
+     * stops collecting after k competitive docs instead of scoring every
+     * document). Valid only for ascending sort on the tier's own sort
+     * field, exactly like the reference (sort direction is baked into the
+     * index layout).
+     *
+     * Every tier FILE is one ascending run (the writer's range partitioner
+     * emits one sorted file per range), so the plan is one scan per file
+     * with a LocalLimit k above the (pushed-down) predicate — the limit
+     * stops pulling from the columnar reader after its k-th match, so rows
+     * READ per file are bounded by the k-th match position plus one reader
+     * batch, not the file size (asserted on task input metrics in
+     * SortedDvSpec). The per-file heads union into the bounded TakeOrdered
+     * merge. A naive per-read-partition take(k) would be WRONG: Spark
+     * packs multiple small files into one read split in arbitrary order,
+     * so a split's head rows need not be its lowest values — the per-file
+     * scan sidesteps exactly that. Range predicates on the sort field
+     * additionally prune whole files via parquet min/max.
+     */
+    def topKByFieldSorted(field: String, k: Int,
+                          predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      require(k > 0)
+      sortedDocValues(field) // fail fast when the tier is missing
+      val tierDir = Paths.get(s"$dir/dvsorted/$field")
+      val files = {
+        val it = Files.list(tierDir).iterator()
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) out += p.toString
+        }
+        out.toSeq.sorted
+      }
+      val heads = files.map { f =>
+        val scan = spark.read.parquet(f)
+        predicate.fold(scan)(scan.filter).limit(k)
+      }.reduce(_ unionByName _)
+      heads.orderBy(asc(field), asc("docId")).limit(k)
     }
 
     /** Facet counts over the matching docs of a term query (Solr's
