@@ -781,6 +781,21 @@ object SparkEntry {
         .groupBy("event_type").agg(count("*").as("n"))
     }),
 
+    // index-sort early termination (setIndexSort + TopFieldCollector): the
+    // sorted doc-values tier answers same-sort top-k reading a bounded
+    // number of rows per file (SortedDvSpec proves the input metrics); the
+    // result itself is an exact deterministic top-k, so fully oracle-checked
+    "ft_sorted_early" -> ((s, d) => {
+      val idx = docIndex(s, d)
+      val tier = java.nio.file.Paths.get(idx.dir, "dvsorted", "n_chars")
+      if (!java.nio.file.Files.exists(tier))
+        IndexStore.buildSortedDocValues(s,
+          rd(s, d, "documents").select(col("doc_id").as("docId"), col("n_chars"), col("lang")),
+          idx.dir, "n_chars", Seq("lang"), partitions = 8)
+      idx.topKByFieldSorted("n_chars", 10, Some(col("lang") === "en"))
+        .select(col("docId").as("doc_id"), col("n_chars"))
+    }),
+
     // interval query (lucene/queries intervals module): minimal ordered
     // intervals of fast..scan with at most 2 internal gaps, walked by the
     // reference's iterator algebra over the positions tier — the minimal
@@ -1630,6 +1645,9 @@ object SparkEntry {
            | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
            |   ORDER BY n_matches DESC, passage ASC) AS rk FROM g)
            | SELECT doc_id, passage, n_matches, char_start, char_end FROM r WHERE rk <= 2""".stripMargin,
+      "ft_sorted_early" ->
+        """SELECT doc_id, n_chars FROM documents WHERE lang = 'en'
+          | ORDER BY n_chars, doc_id LIMIT 10""".stripMargin,
       "ft_intervals" ->
         """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok,
           |   generate_subscripts(regexp_extract_all(lower(text),'[a-z0-9]+'),1) AS pos FROM documents),
