@@ -250,6 +250,16 @@ object IndexCli {
       println(report.toJson)
       if (!report.clean) sys.exit(1)
 
+    // multisearch <k> <dirA> <dirB> [dirC...] -- term... : federated
+    // search over several indexes with exact merged stats (MultiReader
+    // docBase + ExactStatsCache semantics)
+    case "multisearch" :: k :: rest if rest.contains("--") =>
+      val (dirs, terms) = rest.span(_ != "--")
+      val indexes = dirs.map(d => IndexStore.OpenIndex(spark, d))
+      graft.index.MultiIndex.topK(indexes, terms.drop(1), k.toInt).collect()
+        .foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)} " +
+          s"shard=${r.getInt(2)} local=${r.getLong(3)}"))
+
     case other =>
       System.err.println(s"unknown args: $other"); sys.exit(2)
   }
