@@ -69,6 +69,36 @@ class MultiIndexSpec extends SparkSpec {
     }
   }
 
+  test("three uneven shards, random queries: still bit-identical") {
+    val withIds = DocIds.assign(CorpusGen.corpus(spark, 300, 3).toDF(),
+      Seq("repo", "path", "commit"), 3).cache()
+    val cuts = Seq(0L, 47L, 211L, 300L) // uneven on purpose
+    val dirs = (0 until 3).map { i =>
+      val d = Files.createTempDirectory(s"graft-multi3-$i").toString
+      val slice = withIds.filter(col("docId") >= cuts(i) && col("docId") < cuts(i + 1))
+        .withColumn("docId", col("docId") - cuts(i))
+      IndexStore.build(spark, slice, d, numSegments = 1, shufflePartitions = 3)
+      d
+    }
+    val dAll = Files.createTempDirectory("graft-multi3-all").toString
+    IndexStore.build(spark, withIds, dAll, numSegments = 1, shufflePartitions = 3)
+    val all = IndexStore.OpenIndex(spark, dAll)
+    val shards = dirs.map(IndexStore.OpenIndex(spark, _))
+    val vocab = Seq("public", "import", "class", "val", "def", "handler3",
+      "parseconfig", "uniq_5_0", "uniq_42_1", "return")
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 10) {
+      val terms = Seq.fill(rnd.nextInt(3) + 1)(vocab(rnd.nextInt(vocab.size))).distinct
+      val mode = if (rnd.nextBoolean()) QueryEngine.Or else QueryEngine.And
+      val k = rnd.nextInt(40) + 1
+      val want = all.topK(terms, k, mode)
+        .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      val got = MultiIndex.topK(shards, terms, k, mode).select("docId", "score")
+        .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      assert(got === want, s"terms=$terms mode=$mode k=$k")
+    }
+  }
+
   test("per-shard deletes are rebased and honored") {
     // delete the top hit's shard-B local id; it must vanish from federation
     val top = MultiIndex.topK(fed, Seq("public"), 1)
