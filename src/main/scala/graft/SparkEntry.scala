@@ -816,6 +816,15 @@ object SparkEntry {
         .select(col("word"), col("ord"), col("score"))
     }),
 
+    // dictionary entity tagger (Solr Text Tagger): broadcast token-trie,
+    // one narrow pass, ALL policy here so every match is SQL-checkable
+    // (LDR/NO_SUB policies covered by TaggerSpec goldens)
+    "ta_tagger" -> ((s, d) => graft.operators.Tagger.tagDocs(
+      rd(s, d, "documents"), "doc_id", "text",
+      Seq(("JOIN_OP", "hash join"), ("SCAN_OP", "fast scan"), ("TBL", "table")),
+      graft.operators.Tagger.All)
+      .select(col("doc_id"), col("start_tok"), col("end_tok"), col("tag"))),
+
     // ---- text analysis (training-data pipeline ops) ----
     "ta_quality" -> ((s, d) => TextOps.qualityStats(rd(s, d, "documents"),
       "doc_id", "text", Stopwords)),
@@ -1645,6 +1654,18 @@ object SparkEntry {
            | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
            |   ORDER BY n_matches DESC, passage ASC) AS rk FROM g)
            | SELECT doc_id, passage, n_matches, char_start, char_end FROM r WHERE rk <= 2""".stripMargin,
+      "ta_tagger" ->
+        """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text),'[a-z0-9]+'),1) AS pos FROM documents),
+          | u AS (
+          |  SELECT doc_id, pos-1 AS s, pos-1 AS e, 'TBL' AS tag FROM t WHERE tok='table'
+          |  UNION ALL SELECT a.doc_id, a.pos-1, b.pos-1, 'JOIN_OP' FROM t a
+          |   JOIN t b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+          |   WHERE a.tok='hash' AND b.tok='join'
+          |  UNION ALL SELECT a.doc_id, a.pos-1, b.pos-1, 'SCAN_OP' FROM t a
+          |   JOIN t b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+          |   WHERE a.tok='fast' AND b.tok='scan')
+          | SELECT doc_id, CAST(s AS INT) AS start_tok, CAST(e AS INT) AS end_tok, tag FROM u""".stripMargin,
       "ft_sorted_early" ->
         """SELECT doc_id, n_chars FROM documents WHERE lang = 'en'
           | ORDER BY n_chars, doc_id LIMIT 10""".stripMargin,
