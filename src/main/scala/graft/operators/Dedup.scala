@@ -22,26 +22,63 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Cap each bucket at `maxBucketSize` members, kept deterministically by
-    * ascending id. One exchange, reused: a COUNT window (partition keys
-    * only, no ordering) tags each row with its bucket size; under-cap rows
-    * pass through, and the row_number sort — the expensive part — runs
-    * only over the oversized residue, whose exchange Spark reuses
-    * (ReuseExchange: both branches read the same shuffle). In a healthy
-    * corpus the residue is tiny, so the guard costs one count window
-    * instead of a full (keys, id) sort of every banded row. */
+    * ascending id — the window form, for band tables that carry payload
+    * columns beyond (id, keys). Band tables that don't should use
+    * [[capBucketsAgg]], which replaces the window's sort with a hash
+    * aggregation. */
   private def capBuckets(banded: DataFrame, keyCols: Seq[String], idCol: String,
                          maxBucketSize: Int): DataFrame = {
     require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
     val keys = keyCols.map(col)
-    val counted = banded.withColumn("__bn",
-      count(lit(1)).over(Window.partitionBy(keys: _*)))
-    val small = counted.filter(col("__bn") <= maxBucketSize).drop("__bn")
+    // one window pass: deterministic membership = the maxBucketSize
+    // smallest ids of each bucket
     val w = Window.partitionBy(keys: _*).orderBy(col(idCol))
-    val cappedBig = counted.filter(col("__bn") > maxBucketSize)
-      .withColumn("__rn", row_number().over(w))
+    banded.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxBucketSize)
-      .drop("__bn", "__rn")
-    small.unionByName(cappedBig)
+      .drop("__rn")
+  }
+
+  /** Bounded max-heap of the k SMALLEST longs per group — the sort-free
+    * form of [[capBuckets]] for band tables that carry only (id, keys):
+    * a hash aggregation (partial min-k per map task, merged) replaces the
+    * window's full sort of the banded rows. Same membership: the
+    * maxBucketSize smallest ids of each bucket. */
+  private final class MinKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, java.util.PriorityQueue[java.lang.Long], Array[Long]] {
+    private def maxHeap = new java.util.PriorityQueue[java.lang.Long](
+      java.util.Comparator.reverseOrder[java.lang.Long]())
+    def zero: java.util.PriorityQueue[java.lang.Long] = maxHeap
+    def reduce(q: java.util.PriorityQueue[java.lang.Long], id: Long): java.util.PriorityQueue[java.lang.Long] = {
+      if (q.size < k) q.add(id)
+      else if (id < q.peek) { q.poll(); q.add(id) }
+      q
+    }
+    def merge(a: java.util.PriorityQueue[java.lang.Long],
+              b: java.util.PriorityQueue[java.lang.Long]): java.util.PriorityQueue[java.lang.Long] = {
+      val it = b.iterator()
+      while (it.hasNext) reduce(a, it.next()): Unit
+      a
+    }
+    def finish(q: java.util.PriorityQueue[java.lang.Long]): Array[Long] = {
+      val out = new Array[Long](q.size)
+      var i = out.length - 1
+      while (i >= 0) { out(i) = q.poll(); i -= 1 }
+      out
+    }
+    def bufferEncoder = org.apache.spark.sql.Encoders.kryo[java.util.PriorityQueue[java.lang.Long]]
+    def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Cap via hash-aggregated min-k (no sort shuffle). `banded` must be
+    * exactly (idCol, keyCols...); output column order matches. */
+  private def capBucketsAgg(banded: DataFrame, keyCols: Seq[String], idCol: String,
+                            maxBucketSize: Int): DataFrame = {
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
+    val minK = udaf(new MinKAgg(maxBucketSize))
+    banded.groupBy(keyCols.map(col): _*)
+      .agg(minK(col(idCol)).as("__ids"))
+      .select((explode(col("__ids")).as(idCol) +: keyCols.map(col)): _*)
   }
 
   /** Exact dedup: keep the first doc (by `order`) of each identical-content
@@ -157,7 +194,7 @@ object Dedup {
     val sigs = sigs0.cache()
     // band table carries ONLY (id, band, bucket): the heavy signature array
     // stays out of the shuffle; candidate pairs dedup on bare id pairs
-    val banded = capBuckets(sigs.select(
+    val banded = capBucketsAgg(sigs.select(
       col(idCol),
       posexplode(array((0 until bands).map { b =>
         xxhash64(slice(col("minhash"), b * rowsPerBand + 1, rowsPerBand))
@@ -316,7 +353,7 @@ object Dedup {
     val bandBits = planes / bands
     val mask = (1L << bandBits) - 1
     val sketched = Similarity.withSignSketch(embs, vecCol, planes).cache()
-    val banded = capBuckets(sketched.select(
+    val banded = capBucketsAgg(sketched.select(
         col(idCol),
         posexplode(array((0 until bands).map { b =>
           shiftright(col("sketch"), b * bandBits).bitwiseAND(mask)
