@@ -129,61 +129,7 @@ object CheckIndex {
     // -- 3. block-level decode validation (one distributed pass; exact
     // counts, capped example details)
     val blocks = spark.read.parquet(segDirs.map(_ + "/postings"): _*).as[BlockRow]
-    val blockIssues = blocks.mapPartitions { it =>
-      val emitted = scala.collection.mutable.HashMap.empty[String, Int]
-      def row(check: String, detail: => String): (String, String) = {
-        val k = emitted.getOrElse(check, 0)
-        emitted(check) = k + 1
-        (check, if (k < DetailCap) detail else "")
-      }
-      it.flatMap { b =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-        def where = s"term=${b.term} minDoc=${b.minDoc}"
-        if (b.n <= 0 || b.n > PostingsCodec.BlockSize)
-          out += row("block_bad_cardinality", s"$where n=${b.n}")
-        else {
-          val (docs, tfs) = PostingsCodec.decodeBlock(b.minDoc, b.n, b.wDocs, b.wFreqs, b.docGaps, b.freqs)
-          var asc = true
-          var i = 1
-          while (i < b.n) { if (docs(i) <= docs(i - 1)) asc = false; i += 1 }
-          if (!asc) out += row("block_docs_not_ascending", where)
-          if (docs(b.n - 1) != b.maxDoc)
-            out += row("block_max_doc_mismatch", s"$where stored maxDoc=${b.maxDoc} decoded=${docs(b.n - 1)}")
-          var sum = 0L
-          var minF = Int.MaxValue
-          i = 0
-          while (i < b.n) { sum += tfs(i); if (tfs(i) < minF) minF = tfs(i); i += 1 }
-          if (minF < 1) out += row("block_freq_below_one", s"$where minFreq=$minF")
-          if (sum != b.sumTf) out += row("block_sum_tf_mismatch", s"$where stored sumTf=${b.sumTf} decoded=$sum")
-          if (b.norms.length != b.n)
-            out += row("block_norms_cardinality", s"$where norms=${b.norms.length} n=${b.n}")
-          else {
-            // impacts must dominate every decoded (freq, norm): frontier is
-            // freq-ascending with norm ascending; the candidate dominator of
-            // (f, u) is the smallest frontier freq >= f
-            val fs = b.impactFreqs
-            val ns = b.impactNorms
-            var covered = true
-            i = 0
-            while (i < b.n && covered) {
-              val f = tfs(i)
-              val u = b.norms(i) & 0xFF
-              var j = 0
-              while (j < fs.length && fs(j) < f) j += 1
-              if (j == fs.length || (ns(j) & 0xFF) > u) covered = false
-              i += 1
-            }
-            if (!covered) out += row("block_impacts_not_dominating", where)
-          }
-        }
-        out
-      }
-    }.toDF("check", "detail")
-    val biCounts = blockIssues.groupBy("check").count().collect()
-    val biExamples = blockIssues.filter(col("detail") =!= "")
-      .groupBy("check").agg(slice(sort_array(collect_list("detail")), 1, ExamplesPerCheck).as("ex"))
-      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
-    biCounts.foreach(r => issue(r.getString(0), r.getLong(1), biExamples.getOrElse(r.getString(0), Nil)))
+    reportBlockIssues(decodeIssues(blocks), issue)
 
     // per-segment block counts vs manifest
     val segBlockCounts = segDirs.zip(manifests).map { case (sd, m) =>
@@ -195,7 +141,6 @@ object CheckIndex {
       if (got != m.blockCount)
         issue("manifest_block_count", 1, Seq(s"seg=${m.segId}: manifest blockCount=${m.blockCount}, parquet rows=$got"))
     }
-
     // -- 5. postings <-> docstats cross-check (the expensive one: a full
     // decode + shuffle by docId — CheckIndex is a full-scan tool by design)
     val postedPerDoc = blocks.flatMap { b =>
@@ -296,5 +241,156 @@ object CheckIndex {
 
     CheckReport(dir, manifests.size, totalDocs,
       segBlockCounts.values.sum, termCount, issues.toSeq)
+  }
+
+  /** Distributed block-decode validation shared by the segment-store and
+    * TimeIndex checkers: one pass, exact counts, per-partition-capped
+    * example details. Emits (check, detail) rows. */
+  private def decodeIssues(blocks: org.apache.spark.sql.Dataset[BlockRow]): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    blocks.mapPartitions { it =>
+      val emitted = scala.collection.mutable.HashMap.empty[String, Int]
+      def row(check: String, detail: => String): (String, String) = {
+        val k = emitted.getOrElse(check, 0)
+        emitted(check) = k + 1
+        (check, if (k < DetailCap) detail else "")
+      }
+      it.flatMap { b =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        def where = s"term=${b.term} minDoc=${b.minDoc}"
+        if (b.n <= 0 || b.n > PostingsCodec.BlockSize)
+          out += row("block_bad_cardinality", s"$where n=${b.n}")
+        else {
+          val (docs, tfs) = PostingsCodec.decodeBlock(b.minDoc, b.n, b.wDocs, b.wFreqs, b.docGaps, b.freqs)
+          var asc = true
+          var i = 1
+          while (i < b.n) { if (docs(i) <= docs(i - 1)) asc = false; i += 1 }
+          if (!asc) out += row("block_docs_not_ascending", where)
+          if (docs(b.n - 1) != b.maxDoc)
+            out += row("block_max_doc_mismatch", s"$where stored maxDoc=${b.maxDoc} decoded=${docs(b.n - 1)}")
+          var sum = 0L
+          var minF = Int.MaxValue
+          i = 0
+          while (i < b.n) { sum += tfs(i); if (tfs(i) < minF) minF = tfs(i); i += 1 }
+          if (minF < 1) out += row("block_freq_below_one", s"$where minFreq=$minF")
+          if (sum != b.sumTf) out += row("block_sum_tf_mismatch", s"$where stored sumTf=${b.sumTf} decoded=$sum")
+          if (b.norms.length != b.n)
+            out += row("block_norms_cardinality", s"$where norms=${b.norms.length} n=${b.n}")
+          else {
+            // impacts must dominate every decoded (freq, norm): frontier is
+            // freq-ascending with norm ascending; the candidate dominator of
+            // (f, u) is the smallest frontier freq >= f
+            val fs = b.impactFreqs
+            val ns = b.impactNorms
+            var covered = true
+            i = 0
+            while (i < b.n && covered) {
+              val f = tfs(i)
+              val u = b.norms(i) & 0xFF
+              var j = 0
+              while (j < fs.length && fs(j) < f) j += 1
+              if (j == fs.length || (ns(j) & 0xFF) > u) covered = false
+              i += 1
+            }
+            if (!covered) out += row("block_impacts_not_dominating", where)
+          }
+        }
+        out
+      }
+    }.toDF("check", "detail")
+  }
+
+  /** Aggregate (check, detail) rows into exact counts + capped examples. */
+  private def reportBlockIssues(blockIssues: DataFrame,
+                                issue: (String, Long, Seq[String]) => Unit): Unit = {
+    val biCounts = blockIssues.groupBy("check").count().collect()
+    val biExamples = blockIssues.filter(col("detail") =!= "")
+      .groupBy("check").agg(slice(sort_array(collect_list("detail")), 1, ExamplesPerCheck).as("ex"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    biCounts.foreach(r => issue(r.getString(0), r.getLong(1), biExamples.getOrElse(r.getString(0), Nil)))
+  }
+
+  /**
+   * Integrity verification for a [[TimeIndex]] directory (the IVrixDB
+   * bucket layout): per committed bucket — manifest docCount/sumDl vs
+   * docstats, norm bytes, block decode invariants, per-doc tf↔dl;
+   * globally — event ids unique across all buckets, size-rollover cap
+   * respected by sub-buckets, and no time bucket that has BOTH an unrolled
+   * dir and `.seq` sub-buckets.
+   */
+  def checkTime(spark: SparkSession, dir: String,
+                maxEventsPerBucket: Int = TimeIndex.DefaultMaxEventsPerBucket): CheckReport = {
+    import spark.implicits._
+    val issues = scala.collection.mutable.ArrayBuffer.empty[CheckIssue]
+    def issue(check: String, count: Long, examples: Seq[String] = Nil): Unit =
+      if (count != 0) issues += CheckIssue(check, count, examples.take(ExamplesPerCheck))
+
+    val all = TimeIndex.buckets(dir)
+    require(all.nonEmpty, s"no committed buckets under $dir")
+
+    // rollover shape: a rolled time bucket must not coexist with its
+    // unrolled form, and seq numbering starts at 0
+    val bases = all.groupBy(b => if (b.contains('.')) b.substring(0, b.indexOf('.')) else b)
+    bases.foreach { case (base, members) =>
+      val rolled = members.filter(_.contains('.'))
+      if (rolled.nonEmpty && members.exists(!_.contains('.')))
+        issue("bucket_rolled_and_unrolled", 1, Seq(s"bucket $base exists both plain and with sub-buckets"))
+      if (rolled.nonEmpty && !members.contains(s"$base.0"))
+        issue("bucket_missing_seq0", 1, Seq(s"bucket $base has sub-buckets but no .0"))
+    }
+
+    val normOf = udf((dl: Int) => SmallFloat.intToByte4(dl))
+    var totalDocs = 0L
+    var totalBlocks = 0L
+    val perBucketDs = all.map { b =>
+      val bd = s"$dir/buckets/b=$b"
+      spark.read.parquet(s"$bd/docstats").withColumn("bucket", lit(b))
+    }.reduce(_ unionByName _)
+    val agg = perBucketDs.groupBy("bucket").agg(
+      count("*").as("cnt"), sum(col("dl").cast("long")).as("sumDl"),
+      sum(when(col("normByte") =!= normOf(col("dl")), 1L).otherwise(0L)).as("badNorms"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2), r.getLong(3))).toMap
+    all.foreach { b =>
+      val m = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/buckets/b=$b/MANIFEST.json"))
+      val (cnt, sumDl, badNorms) = agg.getOrElse(b, (0L, 0L, 0L))
+      totalDocs += cnt
+      if (cnt != long(m, "docCount"))
+        issue("bucket_doc_count", 1, Seq(s"b=$b manifest=${long(m, "docCount")} docstats=$cnt"))
+      if (sumDl != long(m, "sumDl"))
+        issue("bucket_sum_dl", 1, Seq(s"b=$b manifest=${long(m, "sumDl")} docstats=$sumDl"))
+      if (badNorms != 0) issue("norm_byte_mismatch", badNorms, Seq(s"b=$b"))
+      if (b.contains('.') && cnt > maxEventsPerBucket)
+        issue("bucket_over_rollover_cap", 1, Seq(s"b=$b has $cnt > $maxEventsPerBucket events"))
+    }
+
+    // event ids unique ACROSS buckets (an event indexed twice would
+    // double-count in every range search)
+    val dup = perBucketDs.groupBy("docId").count().filter(col("count") > 1)
+    val dupN = dup.count()
+    issue("duplicate_event_ids", dupN,
+      if (dupN == 0) Nil
+      else dup.orderBy("docId").limit(ExamplesPerCheck).collect().map(r => s"docId=${r.getLong(0)} x${r.getLong(1)}").toSeq)
+
+    // block decode + per-doc tf<->dl, per bucket (postings are bucket-local)
+    val blocks = spark.read.parquet(all.map(b => s"$dir/buckets/b=$b/postings"): _*).as[BlockRow]
+    totalBlocks = blocks.count()
+    reportBlockIssues(decodeIssues(blocks), issue)
+    val postedPerDoc = blocks.flatMap { b =>
+      val (docs, tfs) = PostingsCodec.decodeBlock(b.minDoc, b.n, b.wDocs, b.wFreqs, b.docGaps, b.freqs)
+      (0 until b.n).iterator.map(i => (docs(i), tfs(i).toLong))
+    }.toDF("docId", "tf").groupBy("docId").agg(sum("tf").as("postedTf"))
+    val cross = perBucketDs.select("docId", "dl")
+      .join(postedPerDoc, Seq("docId"), "full_outer")
+      .agg(
+        sum(when(col("dl").isNull, 1L).otherwise(0L)).as("dangling"),
+        sum(when(col("postedTf").isNull && col("dl") > 0, 1L).otherwise(0L)).as("missing"),
+        sum(when(col("postedTf").isNotNull && col("dl").isNotNull &&
+          col("postedTf") =!= col("dl"), 1L).otherwise(0L)).as("tfDl")).head()
+    issue("posting_for_unknown_doc", cross.getLong(0))
+    issue("doc_without_postings", cross.getLong(1))
+    issue("doc_tf_sum_ne_dl", cross.getLong(2))
+
+    CheckReport(dir, all.size, totalDocs, totalBlocks, -1L, issues.toSeq)
   }
 }

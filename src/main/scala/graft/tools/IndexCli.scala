@@ -250,6 +250,12 @@ object IndexCli {
       println(report.toJson)
       if (!report.clean) sys.exit(1)
 
+    // checktime <timeIndexDir>: TimeIndex bucket-layout integrity
+    case "checktime" :: dir :: Nil =>
+      val report = graft.index.CheckIndex.checkTime(spark, dir)
+      println(report.toJson)
+      if (!report.clean) sys.exit(1)
+
     // multisearch <k> <dirA> <dirB> [dirC...] -- term... : federated
     // search over several indexes with exact merged stats (MultiReader
     // docBase + ExactStatsCache semantics)

@@ -72,6 +72,33 @@ class CheckIndexSpec extends SparkSpec {
     assert(dupIssue.count == 1 && dupIssue.examples.nonEmpty)
   }
 
+  test("TimeIndex: clean build passes; duplicated event and forged manifest caught") {
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int = 0) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:30:00")
+    val events = Seq(
+      (0L, ts(1), "spark error in executor"),
+      (1L, ts(1, 5), "job finished ok"),
+      (2L, ts(2), "spark warning memory"),
+      (3L, ts(2, 9), "disk error on node")).toDF("event_id", "ts", "raw")
+    val d = Files.createTempDirectory("graft-checktime").toString
+    TimeIndex.build(spark, events, d, shufflePartitions = 2)
+    val clean = CheckIndex.checkTime(spark, d)
+    assert(clean.clean, clean.toJson)
+    assert(clean.segments == 2 && clean.docCount == 4)
+
+    // duplicate one docstats row in bucket 1 -> manifest count + global id
+    // uniqueness both fire
+    val b = TimeIndex.buckets(d).head
+    val dsDir = s"$d/buckets/b=$b/docstats"
+    spark.read.parquet(dsDir).limit(1).write.mode("append").parquet(dsDir)
+    val bad = CheckIndex.checkTime(spark, d)
+    val checks = bad.issues.map(_.check).toSet
+    assert(checks.contains("bucket_doc_count"), bad.toJson)
+    assert(checks.contains("duplicate_event_ids"), bad.toJson)
+    // the duplicated doc's dl double-counts vs the manifest sum too
+    assert(checks.contains("bucket_sum_dl"), bad.toJson)
+  }
+
   test("corrupted norm byte is detected") {
     val d = copyIndex()
     import org.apache.spark.sql.functions._
