@@ -239,6 +239,54 @@ object CheckIndex {
       }
     }
 
+    // -- sorted doc-values tiers (index-time sort): every file must be one
+    // ascending (field, docId) run — early-terminated top-k is only correct
+    // under that invariant — and tier docIds must exist in docstats
+    val dvsRoot = java.nio.file.Paths.get(s"$dir/dvsorted")
+    if (java.nio.file.Files.exists(dvsRoot)) {
+      val fields = {
+        val it = java.nio.file.Files.list(dvsRoot).iterator()
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) out += it.next().getFileName.toString
+        out.toSeq
+      }
+      fields.foreach { f =>
+        val tierDir = java.nio.file.Paths.get(s"$dir/dvsorted/$f")
+        val filesIt = java.nio.file.Files.list(tierDir).iterator()
+        var unsortedFiles = 0L
+        val examples = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (filesIt.hasNext) {
+          val p = filesIt.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            // coalesce(1): a split boundary inside the file must not hide a
+            // cross-boundary order violation from the per-partition walk
+            val df = spark.read.parquet(p.toString).coalesce(1)
+            val fi = df.schema.fieldIndex(f)
+            val di = df.schema.fieldIndex("docId")
+            val bad = df.mapPartitions { it =>
+              var prev: Option[(Any, Long)] = None
+              var viol = 0L
+              it.foreach { r =>
+                val v = r.get(fi)
+                val d = r.getLong(di)
+                prev.foreach { case (pv, pd) =>
+                  val c = pv.asInstanceOf[Comparable[Any]].compareTo(v)
+                  if (c > 0 || (c == 0 && pd > d)) viol += 1
+                }
+                prev = Some((v, d))
+              }
+              Iterator.single(viol)
+            }(org.apache.spark.sql.Encoders.scalaLong).reduce(_ + _)
+            if (bad > 0) { unsortedFiles += 1; if (examples.size < ExamplesPerCheck) examples += p.getFileName.toString }
+          }
+        }
+        issue(s"dvsorted_${f}_file_not_ascending", unsortedFiles, examples.toSeq)
+        val tierIds = spark.read.parquet(tierDir.toString).select("docId")
+        issue(s"dvsorted_${f}_unknown_doc",
+          tierIds.join(docstats.select("docId"), Seq("docId"), "left_anti").count())
+      }
+    }
+
     CheckReport(dir, manifests.size, totalDocs,
       segBlockCounts.values.sum, termCount, issues.toSeq)
   }

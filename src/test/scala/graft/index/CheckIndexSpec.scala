@@ -99,6 +99,32 @@ class CheckIndexSpec extends SparkSpec {
     assert(checks.contains("bucket_sum_dl"), bad.toJson)
   }
 
+  test("sorted doc-values tier: ascending files pass, an unsorted file is caught") {
+    val d = copyIndex()
+    import org.apache.spark.sql.functions._
+    val dv = spark.read.parquet(s"$d/segments/seg=0/docstats")
+      .select(col("docId"), col("dl").as("size"))
+    IndexStore.buildSortedDocValues(spark,
+      spark.read.parquet(s"$d/segments/seg=0/docstats")
+        .unionByName(spark.read.parquet(s"$d/segments/seg=1/docstats"))
+        .unionByName(spark.read.parquet(s"$d/segments/seg=2/docstats"))
+        .select(col("docId"), col("dl").as("size")),
+      d, "size", Nil, partitions = 3)
+    val clean = CheckIndex.check(spark, d)
+    assert(clean.clean, clean.toJson)
+    // append a DESCENDING file into the tier
+    val tmp = Files.createTempDirectory("graft-checkidx-dv").toString
+    dv.orderBy(desc("size")).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val src = Files.list(java.nio.file.Paths.get(tmp)).iterator()
+    while (src.hasNext) {
+      val p = src.next()
+      if (p.getFileName.toString.endsWith(".parquet"))
+        Files.copy(p, java.nio.file.Paths.get(s"$d/dvsorted/size/zzz-unsorted.parquet"))
+    }
+    val bad = CheckIndex.check(spark, d)
+    assert(bad.issues.exists(_.check == "dvsorted_size_file_not_ascending"), bad.toJson)
+  }
+
   test("corrupted norm byte is detected") {
     val d = copyIndex()
     import org.apache.spark.sql.functions._
