@@ -1148,6 +1148,23 @@ object SparkEntry {
       Classify.knn(docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1), k = 5, classCol = "lang",
         maxDfRatio = 0.9)
+    }),
+
+    // ---- lucene/expressions: JS-like scoring expressions -> codegen ----
+    "expr_score" -> ((s, d) => rd(s, d, "documents").select(col("doc_id"),
+      round(graft.functions.JsExpr.compile(
+        "min(sqrt(n_chars), 50) + (n_chars > 500 ? 10 : 0) + ln(n_chars + 1) * 2"
+      ), 5).as("expr_score"))),
+
+    // ExpressionRescorer: first pass = n_chars (deterministic), top 100
+    // rescored by an expression over _score and doc fields
+    "expr_rescore" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+      val hits = docs.select(col("doc_id"), col("n_chars").cast("double").as("fp"))
+      graft.functions.JsExpr.rescore(hits, docs, "doc_id", "fp",
+          "_score * 0.001 + log10(n_chars + 1) * 3", 100)
+        .select(col("doc_id"), round(col("score"), 5).as("score"),
+          round(col("first_pass"), 5).as("first_pass"))
     })
   )
 
@@ -2196,7 +2213,21 @@ object SparkEntry {
           | votes AS (SELECT t.test_id, l.lang AS cls, count(*) AS votes, round(sum(t.sim), 6) AS score
           |   FROM top t JOIN lab l ON l.doc_id = t.train_id GROUP BY 1, 2)
           | SELECT test_id AS doc_id, cls AS predicted FROM votes
-          | QUALIFY row_number() OVER (PARTITION BY test_id ORDER BY votes DESC, score DESC, cls DESC) = 1""".stripMargin
+          | QUALIFY row_number() OVER (PARTITION BY test_id ORDER BY votes DESC, score DESC, cls DESC) = 1""".stripMargin,
+
+      "expr_score" ->
+        """SELECT doc_id, round(least(sqrt(n_chars), 50)
+          |   + (CASE WHEN n_chars > 500 THEN 10 ELSE 0 END)
+          |   + ln(n_chars + 1) * 2, 5) AS expr_score
+          | FROM documents""".stripMargin,
+
+      "expr_rescore" ->
+        """WITH hits AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS fp FROM documents
+          |   ORDER BY fp DESC, doc_id ASC LIMIT 100)
+          | SELECT h.doc_id,
+          |   round(h.fp * 0.001 + log10(d.n_chars + 1) * 3, 5) AS score,
+          |   round(h.fp, 5) AS first_pass
+          | FROM hits h JOIN documents d USING (doc_id)""".stripMargin
     )
   }
 
