@@ -1150,6 +1150,17 @@ object SparkEntry {
         maxDfRatio = 0.9)
     }),
 
+    // DiversifiedTopDocsCollector (lucene/misc): global top-k, <= maxPerKey
+    // hits per key — bounded heaps per key, never a window sort
+    "q61_diversified" -> ((s, d) => {
+      val li = rd(s, d, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("line_id"),
+        col("l_suppkey"),
+        col("l_quantity").cast("double").as("qscore"))
+      R.diversifiedTopK(li, "line_id", "l_suppkey", "qscore", k = 100, maxPerKey = 3)
+        .select(col("line_id"), col("l_suppkey"), col("qscore").cast("double").as("qscore"))
+    }),
+
     // ---- lucene/expressions: JS-like scoring expressions -> codegen ----
     "expr_score" -> ((s, d) => rd(s, d, "documents").select(col("doc_id"),
       round(graft.functions.JsExpr.compile(
@@ -2214,6 +2225,14 @@ object SparkEntry {
           |   FROM top t JOIN lab l ON l.doc_id = t.train_id GROUP BY 1, 2)
           | SELECT test_id AS doc_id, cls AS predicted FROM votes
           | QUALIFY row_number() OVER (PARTITION BY test_id ORDER BY votes DESC, score DESC, cls DESC) = 1""".stripMargin,
+
+      "q61_diversified" ->
+        """WITH li AS (SELECT l_orderkey * 10 + l_linenumber AS line_id, l_suppkey,
+          |   CAST(l_quantity AS DOUBLE) AS qscore FROM lineitem),
+          | capped AS (SELECT * FROM li QUALIFY
+          |   row_number() OVER (PARTITION BY l_suppkey ORDER BY qscore DESC, line_id ASC) <= 3)
+          | SELECT line_id, l_suppkey, qscore FROM capped
+          | ORDER BY qscore DESC, line_id ASC LIMIT 100""".stripMargin,
 
       "expr_score" ->
         """SELECT doc_id, round(least(sqrt(n_chars), 50)

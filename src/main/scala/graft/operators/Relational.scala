@@ -317,6 +317,31 @@ object Relational {
   }
 
   /**
+   * Diversified top-k (reference lucene/misc/src/java/org/apache/lucene/
+   * search/DiversifiedTopDocsCollector.java): global top `k` hits with at
+   * most `maxPerKey` hits per grouping key. The reference's streaming
+   * per-key queues converge to exactly "per-key top maxPerKey, then global
+   * top k" — expressed here as the bounded-heap [[graft.functions.TopKAgg]]
+   * per key (map-side partial aggregation: each partition reduces a key to
+   * ≤ maxPerKey hits BEFORE the exchange, so the shuffle carries
+   * O(#keys × #partitions × maxPerKey) rows however large the corpus is —
+   * never a window sort of whole key groups), then one bounded
+   * TakeOrderedAndProject for the global cut. Ties break (score DESC,
+   * id ASC), the HitQueue rule.
+   */
+  def diversifiedTopK(df: DataFrame, idCol: String, keyCol: String,
+                      scoreCol: String, k: Int, maxPerKey: Int): DataFrame = {
+    df.groupBy(keyCol)
+      .agg(graft.functions.TopKAgg.topHits(maxPerKey)(
+        col(idCol).cast("long"), col(scoreCol).cast("float")))
+      .select(col(keyCol), explode(col("top_hits")).as("__h"))
+      .select(col("__h.docId").as(idCol), col(keyCol),
+        col("__h.score").as(scoreCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
    * Expand component (reference solr/core/src/java/org/apache/solr/handler/
    * component/ExpandComponent.java): for each collapsed group, the top-n
    * rows BEHIND the head, in head order — the "show more from this group"
