@@ -213,6 +213,14 @@ object IndexCli {
       val idx = IndexStore.OpenIndex(spark, dest)
       println(s"snapshot: docs=${idx.stats.docCount} segments=${IndexStore.readManifests(dest).size} at $dest")
 
+    // replicate <srcIndexDir> <replicaDir>: one lucene/replicator-style
+    // pass — only files missing at the replica travel, segments commit
+    // manifest-last, stale segments are dropped; re-run any time to
+    // converge on the source's commit point
+    case "replicate" :: srcDir :: dest :: Nil =>
+      val r = graft.index.Replicator.replicate(srcDir, dest)
+      println(s"replicate: ${r.toJson}")
+
     // highlight <indexDir> <window> <topPassages> term... : passage-ranked
     // highlighting over the offsets tier (build with --offsets)
     case "highlight" :: dir :: window :: top :: terms if terms.nonEmpty =>
