@@ -356,3 +356,72 @@ final case class LMJelinekMercerSim(lambda: Float = 0.1f) extends Similarity {
              docCount: Long, sumTotalTermFreq: Long): SimScorer =
     Scorer(boost, (totalTermFreq + 1d) / (sumTotalTermFreq + 1d), lambda)
 }
+
+/**
+ * SweetSpotSimilarity — TF-IDF with a "sweet spot" plateau
+ * (`lucene/misc/src/java/org/apache/lucene/misc/SweetSpotSimilarity.java:
+ * 117-133` lengthNorm, `:158-165` baselineTf, `:180-204` hyperbolicTf;
+ * scoring skeleton `TFIDFSimilarity.java:515-552`):
+ *
+ *   lengthNorm(x) = 1/sqrt(steepness*(|x-min| + |x-max| - (max-min)) + 1)
+ *                   — flat 1.0 inside [min,max], sloping off outside
+ *   baselineTf(f) = 0 if f==0; base if f<=tfMin; sqrt(f + base² - tfMin)
+ *   hyperbolicTf(f) = min + (max-min)/2 * (tanh-shaped in base^(f-xoffset))
+ *   score = tf(freq) * (boost * idf) * normTable(normByte)
+ *
+ * idf and the norm-table skeleton (incl. the normTable(0)=1/normTable(255)
+ * quirk) are ClassicSimilarity's.
+ */
+final case class SweetSpotSim(lnMin: Int = 1, lnMax: Int = 1,
+                              steepness: Float = 0.5f,
+                              tfBase: Float = 0f, tfMin: Float = 0f,
+                              hyperbolic: Boolean = false,
+                              hyperMin: Float = 0f, hyperMax: Float = 2f,
+                              hyperBase: Double = 1.3,
+                              hyperXoffset: Float = 10f) extends Similarity {
+
+  private[query] def lengthNorm(numTerms: Int): Float =
+    (1.0f / Math.sqrt(
+      (steepness *
+        (Math.abs(numTerms - lnMin) + Math.abs(numTerms - lnMax) - (lnMax - lnMin)).toFloat
+        ) + 1.0f)).toFloat
+
+  private[query] def tf(freq: Float): Float =
+    if (hyperbolic) hyperbolicTf(freq)
+    else if (freq == 0.0f) 0.0f
+    else if (freq <= tfMin) tfBase
+    else Math.sqrt((freq + tfBase * tfBase - tfMin).toDouble).toFloat
+
+  private[query] def hyperbolicTf(freq: Float): Float = {
+    if (freq == 0.0f) return 0.0f
+    val x = (freq - hyperXoffset).toDouble
+    val result = hyperMin +
+      ((hyperMax - hyperMin) / 2.0f *
+        (((Math.pow(hyperBase, x) - Math.pow(hyperBase, -x)) /
+          (Math.pow(hyperBase, x) + Math.pow(hyperBase, -x))) + 1.0d)).toFloat
+    if (java.lang.Float.isNaN(result)) hyperMax else result
+  }
+
+  private lazy val normTable: Array[Float] = {
+    val t = new Array[Float](256)
+    var i = 1
+    while (i < 256) {
+      t(i) = lengthNorm(SmallFloat.byte4ToInt(i.toByte))
+      i += 1
+    }
+    t(0) = 1f / t(255)
+    t
+  }
+
+  private final case class Scorer(queryWeight: Float, self: SweetSpotSim)
+      extends SimScorer {
+    def score(freq: Float, normByte: Byte): Float =
+      self.tf(freq) * queryWeight * self.normTable(normByte & 0xFF)
+  }
+
+  def scorer(boost: Float, docFreq: Long, totalTermFreq: Long,
+             docCount: Long, sumTotalTermFreq: Long): SimScorer = {
+    val idf = (Math.log((docCount + 1) / (docFreq + 1).toDouble) + 1.0).toFloat
+    Scorer(boost * idf, this)
+  }
+}

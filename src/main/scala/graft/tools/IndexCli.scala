@@ -98,6 +98,7 @@ object IndexCli {
         else if (flags.contains("--sim-dfi")) graft.query.DfiSim()
         else if (flags.contains("--sim-ib")) graft.query.IBSim()
         else if (flags.contains("--sim-ax")) graft.query.AxiomaticF2ExpSim()
+        else if (flags.contains("--sim-sweet")) graft.query.SweetSpotSim(lnMin = 8, lnMax = 64)
         else null
       val t0 = System.nanoTime()
       val hits = after match {

@@ -185,4 +185,37 @@ class SimilaritiesSpec extends SparkSpec {
       assert(got === want, s"terms=$terms k=$k")
     }
   }
+
+  test("SweetSpotSim: plateau norm, baseline tf arithmetic, engine==oracle") {
+    val sim = SweetSpotSim(lnMin = 8, lnMax = 20, steepness = 0.5f,
+      tfBase = 1.5f, tfMin = 2f)
+    // plateau: lengthNorm == 1.0 for every doc length inside [min, max]
+    (8 to 20).foreach(x => assert(sim.lengthNorm(x) === 1.0f, s"x=$x"))
+    assert(sim.lengthNorm(7) < 1.0f && sim.lengthNorm(21) < 1.0f)
+    // degenerate config == ClassicSim's 1/sqrt(x) norm
+    val degen = SweetSpotSim(lnMin = 1, lnMax = 1, steepness = 0.5f)
+    assert(degen.lengthNorm(16) === (1.0 / Math.sqrt(16.0)).toFloat)
+    // baselineTf: 0 at 0; base at f<=min; sqrt(f + base^2 - min) above
+    assert(sim.tf(0f) === 0f)
+    assert(sim.tf(1f) === 1.5f && sim.tf(2f) === 1.5f)
+    assert(sim.tf(5f) === Math.sqrt(5.0 + 1.5 * 1.5 - 2.0).toFloat)
+    // engine rank+score identity vs the brute-force oracle
+    queries.foreach { q =>
+      val got = engineTopK(q, 30, sim)
+      val want = OracleScorer.topKSim(corpusLocal, q, 30, sim)
+      assert(got === want, s"query=$q")
+    }
+  }
+
+  test("SweetSpotSim hyperbolic tf: hard max, engine==oracle") {
+    val sim = SweetSpotSim(hyperbolic = true,
+      hyperMin = 0f, hyperMax = 2f, hyperBase = 1.3, hyperXoffset = 5f)
+    assert(sim.tf(0f) === 0f)
+    // approaches but never exceeds the hard max
+    assert(sim.tf(100f) <= 2.0f && sim.tf(100f) > 1.99f)
+    assert(sim.tf(5f) === 1.0f) // tanh(0) midpoint
+    val got = engineTopK(queries.last, 30, sim)
+    val want = OracleScorer.topKSim(corpusLocal, queries.last, 30, sim)
+    assert(got === want)
+  }
 }
