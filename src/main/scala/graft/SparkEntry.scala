@@ -3,7 +3,7 @@ package graft
 import graft.corpus.CorpusGen
 import graft.index.{IndexBuilder, IndexStore}
 import graft.codec.PostingsCodec
-import graft.operators.{Classify, Dedup, Ltr, Monitor, Multimodal, Pipeline => P, Relational => R, Similarity, Spans, TextOps}
+import graft.operators.{Classify, Dedup, Ltr, Monitor, Multimodal, Pipeline => P, Relational => R, ResultClustering, Similarity, Spans, TextOps}
 import graft.query.QueryEngine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1161,6 +1161,14 @@ object SparkEntry {
         .select(col("line_id"), col("l_suppkey"), col("qscore").cast("double").as("qscore"))
     }),
 
+    // Search-result clustering (solr/contrib/clustering, STC shape):
+    // frequent-phrase base clusters over a 100-doc result window
+    "cl_base" -> ((s, d) => ResultClustering.baseClusters(
+      rd(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text", maxPhraseLen = 2, minDf = 3,
+      stopRatio = 0.8, maxBaseClusters = 20)),
+
     // ---- lucene/expressions: JS-like scoring expressions -> codegen ----
     "expr_score" -> ((s, d) => rd(s, d, "documents").select(col("doc_id"),
       round(graft.functions.JsExpr.compile(
@@ -2233,6 +2241,28 @@ object SparkEntry {
           |   row_number() OVER (PARTITION BY l_suppkey ORDER BY qscore DESC, line_id ASC) <= 3)
           | SELECT line_id, l_suppkey, qscore FROM capped
           | ORDER BY qscore DESC, line_id ASC LIMIT 100""".stripMargin,
+
+      "cl_base" ->
+        """WITH win AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          |            FROM documents WHERE doc_id < 100),
+          | uni AS (SELECT DISTINCT doc_id, unnest(t) AS phrase FROM win),
+          | bi AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS phrase
+          |        FROM win, unnest(generate_series(1, len(t)-1)) AS g(i) WHERE len(t) >= 2),
+          | grams AS (SELECT * FROM uni UNION SELECT * FROM bi),
+          | nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM win),
+          | stop AS (SELECT phrase FROM (SELECT phrase, count(*) AS c FROM uni GROUP BY 1), nn
+          |          WHERE c >= nn.n * 0.8),
+          | keep AS (SELECT g.* FROM grams g WHERE NOT EXISTS
+          |     (SELECT 1 FROM stop s WHERE list_contains(string_split(g.phrase, ' '), s.phrase))),
+          | scored AS (SELECT phrase, count(*) AS df,
+          |     CAST(CAST(count(*) AS DOUBLE) *
+          |       (CASE WHEN contains(phrase, ' ') THEN 1.0 ELSE 0.5 END) AS DOUBLE) AS score
+          |   FROM keep GROUP BY 1),
+          | top AS (SELECT s.phrase, s.df, s.score FROM scored s, nn
+          |   WHERE s.df >= 3 AND s.df < nn.n * 0.8
+          |   ORDER BY s.score DESC, s.phrase ASC LIMIT 20)
+          | SELECT t.phrase, t.df, t.score, k.doc_id
+          | FROM top t JOIN keep k USING (phrase)""".stripMargin,
 
       "expr_score" ->
         """SELECT doc_id, round(least(sqrt(n_chars), 50)
