@@ -1161,6 +1161,10 @@ object SparkEntry {
         .select(col("line_id"), col("l_suppkey"), col("qscore").cast("double").as("qscore"))
     }),
 
+    // Sampled facet with amortized counts (RandomSamplingFacetsCollector)
+    "ft_facet_sampled" -> ((s, d) => R.facetSampled(
+      rd(s, d, "documents"), "lang", "doc_id", sampleSize = 150L)),
+
     // Search-result clustering (solr/contrib/clustering, STC shape):
     // frequent-phrase base clusters over a 100-doc result window
     "cl_base" -> ((s, d) => ResultClustering.baseClusters(
@@ -2241,6 +2245,15 @@ object SparkEntry {
           |   row_number() OVER (PARTITION BY l_suppkey ORDER BY qscore DESC, line_id ASC) <= 3)
           | SELECT line_id, l_suppkey, qscore FROM capped
           | ORDER BY qscore DESC, line_id ASC LIMIT 100""".stripMargin,
+
+      "ft_facet_sampled" ->
+        """WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+          | r AS (SELECT least(1.0, 150.0 / n) AS rate FROM nn),
+          | s AS (SELECT d.lang FROM documents d, r
+          |       WHERE (d.doc_id * 2654435761) % 1009 < r.rate * 1009)
+          | SELECT s.lang, count(*) AS sampled,
+          |   round(count(*) / r.rate, 5) AS amortized
+          | FROM s, r GROUP BY s.lang, r.rate""".stripMargin,
 
       "cl_base" ->
         """WITH win AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t

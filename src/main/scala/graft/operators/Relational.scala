@@ -430,6 +430,32 @@ object Relational {
       .orderBy(col(field).asc_nulls_last)
 
   /**
+   * Sampled facet counts (reference lucene/facet
+   * RandomSamplingFacetsCollector.java:93-143 — sample the hit set down to
+   * `sampleSize`, facet the sample, amortize counts by 1/samplingRate
+   * `:226-243`). The reference samples with a seeded XORShift over the
+   * collector's doc order; a distributed scan has no stable doc order, so
+   * the sample predicate here is the deterministic multiplicative id hash
+   * ([[Pipeline.sampleBucket]]) — reproducible across cluster sizes and
+   * re-runs, which the reference's sequential RNG cannot be. Sampling is a
+   * narrow codegen filter BEFORE the facet aggregation's exchange: at
+   * 100 TB only sampled (field) rows reach the shuffle.
+   * Returns (field, sampled, amortized); totalHits <= sampleSize degrades
+   * to exact counting (rate 1.0), like the reference.
+   */
+  def facetSampled(df: DataFrame, field: String, idCol: String,
+                   sampleSize: Long): DataFrame = {
+    val total = df.select(count(lit(1)).cast("double").as("__n"))
+    df.crossJoin(broadcast(total))
+      .withColumn("__rate", least(lit(1.0), lit(sampleSize.toDouble) / col("__n")))
+      .filter(Pipeline.sampleBucket(col(idCol)) < col("__rate") * Pipeline.SampleModulus)
+      .groupBy(field)
+      .agg(count(lit(1)).as("sampled"), first(col("__rate")).as("__r"))
+      .select(col(field), col("sampled"),
+        round(col("sampled") / col("__r"), 5).as("amortized"))
+  }
+
+  /**
    * Interval facet (reference solr/core IntervalFacets.java —
    * facet.interval with explicit {!key=..}[lo,hi) sets): counts per
    * arbitrary, possibly OVERLAPPING [lo, hi) interval of a numeric field.

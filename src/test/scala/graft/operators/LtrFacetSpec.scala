@@ -50,4 +50,24 @@ class LtrFacetSpec extends SparkSpec {
     assert(got === Map((0L, 0L) -> 2L, (1L, 0L) -> 1L, (0L, 1L) -> 1L, (2L, 2L) -> 1L))
     assert(got.values.sum === 5L)
   }
+
+  test("facetSampled: exact when n <= sampleSize; amortized sums approximate n") {
+    import org.apache.spark.sql.functions._
+    val df = (0L until 400L).map(i => (i, s"v${i % 4}")).toDF("id", "f")
+    // n <= sampleSize: rate 1.0, amortized == sampled == exact counts
+    val exact = Relational.facetSampled(df, "f", "id", sampleSize = 1000L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(exact.length == 4 && exact.forall { case (s2, a) => s2 == 100L && a == 100.0 })
+    // n > sampleSize: counts scale by 1/rate; totals land near n
+    val sampled = Relational.facetSampled(df, "f", "id", sampleSize = 100L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val totalSampled = sampled.map(_._1).sum
+    val totalAmortized = sampled.map(_._2).sum
+    assert(totalSampled < 200L, s"sampled $totalSampled of 400")
+    assert(math.abs(totalAmortized - 400.0) < 120.0, s"amortized $totalAmortized")
+    // deterministic: same call twice, same rows
+    val again = Relational.facetSampled(df, "f", "id", sampleSize = 100L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(sampled.toSeq.sorted == again.toSeq.sorted)
+  }
 }
