@@ -1161,6 +1161,20 @@ object SparkEntry {
         .select(col("line_id"), col("l_suppkey"), col("qscore").cast("double").as("qscore"))
     }),
 
+    // PayloadScoreQuery over a delimited-payload corpus: tokens carry
+    // "term|payload", parsed by the DelimitedPayloadTokenFilter analogue,
+    // folded per doc with the Average payload function
+    "ft_payload_score" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+      val delimited = docs.select(col("doc_id"),
+        concat_ws(" ", transform(TextOps.tokensOf("text"),
+          (t, i) => concat(t, lit("|"), (i % 7).cast("string")))).as("ptext"))
+      val pt = TextOps.payloadTable(delimited, "doc_id", "ptext")
+      TextOps.payloadScore(pt, "doc_id", "spark", "avg")
+        .select(col("doc_id"), round(col("payload_score"), 5).as("payload_score"),
+          col("n_payloads"))
+    }),
+
     // Sampled facet with amortized counts (RandomSamplingFacetsCollector)
     "ft_facet_sampled" -> ((s, d) => R.facetSampled(
       rd(s, d, "documents"), "lang", "doc_id", sampleSize = 150L)),
@@ -2245,6 +2259,15 @@ object SparkEntry {
           |   row_number() OVER (PARTITION BY l_suppkey ORDER BY qscore DESC, line_id ASC) <= 3)
           | SELECT line_id, l_suppkey, qscore FROM capped
           | ORDER BY qscore DESC, line_id ASC LIMIT 100""".stripMargin,
+
+      "ft_payload_score" ->
+        """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          |              FROM documents),
+          | occ AS (SELECT doc_id, t[i] AS term, CAST((i-1) % 7 AS DOUBLE) AS payload
+          |         FROM toks, unnest(generate_series(1, len(t))) AS g(i))
+          | SELECT doc_id, round(avg(payload), 5) AS payload_score,
+          |   count(*) AS n_payloads
+          | FROM occ WHERE term = 'spark' GROUP BY doc_id""".stripMargin,
 
       "ft_facet_sampled" ->
         """WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),

@@ -744,4 +744,51 @@ object TextOps {
       .filter(col("first_pos") < big)
       .withColumn("first_pos", col("first_pos").cast("long"))
   }
+
+  // ---- payloads (lucene/analysis payloads + lucene/queries payloads) ----
+
+  /** DelimitedPayloadTokenFilter (reference lucene/analysis/common
+    * payloads/DelimitedPayloadTokenFilter.java:39-66 + FloatEncoder):
+    * whitespace tokens of the form `term|payload` split at the LAST
+    * delimiter; the suffix decodes as a float payload, tokens without a
+    * delimiter carry a null payload (the reference sets payAtt to null).
+    * Returns (idCol, pos, term, payload) — one row per occurrence, built
+    * in one narrow codegen pass (posexplode over split-on-whitespace).
+    */
+  def payloadTable(docs: DataFrame, idCol: String, textCol: String,
+                   delim: String = "\\|"): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "__w")))
+      .filter(length(col("__w")) > 0)
+      .select(col(idCol), col("pos"),
+        regexp_extract(col("__w"), s"^(.*?)(?:$delim([0-9.eE+-]+))?$$", 1).as("term"),
+        nullif(regexp_extract(col("__w"), s"^(.*?)(?:$delim([0-9.eE+-]+))?$$", 2), lit(""))
+          .cast("float").as("payload"))
+
+  /** PayloadScoreQuery with includeSpanScore=false (reference
+    * lucene/queries/payloads/PayloadScoreQuery.java:60-185 + the
+    * Min/Max/Average/Sum PayloadFunction family): per matching doc,
+    * combine the payloads of every occurrence of `term` with `func`
+    * (docScore: avg divides by numPayloadsSeen; min/max/sum are the
+    * running fold). Occurrences with null payloads count as matches but
+    * contribute nothing (the reference skips null payloads in
+    * currentScore). Returns (idCol, payload_score DOUBLE, n_payloads).
+    * One shuffle on idCol; with includeSpanScore=true the reference
+    * multiplies by the span score — compose with bm25All for that.
+    */
+  def payloadScore(payloads: DataFrame, idCol: String, term: String,
+                   func: String): DataFrame = {
+    val agg = func.toLowerCase match {
+      case "min" => min(col("payload"))
+      case "max" => max(col("payload"))
+      case "avg" => avg(col("payload"))
+      case "sum" => sum(col("payload"))
+      case other => throw new IllegalArgumentException(
+        s"payload function must be min/max/avg/sum, got $other")
+    }
+    payloads.filter(col("term") === term)
+      .groupBy(idCol)
+      .agg(agg.cast("double").as("payload_score"),
+        count(col("payload")).as("n_payloads"))
+  }
 }
