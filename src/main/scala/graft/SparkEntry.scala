@@ -496,6 +496,11 @@ object SparkEntry {
     // AnalyzingSuggester capability)
     "ft_engine_suggest" -> ((s, d) => docIndex(s, d).suggest("s", 10)),
 
+    // FuzzySuggester: prefix suggestions tolerating one OSA edit after
+    // the first (non-fuzzy) char — "sprak" reaches the spark-prefixed terms
+    "ft_engine_suggest_fuzzy" -> ((s, d) =>
+      docIndex(s, d).suggestFuzzy("sprak", 10)),
+
     // spell correction from the dictionary (DirectSpellChecker capability)
     "ft_engine_spell" -> ((s, d) => docIndex(s, d).spellCorrect("spark", 2, 10)
       .select(col("term"), col("dist"), col("df"))),
@@ -1432,6 +1437,16 @@ object SparkEntry {
         s"""WITH tf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ($tok) GROUP BY tok)
            | SELECT tok AS term, df FROM tf WHERE tok LIKE 's%'
            | ORDER BY df DESC, tok ASC LIMIT 10""".stripMargin,
+      "ft_engine_suggest_fuzzy" ->
+        s"""WITH tf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ($tok) GROUP BY tok),
+           | cand AS (SELECT tok, df, least(
+           |     CASE WHEN length(tok) >= 4 THEN damerau_levenshtein(substr(tok, 1, 4), 'sprak') ELSE 2147483647 END,
+           |     CASE WHEN length(tok) >= 5 THEN damerau_levenshtein(substr(tok, 1, 5), 'sprak') ELSE 2147483647 END,
+           |     CASE WHEN length(tok) >= 6 THEN damerau_levenshtein(substr(tok, 1, 6), 'sprak') ELSE 2147483647 END) AS dist
+           |   FROM tf WHERE tok LIKE 's%' AND length(tok) >= 4)
+           | SELECT tok AS term, CAST(dist AS INT) AS dist, df FROM cand WHERE dist <= 1
+           | ORDER BY df DESC, tok ASC LIMIT 10""".stripMargin,
+
       "ft_engine_spell" ->
         s"""WITH tf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ($tok) GROUP BY tok)
            | SELECT tok AS term, CAST(levenshtein(tok, 'spark') AS INT) AS dist, df

@@ -917,6 +917,39 @@ object IndexStore {
       * by df (weight) then term. Same narrow 2-column termstats scan as
       * the prefix suggester — an infix match can't use the term-ordered
       * sort, exactly like the reference's separate infix index. */
+    /** FuzzySuggester (reference lucene/suggest analyzing/FuzzySuggester
+      * .java:54-109 defaults: maxEdits 1, transpositions, nonFuzzyPrefix 1,
+      * minFuzzyLength 3): prefix suggestions tolerating edits after the
+      * first `nonFuzzyPrefix` chars; queries shorter than `minFuzzyLength`
+      * match exactly. A dictionary term matches when SOME prefix of it is
+      * within `maxEdits` OSA edits of the query — for maxEdits e that
+      * prefix has length within ±e of the query's, so the check is a
+      * bounded `least` over 2e+1 Damerau distances (the same
+      * automaton-free trick the spell path uses). Pushdown: the
+      * non-fuzzy-prefix startsWith and a ±e length floor reach the
+      * 2-column termstats scan; ranked (df DESC, term ASC) like suggest.
+      */
+    def suggestFuzzy(q: String, k: Int, maxEdits: Int = 1,
+                     nonFuzzyPrefix: Int = 1, minFuzzyLength: Int = 3): DataFrame = {
+      if (q.length < minFuzzyLength) suggest(q, k)
+      else {
+        val hard = q.substring(0, math.min(nonFuzzyPrefix, q.length))
+        val dists = (-maxEdits to maxEdits).map { d =>
+          val l = q.length + d
+          when(length(col("term")) >= l,
+            graft.functions.DamerauLevenshtein(substring(col("term"), 1, l), lit(q)))
+            .otherwise(Int.MaxValue)
+        }
+        termstats
+          .filter(col("term").startsWith(hard) &&
+            length(col("term")) >= q.length - maxEdits)
+          .withColumn("dist", least(dists: _*))
+          .filter(col("dist") <= maxEdits)
+          .orderBy(desc("df"), asc("term")).limit(k)
+          .select(col("term"), col("dist").cast("int").as("dist"), col("df"))
+      }
+    }
+
     def suggestInfix(q: String, k: Int): DataFrame =
       termstats.filter(col("term").contains(q))
         .orderBy(desc("df"), asc("term")).limit(k)

@@ -132,6 +132,10 @@ object IndexCli {
       println(s"budgeted top-$k (${ms}ms, partial=$partial):")
       hits.foreach { case (id, s) => println(s"  doc=$id score=$s") }
 
+    case "fuzzysuggest" :: dir :: k :: q :: Nil =>
+      IndexStore.OpenIndex(spark, dir).suggestFuzzy(q, k.toInt).collect()
+        .foreach(r => println(s"  ${r.getString(0)} (dist=${r.getInt(1)} df=${r.getLong(2)})"))
+
     case "suggest" :: dir :: k :: prefix :: Nil =>
       IndexStore.OpenIndex(spark, dir).suggest(prefix, k.toInt).collect()
         .foreach(r => println(s"  ${r.getString(0)} (df=${r.getLong(1)})"))

@@ -107,4 +107,37 @@ class FuzzySpellSpec extends SparkSpec {
     assert(idx.combineWords(Seq("zz", "qq")).collect().isEmpty)
     assert(idx.combineWords(Seq("alone")).collect().isEmpty)
   }
+
+  test("suggestFuzzy == brute-force prefix-OSA neighborhood ranking") {
+    // local OSA (optimal string alignment — DL without substring swaps)
+    def osa(a: String, b: String): Int = {
+      val d = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 0 to a.length) d(i)(0) = i
+      for (j <- 0 to b.length) d(0)(j) = j
+      for (i <- 1 to a.length; j <- 1 to b.length) {
+        val c = if (a(i - 1) == b(j - 1)) 0 else 1
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1), d(i - 1)(j - 1) + c)
+        if (i > 1 && j > 1 && a(i - 1) == b(j - 2) && a(i - 2) == b(j - 1))
+          d(i)(j) = math.min(d(i)(j), d(i - 2)(j - 2) + 1)
+      }
+      d(a.length)(b.length)
+    }
+    val dict = idx.termstats.select("term", "df").as[(String, Long)].collect()
+    for (q <- Seq("pubic", "improt", "hanlder")) {
+      val want = dict.flatMap { case (t, df) =>
+        // best prefix distance: prefixes of t with length within ±1 of |q|
+        val ds = (q.length - 1 to q.length + 1)
+          .filter(l => l >= 1 && l <= t.length).map(l => osa(t.substring(0, l), q))
+        if (t.startsWith(q.take(1)) && t.length >= q.length - 1 && ds.nonEmpty && ds.min <= 1)
+          Some((t, ds.min, df)) else None
+      }.sortBy { case (t, _, df) => (-df, t) }.take(10).toSeq
+      val got = idx.suggestFuzzy(q, 10)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(got == want, s"q=$q\ngot=$got\nwant=$want")
+      assert(got.nonEmpty, s"vacuous for $q")
+    }
+    // short queries fall back to exact prefix (minFuzzyLength)
+    val short = idx.suggestFuzzy("pu", 5).collect().map(_.getString(0))
+    assert(short.forall(_.startsWith("pu")))
+  }
 }
