@@ -1192,6 +1192,29 @@ object SparkEntry {
       "doc_id", "text", maxPhraseLen = 2, minDf = 3,
       stopRatio = 0.8, maxBaseClusters = 20)),
 
+    // features() streaming expression: information-gain feature selection
+    "cls_features" -> ((s, d) => {
+      val docs = rd(s, d, "documents").select(col("doc_id"), col("text"),
+        (col("lang") === "en").cast("int").as("y"))
+      Classify.featuresIGain(docs, "doc_id", "text", "y", 1, 25)
+        .select(col("term"), round(col("score"), 6).as("score"),
+          col("docFreq").as("doc_freq"), round(col("idf"), 6).as("idf"))
+    }),
+
+    // train() streaming expression: deterministic batch-GD text logit —
+    // predictions of the trained model (iterative => no SQL oracle;
+    // ClassifySpec pins determinism + separation)
+    "cls_logit" -> ((s, d) => {
+      val docs = rd(s, d, "documents").select(col("doc_id"), col("text"),
+        (col("lang") === "en").cast("int").as("y"))
+      val feats = Classify.featuresIGain(docs, "doc_id", "text", "y", 1, 10)
+        .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+      val model = Classify.trainLogistic(docs, "doc_id", "text", "y", 1,
+        feats, iterations = 5, alpha = 0.1).last
+      Classify.logitPredict(docs, "doc_id", "text", model)
+        .select(col("doc_id"), round(col("prob"), 6).as("prob"), col("predicted"))
+    }),
+
     // ---- lucene/expressions: JS-like scoring expressions -> codegen ----
     "expr_score" -> ((s, d) => rd(s, d, "documents").select(col("doc_id"),
       round(graft.functions.JsExpr.compile(
@@ -2292,6 +2315,26 @@ object SparkEntry {
           | SELECT s.lang, count(*) AS sampled,
           |   round(count(*) / r.rate, 5) AS amortized
           | FROM s, r GROUP BY s.lang, r.rate""".stripMargin,
+
+      "cls_features" ->
+        """WITH lab AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS y, text FROM documents),
+          | tot AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(y) AS DOUBLE) AS npos FROM lab),
+          | dt AS (SELECT DISTINCT doc_id, y, term FROM
+          |   (SELECT doc_id, y, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM lab)),
+          | pt AS (SELECT term, CAST(count(*) AS DOUBLE) AS df, CAST(sum(y) AS DOUBLE) AS xc FROM dt GROUP BY 1),
+          | sc AS (SELECT term, df,
+          |   (CASE WHEN npos/n <= 0 OR npos/n >= 1 THEN 0
+          |     ELSE -(npos/n)*ln(npos/n) - (1-npos/n)*ln(1-npos/n) END)
+          |   - ((df/n) * (CASE WHEN xc/df <= 0 OR xc/df >= 1 THEN 0
+          |       ELSE -(xc/df)*ln(xc/df) - (1-xc/df)*ln(1-xc/df) END)
+          |     + (1 - df/n) * (CASE WHEN (npos-xc)/(n-df+1) <= 0 OR (npos-xc)/(n-df+1) >= 1 THEN 0
+          |       ELSE -((npos-xc)/(n-df+1))*ln((npos-xc)/(n-df+1))
+          |            - (1-(npos-xc)/(n-df+1))*ln(1-(npos-xc)/(n-df+1)) END)) AS raw_score,
+          |   ln(n/(df+1)) AS raw_idf
+          |   FROM pt, tot)
+          | SELECT term, round(raw_score, 6) AS score, CAST(df AS BIGINT) AS doc_freq,
+          |   round(raw_idf, 6) AS idf
+          | FROM sc ORDER BY raw_score DESC, term ASC LIMIT 25""".stripMargin,
 
       "cl_base" ->
         """WITH win AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t

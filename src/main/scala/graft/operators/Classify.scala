@@ -183,4 +183,136 @@ object Classify {
       .filter(col("rn") === 1)
       .select(col("test_id").as(idCol), col("cls").as("predicted"))
   }
+
+  /** Information-gain feature selection (reference solr/core
+    * search/IGainTermsQParserPlugin.java:156-205 + solrj io/stream
+    * FeaturesSelectionStream.java:355-374 — the `features()` streaming
+    * expression): per term, the reduction in outcome entropy from
+    * splitting the corpus on term presence,
+    *
+    *   score = H(p⁺) − (df/n)·H(x⁺/df) − (1 − df/n)·H((n⁺−x⁺)/(n−df+1))
+    *
+    * (the reference's +1 denominator quirk included; H(0)=H(1)=0), ranked
+    * score DESC (ties: term ASC), each with idf = ln(n/(df+1)) — the
+    * feature weights [[trainLogistic]] consumes. One distinct-token pass,
+    * one per-term aggregation; collection stats broadcast.
+    */
+  def featuresIGain(docs: DataFrame, idCol: String, textCol: String,
+                    outcomeCol: String, positiveLabel: Int,
+                    numTerms: Int): DataFrame = {
+    def h(p: org.apache.spark.sql.Column) =
+      when(p <= 0.0d || p >= 1.0d, 0.0d)
+        .otherwise(-p * log(p) - (lit(1.0d) - p) * log(lit(1.0d) - p))
+    val outcome = (col(outcomeCol) === positiveLabel).cast("int")
+    val labeled = docs.select(col(idCol), col(textCol), outcome.as("__y"))
+    val totals = labeled.agg(count(lit(1)).cast("double").as("__n"),
+      sum("__y").cast("double").as("__npos"))
+    val perDocTerms = labeled
+      .select(col(idCol), col("__y"), explode(TextOps.tokensOf(textCol)).as("term"))
+      .distinct()
+    perDocTerms.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("docFreq"),
+        sum("__y").cast("double").as("__xc"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score",
+        h(col("__npos") / col("__n")) -
+          ((col("docFreq") / col("__n")) * h(col("__xc") / col("docFreq")) +
+            (lit(1.0d) - col("docFreq") / col("__n")) *
+              h((col("__npos") - col("__xc")) / (col("__n") - col("docFreq") + 1.0d))))
+      .withColumn("idf", log(col("__n") / (col("docFreq") + 1.0d)))
+      .orderBy(col("score").desc, col("term").asc)
+      .limit(numTerms)
+      .select(col("term"), col("score"), col("docFreq").cast("long").as("docFreq"),
+        col("idf"))
+  }
+
+  /** One training iteration's state. */
+  final case class LogitModel(terms: Seq[String], idfs: Seq[Double],
+                              weights: Seq[Double], error: Double)
+
+  /** Text logistic regression (reference solr/core
+    * search/TextLogisticRegressionQParserPlugin.java:125-240 + solrj
+    * io/stream TextLogitStream.java:426-487 — the `train()` streaming
+    * expression). Feature vector per doc: x₀ = 1 (bias), xⱼ =
+    * idfⱼ·(1 + ln tfⱼ); initial weights all 1.0; sigmoid error.
+    *
+    * Distribution substitution (documented deviation): the reference runs
+    * per-doc SGD inside each shard and AVERAGES shard weights per
+    * iteration — a result that depends on doc order within shards, which
+    * no deterministic distributed plan can reproduce. Here each iteration
+    * is full-batch gradient descent (w -= α·Σ_docs (σ(x·w) − y)·x / n),
+    * the order-free limit of that averaging: deterministic on any cluster
+    * size. Per iteration: ONE narrow pass over the cached vectors + a
+    * (numTerms+1)-row gradient aggregate; doc text never re-tokenized.
+    * Error reported like the reference: Σ|σ(x·w_pre) − y| over docs.
+    */
+  def trainLogistic(docs: DataFrame, idCol: String, textCol: String,
+                    outcomeCol: String, positiveLabel: Int,
+                    features: Seq[(String, Double)],
+                    iterations: Int = 10, alpha: Double = 0.01): Seq[LogitModel] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = features.map(_._1)
+    val idfs = features.map(_._2)
+    val termIdf = terms.zip(idfs).toMap
+    val outcome = (col(outcomeCol) === positiveLabel).cast("double")
+    val bTerms = spark.sparkContext.broadcast(termIdf)
+    // one narrow pass builds (y, x) vectors; cached across iterations
+    val vecs = docs.select(col(idCol), col(textCol), outcome.as("__y"))
+      .select(col("__y"), TextOps.tokensOf(textCol).as("__toks"))
+      .as[(Double, Seq[String])]
+      .map { case (y, toks) =>
+        val ti = bTerms.value
+        val tf = scala.collection.mutable.HashMap.empty[String, Int]
+        toks.foreach(t => if (ti.contains(t)) tf.update(t, tf.getOrElse(t, 0) + 1))
+        val x = new Array[Double](terms.length + 1)
+        x(0) = 1.0
+        var j = 0
+        while (j < terms.length) {
+          val f = tf.getOrElse(terms(j), 0)
+          if (f > 0) x(j + 1) = termIdf(terms(j)) * (1.0 + math.log(f.toDouble))
+          j += 1
+        }
+        (y, x)
+      }.toDF("y", "x")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = vecs.count().toDouble
+      var w = Array.fill(terms.length + 1)(1.0)
+      val out = scala.collection.mutable.ArrayBuffer.empty[LogitModel]
+      (1 to iterations).foreach { _ =>
+        val wLit = array(w.map(lit): _*)
+        val dot = aggregate(zip_with(col("x"), wLit, (a, b) => a * b),
+          lit(0.0d), (acc, v) => acc + v)
+        val sig = lit(1.0d) / (lit(1.0d) + exp(-dot))
+        val err = sig - col("y")
+        // gradient: one (numTerms+1)-row aggregate; |err| folded alongside
+        val grad = vecs
+          .select(err.as("__e"), posexplode(col("x")).as(Seq("__j", "__v")))
+          .groupBy("__j")
+          .agg(sum(col("__e") * col("__v")).as("__g"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val totalError = vecs.select(sum(abs(err))).head().getDouble(0)
+        w = w.indices.map(j => w(j) - alpha * grad.getOrElse(j, 0.0) / n).toArray
+        out += LogitModel(terms, idfs, w.toSeq, totalError)
+      }
+      out.toSeq
+    } finally vecs.unpersist()
+  }
+
+  /** Score docs with a trained [[LogitModel]]: (idCol, prob, predicted). */
+  def logitPredict(docs: DataFrame, idCol: String, textCol: String,
+                   model: LogitModel, threshold: Double = 0.5): DataFrame = {
+    val toks = TextOps.tokensOf(textCol)
+    val x: Seq[org.apache.spark.sql.Column] =
+      model.terms.zip(model.idfs).map { case (t, idf) =>
+        val tf = size(filter(toks, e => e === t))
+        when(tf > 0, lit(idf) * (lit(1.0d) + log(tf.cast("double")))).otherwise(0.0d)
+      }
+    val dot = (Seq(lit(model.weights.head)) ++
+      x.zip(model.weights.tail).map { case (c, wj) => c * wj }).reduce(_ + _)
+    val prob = lit(1.0d) / (lit(1.0d) + exp(-dot))
+    docs.select(col(idCol), prob.as("prob"),
+      (prob >= threshold).cast("int").as("predicted"))
+  }
 }

@@ -131,4 +131,48 @@ class ClassifySpec extends SparkSpec {
     // raising the ratio readmits it
     assert(Classify.knn(l, u, k = 3, maxDfRatio = 1.0).collect().nonEmpty)
   }
+
+  test("featuresIGain: perfectly-separating term tops the list, exact arithmetic") {
+    import spark.implicits._
+    // 6 positive docs all contain "signal"; 6 negatives never do;
+    // "noise" appears everywhere (zero gain)
+    val docs = ((1 to 6).map(i => (i.toLong, s"signal noise w$i", 1)) ++
+      (7 to 12).map(i => (i.toLong, s"noise w$i", 0))).toDF("id", "text", "y")
+    val got = Classify.featuresIGain(docs, "id", "text", "y", 1, 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    assert(got.head._1 == "signal", got.toSeq)
+    // exact IGain for the separator: xc = npos = 6, so both conditional
+    // entropies are H(1) and H((6-6)/(12-6+1)) = H(0) = 0 — the full H(0.5)
+    def h(x: Double) = if (x <= 0 || x >= 1) 0.0 else -x * math.log(x) - (1 - x) * math.log(1 - x)
+    val want = h(0.5) - ((6.0 / 12) * h(1.0) + (1 - 6.0 / 12) * h(0.0 / 7))
+    assert(math.abs(got.head._2 - want) < 1e-12, s"got ${got.head._2} want $want")
+    // idf = ln(n / (df + 1))
+    assert(math.abs(got.head._4 - math.log(12.0 / 7)) < 1e-12)
+    // the everywhere-term has zero-ish gain and never outranks the separator
+    val noise = got.find(_._1 == "noise")
+    noise.foreach(nz => assert(nz._2 < got.head._2))
+  }
+
+  test("trainLogistic: deterministic batch GD separates a separable corpus") {
+    import spark.implicits._
+    val docs = ((1 to 30).map(i => (i.toLong, s"good fine w$i", 1)) ++
+      (31 to 60).map(i => (i.toLong, s"bad awful w$i", 0))).toDF("id", "text", "y")
+    val feats = Classify.featuresIGain(docs, "id", "text", "y", 1, 4)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    assert(feats.map(_._1).toSet == Set("good", "fine", "bad", "awful"))
+    val iters = Classify.trainLogistic(docs, "id", "text", "y", 1, feats,
+      iterations = 50, alpha = 0.5)
+    assert(iters.size == 50)
+    // reported error (sum |sigma - y| under pre-iteration weights) decreases
+    assert(iters.last.error < iters.head.error)
+    // predictions separate the corpus
+    val pred = Classify.logitPredict(docs, "id", "text", iters.last)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    val acc = (1 to 60).count(i => pred(i.toLong) == (if (i <= 30) 1 else 0)) / 60.0
+    assert(acc >= 0.95, s"accuracy $acc")
+    // deterministic: same inputs, bit-identical weights
+    val again = Classify.trainLogistic(docs, "id", "text", "y", 1, feats,
+      iterations = 50, alpha = 0.5)
+    assert(again.last.weights == iters.last.weights)
+  }
 }
