@@ -1192,6 +1192,22 @@ object SparkEntry {
       "doc_id", "text", maxPhraseLen = 2, minDf = 3,
       stopRatio = 0.8, maxBaseClusters = 20)),
 
+    // scoreNodes(): tf-idf re-ranking of gathered graph nodes — parts
+    // reached by high-quantity lineitems, discounted by global part degree
+    "q62_scorenodes" -> ((s, d) => {
+      val li = rd(s, d, "lineitem")
+      val gathered = li.filter(col("l_quantity") > 45)
+        .groupBy(col("l_partkey").as("node")).agg(count(lit(1)).as("gathered"))
+      R.scoreNodes(gathered, "node", "gathered", li, "l_partkey")
+        .select(col("node"), col("gathered"), col("docFreq"),
+          round(col("nodeScore"), 6).as("node_score"))
+    }),
+
+    // random() streaming expression: deterministic seeded hash shuffle
+    "q63_random" -> ((s, d) => R.randomSample(
+      rd(s, d, "documents").select("doc_id", "lang", "n_chars"),
+      "doc_id", seed = 42L, k = 50)),
+
     // features() streaming expression: information-gain feature selection
     "cls_features" -> ((s, d) => {
       val docs = rd(s, d, "documents").select(col("doc_id"), col("text"),
@@ -2315,6 +2331,22 @@ object SparkEntry {
           | SELECT s.lang, count(*) AS sampled,
           |   round(count(*) / r.rate, 5) AS amortized
           | FROM s, r GROUP BY s.lang, r.rate""".stripMargin,
+
+      "q62_scorenodes" ->
+        """WITH g AS (SELECT l_partkey AS node, count(*) AS gathered
+          |           FROM lineitem WHERE l_quantity > 45 GROUP BY 1),
+          | dfs AS (SELECT l_partkey AS node, count(*) AS docFreq FROM lineitem GROUP BY 1),
+          | nn AS (SELECT count(*) AS numDocs FROM lineitem)
+          | SELECT g.node, g.gathered, dfs.docFreq AS "docFreq",
+          |   round((ln(g.gathered) + 1.0) *
+          |         (ln(CAST(nn.numDocs + 1 AS DOUBLE) / (dfs.docFreq + 1)) + 1.0), 6)
+          |     AS node_score
+          | FROM g JOIN dfs USING (node), nn""".stripMargin,
+
+      "q63_random" ->
+        """SELECT doc_id, lang, n_chars FROM documents
+          | ORDER BY (doc_id * 2654435761 + 42) % 1000003 ASC, doc_id ASC
+          | LIMIT 50""".stripMargin,
 
       "cls_features" ->
         """WITH lab AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS y, text FROM documents),

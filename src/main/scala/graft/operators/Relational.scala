@@ -252,6 +252,47 @@ object Relational {
   }
 
   /**
+   * scoreNodes (reference solr/solrj/src/java/org/apache/solr/client/
+   * solrj/io/stream/ScoreNodesStream.java:227-246 — tf-idf re-ranking of
+   * gathered graph nodes): nodeScore = (ln(gatherCount) + 1) ·
+   * (ln((numDocs+1)/(docFreq+1)) + 1), where gatherCount is how often the
+   * traversal reached the node (`countCol` of `nodes`) and docFreq is the
+   * node value's global frequency in the corpus column. High-degree hub
+   * nodes get discounted exactly like common terms in tf-idf. The node
+   * frame is traversal-sized and broadcasts into the docFreq aggregate.
+   */
+  def scoreNodes(nodes: DataFrame, nodeCol: String, countCol: String,
+                 corpus: DataFrame, corpusNodeCol: String): DataFrame = {
+    val stats = corpus.agg(count(lit(1)).as("__numDocs"))
+    val dfs = corpus.groupBy(col(corpusNodeCol).as(nodeCol))
+      .agg(count(lit(1)).as("docFreq"))
+    broadcast(nodes).join(dfs, Seq(nodeCol), "left")
+      .na.fill(0, Seq("docFreq"))
+      .crossJoin(broadcast(stats))
+      .withColumn("nodeScore",
+        (log(col(countCol).cast("double")) + lit(1.0d)) *
+          (log((col("__numDocs") + lit(1L)).cast("double") /
+            (col("docFreq") + lit(1L)).cast("double")) + lit(1.0d)))
+      .drop("__numDocs")
+  }
+
+  /**
+   * random() streaming expression (reference solr/solrj io/stream/
+   * RandomStream.java:196 — sort on a seeded pseudo-random field, take k).
+   * The reference's random_<seed> sort is RNG-backed; distributed and
+   * reproducibly, the same contract is a multiplicative hash of (id, seed)
+   * — a deterministic shuffle of the id space, identical on any cluster
+   * size — then a bounded TakeOrdered(k). Same primitive the stratified
+   * sampler uses.
+   */
+  def randomSample(df: DataFrame, idCol: String, seed: Long, k: Int): DataFrame =
+    df.withColumn("__r",
+        pmod(col(idCol).cast("long") * 2654435761L + lit(seed), lit(1000003L)))
+      .orderBy(col("__r").asc, col(idCol).asc)
+      .limit(k)
+      .drop("__r")
+
+  /**
    * shortestPath (reference solr/solrj/src/java/org/apache/solr/client/
    * solrj/io/graph/ShortestPathStream.java): BFS from `from` toward `to`,
    * returning ALL shortest paths (as "a->b->c" strings, plus their depth)
