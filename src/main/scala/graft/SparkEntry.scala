@@ -440,6 +440,11 @@ object SparkEntry {
       .multiPhrase(Seq(Seq("spark", "data"), Seq("group")))
       .select(col("docId").as("doc_id"))),
 
+    // ComplexPhraseQueryParser: group + wildcard slots inside a phrase
+    "ft_engine_cphrase" -> ((s, d) => docIndex(s, d)
+      .complexPhrase("(spark hash) jo*")
+      .select(col("docId").as("doc_id"))),
+
     // engine WildcardQuery against the dictionary (constant-score union)
     "ft_engine_wildcard" -> ((s, d) => docIndex(s, d)
       .multiTermTopK(col("term").rlike(TextOps.wildcardToRegex("s?a*")), 1000000)
@@ -1902,6 +1907,15 @@ object SparkEntry {
           | SELECT DISTINCT a.doc_id FROM t a JOIN t b
           |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
           | WHERE a.tok IN ('spark','data') AND b.tok = 'group'""".stripMargin,
+      "ft_engine_cphrase" ->
+        """WITH t AS (SELECT doc_id,
+          |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          |  FROM documents)
+          | SELECT DISTINCT a.doc_id FROM t a JOIN t b
+          |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          | WHERE a.tok IN ('spark','hash') AND b.tok LIKE 'jo%'""".stripMargin,
+
       "q33_window_phrase" ->
         """WITH t AS (SELECT doc_id,
           |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,

@@ -1185,6 +1185,31 @@ object IndexStore {
     }
 
     /** Multi-phrase (slot = any-of terms) docIds via positions. */
+    /** Complex phrase (reference lucene/queryparser complexPhrase/
+      * ComplexPhraseQueryParser.java): a quoted phrase whose slots may be
+      * groups `(a b)`, wildcards `jo*`, or fuzzies `word~1`; multi-term
+      * slots expand against the dictionary (df-ranked, `maxExpansions`
+      * cap like the engine's other multi-term paths) and the expanded
+      * slot table flows through the SAME multiPhrase plan. A slot with
+      * zero dictionary matches matches nothing (empty result, not an
+      * error). Exact adjacency (no slop). */
+    def complexPhrase(body: String, maxExpansions: Int = 1024): DataFrame = {
+      import spark.implicits._
+      import graft.query.QueryParser._
+      val slots: Seq[Seq[String]] = parseComplexPhrase(body).map {
+        case TermSlot(t)   => analyzeQuery(t)
+        case GroupSlot(ts) => ts.flatMap(analyzeQuery)
+        case WildcardSlot(p) =>
+          termstats
+            .filter(col("term").rlike(graft.operators.TextOps.wildcardToRegex(p)))
+            .orderBy(desc("df"), asc("term")).limit(maxExpansions)
+            .select("term").as[String].collect().toSeq
+        case FuzzySlot(t, e) => fuzzyExpand(t, e).take(maxExpansions)
+      }
+      if (slots.exists(_.isEmpty)) spark.range(0).select(col("id").as("docId"))
+      else multiPhrase(slots)
+    }
+
     def multiPhrase(slots: Seq[Seq[String]]): DataFrame = {
       val r = QueryEngine.multiPhraseMatch(positions, slots)
       deletes.fold(r)(d => r.join(d, Seq("docId"), "left_anti"))

@@ -227,4 +227,52 @@ object QueryParser {
       if (pos == start) default else in.substring(start, pos).toInt
     }
   }
+
+  // ---- complex phrases (lucene/queryparser complexPhrase/
+  // ComplexPhraseQueryParser.java: embedded wildcards, fuzzies, and
+  // (a b) groups inside quoted phrases) ----
+
+  sealed trait PhraseSlot
+  final case class TermSlot(term: String) extends PhraseSlot
+  final case class GroupSlot(terms: Seq[String]) extends PhraseSlot
+  final case class WildcardSlot(pattern: String) extends PhraseSlot
+  final case class FuzzySlot(term: String, maxEdits: Int) extends PhraseSlot
+
+  private val FuzzyAtom = """([^\s~()]+)~(\d+)""".r
+
+  /** Parse the BODY of a complex phrase (no surrounding quotes) into
+    * ordered slots: `(a b) jo* word~1 plain`. Plain atoms run through the
+    * standard analyzer (one atom may analyze to several consecutive
+    * slots); wildcard/fuzzy atoms are lowercased but NOT analyzed, like
+    * the reference's multi-term branches. */
+  def parseComplexPhrase(body: String): Seq[PhraseSlot] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[PhraseSlot]
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (Character.isWhitespace(c)) i += 1
+      else if (c == '(') {
+        val close = body.indexOf(')', i)
+        if (close < 0) throw ParseException("unterminated group in phrase", i)
+        val terms = graft.analysis.Analyzer.terms(body.substring(i + 1, close))
+        if (terms.isEmpty) throw ParseException("empty group in phrase", i)
+        out += GroupSlot(terms)
+        i = close + 1
+      } else {
+        var j = i
+        while (j < body.length && !Character.isWhitespace(body.charAt(j)) && body.charAt(j) != '(') j += 1
+        val atom = body.substring(i, j)
+        atom match {
+          case FuzzyAtom(t, e) => out += FuzzySlot(t.toLowerCase, e.toInt)
+          case a if a.contains('*') || a.contains('?') =>
+            out += WildcardSlot(a.toLowerCase)
+          case a =>
+            graft.analysis.Analyzer.terms(a).foreach(t => out += TermSlot(t))
+        }
+        i = j
+      }
+    }
+    if (out.isEmpty) throw ParseException("empty phrase", 0)
+    out.toSeq
+  }
 }

@@ -121,6 +121,14 @@ object IndexCli {
       println(f"""search "$q" top-$k in $ms%.0f ms:""")
       hits.foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)}"))
 
+    // cphrase <indexDir> <complex phrase body...>: groups/wildcards/fuzzies
+    // inside a phrase, e.g.: cphrase /tmp/idx (public private) stat*
+    case "cphrase" :: dir :: body if body.nonEmpty =>
+      val docs = IndexStore.OpenIndex(spark, dir).complexPhrase(body.mkString(" "))
+        .orderBy("docId").collect()
+      println(s"complex phrase matched ${docs.length} docs:")
+      docs.take(20).foreach(r => println(s"  doc=${r.getLong(0)}"))
+
     case "mlt" :: dir :: k :: text =>
       val hits = IndexStore.OpenIndex(spark, dir).moreLikeThis(text.mkString(" "), k.toInt).collect()
       println(s"more-like-this top-$k:")

@@ -168,4 +168,29 @@ class SearcherSpec extends SparkSpec {
     assert(after === hits(idx0.search("public import", 100000))
       .filterNot(h => before.take(2).map(_._1).contains(h._1)).take(6))
   }
+
+  test("complex phrase: slot parsing and engine execution vs brute force") {
+    // parse shapes
+    assert(parseComplexPhrase("(a b) jo* word~1 plain") == Seq(
+      GroupSlot(Seq("a", "b")), WildcardSlot("jo*"),
+      FuzzySlot("word", 1), TermSlot("plain")))
+    intercept[ParseException](parseComplexPhrase("(a b"))
+    intercept[ParseException](parseComplexPhrase("   "))
+
+    // engine: "(public private) stat*" == brute-force adjacency over the corpus
+    val got = idx.complexPhrase("(public private) stat*")
+      .collect().map(_.getLong(0)).toSet
+    val docs = (0L until 300L).map(i => CorpusGen.genFile(i))
+      .sortBy(f => (f.repo, f.path, f.commit)).zipWithIndex
+      .map { case (f, i) => (i.toLong, graft.analysis.Analyzer.terms(f.content)) }
+    val want = docs.filter { case (_, toks) =>
+      toks.sliding(2).exists(p => p.length == 2 &&
+        Set("public", "private")(p(0)) && p(1).startsWith("stat"))
+    }.map(_._1).toSet
+    assert(got == want, s"diff=${(got diff want) ++ (want diff got)}")
+    assert(got.nonEmpty, "vacuous complex phrase test")
+
+    // a slot with zero dictionary matches => empty result, not an error
+    assert(idx.complexPhrase("public zzzznope*").count() == 0)
+  }
 }
