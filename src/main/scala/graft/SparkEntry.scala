@@ -1171,6 +1171,19 @@ object SparkEntry {
         .select(col("line_id"), col("l_suppkey"), col("qscore").cast("double").as("qscore"))
     }),
 
+    // edismax: qf = [text×1.0, title×2.0] (title derived from source+lang so
+    // the cross-field dismax is non-vacuous: 'src13' only matches title),
+    // mm=2 over the 3 user clauses, tie=0.1, pf2 bigram phrase boost on text
+    // ('data group' occurs adjacently; 'group src13' never does)
+    "q63_edismax" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+        .withColumn("title", concat_ws(" ", col("source"), col("lang")))
+      TextOps.edismax(docs, "doc_id",
+        qf = Seq(("text", 1.0), ("title", 2.0)),
+        terms = Seq("data", "group", "src13"), mm = 2, tie = 0.1,
+        pf2 = Seq(("text", 1.5)))
+    }),
+
     // PayloadScoreQuery over a delimited-payload corpus: tokens carry
     // "term|payload", parsed by the DelimitedPayloadTokenFilter analogue,
     // folded per doc with the Average payload function
@@ -2327,6 +2340,59 @@ object SparkEntry {
           |   row_number() OVER (PARTITION BY l_suppkey ORDER BY qscore DESC, line_id ASC) <= 3)
           | SELECT line_id, l_suppkey, qscore FROM capped
           | ORDER BY qscore DESC, line_id ASC LIMIT 100""".stripMargin,
+
+      "q63_edismax" ->
+        """WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+          | toki AS (SELECT doc_id, unnest(regexp_extract_all(lower(source || ' ' || lang), '[a-z0-9]+')) AS tok FROM documents),
+          | tft AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),
+          | tfi AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toki GROUP BY doc_id, tok),
+          | dlt AS (SELECT doc_id, sum(tf) AS dl FROM tft GROUP BY doc_id),
+          | dli AS (SELECT doc_id, sum(tf) AS dl FROM tfi GROUP BY doc_id),
+          | stt AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+          |                (SELECT sum(dl) FROM dlt) / (SELECT count(*) FROM documents) AS avgdl),
+          | sti AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+          |                (SELECT sum(dl) FROM dli) / (SELECT count(*) FROM documents) AS avgdl),
+          | qtt AS (SELECT * FROM tft WHERE tok IN ('data','group','src13')),
+          | qti AS (SELECT * FROM tfi WHERE tok IN ('data','group','src13')),
+          | dft AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM qtt GROUP BY tok),
+          | dfi AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM qti GROUP BY tok),
+          | sct AS (SELECT q.doc_id, q.tok,
+          |   1.0 * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * q.tf /
+          |   (q.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS bs
+          |  FROM qtt q JOIN dft d USING (tok) JOIN dlt l USING (doc_id), stt s),
+          | sci AS (SELECT q.doc_id, q.tok,
+          |   2.0 * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * q.tf /
+          |   (q.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS bs
+          |  FROM qti q JOIN dfi d USING (tok) JOIN dli l USING (doc_id), sti s),
+          | allsc AS (SELECT * FROM sct UNION ALL SELECT * FROM sci),
+          | cl AS (SELECT doc_id, tok, max(bs) + 0.1 * (sum(bs) - max(bs)) AS cs
+          |        FROM allsc GROUP BY doc_id, tok),
+          | mainq AS (SELECT doc_id, sum(cs) AS ms FROM cl GROUP BY doc_id
+          |           HAVING count(*) >= 2),
+          | idft AS (SELECT t.tok,
+          |   ln(1 + (s.n - coalesce(d.df, 0) + 0.5) / (coalesce(d.df, 0) + 0.5)) AS idf
+          |  FROM (VALUES ('data'),('group'),('src13')) AS t(tok)
+          |  LEFT JOIN dft d ON d.tok = t.tok, stt s),
+          | pt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |        generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos FROM documents),
+          | ptf0 AS (SELECT a.doc_id, CAST(count(*) AS DOUBLE) AS ptf FROM pt a
+          |          JOIN pt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          |          WHERE a.tok = 'data' AND b.tok = 'group' GROUP BY a.doc_id),
+          | ptf1 AS (SELECT a.doc_id, CAST(count(*) AS DOUBLE) AS ptf FROM pt a
+          |          JOIN pt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          |          WHERE a.tok = 'group' AND b.tok = 'src13' GROUP BY a.doc_id),
+          | pb0 AS (SELECT p.doc_id,
+          |   1.5 * ((SELECT idf FROM idft WHERE tok = 'data') + (SELECT idf FROM idft WHERE tok = 'group')) *
+          |   p.ptf / (p.ptf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS ps
+          |  FROM ptf0 p JOIN dlt l USING (doc_id), stt s),
+          | pb1 AS (SELECT p.doc_id,
+          |   1.5 * ((SELECT idf FROM idft WHERE tok = 'group') + (SELECT idf FROM idft WHERE tok = 'src13')) *
+          |   p.ptf / (p.ptf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS ps
+          |  FROM ptf1 p JOIN dlt l USING (doc_id), stt s),
+          | pball AS (SELECT * FROM pb0 UNION ALL SELECT * FROM pb1),
+          | pbagg AS (SELECT doc_id, sum(ps) AS pb FROM pball GROUP BY doc_id)
+          | SELECT m.doc_id, round(m.ms + coalesce(p.pb, 0), 5) AS score
+          | FROM mainq m LEFT JOIN pbagg p USING (doc_id)""".stripMargin,
 
       "ft_payload_score" ->
         """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t

@@ -306,6 +306,98 @@ object TextOps {
       .agg(round(max("s") + lit(tiebreak) * (sum("s") - max("s")), 5).as("score"))
 
   /**
+   * ExtendedDisMax (edismax) — Solr's primary user-facing query parser
+   * (reference solr/core/src/java/org/apache/solr/search/
+   * ExtendedDismaxQParser.java; DisMaxQParser.java:172-232 builds the same
+   * main-query shape; SolrPluginUtils.setMinShouldMatch applies `mm`):
+   *
+   *  - each user term becomes ONE clause = DisjunctionMax over the `qf`
+   *    fields of (fieldBoost × BM25_field(term)), tie-broken as
+   *    max + tie·(Σ − max) (DisjunctionMaxScorer.java:58-70). Field
+   *    statistics (df, dl, avgdl, N) are PER FIELD — Lucene's per-field
+   *    stats model;
+   *  - a doc matches iff ≥ `mm` of its term clauses match (mm counts the
+   *    top-level user clauses only — the phrase boosts below are appended
+   *    OUTSIDE the mm'd boolean, ExtendedDismaxQParser.addPhraseFieldQueries);
+   *  - `pf2`: every adjacent bigram of the user query becomes a phrase
+   *    query over each pf2 field (edismax's pf2 parameter,
+   *    ExtendedDismaxQParser.U_FIELD handling of pf2/pf3); a matching doc
+   *    adds fieldBoost × phraseBM25, where phrase idf = Σ of the member
+   *    terms' idfs and tf = adjacent-occurrence count (PhraseWeight feeds
+   *    all term stats to one Similarity scorer). Multiple pf2 fields
+   *    dismax with the same `tie`.
+   *
+   * Output: (idCol, score) rounded to 5 — oracle-reproducible doubles.
+   *
+   * Plan shape at scale: one tf/dl aggregation pass per field (narrow typed
+   * termFreqs, partial+final aggs), stats broadcast; the pf2 adjacency join
+   * touches only the bigram terms' position rows; no window functions, no
+   * driver loops — clause fan-out is a union of per-field frames.
+   */
+  def edismax(docs: DataFrame, idCol: String,
+              qf: Seq[(String, Double)], terms: Seq[String], mm: Int,
+              tie: Double, pf2: Seq[(String, Double)] = Nil,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(qf.nonEmpty && terms.nonEmpty && mm >= 1)
+    val perField = qf.map { case (c, boost) =>
+      scoredTerms(docs, idCol, c, terms, k1, b)
+        .select(col(idCol), col("tok"), (col("s") * boost).as("bs"))
+    }.reduce(_ unionByName _)
+    val clauses = perField.groupBy(col(idCol), col("tok"))
+      .agg((max("bs") + lit(tie) * (sum("bs") - max("bs"))).as("cs"))
+    val main = clauses.groupBy(idCol)
+      .agg(sum("cs").as("ms"), count("*").as("nm"))
+      .filter(col("nm") >= mm)
+      .select(col(idCol), col("ms"))
+    val bigrams = terms.sliding(2).filter(_.size == 2).toSeq
+    if (pf2.isEmpty || bigrams.isEmpty)
+      main.select(col(idCol), round(col("ms"), 5).as("score"))
+    else {
+      val bigramTerms = bigrams.flatten.distinct
+      // one frame per pf2 field: (id, bg, ps) — bg indexes the bigram so
+      // cross-field dismax groups per (doc, bigram)
+      val perPhraseField = pf2.map { case (c, boost) =>
+        val tf = termFreqs(docs, idCol, c)
+        val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+        val stats = docs.agg(count("*").as("n"))
+          .crossJoin(dl.agg(sum("dl").as("__totDl")))
+          .withColumn("avgdl", col("__totDl") / col("n"))
+        val dfs = tf.filter(col("tok").isin(bigramTerms: _*))
+          .groupBy("tok").agg(count("*").as("df"))
+        // idf per bigram = Σ member idfs over THIS field's stats; a term
+        // absent from the field has df=0 → idf = ln(1 + (N+0.5)/0.5)
+        val dfMap = dfs.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val pos = tokenPosTable(docs, idCol, c)
+          .filter(col("tok").isin(bigramTerms: _*))
+        val perBigram = bigrams.zipWithIndex.map { case (Seq(t1, t2), bi) =>
+          val a = pos.filter(col("tok") === t1).select(col(idCol), col("pos").as("pa"))
+          val bx = pos.filter(col("tok") === t2).select(col(idCol), col("pos").as("pb"))
+          a.join(bx, idCol).filter(col("pb") === col("pa") + 1)
+            .groupBy(idCol).agg(count("*").cast("double").as("ptf"))
+            .withColumn("bg", lit(bi))
+        }.reduce(_ unionByName _)
+        val idfOf = (t: String) => {
+          val df = dfMap.getOrElse(t, 0L).toDouble
+          (n: Column) => log(lit(1.0) + (n - df + 0.5) / (df + 0.5))
+        }
+        val idfCol = bigrams.zipWithIndex.map { case (Seq(t1, t2), bi) =>
+          when(col("bg") === bi, idfOf(t1)(col("n")) + idfOf(t2)(col("n")))
+        }.reduce(_.otherwise(_))
+        perBigram
+          .join(dl, idCol).crossJoin(broadcast(stats))
+          .select(col(idCol), col("bg"),
+            (lit(boost) * idfCol * col("ptf") /
+              (col("ptf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))).as("ps"))
+      }.reduce(_ unionByName _)
+      val phrase = perPhraseField.groupBy(col(idCol), col("bg"))
+        .agg((max("ps") + lit(tie) * (sum("ps") - max("ps"))).as("bps"))
+        .groupBy(idCol).agg(sum("bps").as("pb"))
+      main.join(phrase, Seq(idCol), "left")
+        .select(col(idCol), round(col("ms") + coalesce(col("pb"), lit(0.0)), 5).as("score"))
+    }
+  }
+
+  /**
    * Re-ranking (reference solr/core/src/java/org/apache/solr/search/
    * ReRankQParserPlugin.java; lucene/core/src/java/org/apache/lucene/search/
    * QueryRescorer.java): the top `reRankDocs` of the main query are
