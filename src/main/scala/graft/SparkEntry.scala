@@ -546,6 +546,14 @@ object SparkEntry {
       rd(s, d, "documents").select(concat_ws("/", col("lang"), col("source")).as("path")),
       "path", "en")),
 
+    // drill-sideways: base query = docs containing 'data'; drilled into
+    // lang=en and source=src13 — each dim's counts computed under the OTHER
+    // dim's selection only, plus the all-selections hit count, in ONE pass
+    "ft_facet_sideways" -> ((s, d) => R.drillSideways(
+      rd(s, d, "documents"),
+      array_contains(TextOps.tokensOf("text"), "data"),
+      Seq(("lang", col("lang") === "en"), ("source", col("source") === "src13")))),
+
     // spatial heatmap facet (facet.heatmap): grid-cell counts over the
     // synthetic lat/lon derived as in q46_geo
     "ft_geo_heatmap" -> ((s, d) => {
@@ -1637,6 +1645,16 @@ object SparkEntry {
       "ft_facet_drilldown" ->
         """SELECT source AS child, count(*) AS cnt FROM documents
           | WHERE lang = 'en' GROUP BY 1""".stripMargin,
+      "ft_facet_sideways" ->
+        """WITH base AS (SELECT lang, source FROM documents
+          |   WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'data')),
+          | l AS (SELECT 'lang' AS dim, CAST(lang AS VARCHAR) AS value, count(*) AS cnt
+          |       FROM base WHERE source = 'src13' GROUP BY lang),
+          | s AS (SELECT 'source' AS dim, CAST(source AS VARCHAR) AS value, count(*) AS cnt
+          |       FROM base WHERE lang = 'en' GROUP BY source),
+          | h AS (SELECT '__hits__' AS dim, '' AS value, count(*) AS cnt
+          |       FROM base WHERE lang = 'en' AND source = 'src13' HAVING count(*) > 0)
+          | SELECT * FROM l UNION ALL SELECT * FROM s UNION ALL SELECT * FROM h""".stripMargin,
       "ft_geo_heatmap" ->
         """WITH ev AS (SELECT user_id % 17000 / 100.0 - 85.0 AS lat,
           |   user_id % 35900 / 100.0 - 179.5 AS lon FROM events)

@@ -556,4 +556,44 @@ object Relational {
       .groupBy("child").agg(count("*").as("cnt"))
       .orderBy(desc("cnt"), asc("child"))
   }
+
+  /**
+   * DrillSideways (reference lucene/facet/src/java/org/apache/lucene/facet/
+   * DrillSideways.java:47-63, DrillSidewaysScorer.java:40-55): for a base
+   * query with per-dimension drill-down selections, each dimension's facet
+   * counts are computed over the docs matching the base query AND every
+   * OTHER dimension's selection — "sideways" counts keep a dimension's
+   * sibling values visible after drilling into one of them. Also emits the
+   * drill-down hit count (all selections applied) as the `(__hits__, '')`
+   * row — DrillSidewaysResult.hits.
+   *
+   * ONE corpus pass, the reference scorer's near-miss optimization in
+   * relational form: per doc, count matched selections m; the doc
+   * contributes to dim i's counts iff m − matched(i) == dims−1 (it matches
+   * all OTHER selections), and to the hit count iff m == dims. The dims-way
+   * per-doc fan-out is an array explode (narrow); the only exchange is the
+   * final (dim, value) count aggregation — partial+final, |values|-sized.
+   * A per-dim re-scan loop would read the corpus dims+1 times; this reads
+   * it once, which at 100 TB is the difference that matters.
+   *
+   * @param dims (dimColumn, selectedPredicate) per drilled dimension
+   * @return (dim, value, cnt), plus the (`__hits__`, '') drill-down count
+   */
+  def drillSideways(df: DataFrame, base: Column,
+                    dims: Seq[(String, Column)]): DataFrame = {
+    require(dims.nonEmpty)
+    val ms = dims.map { case (_, pred) => pred.cast("int") }
+    val total = ms.reduce(_ + _)
+    val contribs = dims.zipWithIndex.map { case ((c, _), i) =>
+      when(total - ms(i) === dims.size - 1,
+        struct(lit(c).as("dim"), col(c).cast("string").as("value")))
+    } :+ when(total === dims.size,
+      struct(lit("__hits__").as("dim"), lit("").as("value")))
+    df.filter(base)
+      .select(explode(array(contribs: _*)).as("x"))
+      .filter(col("x").isNotNull)
+      .groupBy(col("x.dim").as("dim"), col("x.value").as("value"))
+      .agg(count("*").as("cnt"))
+      .orderBy(asc("dim"), desc("cnt"), asc("value"))
+  }
 }
