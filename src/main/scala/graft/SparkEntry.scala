@@ -465,6 +465,16 @@ object SparkEntry {
       .topKByField(Seq("spark"), Seq(("lang", true)), 100)
       .select(col("docId").as("doc_id"), col("lang"))),
 
+    // CursorMark deep paging (Solr cursorMark): page 2 of the lang-sorted
+    // match set via the opaque totem from page 1 — fresh bounded-heap top-k
+    // after the cursor filter, never a sort-and-skip
+    "ft_engine_cursor" -> ((s, d) => {
+      val idx = docIndex(s, d)
+      val (_, mark1) = idx.cursorPage(Seq("spark"), Seq(("lang", true)), 100)
+      val (page2, _) = idx.cursorPage(Seq("spark"), Seq(("lang", true)), 100, mark1)
+      page2.select(col("docId").as("doc_id"), col("lang"))
+    }),
+
     // passage-ranked highlighting over the offsets tier (UnifiedHighlighter
     // semantics: best-N passages per doc, not the first match) — rank key
     // (match count DESC, passage ASC) and char offsets are integer-exact
@@ -1498,6 +1508,10 @@ object SparkEntry {
         s"""WITH m AS (SELECT DISTINCT doc_id FROM ($tok) WHERE tok = 'spark')
            | SELECT m.doc_id, d.lang FROM m JOIN documents d ON m.doc_id = d.doc_id
            | ORDER BY d.lang ASC, m.doc_id ASC LIMIT 100""".stripMargin,
+      "ft_engine_cursor" ->
+        s"""WITH m AS (SELECT DISTINCT doc_id FROM ($tok) WHERE tok = 'spark')
+           | SELECT m.doc_id, d.lang FROM m JOIN documents d ON m.doc_id = d.doc_id
+           | ORDER BY d.lang ASC, m.doc_id ASC LIMIT 100 OFFSET 100""".stripMargin,
       "ft_engine_suggest" ->
         s"""WITH tf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ($tok) GROUP BY tok)
            | SELECT tok AS term, df FROM tf WHERE tok LIKE 's%'

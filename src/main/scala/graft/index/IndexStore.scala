@@ -1099,6 +1099,39 @@ object IndexStore {
         .limit(k)
     }
 
+    /**
+     * CursorMark page (reference solr CursorMark.java / CursorMarkParams;
+     * see [[graft.query.Cursor]]): one page of the field-sorted match set
+     * strictly after `cursorMark`, plus the next mark. Pass
+     * [[graft.query.Cursor.Start]] for page one; when a page comes back
+     * empty the returned mark equals the input mark — Solr's
+     * end-of-results convention. The page materializes as a local
+     * relation (≤ k rows, the sanctioned O(k) driver merge), so computing
+     * the next mark costs no second job.
+     */
+    def cursorPage(terms: Seq[String], sortBys: Seq[(String, Boolean)], k: Int,
+                   cursorMark: String = graft.query.Cursor.Start,
+                   mode: QueryEngine.Mode = QueryEngine.And): (DataFrame, String) = {
+      require(sortBys.nonEmpty)
+      val after = graft.query.Cursor.parse(cursorMark)
+      val matched = QueryEngine.matchingDocs(spark, blocks, terms, mode)
+      val live = deletes.fold(matched)(d => matched.join(d, Seq("docId"), "left_anti"))
+      val joined = live.join(docvalues, "docId")
+      val filtered = after.fold(joined)(c =>
+        joined.filter(graft.query.Cursor.afterPredicate(sortBys, c.values)))
+      val sortCols = sortBys.map { case (f, asc_) =>
+        if (asc_) asc(f) else desc(f)
+      } :+ asc("docId")
+      val page = filtered.orderBy(sortCols: _*).limit(k)
+      val rows = page.collect()
+      val next =
+        if (rows.isEmpty) cursorMark
+        else graft.query.Cursor(
+          sortBys.map { case (f, _) => rows.last.getAs[Any](f) } :+
+            rows.last.getAs[Any]("docId")).serialize
+      (spark.createDataFrame(java.util.Arrays.asList(rows: _*), page.schema), next)
+    }
+
     /** Export handler (Solr /export, reference solr/core .../handler/
       * export/ExportWriter.java capability): the FULL match set sorted by
       * doc-values fields — Solr's bulk-retrieval path for streaming
