@@ -1189,6 +1189,12 @@ object SparkEntry {
         .select(col("line_id"), col("l_suppkey"), col("qscore").cast("double").as("qscore"))
     }),
 
+    // FeatureField static-ranking boost (saturation): BM25('spark') +
+    // 1.5·(1 − 4/(f+4)) with f = n_chars/100 as the per-doc static feature
+    "ft_feature_sat" -> ((s, d) => TextOps.bm25FeatureSaturation(
+      rd(s, d, "documents"), "doc_id", "text", Seq("spark"),
+      col("n_chars") / 100.0, weight = 1.5, pivot = 4.0)),
+
     // edismax: qf = [text×1.0, title×2.0] (title derived from source+lang so
     // the cross-field dismax is non-vacuous: 'src13' only matches title),
     // mm=2 over the 3 user clauses, tie=0.1, pf2 bigram phrase boost on text
@@ -2372,6 +2378,23 @@ object SparkEntry {
           |   row_number() OVER (PARTITION BY l_suppkey ORDER BY qscore DESC, line_id ASC) <= 3)
           | SELECT line_id, l_suppkey, qscore FROM capped
           | ORDER BY qscore DESC, line_id ASC LIMIT 100""".stripMargin,
+
+      "ft_feature_sat" ->
+        s"""WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+           | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),
+           | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+           | st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+           |               (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+           | qt AS (SELECT * FROM tf WHERE tok = 'spark'),
+           | dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM qt GROUP BY tok),
+           | agg AS (SELECT qt.doc_id,
+           |   sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * qt.tf /
+           |       (qt.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS raw
+           |  FROM qt JOIN dfs ON qt.tok = dfs.tok JOIN dl ON qt.doc_id = dl.doc_id, st
+           |  GROUP BY qt.doc_id)
+           | SELECT a.doc_id,
+           |   round(a.raw + 1.5 * (1 - 4.0 / (d.n_chars / 100.0 + 4.0)), 5) AS score
+           | FROM agg a JOIN documents d ON a.doc_id = d.doc_id""".stripMargin,
 
       "q63_edismax" ->
         """WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),

@@ -1100,6 +1100,40 @@ object IndexStore {
     }
 
     /**
+     * FeatureField-boosted top-k (reference lucene/core document/
+     * FeatureField.java + [[graft.query.FeatureFields]]): text score over
+     * the FULL match set + fn(decoded feature) as an additive SHOULD
+     * clause, then one bounded top-k. `featureCol` is a doc-values column
+     * holding the QUANTIZED feature (store
+     * [[graft.query.FeatureFields.encodeFeatureValue]] output at build
+     * time — the reference's `freqBits >>> 15` pseudo-tf). Docs without
+     * the feature keep their text score (a SHOULD clause that misses).
+     * Clause sum is double-accumulated then cast float, the reference's
+     * boolean-sum shape. Ranking over scoresAll (not a text-only top-k
+     * window) is what makes a large static boost able to promote a doc
+     * ranked below any window boundary.
+     */
+    def topKWithFeature(terms: Seq[String], k: Int, featureCol: String,
+                        fn: graft.query.FeatureFunction,
+                        mode: QueryEngine.Mode = QueryEngine.Or,
+                        sim: graft.query.Similarity = null): DataFrame = {
+      val base = QueryEngine.scoresAll(spark, blocks, termstats, stats, terms,
+        mode, dfCache = Some(dfCache), sim = sim)
+      val live = deletes.fold(base)(d => base.join(d, Seq("docId"), "left_anti"))
+      val feat = docvalues.select(col("docId"), col(featureCol).cast("int").as("__qtf"))
+      live.join(feat, Seq("docId"), "left")
+        .select(col("docId"), col("score"), col("__qtf"))
+        .as[(Long, Float, Option[Int])]
+        .map { case (id, s, qtf) =>
+          val fs = qtf.fold(0f)(t =>
+            fn.score(graft.query.FeatureFields.decodeFeatureValue(t.toFloat)))
+          (id, (s.toDouble + fs.toDouble).toFloat)
+        }
+        .toDF("docId", "score")
+        .orderBy(desc("score"), asc("docId")).limit(k)
+    }
+
+    /**
      * CursorMark page (reference solr CursorMark.java / CursorMarkParams;
      * see [[graft.query.Cursor]]): one page of the field-sorted match set
      * strictly after `cursorMark`, plus the next mark. Pass

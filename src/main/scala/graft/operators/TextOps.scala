@@ -305,6 +305,23 @@ object TextOps {
       .groupBy(idCol)
       .agg(round(max("s") + lit(tiebreak) * (sum("s") - max("s")), 5).as("score"))
 
+  /** Declarative FeatureField twin (reference document/FeatureField.java
+    * newSaturationQuery arithmetic in oracle-reproducible double precision):
+    * BM25 over `terms` plus weight·(1 − pivot/(f + pivot)) from a per-doc
+    * feature expression, added as a SHOULD clause gated on the text match.
+    * The engine path with reference quantization + float casts is
+    * [[graft.index.IndexStore.OpenIndex.topKWithFeature]]. */
+  def bm25FeatureSaturation(docs: DataFrame, idCol: String, textCol: String,
+                            terms: Seq[String], feature: Column,
+                            weight: Double, pivot: Double,
+                            k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoredTerms(docs, idCol, textCol, terms, k1, b)
+      .groupBy(idCol).agg(sum("s").as("raw"))
+      .join(docs.select(col(idCol), feature.as("__f")), Seq(idCol))
+      .select(col(idCol),
+        round(col("raw") + lit(weight) * (lit(1.0) - lit(pivot) / (col("__f") + lit(pivot))), 5)
+          .as("score"))
+
   /**
    * ExtendedDisMax (edismax) — Solr's primary user-facing query parser
    * (reference solr/core/src/java/org/apache/solr/search/

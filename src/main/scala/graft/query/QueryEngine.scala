@@ -234,6 +234,31 @@ object QueryEngine {
     live.orderBy(desc("score"), asc("docId")).limit(k)
   }
 
+  /**
+   * Per-doc combined scores of the FULL match set — the topK grouped-sum
+   * path without order/limit. Feeds ranking stages where a second additive
+   * clause (e.g. a [[FeatureFunction]] static boost) can promote docs from
+   * outside any text-only top-k, so the base scores must not be truncated
+   * first. Same float arithmetic as topK's exhaustive path (ti-ordered
+   * double accumulation cast float).
+   */
+  def scoresAll(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame,
+                stats: CorpusStats, terms: Seq[String], mode: Mode = Or,
+                dfCache: Option[DfCache] = None, sim: Similarity = null): DataFrame = {
+    import spark.implicits._
+    val infos = plan(termstats, stats, terms, dfCache = dfCache, sim = sim)
+    if (infos.isEmpty || (mode == And && infos.size < terms.distinct.size))
+      return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
+    val grouped = scoredPostings(spark, blocks, infos, 0f)
+      .groupBy("docId")
+      .agg(collect_list(struct($"ti", $"score")).as("parts"))
+    val filtered = mode match {
+      case Or  => grouped
+      case And => grouped.filter(size($"parts") === infos.size)
+    }
+    filtered.select($"docId", combinedScore)
+  }
+
   /** Phase A of the prune: fully score the single best block per term; the
     * k-th best achieved partial score is a valid lower bound of the true
     * k-th score (partial <= true). */

@@ -425,3 +425,67 @@ final case class SweetSpotSim(lnMin: Int = 1, lnMax: Int = 1,
     Scorer(boost * idf, this)
   }
 }
+
+/**
+ * FeatureField (reference lucene/core/src/java/org/apache/lucene/document/
+ * FeatureField.java): static per-doc ranking features (pagerank, recency,
+ * url length) stored as a quantized integer "term frequency" and scored at
+ * query time by one of three monotone functions, combined additively with
+ * the text score as a SHOULD clause. The quantization (:156 `freqBits >>> 15`
+ * / :202-211 `tf << 15`) keeps the top 9 mantissa bits — bit-exact here.
+ *
+ * In this engine the quantized value lives in the doc-values tier (the
+ * column store IS the per-doc storage the reference emulates via postings);
+ * the arithmetic is the reference's, and [[graft.index.IndexStore.OpenIndex
+ * .topKWithFeature]] ranks over the full match set so a static boost can
+ * promote docs from outside any text-only top-k.
+ */
+object FeatureFields {
+  /** FeatureField.java:200 */
+  val MaxFreq: Int = java.lang.Float.floatToIntBits(Float.MaxValue) >>> 15
+
+  /** FeatureField.java:134-145,156: value must be a positive finite normal
+    * float; stored freq = floatToIntBits(v) >>> 15. */
+  def encodeFeatureValue(v: Float): Int = {
+    require(java.lang.Float.isFinite(v) && v >= java.lang.Float.MIN_NORMAL,
+      s"featureValue must be a positive normal finite float, got $v")
+    java.lang.Float.floatToIntBits(v) >>> 15
+  }
+
+  /** FeatureField.java:202-211 (lossless int tf, reassemble exponent+top
+    * mantissa): decode never exceeds the original value. */
+  def decodeFeatureValue(freq: Float): Float =
+    if (freq > MaxFreq) Float.MaxValue
+    else java.lang.Float.intBitsToFloat(freq.toInt << 15)
+}
+
+/** One of FeatureField's query-time scoring functions (FeatureFunction):
+  * maps the DECODED feature value to a score contribution. */
+trait FeatureFunction extends Serializable {
+  def score(featureValue: Float): Float
+}
+
+/** FeatureField.newSaturationQuery (:47-59 of the scorer):
+  * weight * (1 − pivot/(f + pivot)) — the rewrite of f/(f+pivot) that
+  * cannot decrease with f in spite of rounding. */
+final case class SaturationFunction(weight: Float, pivot: Float) extends FeatureFunction {
+  require(pivot > 0 && weight >= 0)
+  def score(f: Float): Float = weight * (1 - pivot / (f + pivot))
+}
+
+/** FeatureField.newLogQuery (:251-252):
+  * (float)(weight * ln(scalingFactor + f)), double math cast once. */
+final case class LogFunction(weight: Float, scalingFactor: Float) extends FeatureFunction {
+  require(scalingFactor >= 1 && weight >= 0)
+  def score(f: Float): Float =
+    (weight * Math.log(scalingFactor + f)).toFloat
+}
+
+/** FeatureField.newSigmoidQuery (:108-116):
+  * (float)(weight * (1 − pivot^a/(f^a + pivot^a))). */
+final case class SigmoidFunction(weight: Float, pivot: Float, a: Float) extends FeatureFunction {
+  require(pivot > 0 && a > 0 && weight >= 0)
+  private val pivotPa: Double = Math.pow(pivot, a)
+  def score(f: Float): Float =
+    (weight * (1 - pivotPa / (Math.pow(f, a) + pivotPa))).toFloat
+}
