@@ -556,6 +556,21 @@ object SparkEntry {
       rd(s, d, "documents").select(concat_ws("/", col("lang"), col("source")).as("path")),
       "path", "en")),
 
+    // {!frange}: function range filter — compiled expression value gated to
+    // [5, 6), constant-score matches
+    "q64_frange" -> ((s, d) => graft.functions.JsExpr.frange(
+      rd(s, d, "lineitem"), "sqrt(l_quantity) + l_discount * 10",
+      l = Some(5.0), u = Some(6.0), incu = false)
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("line_id"),
+        col("score").cast("double").as("score"))),
+
+    // association facets: per-category SUM of a per-doc association value
+    // (n_chars) over the lang/source taxonomy, every level in one pass
+    "ft_facet_assoc" -> ((s, d) => R.facetTaxonomySum(
+      rd(s, d, "documents").select(
+        concat_ws("/", col("lang"), col("source")).as("path"), col("n_chars")),
+      "path", "n_chars")),
+
     // drill-sideways: base query = docs containing 'data'; drilled into
     // lang=en and source=src13 — each dim's counts computed under the OTHER
     // dim's selection only, plus the all-selections hit count, in ONE pass
@@ -1665,6 +1680,20 @@ object SparkEntry {
       "ft_facet_drilldown" ->
         """SELECT source AS child, count(*) AS cnt FROM documents
           | WHERE lang = 'en' GROUP BY 1""".stripMargin,
+      "q64_frange" ->
+        """SELECT l_orderkey * 10 + l_linenumber AS line_id, 1.0 AS score
+          | FROM lineitem
+          | WHERE sqrt(l_quantity) + l_discount * 10 >= 5.0
+          |   AND sqrt(l_quantity) + l_discount * 10 < 6.0""".stripMargin,
+      "ft_facet_assoc" ->
+        """WITH t AS (SELECT lang || '/' || source AS path,
+          |           CAST(n_chars AS DOUBLE) AS v FROM documents),
+          | p AS (SELECT string_split(path, '/') AS parts, v FROM t),
+          | pref AS (SELECT CAST(i AS INT) AS level,
+          |     array_to_string(parts[1:i], '/') AS path, v
+          |   FROM p, unnest(generate_series(1, len(parts))) AS g(i))
+          | SELECT path, level, round(sum(v), 4) AS sum_assoc, count(*) AS cnt
+          | FROM pref GROUP BY 1, 2""".stripMargin,
       "ft_facet_sideways" ->
         """WITH base AS (SELECT lang, source FROM documents
           |   WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'data')),

@@ -557,6 +557,25 @@ object Relational {
       .orderBy(desc("cnt"), asc("child"))
   }
 
+  /** Association facets (reference lucene/facet taxonomy/
+    * FloatAssociationFacetField.java + TaxonomyFacetSumFloatAssociations
+    * .java:30-39): each doc carries a (category path, association value)
+    * pair; the facet aggregates the SUM of association values per category
+    * instead of a count. Same one-pass prefix explode as [[facetTaxonomy]]
+    * — every hierarchy level in a single corpus scan, counts carried
+    * alongside the sums. */
+  def facetTaxonomySum(df: DataFrame, pathCol: String, valueCol: String,
+                       sep: String = "/"): DataFrame = {
+    val parts = split(col(pathCol), java.util.regex.Pattern.quote(sep))
+    df.select(col(valueCol).cast("double").as("__v"),
+        explode(transform(sequence(lit(1), size(parts)),
+          i => struct(i.cast("int").as("level"),
+            array_join(slice(parts, lit(1), i), sep).as("path")))).as("pref"))
+      .groupBy(col("pref.path").as("path"), col("pref.level").as("level"))
+      .agg(round(sum("__v"), 4).as("sum_assoc"), count("*").as("cnt"))
+      .orderBy(asc("level"), desc("sum_assoc"), asc("path"))
+  }
+
   /**
    * DrillSideways (reference lucene/facet/src/java/org/apache/lucene/facet/
    * DrillSideways.java:47-63, DrillSidewaysScorer.java:40-55): for a base

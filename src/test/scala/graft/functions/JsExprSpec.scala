@@ -172,4 +172,20 @@ class JsExprSpec extends SparkSpec {
     val optimized = df.queryExecution.optimizedPlan.toString
     assert(optimized.contains("1028.0"), optimized)
   }
+
+  test("frange: per-bound inclusivity on the compiled function value; constant score") {
+    import spark.implicits._
+    val df = Seq((1L, 4.0), (2L, 9.0), (3L, 16.0), (4L, 25.0)).toDF("id", "x")
+    // sqrt(x) in [2, 4) -> ids 1 (2.0), 2 (3.0); 3 excluded by exclusive upper
+    val got = JsExpr.frange(df, "sqrt(x)", l = Some(2.0), u = Some(4.0), incu = false)
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq.sorted
+    assert(got == Seq((1L, 1f), (2L, 1f)))
+    // open lower bound: only u
+    val upper = JsExpr.frange(df, "sqrt(x)", u = Some(3.0)).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(upper == Set(1L, 2L))
+    // boost is the constant score
+    assert(JsExpr.frange(df, "x", l = Some(25.0), boost = 2.5f)
+      .select("score").head().getFloat(0) == 2.5f)
+  }
 }

@@ -70,4 +70,17 @@ class LtrFacetSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getDouble(2)))
     assert(sampled.toSeq.sorted == again.toSeq.sorted)
   }
+
+  test("facetTaxonomySum: association sums at every level in one pass") {
+    val docs = Seq(("en/web", 10.0), ("en/web", 5.0), ("en/book", 2.0), ("fr/web", 1.0))
+      .toDF("path", "v")
+    val got = Relational.facetTaxonomySum(docs, "path", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(got(("en", 1)) == (17.0, 3L))
+    assert(got(("fr", 1)) == (1.0, 1L))
+    assert(got(("en/web", 2)) == (15.0, 2L))
+    assert(got(("en/book", 2)) == (2.0, 1L))
+    assert(got(("fr/web", 2)) == (1.0, 1L))
+    assert(got.size == 5)
+  }
 }
