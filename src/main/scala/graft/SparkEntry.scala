@@ -613,6 +613,14 @@ object SparkEntry {
       .search("+spark +query -slow", 1000000)
       .select(col("docId").as("doc_id"))),
 
+    // SimpleQueryParser dialect: infix +/| with op-change grouping —
+    // `data + group | quer*` parses as ((data AND group) OR quer*)
+    "qp_simple" -> ((s, d) => {
+      val idx = docIndex(s, d)
+      graft.query.Searcher.searchSimple(idx, "data + group | quer*", 1000000)
+        .select(col("docId").as("doc_id"))
+    }),
+
     // should-clauses mixing a term with an exact phrase
     "qp_mixed" -> ((s, d) => docIndex(s, d)
       .search("spark \"data group\"", 1000000)
@@ -1749,6 +1757,12 @@ object SparkEntry {
            |  SELECT doc_id FROM ($tok) WHERE tok IN ('spark','query')
            |  GROUP BY doc_id HAVING count(DISTINCT tok) = 2)
            | WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM ($tok) WHERE tok = 'slow')""".stripMargin,
+      "qp_simple" ->
+        s"""SELECT doc_id FROM (
+           |  SELECT doc_id FROM ($tok) WHERE tok IN ('data','group')
+           |  GROUP BY doc_id HAVING count(DISTINCT tok) = 2
+           |  UNION
+           |  SELECT DISTINCT doc_id FROM ($tok) WHERE tok LIKE 'quer%')""".stripMargin,
       "qp_mixed" ->
         s"""WITH t AS (SELECT doc_id,
            |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,

@@ -28,6 +28,10 @@ package graft.query
 object QueryParser {
 
   sealed trait Query
+  /** Match every live doc at score 1·boost (MatchAllDocsQuery) — emitted by
+    * [[SimpleQueryParser]] for `*` and as the positive side of a pure
+    * negation. */
+  case object MatchAllQ extends Query
   final case class TermQ(term: String) extends Query
   final case class PhraseQ(terms: Seq[String], slop: Int) extends Query
   final case class PrefixQ(prefix: String) extends Query

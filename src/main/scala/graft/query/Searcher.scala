@@ -50,6 +50,16 @@ object Searcher {
     live.orderBy(desc("score"), asc("docId")).limit(k)
   }
 
+  /** [[SimpleQueryParser]] dialect search — the lenient end-user surface
+    * (never throws on malformed syntax). */
+  def searchSimple(idx: OpenIndex, query: String, k: Int,
+                   flags: Int = SimpleQueryParser.AllOperators,
+                   defaultOperator: String = "should"): DataFrame = {
+    val scored = eval(idx, SimpleQueryParser.parse(query, flags, defaultOperator))
+    val live = idx.deletes.fold(scored)(d => scored.join(d, Seq("docId"), "left_anti"))
+    live.orderBy(desc("score"), asc("docId")).limit(k)
+  }
+
   /**
    * Multi-field search (Lucene per-field inverted indexes): `field:`-scoped
    * clauses route to that field's index; unscoped clauses hit
@@ -82,6 +92,8 @@ object Searcher {
     // boost multiplies the child's float scores (classic setBoost)
     case BoostQ(b, inner) => eval(idx, inner)
       .select(col("docId"), (col("score") * lit(b)).cast("float").as("score"))
+    case MatchAllQ =>
+      idx.docstats.select(col("docId")).withColumn("score", lit(1f))
     case TermQ(t) =>
       QueryEngine.termScores(idx.spark, idx.blocks, idx.termstats, idx.stats, t,
         dfCache = Some(idx.dfCache))
