@@ -1212,6 +1212,12 @@ object SparkEntry {
         .select(col("line_id"), col("l_suppkey"), col("qscore").cast("double").as("qscore"))
     }),
 
+    // BlendedTermQuery: 'spark' (df~77%) and 'dup' (df~5%) scored with ONE
+    // blended df = max(df) so the rare variant isn't idf-over-rewarded;
+    // dismax combine, tie 0.1
+    "ft_blended" -> ((s, d) => TextOps.blendedBm25(rd(s, d, "documents"),
+      "doc_id", "text", Seq(("spark", 1.0), ("dup", 1.5)), tieBreaker = 0.1)),
+
     // FeatureField static-ranking boost (saturation): BM25('spark') +
     // 1.5·(1 − 4/(f+4)) with f = n_chars/100 as the per-doc static feature
     "ft_feature_sat" -> ((s, d) => TextOps.bm25FeatureSaturation(
@@ -2422,6 +2428,22 @@ object SparkEntry {
           | SELECT line_id, l_suppkey, qscore FROM capped
           | ORDER BY qscore DESC, line_id ASC LIMIT 100""".stripMargin,
 
+      "ft_blended" ->
+        """WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+          | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),
+          | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+          | st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+          |               (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+          | qt AS (SELECT * FROM tf WHERE tok IN ('spark','dup')),
+          | dfb AS (SELECT max(df) AS df FROM
+          |         (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM qt GROUP BY tok)),
+          | sc AS (SELECT qt.doc_id,
+          |   (CASE WHEN qt.tok = 'spark' THEN 1.0 ELSE 1.5 END) *
+          |   ln(1 + (st.n - dfb.df + 0.5) / (dfb.df + 0.5)) * qt.tf /
+          |   (qt.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+          |  FROM qt JOIN dl ON qt.doc_id = dl.doc_id, dfb, st)
+          | SELECT doc_id, round(max(s) + 0.1 * (sum(s) - max(s)), 5) AS score
+          | FROM sc GROUP BY doc_id""".stripMargin,
       "ft_feature_sat" ->
         s"""WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
            | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),

@@ -589,6 +589,12 @@ object IndexStore {
       QueryEngine.topK(spark, blocks, termstats, stats, terms, k, mode, mustNot, prune, wand,
         excludeDocs = deletes, dfCache = Some(dfCache), sim = sim)
 
+    /** [[QueryEngine.blendedTopK]] — BlendedTermQuery over this index. */
+    def blendedTopK(terms: Seq[(String, Float)], k: Int,
+                    tieBreaker: Float = 0.01f, dismax: Boolean = true): DataFrame =
+      QueryEngine.blendedTopK(spark, blocks, termstats, stats, terms, k,
+        tieBreaker, dismax, dfCache = Some(dfCache), excludeDocs = deletes)
+
     /** Solr queryResultCache analogue (solr/core .../search/SolrIndexSearcher
       * queryResultCache; Lucene LRUQueryCache is the filter-level cousin):
       * bounded LRU of COLLECTED top-k results keyed by the full query

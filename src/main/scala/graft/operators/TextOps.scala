@@ -305,6 +305,39 @@ object TextOps {
       .groupBy(idCol)
       .agg(round(max("s") + lit(tiebreak) * (sum("s") - max("s")), 5).as("score"))
 
+  /** Declarative BlendedTermQuery twin (reference lucene/core search/
+    * BlendedTermQuery.java:273-284: df = max over the terms' dfs so rare
+    * variants aren't idf-over-rewarded; dismax combine with tie). Double
+    * arithmetic rounded to 5 — the float-exact engine path is
+    * [[graft.query.QueryEngine.blendedTopK]]. */
+  def blendedBm25(docs: DataFrame, idCol: String, textCol: String,
+                  terms: Seq[(String, Double)], tieBreaker: Double,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = termFreqs(docs, idCol, textCol)
+    val names = terms.map(_._1)
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val stats = docs.agg(count("*").as("n"))
+      .crossJoin(dl.agg(sum("dl").as("__totDl")))
+      .withColumn("avgdl", col("__totDl") / col("n"))
+    val qtf = tf.filter(col("tok").isin(names: _*))
+    // the blend: ONE df for every term = max of their dfs
+    val dfBlend = qtf.select(col("tok")).distinct()
+      .join(tf.groupBy("tok").agg(countDistinct(idCol).as("df")), "tok")
+      .agg(max("df").as("df"))
+    val boosts = terms.toMap
+    val boostCol = names.map(t => when(col("tok") === t, lit(boosts(t))))
+      .reduce((a, b) => a.otherwise(b))
+    val sc = qtf
+      .crossJoin(broadcast(dfBlend))
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("s", boostCol *
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) * col("tf") /
+        (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+    sc.groupBy(idCol)
+      .agg(round(max("s") + lit(tieBreaker) * (sum("s") - max("s")), 5).as("score"))
+  }
+
   /** Declarative FeatureField twin (reference document/FeatureField.java
     * newSaturationQuery arithmetic in oracle-reproducible double precision):
     * BM25 over `terms` plus weight·(1 − pivot/(f + pivot)) from a per-doc

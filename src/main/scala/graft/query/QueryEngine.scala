@@ -235,6 +235,54 @@ object QueryEngine {
   }
 
   /**
+   * BlendedTermQuery (reference lucene/core search/BlendedTermQuery.java:
+   * 265-295): score several terms AS IF they shared one document frequency
+   * — df = max over the terms' dfs, ttf = sum (:273-281, adjustFrequencies)
+   * — so cross-field/synonym variants with rarer spellings aren't
+   * over-rewarded by idf. Each term keeps its own boost; sub-scores merge
+   * via DisjunctionMax with `tieBreaker` (DISJUNCTION_MAX_REWRITE, the
+   * default, tie 0.01) or as a SHOULD boolean sum (BOOLEAN_REWRITE,
+   * `dismax = false`). Same plan shape as topK's exhaustive path: one
+   * term-pruned postings scan, one per-doc group, bounded heap.
+   */
+  def blendedTopK(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame,
+                  stats: CorpusStats, terms: Seq[(String, Float)], k: Int,
+                  tieBreaker: Float = 0.01f, dismax: Boolean = true,
+                  dfCache: Option[DfCache] = None,
+                  excludeDocs: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val found = lookupDfs(termstats, terms.map(_._1), dfCache)
+    val present = terms.filter { case (t, _) => found.getOrElse(t, 0L) > 0L }
+    if (present.isEmpty)
+      return spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
+    val dfBlend = present.map { case (t, _) => found(t) }.max
+    val infos = present.zipWithIndex.map { case ((t, boost), i) =>
+      val scorer = Bm25Sim().scorer(boost, dfBlend, 0L, stats.docCount, stats.sumTotalTermFreq)
+      TermInfo(t, i, scorer, scorer.score(Int.MaxValue.toFloat, 0.toByte))
+    }
+    val grouped = scoredPostings(spark, blocks, infos, 0f)
+      .groupBy("docId")
+      .agg(collect_list(struct($"ti", $"score")).as("parts"))
+    val combined =
+      if (dismax) {
+        // DisjunctionMaxScorer.score: float max, double sum, then
+        // (float)(max + (sum - max) * tie)
+        val subs = transform(col("parts"), p => p.getField("score"))
+        val mx = array_max(subs).cast("double")
+        val sm = aggregate(sort_array(col("parts")), lit(0.0d),
+          (acc, x) => acc + x.getField("score").cast("double"))
+        grouped.select($"docId",
+          (mx + (sm - mx) * lit(tieBreaker.toDouble)).cast("float").as("score"))
+      } else grouped.select($"docId", combinedScore)
+    val live = excludeDocs match {
+      case Some(dead) => combined.join(
+        dead.select(col(dead.columns.head).cast("long").as("docId")), Seq("docId"), "left_anti")
+      case None => combined
+    }
+    live.orderBy(desc("score"), asc("docId")).limit(k)
+  }
+
+  /**
    * Per-doc combined scores of the FULL match set — the topK grouped-sum
    * path without order/limit. Feeds ranking stages where a second additive
    * clause (e.g. a [[FeatureFunction]] static boost) can promote docs from
