@@ -39,10 +39,11 @@ object SparkEntry {
       // scrub any stale index from a previous process before building
       graft.util.Fs.rmTree(idxDir)
       val corpus = rd(s, dir, "documents")
-        .select(col("doc_id").as("docId"), col("text").as("content"), col("lang"))
+        .select(col("doc_id").as("docId"), col("text").as("content"),
+          col("lang"), col("source"))
       IndexStore.build(s, corpus, idxDir, numSegments = 2,
         shufflePartitions = s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-        withPositions = true, docValueCols = Seq("lang"), withOffsets = true)
+        withPositions = true, docValueCols = Seq("lang", "source"), withOffsets = true)
       IndexStore.OpenIndex(s, idxDir)
     })
   }
@@ -530,6 +531,12 @@ object SparkEntry {
     // infix suggester (AnalyzingInfixSuggester): dictionary terms
     // containing the query substring anywhere, weighted by df
     "ft_engine_suggest_infix" -> ((s, d) => docIndex(s, d).suggestInfix("ar", 10)),
+
+    // context-filtered completions (ContextQuery/ContextSuggestField):
+    // 's'-prefix suggestions restricted to docs from src13 (boost 2) or
+    // src7 (boost 1), ranked by the boost-weighted within-context df
+    "ft_engine_suggest_ctx" -> ((s, d) => docIndex(s, d)
+      .suggestWithContexts("s", 10, "source", Map("src13" -> 2f, "src7" -> 1f))),
 
     // spell collation (SpellCheckComponent collate=true): per-word best
     // correction + verified hit count of the collated AND query
@@ -1645,6 +1652,14 @@ object SparkEntry {
         s"""WITH tf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ($tok)
            |   WHERE lang = 'fr' AND tok LIKE 's%' GROUP BY tok)
            | SELECT tok AS term, df FROM tf ORDER BY df DESC, tok ASC LIMIT 10""".stripMargin,
+      "ft_engine_suggest_ctx" ->
+        s"""WITH m AS (SELECT DISTINCT tok, doc_id FROM ($tok) WHERE tok LIKE 's%'),
+           | c AS (SELECT doc_id,
+           |   CASE source WHEN 'src13' THEN 2.0 WHEN 'src7' THEN 1.0 END AS w
+           |   FROM documents WHERE source IN ('src13','src7'))
+           | SELECT m.tok AS term, round(sum(c.w), 5) AS score
+           | FROM m JOIN c USING (doc_id) GROUP BY m.tok
+           | ORDER BY score DESC, term ASC LIMIT 10""".stripMargin,
       "ft_phonetic" -> phoneticSql("joyn"),
       "ft_engine_suggest_infix" ->
         s"""WITH tf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ($tok) GROUP BY tok)

@@ -812,6 +812,44 @@ object IndexStore {
         .orderBy(desc("df"), asc("term")).limit(k)
         .select(col("term"), col("df"))
 
+    /** Context-filtered completions (reference lucene/suggest document/
+      * ContextQuery.java:60-77 + ContextSuggestField): prefix completions
+      * restricted to docs whose `contextCol` doc-value is one of the
+      * requested contexts, ranked by Σ_c boost_c · df_within_c — the
+      * reference's weight × context-boost scoring with within-context df
+      * standing in for the suggestion weight (as [[suggest]] uses global
+      * df). Candidates prefix-prune on the 2-column termstats (bounded
+      * MaxClauseCount); only their blocks decode; context membership is a
+      * join against the narrow doc-values tier. */
+    def suggestWithContexts(prefix: String, k: Int, contextCol: String,
+                            contexts: Map[String, Float]): DataFrame = {
+      require(contexts.nonEmpty)
+      val cands = termstats.filter(col("term").startsWith(prefix))
+        .orderBy(desc("df"), asc("term")).limit(QueryEngine.MaxClauseCount)
+        .select("term").as[String].collect().toSeq
+      if (cands.isEmpty)
+        return spark.range(0).select($"id".cast("string").as("term"), lit(0.0).as("score"))
+      val pairs = blocks.filter($"term".isin(cands: _*))
+        .mapPartitions { it =>
+          it.flatMap { b =>
+            val (docs, _) = graft.codec.PostingsCodec.decodeBlock(
+              b.minDoc, b.n, b.wDocs, b.wFreqs, b.docGaps, b.freqs)
+            docs.iterator.take(b.n).map(d => (b.term, d))
+          }
+        }
+        .toDF("term", "docId").distinct()
+      val ctx = docvalues
+        .select(col("docId"), col(contextCol).cast("string").as("__ctx"))
+        .filter(col("__ctx").isin(contexts.keys.toSeq: _*))
+      val boostCol = contexts.toSeq
+        .map { case (c, w) => when(col("__ctx") === c, lit(w.toDouble)) }
+        .reduce((a, b) => a.otherwise(b))
+      pairs.join(ctx, "docId")
+        .select(col("term"), boostCol.as("__w"))
+        .groupBy("term").agg(round(sum("__w"), 5).as("score"))
+        .orderBy(desc("score"), asc("term")).limit(k)
+    }
+
     /** Character-bigram spell dictionary: (gram, term, df, len), one row
       * per DISTINCT bigram of each dictionary term. The Spark analogue of
       * intersecting a Levenshtein automaton with the term dictionary

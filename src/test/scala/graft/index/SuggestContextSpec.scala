@@ -1,0 +1,49 @@
+package graft.index
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Context-filtered completions (reference lucene/suggest document/
+  * ContextQuery.java): within-context dfs, per-context boosts, and docs
+  * outside the context set contributing nothing. */
+class SuggestContextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val idx: IndexStore.OpenIndex = {
+    val dir = "target/test-suggestctx-idx"
+    graft.util.Fs.rmTree(dir)
+    val docs = Seq(
+      (0L, "sun sand surf", "travel"),
+      (1L, "sun sun settles", "news"),     // repeated token: df counts docs, not occurrences
+      (2L, "sand storms", "news"),
+      (3L, "sunny sand", "sports"),        // outside the queried contexts
+      (4L, "moon rise", "travel")
+    ).toDF("docId", "content", "cat")
+    IndexStore.build(spark, docs, dir, numSegments = 1, shufflePartitions = 4,
+      docValueCols = Seq("cat"))
+    IndexStore.OpenIndex(spark, dir)
+  }
+
+  test("boost-weighted within-context df; outside-context docs excluded") {
+    val got = idx.suggestWithContexts("s", 10, "cat", Map("travel" -> 2f, "news" -> 1f))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // sun: travel d0 (2.0) + news d1 (1.0) = 3.0 — d1's double 'sun' counts once
+    assert(got("sun") == 3.0)
+    // sand: travel d0 (2.0) + news d2 (1.0) = 3.0; sunny: only d3 (sports) -> absent
+    assert(got("sand") == 3.0)
+    assert(!got.contains("sunny"))
+    assert(got("settles") == 1.0)
+    assert(got("storms") == 1.0)
+    assert(got("surf") == 2.0)
+    assert(got.size == 5)
+  }
+
+  test("prefix with no dictionary terms returns empty; k bounds the result") {
+    assert(idx.suggestWithContexts("zz", 10, "cat", Map("news" -> 1f)).collect().isEmpty)
+    val one = idx.suggestWithContexts("s", 1, "cat", Map("news" -> 1f, "travel" -> 1f))
+      .collect()
+    assert(one.length == 1)
+    // tie on score (sun=2.0 sand=2.0 at equal boosts): term ASC wins
+    assert(one.head.getString(0) == "sand")
+  }
+}
