@@ -121,6 +121,31 @@ object IndexCli {
       println(f"""search "$q" top-$k in $ms%.0f ms:""")
       hits.foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)}"))
 
+    // simplesearch <indexDir> <k> <query...> : SimpleQueryParser dialect
+    // (lenient end-user syntax: a + b | c, -neg, "phrase"~2, pre*, fuzzy~1)
+    case "simplesearch" :: dir :: k :: queryParts if queryParts.nonEmpty =>
+      val q = queryParts.mkString(" ")
+      val hits = graft.query.Searcher
+        .searchSimple(IndexStore.OpenIndex(spark, dir), q, k.toInt).collect()
+      println(s"""simple "$q" top-$k:""")
+      hits.foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)}"))
+
+    // cursor <indexDir> <k> <sortField> <mark|*> term... : CursorMark page
+    // over a doc-values sort; prints the next opaque mark
+    case "cursor" :: dir :: k :: sortField :: mark :: terms if terms.nonEmpty =>
+      val (page, next) = IndexStore.OpenIndex(spark, dir)
+        .cursorPage(terms, Seq((sortField, true)), k.toInt, mark)
+      page.collect().foreach(r =>
+        println(s"  doc=${r.getAs[Long]("docId")} $sortField=${r.getAs[Any](sortField)}"))
+      println(s"nextCursorMark: $next")
+
+    // blended <indexDir> <k> term... : BlendedTermQuery (df = max blend,
+    // dismax rewrite)
+    case "blended" :: dir :: k :: terms if terms.nonEmpty =>
+      IndexStore.OpenIndex(spark, dir)
+        .blendedTopK(terms.map(t => (t, 1f)), k.toInt).collect()
+        .foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)}"))
+
     // cphrase <indexDir> <complex phrase body...>: groups/wildcards/fuzzies
     // inside a phrase, e.g.: cphrase /tmp/idx (public private) stat*
     case "cphrase" :: dir :: body if body.nonEmpty =>
