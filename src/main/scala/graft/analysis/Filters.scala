@@ -40,6 +40,28 @@ case object PorterStemFilter extends TokenFilter {
     (tokens.map(t => t.copy(term = Porter.stem(t.term))), overlaps)
 }
 
+/** Protected / overridden stemming — the fused semantics of the
+  * reference's KeywordMarkerFilter (analysis/miscellaneous/
+  * SetKeywordMarkerFilter.java: keyword-marked terms skip stemming),
+  * StemmerOverrideFilter (analysis/miscellaneous/StemmerOverrideFilter
+  * .java:63-77: dictionary stem replaces the term AND sets the keyword
+  * attribute), and PorterStemFilter. The keyword attribute's only effect
+  * in the standard chain is "don't stem", so the three-filter stack
+  * [StemmerOverride, KeywordMarker, PorterStem] is exactly this one pure
+  * function: override wins, protected words pass unchanged, everything
+  * else Porter-stems. Positions unchanged. */
+final case class KeywordStemFilter(protectedWords: Set[String],
+                                   overrides: Map[String, String]) extends TokenFilter {
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) =
+    (tokens.map { t =>
+      overrides.get(t.term) match {
+        case Some(stem) => t.copy(term = stem)
+        case None if protectedWords.contains(t.term) => t
+        case None => t.copy(term = Porter.stem(t.term))
+      }
+    }, overlaps)
+}
+
 /** Index-time single-token synonym injection: for a term with mapped
   * synonyms, emit the original PLUS each synonym at the SAME position,
   * marked as overlaps (posIncrement 0). */
@@ -327,6 +349,10 @@ object AnalyzerChain {
       case EdgeNGramFilter(mn, mx, orig) =>
         s"""{"type":"edgengram","min":$mn,"max":$mx,"original":$orig}"""
       case PhoneticFilter(inj) => s"""{"type":"phonetic","inject":$inj}"""
+      case KeywordStemFilter(prot, ov) =>
+        val entries = ov.toSeq.sortBy(_._1).map { case (k, v) => s"${word(k)}:${word(v)}" }
+        s"""{"type":"kwstem","protected":[${prot.toSeq.sorted.map(word).mkString(",")}],""" +
+          s""""overrides":{${entries.mkString(",")}}}"""
     }
     val wd = chain.wordDelimiter.map(w =>
       s"""{"type":"worddelim","original":${w.preserveOriginal},"possessive":${w.stemPossessive}}""").toSeq
@@ -335,7 +361,7 @@ object AnalyzerChain {
 
   def fromJson(json: String): AnalyzerChain = {
     val filterRe =
-      """\{"type":"(stop|porter|synonym|ascii|length|shingle|edgengram|phonetic|worddelim)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
+      """\{"type":"(stop|porter|synonym|ascii|length|shingle|edgengram|phonetic|worddelim|kwstem)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
     val wordsRe = """"([^"]+)"""".r
     def intField(body: String, k: String): Int =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
@@ -358,6 +384,13 @@ object AnalyzerChain {
         case "stop" =>
           val arr = body.substring(body.indexOf('['), body.indexOf(']') + 1)
           StopFilter(wordsRe.findAllMatchIn(arr).map(_.group(1)).toSet)
+        case "kwstem" =>
+          val protArr = body.substring(body.indexOf('['), body.indexOf(']') + 1)
+          val ovBody = body.substring(body.indexOf("\"overrides\":{") + 13, body.lastIndexOf('}'))
+          val pairRe = """"([^"]+)":"([^"]+)"""".r
+          KeywordStemFilter(
+            wordsRe.findAllMatchIn(protArr).map(_.group(1)).toSet,
+            pairRe.findAllMatchIn(ovBody).map(e => e.group(1) -> e.group(2)).toMap)
         case "synonym" =>
           val mapBody = body.substring(body.indexOf("\"map\":{") + 7, body.lastIndexOf('}'))
           val entryRe = """"([^"]+)":\[([^\]]*)\]""".r

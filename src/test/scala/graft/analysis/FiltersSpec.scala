@@ -280,12 +280,27 @@ class FiltersSpec extends AnyFunSuite {
       AnalyzerChain(Seq(
         StopFilter(Set("the")),
         SynonymFilter(Map("fast" -> Seq("quick"), "big" -> Seq("large", "huge"))),
-        PorterStemFilter)))
+        PorterStemFilter)),
+      AnalyzerChain(Seq(KeywordStemFilter(Set("tables"),
+        Map("running" -> "sprint")))))
     chains.foreach { c =>
       val rt = AnalyzerChain.fromJson(AnalyzerChain.toJson(c))
       assert(rt === c, AnalyzerChain.toJson(c))
       // behavior-equal, not just structurally equal
       assert(rt.terms("the fast big running tables") === c.terms("the fast big running tables"))
     }
+  }
+
+  test("KeywordStemFilter: override wins, protected words skip stemming, rest Porter-stems") {
+    val f = KeywordStemFilter(Set("tables"), Map("running" -> "sprint"))
+    val toks = Seq(Token("running", 0), Token("tables", 1), Token("jumping", 2))
+    val (out, _) = f(toks, toks.map(_ => false))
+    // override replaces (StemmerOverrideFilter) and is never re-stemmed
+    assert(out(0).term == "sprint")
+    // protected word passes unchanged (KeywordMarkerFilter)
+    assert(out(1).term == "tables")
+    // everything else Porter-stems; stand-alone Porter agrees
+    assert(out(2).term == Porter.stem("jumping"))
+    assert(Porter.stem("tables") != "tables", "test needs a word Porter would change")
   }
 }
