@@ -252,6 +252,17 @@ object SparkEntry {
       .select(col("o_orderkey"), round(col("score"), 5).as("score"),
         col("n_matching_children"))),
 
+    // ToChildBlockJoin: the parent query (high-value orders, score =
+    // o_totalprice) fans out to its lineitem children, each child carrying
+    // exactly its parent's score
+    "q65_tochild" -> ((s, d) => R.toChildBlockJoin(
+      rd(s, d, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("score")),
+      rd(s, d, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("line_id"),
+        col("l_orderkey")),
+      "o_orderkey", "l_orderkey")),
+
     "q22_fetch" -> ((s, d) => {
       val ev = rd(s, d, "events")
       val dim = ev.groupBy("user_id").agg(count("*").as("n_events"))
@@ -1452,6 +1463,11 @@ object SparkEntry {
           |  FROM lineitem WHERE l_quantity >= 45 GROUP BY l_orderkey)
           | SELECT o.o_orderkey, o.o_orderstatus, ch.n_matching_children
           | FROM orders o JOIN ch ON o.o_orderkey = ch.o_orderkey""".stripMargin,
+      "q65_tochild" ->
+        """SELECT l.l_orderkey * 10 + l.l_linenumber AS line_id, l.l_orderkey,
+          |   CAST(o.o_totalprice AS DOUBLE) AS parent_score
+          | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          | WHERE o.o_totalprice > 300000""".stripMargin,
       "q48_blockjoin_max" ->
         """WITH ch AS (SELECT l_orderkey AS o_orderkey, max(l_extendedprice) AS score,
           |  count(*) AS n_matching_children

@@ -52,6 +52,20 @@ object Relational {
     parents.join(ch, Seq(parentKey))
   }
 
+  /** ToChildBlockJoinQuery (reference lucene/join/src/java/org/apache/
+    * lucene/search/join/ToChildBlockJoinQuery.java:37-47,
+    * ToChildBlockJoinScorer.score :180-184): the mirror of
+    * [[parentBlockJoin]] — a PARENT query's matches fan out to their
+    * children, each child scoring exactly its parent's score. One
+    * equi-join; when the scored parent frame is a top-k/filter result it
+    * broadcasts and the child table never shuffles. */
+  def toChildBlockJoin(parentsScored: DataFrame, children: DataFrame,
+                       parentKey: String, childKey: String,
+                       scoreCol: String = "score"): DataFrame =
+    children.join(
+      parentsScored.select(col(parentKey).as(childKey), col(scoreCol).as("parent_score")),
+      Seq(childKey))
+
   /** innerJoin (InnerJoinStream.java:35) — sort-merge/hash equi-join. */
   def innerJoin(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
     l.join(r, keys, "inner")
