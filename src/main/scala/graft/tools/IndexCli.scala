@@ -55,6 +55,8 @@ object IndexCli {
       val t0 = System.nanoTime()
       IndexStore.build(spark, withIds, dir, segs, spark.sparkContext.defaultParallelism,
         withPositions = rest.contains("--pos"), withOffsets = rest.contains("--offsets"),
+        // --dv: lang doc-values tier (field sorts, cursor paging, contexts)
+        docValueCols = if (rest.contains("--dv")) Seq("lang") else Nil,
         analyzer = chain)
       val secs = (System.nanoTime() - t0) / 1e9
       val idx = IndexStore.OpenIndex(spark, dir)
