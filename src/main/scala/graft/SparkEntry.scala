@@ -558,6 +558,15 @@ object SparkEntry {
     // capability) with the docId predicate pushed into the parquet scan
     "ft_engine_termvec" -> ((s, d) => docIndex(s, d).termVector(7L)),
 
+    // facet.range with other=all: gap buckets over [0, 500) plus the
+    // before/after/between counters Solr always reports
+    "ft_facet_range_other" -> ((s, d) => R.rangeFacetWithOther(
+      rd(s, d, "documents"), "n_chars", start = 0.0, end = 500.0, gap = 100.0)),
+
+    // TermsComponent: dictionary terms matching a regex in index order
+    "ft_engine_terms" -> ((s, d) => docIndex(s, d)
+      .termsEnum(regex = Some("^[a-z]{4}$"), limit = 10, sortByCount = false)),
+
     // interval facet with OVERLAPPING explicit intervals (facet.interval)
     "ft_facet_interval" -> ((s, d) => R.intervalFacet(rd(s, d, "documents"),
       "n_chars", Seq(("short", 0.0, Some(200.0)), ("mid", 150.0, Some(400.0)),
@@ -1707,6 +1716,22 @@ object SparkEntry {
           | SELECT tok AS term, count(*) AS tf,
           |  array_to_string(list(pos - 1 ORDER BY pos), ',') AS positions
           | FROM t GROUP BY tok""".stripMargin,
+      "ft_facet_range_other" ->
+        """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents),
+          | b AS (SELECT 'range' AS kind, 0.0 + floor(v / 100.0) * 100.0 AS bucket_start,
+          |        count(*) AS cnt
+          |       FROM v WHERE v >= 0.0 AND v < 500.0 GROUP BY 2),
+          | o AS (SELECT 'before' AS kind, CAST(NULL AS DOUBLE) AS bucket_start,
+          |        count(*) FILTER (WHERE v < 0.0) AS cnt FROM v
+          |   UNION ALL SELECT 'after', NULL,
+          |        count(*) FILTER (WHERE v >= 500.0) FROM v
+          |   UNION ALL SELECT 'between', NULL,
+          |        count(*) FILTER (WHERE v >= 0.0 AND v < 500.0) FROM v)
+          | SELECT * FROM b UNION ALL SELECT * FROM o""".stripMargin,
+      "ft_engine_terms" ->
+        s"""WITH tf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ($tok) GROUP BY tok)
+           | SELECT tok AS term, df FROM tf WHERE regexp_matches(tok, '^[a-z]{4}$$')
+           | ORDER BY tok ASC LIMIT 10""".stripMargin,
       "ft_facet_interval" ->
         """SELECT * FROM (
           | SELECT 'short' AS interval,

@@ -812,6 +812,20 @@ object IndexStore {
         .orderBy(desc("df"), asc("term")).limit(k)
         .select(col("term"), col("df"))
 
+    /** TermsComponent dictionary enumeration (reference solr/core .../
+      * handler/component/TermsComponent.java: terms.prefix / terms.regex /
+      * terms.limit / terms.sort=count|index): matching dictionary terms
+      * with their dfs. A pure scan of the 2-column termstats — prefix
+      * pushes down; never touches postings. */
+    def termsEnum(prefix: Option[String] = None, regex: Option[String] = None,
+                  limit: Int = 10, sortByCount: Boolean = true): DataFrame = {
+      var t = termstats.select(col("term"), col("df"))
+      prefix.foreach(p => t = t.filter(col("term").startsWith(p)))
+      regex.foreach(r => t = t.filter(col("term").rlike(r)))
+      (if (sortByCount) t.orderBy(desc("df"), asc("term"))
+       else t.orderBy(asc("term"))).limit(limit)
+    }
+
     /** Context-filtered completions (reference lucene/suggest document/
       * ContextQuery.java:60-77 + ContextSuggestField): prefix completions
       * restricted to docs whose `contextCol` doc-value is one of the

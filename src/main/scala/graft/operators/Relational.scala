@@ -571,6 +571,40 @@ object Relational {
       .orderBy(desc("cnt"), asc("child"))
   }
 
+  /** Range facet with the `other` buckets (reference solr facet.range +
+    * facet.range.other=all, solr/core .../request/SimpleFacets
+    * RangeFacetProcessor; lucene/facet LongRangeFacetCounts for the gap
+    * buckets): fixed-`gap` buckets covering [start, end), PLUS the
+    * before / after / between counters Solr always reports (zeros
+    * included). Two aggregations over the single projected column — the
+    * bucket groupBy and one global conditional-sum row; both map-side
+    * combined, no row explosion.
+    * @return (kind: range|before|after|between, bucket_start, cnt) */
+  def rangeFacetWithOther(df: DataFrame, field: String,
+                          start: Double, end: Double, gap: Double): DataFrame = {
+    require(gap > 0 && end > start)
+    val v = col(field).cast("double")
+    val buckets = df.filter(v >= start && v < end)
+      .select((lit(start) + floor((v - lit(start)) / lit(gap)).cast("double") * lit(gap))
+        .as("bucket_start"))
+      .groupBy("bucket_start").agg(count("*").as("cnt"))
+      .select(lit("range").as("kind"), col("bucket_start"), col("cnt"))
+    val others = df.agg(
+        sum(when(v < start, 1L).otherwise(0L)).as("before"),
+        sum(when(v >= end, 1L).otherwise(0L)).as("after"),
+        sum(when(v >= start && v < end, 1L).otherwise(0L)).as("between"))
+      .select(explode(array(
+        struct(lit("before").as("kind"), lit(null).cast("double").as("bucket_start"),
+          coalesce(col("before"), lit(0L)).as("cnt")),
+        struct(lit("after").as("kind"), lit(null).cast("double").as("bucket_start"),
+          coalesce(col("after"), lit(0L)).as("cnt")),
+        struct(lit("between").as("kind"), lit(null).cast("double").as("bucket_start"),
+          coalesce(col("between"), lit(0L)).as("cnt")))).as("x"))
+      .select(col("x.kind").as("kind"), col("x.bucket_start").as("bucket_start"),
+        col("x.cnt").as("cnt"))
+    buckets.unionByName(others).orderBy(asc("kind"), asc("bucket_start"))
+  }
+
   /** Association facets (reference lucene/facet taxonomy/
     * FloatAssociationFacetField.java + TaxonomyFacetSumFloatAssociations
     * .java:30-39): each doc carries a (category path, association value)
