@@ -236,4 +236,36 @@ class PlanAuditSpec extends SparkSpec {
       k = 3, classCol = "lang"))
     assert(knn.contains("BroadcastExchange"), knn.take(2000))
   }
+
+  test("frange: the compiled function is a codegen Filter, no UDF, pushdown-eligible") {
+    val li = spark.range(100).select(col("id").cast("double").as("x"))
+    val plan = planOf(graft.functions.JsExpr.frange(li, "sqrt(x) + 1", l = Some(2.0)))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan.take(800))
+    // '*(n)' prefixes mark whole-stage-codegen'd operators; the Filter
+    // carrying the compiled function must be inside a codegen stage
+    assert("""\*\(\d+\) Filter""".r.findFirstIn(plan).isDefined, plan.take(800))
+  }
+
+  test("cursorMark page plan: bounded TakeOrderedAndProject with the after-filter, never sort-and-skip") {
+    val (_, mark) = idx.cursorPage(Seq("public"), Seq(("lang", true)), 5)
+    val after = graft.query.Cursor.parse(mark).get
+    val matched = graft.query.QueryEngine.matchingDocs(spark, idx.blocks, Seq("public"), graft.query.QueryEngine.And)
+    val paged = matched.join(idx.docvalues, "docId")
+      .filter(graft.query.Cursor.afterPredicate(Seq(("lang", true)), after.values))
+      .orderBy(asc("lang"), asc("docId")).limit(5)
+    val plan = planOf(paged)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+    assert(!plan.contains("GlobalLimit"), plan.take(1200)) // no sort+offset shape
+  }
+
+  test("blendedTopK: same bounded-heap plan as topK; one term-pruned scan") {
+    val plan = planOf(idx.blendedTopK(Seq(("public", 1f), ("import", 1f)), 10))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+    assert("Scan parquet".r.findAllIn(plan).size <= 1, plan.take(1200))
+  }
+
+  test("termsEnum: a termstats-only scan — postings never read") {
+    val plan = planOf(idx.termsEnum(prefix = Some("pub"), limit = 5))
+    assert(!plan.contains("blocks") && plan.contains("termstats"), plan.take(800))
+  }
 }
