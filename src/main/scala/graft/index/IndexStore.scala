@@ -812,6 +812,20 @@ object IndexStore {
         .orderBy(desc("df"), asc("term")).limit(k)
         .select(col("term"), col("df"))
 
+    /** MultiTermQuery SCORING_BOOLEAN_REWRITE (reference search/
+      * MultiTermQuery.java + ScoringRewrite.java): dictionary expansion
+      * whose terms keep REAL BM25 scores — the scoring twin of the
+      * constant-score [[multiTermTopK]]. Expansion capped at
+      * MaxClauseCount highest-df terms (the TooManyClauses guard). */
+    def multiTermScoredTopK(termPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+      val expanded = termstats.filter(termPred)
+        .orderBy(desc("df"), asc("term")).limit(QueryEngine.MaxClauseCount)
+        .select("term").as[String].collect().toSeq
+      if (expanded.isEmpty)
+        spark.range(0).select($"id".as("docId"), lit(0f).as("score"))
+      else topK(expanded, k)
+    }
+
     /** TermsComponent dictionary enumeration (reference solr/core .../
       * handler/component/TermsComponent.java: terms.prefix / terms.regex /
       * terms.limit / terms.sort=count|index): matching dictionary terms

@@ -305,6 +305,31 @@ object TextOps {
       .groupBy(idCol)
       .agg(round(max("s") + lit(tiebreak) * (sum("s") - max("s")), 5).as("score"))
 
+  /** MultiTermQuery SCORING_BOOLEAN_REWRITE twin (reference search/
+    * MultiTermQuery.java SCORING_BOOLEAN_REWRITE + ScoringRewrite.java:
+    * unlike the constant-score rewrite, every expanded term keeps its REAL
+    * BM25 score and docs sum over matched expansions). `tokPred` is the
+    * dictionary predicate (prefix/wildcard/range as a Column over `tok`).
+    * Double arithmetic rounded to 5; the engine path is
+    * `OpenIndex.multiTermScoredTopK`. */
+  def bm25Expanded(docs: DataFrame, idCol: String, textCol: String,
+                   tokPred: Column, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = termFreqs(docs, idCol, textCol)
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val stats = docs.agg(count("*").as("n"))
+      .crossJoin(dl.agg(sum("dl").as("__totDl")))
+      .withColumn("avgdl", col("__totDl") / col("n"))
+    val qtf = tf.filter(tokPred)
+    val dfs = qtf.groupBy("tok").agg(count("*").as("df"))
+    qtf.join(broadcast(dfs), "tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) * col("tf") /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(idCol).agg(round(sum("s"), 5).as("score"))
+  }
+
   /** Declarative BlendedTermQuery twin (reference lucene/core search/
     * BlendedTermQuery.java:273-284: df = max over the terms' dfs so rare
     * variants aren't idf-over-rewarded; dismax combine with tie). Double

@@ -38,6 +38,20 @@ class SuggestContextSpec extends SparkSpec {
     assert(got.size == 5)
   }
 
+  test("multiTermScoredTopK: scoring rewrite == explicit BM25 topK of the expansion") {
+    val expanded = Seq("sand", "settles", "storms", "sun", "sunny", "surf")
+    val got = idx.multiTermScoredTopK(col("term").startsWith("s"), 10)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val explicit = idx.topK(expanded, 10)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(got == explicit && got.nonEmpty)
+    // constant-score twin returns the same doc set but flat scores
+    val const = idx.multiTermTopK(col("term").startsWith("s"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(const == got.map(_._1).toSet)
+    assert(idx.multiTermScoredTopK(col("term").startsWith("zz"), 10).collect().isEmpty)
+  }
+
   test("prefix with no dictionary terms returns empty; k bounds the result") {
     assert(idx.suggestWithContexts("zz", 10, "cat", Map("news" -> 1f)).collect().isEmpty)
     val one = idx.suggestWithContexts("s", 1, "cat", Map("news" -> 1f, "travel" -> 1f))
