@@ -462,6 +462,12 @@ object SparkEntry {
       .multiTermTopK(col("term").rlike(TextOps.wildcardToRegex("s?a*")), 1000000)
       .select(col("docId").as("doc_id"))),
 
+    // CoveringQuery: per-doc DYNAMIC minimum-should-match (1 + doc_id % 3
+    // of the 3 query terms must match, each doc judged by its own bar)
+    "ft_covering" -> ((s, d) => TextOps.coveringBm25(
+      rd(s, d, "documents"), "doc_id", "text", Seq("spark", "query", "data"),
+      minMatch = lit(1) + col("doc_id") % 3)),
+
     // MultiTermQuery SCORING_BOOLEAN_REWRITE: the 'da'-prefix expansion
     // scored through real BM25 (constant-score twin is ft_engine_wildcard)
     "ft_wildcard_scored" -> ((s, d) => TextOps.bm25Expanded(
@@ -1570,6 +1576,21 @@ object SparkEntry {
            | WHERE tok >= 'm' AND tok < 'q' GROUP BY tok""".stripMargin,
       "ft_engine_wildcard" ->
         s"""SELECT DISTINCT doc_id FROM ($tok) WHERE tok LIKE 's_a%'""",
+      "ft_covering" ->
+        """WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+          | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),
+          | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+          | st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+          |               (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+          | qt AS (SELECT * FROM tf WHERE tok IN ('spark','query','data')),
+          | dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM qt GROUP BY tok),
+          | sc AS (SELECT qt.doc_id,
+          |   ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * qt.tf /
+          |   (qt.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+          |  FROM qt JOIN dfs ON qt.tok = dfs.tok JOIN dl ON qt.doc_id = dl.doc_id, st),
+          | agg AS (SELECT doc_id, sum(s) AS raw, count(*) AS nm FROM sc GROUP BY doc_id)
+          | SELECT a.doc_id, round(a.raw, 5) AS score, a.nm AS n_matched
+          | FROM agg a WHERE a.nm >= 1 + a.doc_id % 3""".stripMargin,
       "ft_wildcard_scored" ->
         """WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
           | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),

@@ -305,6 +305,23 @@ object TextOps {
       .groupBy(idCol)
       .agg(round(max("s") + lit(tiebreak) * (sum("s") - max("s")), 5).as("score"))
 
+  /** CoveringQuery (reference lucene/sandbox/src/java/org/apache/lucene/
+    * search/CoveringQuery.java:47-60 + CoveringScorer): a boolean OR whose
+    * minimum-should-match is a PER-DOC value (LongValuesSource) instead of
+    * a constant — doc matches iff its matched-clause count ≥ its own
+    * threshold; score = sum of the matching clauses (BM25 here). The
+    * threshold joins from the doc table as a column, so the gate is one
+    * codegen filter after the scoring agg. */
+  def coveringBm25(docs: DataFrame, idCol: String, textCol: String,
+                   terms: Seq[String], minMatch: Column,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoredTerms(docs, idCol, textCol, terms, k1, b)
+      .groupBy(idCol).agg(sum("s").as("raw"), count("*").as("nm"))
+      .join(docs.select(col(idCol), minMatch.cast("long").as("__mm")), Seq(idCol))
+      .filter(col("nm") >= col("__mm"))
+      .select(col(idCol), round(col("raw"), 5).as("score"),
+        col("nm").as("n_matched"))
+
   /** MultiTermQuery SCORING_BOOLEAN_REWRITE twin (reference search/
     * MultiTermQuery.java SCORING_BOOLEAN_REWRITE + ScoringRewrite.java:
     * unlike the constant-score rewrite, every expanded term keeps its REAL
