@@ -659,6 +659,12 @@ object SparkEntry {
         .select(col("docId").as("doc_id"))
     }),
 
+    // surround dialect: prefix booleans + ordered distance operator
+    // (2w = within ordered distance 2 == SpanNear slop 1)
+    "qp_surround" -> ((s, d) => graft.query.SurroundParser.matchingDocs(
+      rd(s, d, "documents"), "doc_id", "text",
+      "or(and(spark, query), 2w(data, group))")),
+
     // should-clauses mixing a term with an exact phrase
     "qp_mixed" -> ((s, d) => docIndex(s, d)
       .search("spark \"data group\"", 1000000)
@@ -1864,6 +1870,17 @@ object SparkEntry {
            |  GROUP BY doc_id HAVING count(DISTINCT tok) = 2
            |  UNION
            |  SELECT DISTINCT doc_id FROM ($tok) WHERE tok LIKE 'quer%')""".stripMargin,
+      "qp_surround" ->
+        s"""WITH t AS (SELECT doc_id,
+           |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+           |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+           |  FROM documents),
+           | sq AS (SELECT doc_id FROM t WHERE tok IN ('spark','query')
+           |        GROUP BY doc_id HAVING count(DISTINCT tok) = 2),
+           | dg AS (SELECT DISTINCT a.doc_id FROM t a
+           |        JOIN t b ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+           |        WHERE a.tok = 'data' AND b.tok = 'group')
+           | SELECT doc_id FROM sq UNION SELECT doc_id FROM dg""".stripMargin,
       "qp_mixed" ->
         s"""WITH t AS (SELECT doc_id,
            |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
