@@ -305,6 +305,43 @@ object TextOps {
       .groupBy(idCol)
       .agg(round(max("s") + lit(tiebreak) * (sum("s") - max("s")), 5).as("score"))
 
+  /**
+   * Solr's mm spec grammar (reference solr/core .../util/SolrPluginUtils
+   * .java:671-708 calculateMinShouldMatch): absolute ("3"), negative
+   * ("-2" = all but 2), percentage ("75%"), negative percentage ("-25%"),
+   * and space-separated conditionals ("2<-1 5<80%": ≤2 optional clauses →
+   * all required; 3..5 → all but one; >5 → 80%). Result clamps to
+   * [0, optionalClauseCount] exactly as the reference does. Use with
+   * [[edismax]]'s `mm` parameter.
+   */
+  def calculateMinShouldMatch(optionalClauseCount: Int, spec0: String): Int = {
+    var result = optionalClauseCount
+    var spec = spec0.trim
+    if (spec.contains("<")) {
+      spec = spec.replaceAll("\\s+<\\s+", "<")
+      val conds = spec.split("\\s+")
+      var i = 0
+      while (i < conds.length) {
+        val parts = conds(i).split("<", 2)
+        val upperBound = parts(0).toInt
+        if (optionalClauseCount <= upperBound) return result
+        result = calculateMinShouldMatch(optionalClauseCount, parts(1))
+        i += 1
+      }
+      return result
+    }
+    if (spec.contains("%")) {
+      val percent = spec.dropRight(1).toInt
+      val calc = (result * percent) * (1 / 100f)
+      result = if (calc < 0) result + calc.toInt else calc.toInt
+    } else {
+      val calc = spec.toInt
+      result = if (calc < 0) result + calc else calc
+    }
+    if (optionalClauseCount < result) optionalClauseCount
+    else if (result < 0) 0 else result
+  }
+
   /** CoveringQuery (reference lucene/sandbox/src/java/org/apache/lucene/
     * search/CoveringQuery.java:47-60 + CoveringScorer): a boolean OR whose
     * minimum-should-match is a PER-DOC value (LongValuesSource) instead of

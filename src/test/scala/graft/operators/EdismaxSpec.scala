@@ -91,4 +91,25 @@ class EdismaxSpec extends SparkSpec {
 
   private def round5(x: Double): Double =
     BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("mm spec grammar matches the reference arithmetic (SolrPluginUtils:671-708)") {
+    val f = TextOps.calculateMinShouldMatch _
+    assert(f(5, "3") == 3)
+    assert(f(5, "-2") == 3)           // all but 2
+    assert(f(5, "8") == 5)            // clamp to clause count
+    assert(f(5, "-8") == 0)           // clamp to 0
+    assert(f(4, "75%") == 3)
+    assert(f(5, "75%") == 3)          // 3.75 truncates
+    assert(f(4, "-25%") == 3)         // 4 + (-1)
+    assert(f(5, "-25%") == 4)         // 5 + (-1.25 -> -1)
+    // conditionals: <=2 -> all; 3..5 -> all but one; >5 -> 80%
+    val spec = "2<-1 5<80%"
+    assert(f(1, spec) == 1)
+    assert(f(2, spec) == 2)
+    assert(f(3, spec) == 2)
+    assert(f(5, spec) == 4)
+    assert(f(10, spec) == 8)
+    // spaces around '<' tolerated as in the reference
+    assert(f(3, "2 < -1") == 2)
+  }
 }

@@ -65,6 +65,19 @@ class SimpleQueryParserSpec extends SparkSpec {
     assert(SQP.parse("pre*", SQP.AllOperators & ~SQP.PrefixOperator) == TermQ("pre"))
   }
 
+  test("leniency fuzz: parse NEVER throws on 2000 random operator-soup strings") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab \"()+|-*~\\012".toCharArray
+    (0 until 2000).foreach { i =>
+      val len = rnd.nextInt(24)
+      val s = new String(Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))))
+      val q = SQP.parse(s) // must not throw, whatever the input
+      assert(q != null, s"'$s'")
+      // flag-gated parse must not throw either
+      SQP.parse(s, rnd.nextInt())
+    }
+  }
+
   test("engine match-set parity on a tiny index") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sqp").toString
