@@ -569,6 +569,11 @@ object SparkEntry {
     // capability) with the docId predicate pushed into the parquet scan
     "ft_engine_termvec" -> ((s, d) => docIndex(s, d).termVector(7L)),
 
+    // grouped facets (group.facet=true): event_type counts tally DISTINCT
+    // users, not events
+    "ft_facet_grouped" -> ((s, d) => R.groupedFacet(
+      rd(s, d, "events"), "event_type", "user_id")),
+
     // facet.range with other=all: gap buckets over [0, 500) plus the
     // before/after/between counters Solr always reports
     "ft_facet_range_other" -> ((s, d) => R.rangeFacetWithOther(
@@ -1761,6 +1766,9 @@ object SparkEntry {
           | SELECT tok AS term, count(*) AS tf,
           |  array_to_string(list(pos - 1 ORDER BY pos), ',') AS positions
           | FROM t GROUP BY tok""".stripMargin,
+      "ft_facet_grouped" ->
+        """SELECT event_type, count(DISTINCT user_id) AS group_count
+          | FROM events GROUP BY event_type""".stripMargin,
       "ft_facet_range_other" ->
         """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents),
           | b AS (SELECT 'range' AS kind, 0.0 + floor(v / 100.0) * 100.0 AS bucket_start,

@@ -571,6 +571,16 @@ object Relational {
       .orderBy(desc("cnt"), asc("child"))
   }
 
+  /** Grouped facets (reference lucene/grouping GroupFacetCollector /
+    * Solr group.facet=true): facet counts tally DISTINCT GROUPS, not
+    * docs — a facet value's count is the number of groups containing ≥1
+    * doc with that value. One partial-aggregated countDistinct (Spark
+    * plans it as two exchanges on narrow (facet, group) rows). */
+  def groupedFacet(df: DataFrame, facetField: String, groupField: String): DataFrame =
+    df.groupBy(col(facetField))
+      .agg(countDistinct(col(groupField)).as("group_count"))
+      .orderBy(desc("group_count"), asc(facetField))
+
   /** Range facet with the `other` buckets (reference solr facet.range +
     * facet.range.other=all, solr/core .../request/SimpleFacets
     * RangeFacetProcessor; lucene/facet LongRangeFacetCounts for the gap
