@@ -463,6 +463,91 @@ object IndexStore {
     * aggregation — no re-read of the postings table; corpus stats come
     * straight from the manifests (no docstats scan). Segments from older
     * layouts without a termstats dir fall back to the postings read. */
+  /**
+   * IndexWriter.addIndexes (reference lucene/core index/IndexWriter.java
+   * addIndexes(Directory...): import another index's segments WITHOUT
+   * re-analyzing — segments copy over with their internal doc ids rebased
+   * past the destination's maxDoc, and the merged index scores with the
+   * MERGED collection stats, exactly as Lucene's docBase remapping +
+   * per-index stats merge behaves). The packed postings blocks never
+   * decode: doc gaps are deltas, so the rebase only shifts each block's
+   * absolute [minDoc, maxDoc] bounds — an O(blocks) columnar rewrite, not
+   * an O(postings) rebuild. Positions/offsets/docvalues tiers and
+   * tombstones/dv-patches shift the same way; per-segment termstats copy
+   * unchanged (term→df/ttf is id-independent); [[finalizeStats]] re-merges
+   * the global stats last.
+   *
+   * Requires identical analysis chains (Lucene's implicit contract — a
+   * foreign segment analyzed differently is silently wrong there; here it
+   * throws). Crash-safe like the builder: per-segment manifests commit
+   * LAST, so a crashed import leaves only ignorable uncommitted dirs —
+   * but like the reference's addIndexes, a SUCCESSFUL call is not
+   * idempotent (calling twice imports two copies).
+   *
+   * @return number of segments imported
+   */
+  def addIndexes(spark: SparkSession, dstDir: String, srcDir: String): Int = {
+    val dstChain = analyzerJson(dstDir)
+    val srcChain = analyzerJson(srcDir)
+    require(dstChain == srcChain,
+      s"addIndexes requires identical analysis chains (dst=$dstChain src=$srcChain)")
+    val dstSegs = committedSegmentDirs(dstDir)
+    val srcSegs = committedSegmentDirs(srcDir)
+    require(dstSegs.nonEmpty, s"no committed segments under $dstDir")
+    require(srcSegs.nonEmpty, s"no committed segments under $srcDir")
+    val offset = spark.read.parquet(dstSegs.map(_ + "/docstats"): _*)
+      .agg(max("docId")).head().getLong(0) + 1L
+    val nextSeg0 = dstSegs
+      .map(d => d.substring(d.lastIndexOf('=') + 1).toInt).max + 1
+    var segId = nextSeg0
+    srcSegs.foreach { srcSeg =>
+      val segDir = s"$dstDir/segments/seg=$segId"
+      spark.read.parquet(s"$srcSeg/postings")
+        .withColumn("minDoc", col("minDoc") + offset)
+        .withColumn("maxDoc", col("maxDoc") + offset)
+        .write.mode("overwrite").parquet(s"$segDir/postings")
+      spark.read.parquet(s"$srcSeg/docstats")
+        .withColumn("docId", col("docId") + offset)
+        .write.mode("overwrite").parquet(s"$segDir/docstats")
+      Seq("positions", "offsets", "docvalues").foreach { tier =>
+        if (Files.exists(Paths.get(s"$srcSeg/$tier")))
+          spark.read.parquet(s"$srcSeg/$tier")
+            .withColumn("docId", col("docId") + offset)
+            .write.mode("overwrite").parquet(s"$segDir/$tier")
+      }
+      if (Files.exists(Paths.get(s"$srcSeg/termstats")))
+        spark.read.parquet(s"$srcSeg/termstats")
+          .write.mode("overwrite").parquet(s"$segDir/termstats")
+      // manifest LAST — the commit point; ranges recomputed post-shift,
+      // the content shaXor carries over (bytes unchanged by a rebase)
+      val a = spark.read.parquet(s"$segDir/docstats")
+        .agg(min("docId"), max("docId"), count("*"), sum("dl")).head()
+      val blockCount = spark.read.parquet(s"$segDir/postings").count()
+      val srcMan = Files.readString(Paths.get(s"$srcSeg/MANIFEST.json"))
+      val shaXor = """"shaXor":"([^"]*)"""".r.findFirstMatchIn(srcMan)
+        .map(_.group(1)).getOrElse(f"${0L}%016x")
+      writeManifest(dstDir, Manifest(segId, a.getLong(0), a.getLong(1),
+        a.getLong(2), a.getLong(3), blockCount, shaXor,
+        s"addIndexes:$srcDir", spark.sparkContext.applicationId, 0L))
+      segId += 1
+    }
+    if (Files.exists(Paths.get(s"$srcDir/deletes")))
+      spark.read.parquet(s"$srcDir/deletes")
+        .select((col("docId").cast("long") + offset).as("docId"))
+        .write.mode("append").parquet(s"$dstDir/deletes")
+    if (Files.exists(Paths.get(s"$srcDir/dvpatch")))
+      spark.read.parquet(s"$srcDir/dvpatch")
+        .withColumn("docId", col("docId") + offset)
+        .write.mode("append").parquet(s"$dstDir/dvpatch")
+    finalizeStats(spark, dstDir)
+    segId - nextSeg0
+  }
+
+  private def analyzerJson(dir: String): String = {
+    val p = Paths.get(s"$dir/stats/analyzer.json")
+    if (Files.exists(p)) Files.readString(p) else ""
+  }
+
   def finalizeStats(spark: SparkSession, dir: String): Unit = {
     val segDirs = committedSegmentDirs(dir)
     require(segDirs.nonEmpty, s"no committed segments under $dir")

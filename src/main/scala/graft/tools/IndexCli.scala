@@ -123,6 +123,14 @@ object IndexCli {
       println(f"""search "$q" top-$k in $ms%.0f ms:""")
       hits.foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)}"))
 
+    // addindexes <dstDir> <srcDir> : import srcDir's segments into dstDir
+    // (doc ids rebased, merged stats — IndexWriter.addIndexes)
+    case "addindexes" :: dst :: src :: Nil =>
+      val n = IndexStore.addIndexes(spark, dst, src)
+      val idx = IndexStore.OpenIndex(spark, dst)
+      println(s"imported $n segments; merged docs=${idx.stats.docCount} " +
+        s"sumTtf=${idx.stats.sumTotalTermFreq}")
+
     // simplesearch <indexDir> <k> <query...> : SimpleQueryParser dialect
     // (lenient end-user syntax: a + b | c, -neg, "phrase"~2, pre*, fuzzy~1)
     case "simplesearch" :: dir :: k :: queryParts if queryParts.nonEmpty =>
