@@ -304,6 +304,51 @@ object IndexStore {
   }
 
   /**
+   * IndexSplitter (reference lucene/misc/src/java/org/apache/lucene/index/
+   * IndexSplitter.java: "split the index by segment" — chosen segments
+   * move to a standalone index, no doc rewriting). Segments are immutable
+   * contiguous docId slices here, so a split is a commit-point copy of the
+   * chosen segment dirs + a stats re-finalize; docIds stay as they were
+   * (sparse ids are fine — nothing in the engine assumes density), and
+   * tombstones/dv-patches carry over filtered to the split's id ranges.
+   * The destination scores with ITS OWN collection stats, exactly like a
+   * Lucene index after IndexSplitter + open.
+   */
+  def splitSegments(spark: SparkSession, srcDir: String, dstDir: String,
+                    segIds: Seq[Int]): Unit = {
+    require(segIds.nonEmpty)
+    val all = committedSegmentDirs(srcDir)
+    val byId = all.map(d => d.substring(d.lastIndexOf('=') + 1).toInt -> d).toMap
+    segIds.foreach(id => require(byId.contains(id),
+      s"segment $id not committed under $srcDir (have ${byId.keys.toSeq.sorted})"))
+    val dest = Paths.get(dstDir)
+    Files.createDirectories(dest)
+    segIds.foreach { id =>
+      graft.util.Fs.copyTree(Paths.get(byId(id)),
+        dest.resolve("segments").resolve(s"seg=$id"))
+    }
+    val st = Paths.get(srcDir, "stats")
+    if (Files.exists(st)) graft.util.Fs.copyTree(st, dest.resolve("stats"))
+    // tombstones / dv patches restricted to the split's docId ranges
+    val ranges: Seq[(Long, Long)] = segIds.map { id =>
+      val m = Files.readString(Paths.get(byId(id), "MANIFEST.json"))
+      def f(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(m).get.group(1).toLong
+      (f("docLo"), f("docHi"))
+    }
+    val inRange = (c: org.apache.spark.sql.Column) =>
+      ranges.map { case (lo, hi) => c.between(lo, hi) }.reduce(_ || _)
+    Seq("deletes", "dvpatch").foreach { sub =>
+      if (Files.exists(Paths.get(srcDir, sub))) {
+        val kept = spark.read.parquet(s"$srcDir/$sub")
+          .filter(inRange(col("docId")))
+        if (!kept.isEmpty)
+          kept.write.mode("overwrite").parquet(s"$dstDir/$sub")
+      }
+    }
+    finalizeStats(spark, dstDir)
+  }
+
+  /**
    * In-place numeric doc-values update (reference index/IndexWriter.java
    * updateNumericDocValue — Lucene's one mutable-field mechanism: the
    * docvalues generation sidecar, no re-index): append-only patch rows

@@ -58,6 +58,36 @@ class AddIndexesSpec extends SparkSpec {
     graft.util.Fs.rmTree(dirA); graft.util.Fs.rmTree(dirB); graft.util.Fs.rmTree(dirU)
   }
 
+  test("splitSegments: chosen segments become a standalone index scoring with its OWN stats") {
+    val docs = corpusSlice(160, 0)
+    val dirS = Files.createTempDirectory("graft-split-src").toString
+    val dirD = Files.createTempDirectory("graft-split-dst").toString
+    IndexStore.build(spark, docs.toDF("docId", "content"), dirS,
+      numSegments = 4, shufflePartitions = 4)
+    // tombstone one doc inside seg 1's range and one outside it
+    IndexStore.delete(spark, dirS, Seq(50L, 130L))
+    IndexStore.splitSegments(spark, dirS, dirD, Seq(1))
+    val split = IndexStore.OpenIndex(spark, dirD)
+    val full = IndexStore.OpenIndex(spark, dirS)
+    // split contains exactly seg 1's doc range
+    val m = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dirD/segments/seg=1/MANIFEST.json"))
+    def f(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(m).get.group(1).toLong
+    val (lo, hi) = (f("docLo"), f("docHi"))
+    assert(split.stats.docCount == f("docCount"))
+    assert(split.stats.docCount < full.stats.docCount)
+    // only in-range tombstones carried over
+    val dead = split.deletes.get.collect().map(_.getLong(0)).toSet
+    assert(dead.forall(d => d >= lo && d <= hi) && dead.nonEmpty)
+    // split scores with its own (smaller) collection stats: a term's df
+    // in the split ≤ its df in the full index, and queries run green
+    val hits = split.topK(Seq("public"), 10).collect()
+    assert(hits.nonEmpty && hits.forall(r => r.getLong(0) >= lo && r.getLong(0) <= hi))
+    intercept[IllegalArgumentException](
+      IndexStore.splitSegments(spark, dirS, dirD + "x", Seq(99)))
+    graft.util.Fs.rmTree(dirS); graft.util.Fs.rmTree(dirD)
+  }
+
   test("src tombstones rebase into the destination; analyzer mismatch rejected") {
     val a = corpusSlice(60, 0)
     val b = corpusSlice(40, 9000)
