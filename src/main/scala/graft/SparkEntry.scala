@@ -554,6 +554,13 @@ object SparkEntry {
     // containing the query substring anywhere, weighted by df
     "ft_engine_suggest_infix" -> ((s, d) => docIndex(s, d).suggestInfix("ar", 10)),
 
+    // Solr q + fq: 'spark' matches filtered by the cached non-scoring
+    // source=src13 DocSet (scores identical to the unfiltered query)
+    "ft_engine_fq" -> ((s, d) => docIndex(s, d)
+      .topKWithFilter(Seq("spark"), 1000000,
+        graft.index.IndexStore.FqDocValue("source", "src13"))
+      .select(col("docId").as("doc_id"))),
+
     // context-filtered completions (ContextQuery/ContextSuggestField):
     // 's'-prefix suggestions restricted to docs from src13 (boost 2) or
     // src7 (boost 1), ranked by the boost-weighted within-context df
@@ -1727,6 +1734,9 @@ object SparkEntry {
         s"""WITH tf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ($tok)
            |   WHERE lang = 'fr' AND tok LIKE 's%' GROUP BY tok)
            | SELECT tok AS term, df FROM tf ORDER BY df DESC, tok ASC LIMIT 10""".stripMargin,
+      "ft_engine_fq" ->
+        s"""SELECT m.doc_id FROM (SELECT DISTINCT doc_id FROM ($tok) WHERE tok = 'spark') m
+           | JOIN documents d ON m.doc_id = d.doc_id WHERE d.source = 'src13'""".stripMargin,
       "ft_engine_suggest_ctx" ->
         s"""WITH m AS (SELECT DISTINCT tok, doc_id FROM ($tok) WHERE tok LIKE 's%'),
            | c AS (SELECT doc_id,

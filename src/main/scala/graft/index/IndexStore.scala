@@ -61,6 +61,19 @@ object IndexStore {
     all
   }
 
+  /** A filter query (Solr fq): non-scoring doc-set restriction with a
+    * stable cache key (the filterCache's map key). */
+  sealed trait Fq { def cacheKey: String }
+  /** Docs matching `terms` under `mode` (a term/boolean filter). */
+  final case class FqTerms(terms: Seq[String],
+                           mode: QueryEngine.Mode = QueryEngine.And) extends Fq {
+    def cacheKey: String = s"t|$mode|${terms.sorted.mkString(",")}"
+  }
+  /** Docs whose doc-value `field` equals `value`. */
+  final case class FqDocValue(field: String, value: String) extends Fq {
+    def cacheKey: String = s"dv|$field|$value"
+  }
+
   final case class Manifest(segId: Int, docLo: Long, docHi: Long, docCount: Long,
                             sumDl: Long, blockCount: Long, shaXor: String,
                             source: String, appId: String, wallMs: Long)
@@ -739,6 +752,45 @@ object IndexStore {
             e: java.util.Map.Entry[String, Array[org.apache.spark.sql.Row]]): Boolean =
           size() > IndexStore.QueryResultCacheSize
       }
+
+    /** Filter-cache entries: fq cacheKey -> persisted docId set (the Spark
+      * analogue of Solr's filterCache bitset DocSets — computed once per
+      * commit point, reused across DIFFERENT main queries). */
+    private val filterCache =
+      scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+    /** The fq's DocSet, computed once and persisted (SolrIndexSearcher
+      * .getDocSet + filterCache semantics). */
+    def cachedFilterDocs(fq: IndexStore.Fq): DataFrame =
+      filterCache.getOrElseUpdate(fq.cacheKey, {
+        val ds = fq match {
+          case IndexStore.FqTerms(ts, mode) =>
+            QueryEngine.matchingDocs(spark, blocks, ts, mode)
+          case IndexStore.FqDocValue(field, value) =>
+            docvalues.filter(col(field) === value).select("docId")
+        }
+        ds.select(col("docId")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+
+    /**
+     * Solr `q` + `fq` (reference solr/core .../search/SolrIndexSearcher
+     * .java getDocListC: filter queries restrict the match set WITHOUT
+     * contributing to scores, and their DocSets live in the filterCache
+     * keyed by the filter alone — one fq serves every main query). A
+     * doc's score here is bit-identical to its unfiltered topK score;
+     * the filter is a join against the cached docId set, never a scoring
+     * clause. Ranking runs over the FULL filtered match set (scoresAll),
+     * so the filter can surface docs from outside the unfiltered top-k.
+     */
+    def topKWithFilter(terms: Seq[String], k: Int, fq: IndexStore.Fq,
+                       mode: QueryEngine.Mode = QueryEngine.Or): DataFrame = {
+      val base = QueryEngine.scoresAll(spark, blocks, termstats, stats, terms,
+        mode, dfCache = Some(dfCache))
+      val filtered = base.join(cachedFilterDocs(fq), Seq("docId"))
+      val live = deletes.fold(filtered)(d => filtered.join(d, Seq("docId"), "left_anti"))
+      live.orderBy(desc("score"), asc("docId")).limit(k)
+    }
 
     def topKCached(terms: Seq[String], k: Int, mode: QueryEngine.Mode = QueryEngine.Or,
                    mustNot: Seq[String] = Nil, prune: Boolean = false,
