@@ -1293,6 +1293,19 @@ object SparkEntry {
         pf2 = Seq(("text", 1.5)))
     }),
 
+    // edismax bf/boost params: additive boost function (n_chars/1000) and
+    // multiplicative boost (1 + doc_id%2) over the q63 query
+    "q66_edismax_bf" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+        .withColumn("title", concat_ws(" ", col("source"), col("lang")))
+      TextOps.edismax(docs, "doc_id",
+        qf = Seq(("text", 1.0), ("title", 2.0)),
+        terms = Seq("data", "group", "src13"), mm = 2, tie = 0.1,
+        pf2 = Seq(("text", 1.5)),
+        bf = Some(col("n_chars") / 1000.0),
+        boostFn = Some(lit(1.0) + col("doc_id") % 2))
+    }),
+
     // PayloadScoreQuery over a delimited-payload corpus: tokens carry
     // "term|payload", parsed by the DelimitedPayloadTokenFilter analogue,
     // folded per doc with the Average payload function
@@ -1391,7 +1404,7 @@ object SparkEntry {
     * (covered by ScalaTest recall bounds vs the brute-force baseline). */
   def oracleSql: Map[String, String] = {
     val tok = "SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents"
-    Map(
+    val base = Map(
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
           | round(sum(l_extendedprice),2) AS sum_price, round(avg(l_quantity),4) AS avg_qty,
@@ -2734,6 +2747,18 @@ object SparkEntry {
           |   round(h.fp, 5) AS first_pass
           | FROM hits h JOIN documents d USING (doc_id)""".stripMargin
     )
+    // q66 = q63's tree with the bf/boost wrapper applied to its rounded
+    // output — derive the SQL from q63's so the two can never drift
+    val q63 = base("q63_edismax")
+    val q63Final = """ SELECT m.doc_id, round(m.ms + coalesce(p.pb, 0), 5) AS score
+                      | FROM mainq m LEFT JOIN pbagg p USING (doc_id)""".stripMargin
+    require(q63.contains(q63Final), "q63 oracle changed; update q66 derivation")
+    base + ("q66_edismax_bf" -> q63.replace(q63Final,
+      """, base AS (SELECT m.doc_id, round(m.ms + coalesce(p.pb, 0), 5) AS s
+        |          FROM mainq m LEFT JOIN pbagg p USING (doc_id))
+        | SELECT b.doc_id,
+        |   round((b.s + d.n_chars / 1000.0) * (1 + b.doc_id % 2), 5) AS score
+        | FROM base b JOIN documents d ON b.doc_id = d.doc_id""".stripMargin))
   }
 
   /** Geo bounding-box oracle: the box bounds are computed HERE with the

@@ -463,11 +463,27 @@ object TextOps {
    * touches only the bigram terms' position rows; no window functions, no
    * driver loops — clause fan-out is a union of per-field frames.
    */
+  /** `bf` = edismax's additive boost function (score += bf(doc));
+    * `boostFn` = the multiplicative `boost` param (score ×= boost(doc),
+    * ExtendedDismaxQParser's BoostedQuery wrapping) — both expressions
+    * over the doc table's columns, applied AFTER mm gating and pf2. */
   def edismax(docs: DataFrame, idCol: String,
               qf: Seq[(String, Double)], terms: Seq[String], mm: Int,
               tie: Double, pf2: Seq[(String, Double)] = Nil,
+              bf: Option[Column] = None, boostFn: Option[Column] = None,
               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(qf.nonEmpty && terms.nonEmpty && mm >= 1)
+    def applyBoosts(scored: DataFrame): DataFrame =
+      if (bf.isEmpty && boostFn.isEmpty) scored
+      else {
+        val enrich = docs.select(col(idCol),
+          bf.getOrElse(lit(0.0)).cast("double").as("__bf"),
+          boostFn.getOrElse(lit(1.0)).cast("double").as("__boost"))
+        scored.withColumnRenamed("score", "__s")
+          .join(enrich, Seq(idCol))
+          .select(col(idCol),
+            round((col("__s") + col("__bf")) * col("__boost"), 5).as("score"))
+      }
     val perField = qf.map { case (c, boost) =>
       scoredTerms(docs, idCol, c, terms, k1, b)
         .select(col(idCol), col("tok"), (col("s") * boost).as("bs"))
@@ -480,7 +496,7 @@ object TextOps {
       .select(col(idCol), col("ms"))
     val bigrams = terms.sliding(2).filter(_.size == 2).toSeq
     if (pf2.isEmpty || bigrams.isEmpty)
-      main.select(col(idCol), round(col("ms"), 5).as("score"))
+      applyBoosts(main.select(col(idCol), round(col("ms"), 5).as("score")))
     else {
       val bigramTerms = bigrams.flatten.distinct
       // one frame per pf2 field: (id, bg, ps) — bg indexes the bigram so
@@ -521,8 +537,8 @@ object TextOps {
       val phrase = perPhraseField.groupBy(col(idCol), col("bg"))
         .agg((max("ps") + lit(tie) * (sum("ps") - max("ps"))).as("bps"))
         .groupBy(idCol).agg(sum("bps").as("pb"))
-      main.join(phrase, Seq(idCol), "left")
-        .select(col(idCol), round(col("ms") + coalesce(col("pb"), lit(0.0)), 5).as("score"))
+      applyBoosts(main.join(phrase, Seq(idCol), "left")
+        .select(col(idCol), round(col("ms") + coalesce(col("pb"), lit(0.0)), 5).as("score")))
     }
   }
 
