@@ -1051,9 +1051,8 @@ object IndexStore {
       val ctx = docvalues
         .select(col("docId"), col(contextCol).cast("string").as("__ctx"))
         .filter(col("__ctx").isin(contexts.keys.toSeq: _*))
-      val boostCol = contexts.toSeq
-        .map { case (c, w) => when(col("__ctx") === c, lit(w.toDouble)) }
-        .reduce((a, b) => a.otherwise(b))
+      val boostCol = coalesce(contexts.toSeq
+        .map { case (c, w) => when(col("__ctx") === c, lit(w.toDouble)) }: _*)
       pairs.join(ctx, "docId")
         .select(col("term"), boostCol.as("__w"))
         .groupBy("term").agg(round(sum("__w"), 5).as("score"))

@@ -404,8 +404,7 @@ object TextOps {
       .join(tf.groupBy("tok").agg(countDistinct(idCol).as("df")), "tok")
       .agg(max("df").as("df"))
     val boosts = terms.toMap
-    val boostCol = names.map(t => when(col("tok") === t, lit(boosts(t))))
-      .reduce((a, b) => a.otherwise(b))
+    val boostCol = coalesce(names.map(t => when(col("tok") === t, lit(boosts(t)))): _*)
     val sc = qtf
       .crossJoin(broadcast(dfBlend))
       .join(dl, idCol)
@@ -525,9 +524,9 @@ object TextOps {
           val df = dfMap.getOrElse(t, 0L).toDouble
           (n: Column) => log(lit(1.0) + (n - df + 0.5) / (df + 0.5))
         }
-        val idfCol = bigrams.zipWithIndex.map { case (Seq(t1, t2), bi) =>
+        val idfCol = coalesce(bigrams.zipWithIndex.map { case (Seq(t1, t2), bi) =>
           when(col("bg") === bi, idfOf(t1)(col("n")) + idfOf(t2)(col("n")))
-        }.reduce(_.otherwise(_))
+        }: _*)
         perBigram
           .join(dl, idCol).crossJoin(broadcast(stats))
           .select(col(idCol), col("bg"),

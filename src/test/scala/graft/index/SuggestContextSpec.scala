@@ -52,6 +52,18 @@ class SuggestContextSpec extends SparkSpec {
     assert(idx.multiTermScoredTopK(col("term").startsWith("zz"), 10).collect().isEmpty)
   }
 
+  test("three or more contexts build the per-context boost branch correctly") {
+    // regression: the boost column used to be assembled with
+    // reduce(_.otherwise(_)), which throws for 3+ contexts.
+    val got = idx.suggestWithContexts("s", 10, "cat",
+      Map("travel" -> 2f, "news" -> 1f, "sports" -> 4f))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // sunny: only d3 (sports) -> 4.0; sand: d0 travel 2 + d2 news 1 + d3 sports 4 = 7
+    assert(got("sunny") == 4.0)
+    assert(got("sand") == 7.0)
+    assert(got("sun") == 3.0)
+  }
+
   test("prefix with no dictionary terms returns empty; k bounds the result") {
     assert(idx.suggestWithContexts("zz", 10, "cat", Map("news" -> 1f)).collect().isEmpty)
     val one = idx.suggestWithContexts("s", 1, "cat", Map("news" -> 1f, "travel" -> 1f))

@@ -77,6 +77,49 @@ class EdismaxSpec extends SparkSpec {
     assert(!boosted.contains(4L)) // d4 matches no user clause — pf2 can't add it
   }
 
+  test("pf2 with 4+ query terms (3+ bigrams) builds the per-bigram idf branch correctly") {
+    // regression: the per-bigram idf used to be assembled with
+    // reduce(_.otherwise(_)), which throws for 3+ branches; coalesce(when*)
+    // must give each bigram its own idf sum.
+    val got = TextOps.edismax(corpus, "id",
+      qf = Seq(("body", 1.0)), terms = Seq("alpha", "beta", "gamma", "delta"),
+      mm = 1, tie = 0.0, pf2 = Seq(("body", 2.0)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val base = TextOps.edismax(corpus, "id",
+      qf = Seq(("body", 1.0)), terms = Seq("alpha", "beta", "gamma", "delta"),
+      mm = 1, tie = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == base.keySet)
+    val nB = 4.0; val avgB = 9 / 4.0
+    def idf(df: Double) = math.log(1 + (nB - df + 0.5) / (df + 0.5))
+    def pb(idfSum: Double, ptf: Double, dl: Double) =
+      2.0 * idfSum * ptf / (ptf + 1.2 * (1 - 0.75 + 0.75 * dl / avgB))
+    // d2 "beta gamma": only bigram (beta,gamma) matches -> idf(beta)+idf(gamma)
+    assert(math.abs(got(2L) - round5(base(2L) + pb(idf(3) + idf(1), 1, 2))) < 2e-5)
+    // d3 "alpha beta": only bigram (alpha,beta) -> idf(alpha)+idf(beta)
+    assert(math.abs(got(3L) - round5(base(3L) + pb(idf(2) + idf(3), 1, 2))) < 2e-5)
+    // d4 "delta delta": no bigram matches (gamma,delta / others absent)
+    assert(math.abs(got(4L) - base(4L)) < 1e-9)
+  }
+
+  test("blendedBm25 declarative twin with 3+ terms builds the per-term boost branch correctly") {
+    // regression: same reduce(_.otherwise(_)) pattern in the boost column.
+    val got = TextOps.blendedBm25(corpus.withColumnRenamed("body", "text"), "id", "text",
+      Seq(("alpha", 1.0), ("beta", 2.0), ("gamma", 3.0)), tieBreaker = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // blended df = max(df(alpha)=2, df(beta)=3, df(gamma)=1) = 3
+    val nB = 4.0; val avgB = 9 / 4.0
+    def s(boost: Double, tf: Double, dl: Double) =
+      boost * math.log(1 + (nB - 3 + 0.5) / (3 + 0.5)) * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgB))
+    def dismax(subs: Seq[Double]) = subs.max + 0.5 * (subs.sum - subs.max)
+    // d1 "alpha beta alpha": alpha tf2 boost1, beta tf1 boost2
+    assert(math.abs(got(1L) - round5(dismax(Seq(s(1, 2, 3), s(2, 1, 3))))) < 2e-5)
+    // d2 "beta gamma": beta tf1 boost2, gamma tf1 boost3
+    assert(math.abs(got(2L) - round5(dismax(Seq(s(2, 1, 2), s(3, 1, 2))))) < 2e-5)
+    // d4 "delta delta" matches none of the three terms
+    assert(got.keySet == Set(1L, 2L, 3L))
+  }
+
   test("phrase idf for a field-absent term uses df=0 and the bigram simply never matches") {
     // query "beta zzz": bigram (beta, zzz) can't match; main still scores beta
     val got = TextOps.edismax(corpus, "id",
