@@ -183,7 +183,7 @@ object JsExpr {
     private def skipWs(): Unit =
       while (pos < src.length && Character.isWhitespace(src.charAt(pos))) pos += 1
 
-    private def peek(): Char = if (pos < src.length) src.charAt(pos) else ' '
+    private def peek(): Char = if (pos < src.length) src.charAt(pos) else '\u0000'
 
     /** Consume `s` if it is next (after ws) and NOT followed by `notFollowed`. */
     private def eat(s: String, notFollowed: String = ""): Boolean = {

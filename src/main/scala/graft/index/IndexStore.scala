@@ -37,6 +37,10 @@ object IndexStore {
   /** queryResultCache capacity (Solr's default cache sizes are O(100s)). */
   val QueryResultCacheSize: Int = 256
 
+  /** filterCache capacity — bounded LRU like Solr's filterCache; evicted
+    * DocSets are unpersisted. */
+  val FilterCacheSize: Int = 256
+
   /** topK output schema, shared by the result cache's local re-wrap. */
   val TopKSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
@@ -537,10 +541,12 @@ object IndexStore {
    *
    * Requires identical analysis chains (Lucene's implicit contract — a
    * foreign segment analyzed differently is silently wrong there; here it
-   * throws). Crash-safe like the builder: per-segment manifests commit
-   * LAST, so a crashed import leaves only ignorable uncommitted dirs —
-   * but like the reference's addIndexes, a SUCCESSFUL call is not
-   * idempotent (calling twice imports two copies).
+   * throws). Crash-safe like the builder: rebased deletes/dv-patches land
+   * FIRST (inert until their segments exist), then per-segment manifests
+   * commit LAST, so a crashed import leaves only ignorable uncommitted
+   * dirs plus inert tombstone rows — never a committed segment with its
+   * deletes missing. Like the reference's addIndexes, a SUCCESSFUL call
+   * is not idempotent (calling twice imports two copies).
    *
    * @return number of segments imported
    */
@@ -557,6 +563,18 @@ object IndexStore {
       .agg(max("docId")).head().getLong(0) + 1L
     val nextSeg0 = dstSegs
       .map(d => d.substring(d.lastIndexOf('=') + 1).toInt).max + 1
+    // deletes/dvpatch FIRST, segment manifests LAST: a rebased delete or
+    // dv patch for a docId whose segment never commits is inert (both
+    // tiers join against existing docs), but a committed segment whose
+    // deletes were lost in a crash window would resurrect deleted docs.
+    if (Files.exists(Paths.get(s"$srcDir/deletes")))
+      spark.read.parquet(s"$srcDir/deletes")
+        .select((col("docId").cast("long") + offset).as("docId"))
+        .write.mode("append").parquet(s"$dstDir/deletes")
+    if (Files.exists(Paths.get(s"$srcDir/dvpatch")))
+      spark.read.parquet(s"$srcDir/dvpatch")
+        .withColumn("docId", col("docId") + offset)
+        .write.mode("append").parquet(s"$dstDir/dvpatch")
     var segId = nextSeg0
     srcSegs.foreach { srcSeg =>
       val segDir = s"$dstDir/segments/seg=$segId"
@@ -589,14 +607,6 @@ object IndexStore {
         s"addIndexes:$srcDir", spark.sparkContext.applicationId, 0L))
       segId += 1
     }
-    if (Files.exists(Paths.get(s"$srcDir/deletes")))
-      spark.read.parquet(s"$srcDir/deletes")
-        .select((col("docId").cast("long") + offset).as("docId"))
-        .write.mode("append").parquet(s"$dstDir/deletes")
-    if (Files.exists(Paths.get(s"$srcDir/dvpatch")))
-      spark.read.parquet(s"$srcDir/dvpatch")
-        .withColumn("docId", col("docId") + offset)
-        .write.mode("append").parquet(s"$dstDir/dvpatch")
     finalizeStats(spark, dstDir)
     segId - nextSeg0
   }
@@ -755,23 +765,41 @@ object IndexStore {
 
     /** Filter-cache entries: fq cacheKey -> persisted docId set (the Spark
       * analogue of Solr's filterCache bitset DocSets — computed once per
-      * commit point, reused across DIFFERENT main queries). */
+      * commit point, reused across DIFFERENT main queries). Bounded LRU
+      * like Solr's filterCache (solrconfig defaults cap it too): evicted
+      * entries unpersist their cached blocks so many distinct fqs cannot
+      * accumulate storage indefinitely. */
     private val filterCache =
-      scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+      new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, DataFrame]): Boolean = {
+          val evict = size() > IndexStore.FilterCacheSize
+          if (evict) e.getValue.unpersist(blocking = false)
+          evict
+        }
+      }
+
+    private[index] def filterCacheEntries: Int =
+      filterCache.synchronized(filterCache.size())
 
     /** The fq's DocSet, computed once and persisted (SolrIndexSearcher
       * .getDocSet + filterCache semantics). */
-    def cachedFilterDocs(fq: IndexStore.Fq): DataFrame =
-      filterCache.getOrElseUpdate(fq.cacheKey, {
+    def cachedFilterDocs(fq: IndexStore.Fq): DataFrame = filterCache.synchronized {
+      val hit = filterCache.get(fq.cacheKey)
+      if (hit != null) hit
+      else {
         val ds = fq match {
           case IndexStore.FqTerms(ts, mode) =>
             QueryEngine.matchingDocs(spark, blocks, ts, mode)
           case IndexStore.FqDocValue(field, value) =>
             docvalues.filter(col(field) === value).select("docId")
         }
-        ds.select(col("docId")).distinct()
+        val persisted = ds.select(col("docId")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
+        filterCache.put(fq.cacheKey, persisted)
+        persisted
+      }
+    }
 
     /**
      * Solr `q` + `fq` (reference solr/core .../search/SolrIndexSearcher

@@ -55,4 +55,18 @@ class FilterCacheSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(viaFq == viaAnd && viaFq.nonEmpty)
   }
+
+  // keep LAST: floods the shared index's cache past capacity
+  test("filterCache is a bounded LRU; evicted DocSets are unpersisted") {
+    val first = idx.cachedFilterDocs(FqDocValue("lang", "evict0"))
+    (1 to IndexStore.FilterCacheSize + 5).foreach { i =>
+      idx.cachedFilterDocs(FqDocValue("lang", s"evict$i"))
+    }
+    assert(idx.filterCacheEntries == IndexStore.FilterCacheSize)
+    assert(first.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "evicted DocSet must be unpersisted")
+    val recent = idx.cachedFilterDocs(FqDocValue("lang", s"evict${IndexStore.FilterCacheSize + 5}"))
+    assert(recent.storageLevel.useMemory || recent.storageLevel.useDisk,
+      "resident DocSet must stay persisted")
+  }
 }

@@ -25,6 +25,25 @@ class SurroundParserSpec extends SparkSpec {
     assert(parse("(a OR b) AND c") == SAnd(Seq(SOr(Seq(STerm("a"), STerm("b"))), STerm("c"))))
   }
 
+  test("infix distance operators carry an explicit distance: a 3w b, a 2n b") {
+    // reference QueryParser.jj token W/N is (<_DISTOP_NUM>)?("W"|"w")
+    assert(parse("a 3w b") == SDist(3, ordered = true, Seq(STerm("a"), STerm("b"))))
+    assert(parse("a 2n b") == SDist(2, ordered = false, Seq(STerm("a"), STerm("b"))))
+    // the LAST operator's distance governs the collected chain (the
+    // reference overwrites the operator token each iteration)
+    assert(parse("a 2w b 5w c") ==
+      SDist(5, ordered = true, Seq(STerm("a"), STerm("b"), STerm("c"))))
+    // mixed bare and numbered: `a w b 4w c` -> distance 4
+    assert(parse("a w b 4w c") ==
+      SDist(4, ordered = true, Seq(STerm("a"), STerm("b"), STerm("c"))))
+    // W still binds tighter than N with explicit distances
+    assert(parse("a 5n b 2w c") ==
+      SDist(5, ordered = false, Seq(STerm("a"), SDist(2, ordered = true, Seq(STerm("b"), STerm("c"))))))
+    intercept[SurroundParseException](parse("a 0w b"))
+    // prefix form is not stolen by the infix path
+    assert(parse("3w(a, b)") == SDist(3, ordered = true, Seq(STerm("a"), STerm("b"))))
+  }
+
   test("boolean subqueries are rejected inside distance operators") {
     intercept[SurroundParseException](parse("2w(and(a, b), c)"))
     intercept[SurroundParseException](parse("trailing garbage )"))
