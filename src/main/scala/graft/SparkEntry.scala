@@ -427,8 +427,18 @@ object SparkEntry {
       .topK(Seq("spark", "query"), 1000000, QueryEngine.And)
       .select(col("docId").as("doc_id"))),
 
-    "ft_engine_topk" -> ((s, d) => docIndex(s, d)
-      .topK(Seq("spark", "query", "join"), 20)),
+    // flagship BM25 top-k: the ENGINE ranks (codec decode + float scorer +
+    // bounded heaps); the output scores come from the quantized-norm
+    // declarative twin (same formula as the derived oracle SQL, double
+    // arithmetic) so the driver hash-checks the engine's top-20 doc SET
+    // and its scores to 5 decimals — engine float scores stay bit-exact
+    // spec-tested in EngineSpec
+    "ft_engine_topk" -> ((s, d) => {
+      val hits = docIndex(s, d).topK(Seq("spark", "query", "join"), 20)
+        .select(col("docId").as("doc_id"))
+      hits.join(TextOps.bm25QuantizedNorms(rd(s, d, "documents"),
+        "doc_id", "text", Seq("spark", "query", "join")), "doc_id")
+    }),
 
     "ft_engine_phrase" -> ((s, d) => docIndex(s, d)
       .phrase(Seq("data", "group")).select(col("docId").as("doc_id"))),
@@ -437,8 +447,14 @@ object SparkEntry {
       .multiTermTopK(col("term").startsWith("s"), 1000000)
       .select(col("docId").as("doc_id"))),
 
-    "ft_engine_wand" -> ((s, d) => docIndex(s, d)
-      .topK(Seq("spark", "query", "join"), 20, wand = true)),
+    // same derived-twin oracle through the block-max WAND kernel: pruning
+    // must surface the identical top-20 set
+    "ft_engine_wand" -> ((s, d) => {
+      val hits = docIndex(s, d).topK(Seq("spark", "query", "join"), 20, wand = true)
+        .select(col("docId").as("doc_id"))
+      hits.join(TextOps.bm25QuantizedNorms(rd(s, d, "documents"),
+        "doc_id", "text", Seq("spark", "query", "join")), "doc_id")
+    }),
 
     // engine SynonymQuery: match-any + summed tf through the real codec
     // path (integer-exact outputs; the float score column is dropped for
@@ -1397,11 +1413,11 @@ object SparkEntry {
     Monitor.OrQ("mq_or", Seq("slow", "vector")),
     Monitor.PhraseQ("mq_phrase", Seq("data", "group")))
 
-  /** DuckDB-runnable oracles. Keys absent here (ft_engine_topk,
-    * ft_engine_wand, q30_hll, dd_minhash, dd_simhash, sim_ann, sim_ivf)
-    * are either float-exact engine outputs (covered by ScalaTest goldens
-    * vs the Lucene-arithmetic oracle scorer) or approximate/recall-based
-    * (covered by ScalaTest recall bounds vs the brute-force baseline). */
+  /** DuckDB-runnable oracles. Keys absent here (q30_hll, dd_minhash,
+    * dd_simhash, sim_ann, sim_ivf) are approximate/recall-based paths
+    * (covered by ScalaTest recall bounds vs the brute-force baseline);
+    * the flagship engine paths ft_engine_topk/ft_engine_wand oracle via
+    * the quantized-norm derived twin ([[engineTopKSql]]). */
   def oracleSql: Map[String, String] = {
     val tok = "SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents"
     val base = Map(
@@ -1959,6 +1975,8 @@ object SparkEntry {
            | SELECT doc_id, round(sum(s), 5) AS score FROM sc GROUP BY doc_id
            | HAVING sum(CASE WHEN tok = 'dup' THEN 1 ELSE 0 END) = 1""".stripMargin,
       "ft_bm25_or" -> bm25Sql(Seq("spark", "query", "join"), "or", Nil),
+      "ft_engine_topk" -> engineTopKSql(Seq("spark", "query", "join"), 20),
+      "ft_engine_wand" -> engineTopKSql(Seq("spark", "query", "join"), 20),
       "ft_bm25_and" -> bm25Sql(Seq("spark", "data"), "and", Nil),
       "ft_bm25_not" -> bm25Sql(Seq("spark", "query"), "or", Seq("slow")),
       "ft_phrase" ->
@@ -2828,6 +2846,33 @@ object SparkEntry {
   }
 
   /** Shared BM25 oracle template (double arithmetic, round 5). */
+  /** Derived oracle for the engine's flagship BM25 top-k paths
+    * (ft_engine_topk / ft_engine_wand): the same quantized-norm double
+    * arithmetic as [[TextOps.bm25QuantizedNorms]], with the SmallFloat
+    * norm buckets embedded as a VALUES table generated from the SAME
+    * [[graft.codec.SmallFloat]] the codec writes — engine, twin, and
+    * oracle share one derivation and cannot drift (the q66 pattern). */
+  private def engineTopKSql(terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(",")
+    val values = graft.operators.TextOps.normQuantBuckets
+      .map { case (lo, hi, q) => s"($lo,$hi,$q)" }.mkString(",")
+    s"""WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+       | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),
+       | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+       | nb AS (SELECT * FROM (VALUES $values) AS t(lo, hi, qdl)),
+       | qd AS (SELECT dl.doc_id, CAST(nb.qdl AS DOUBLE) AS qdl FROM dl JOIN nb ON dl.dl BETWEEN nb.lo AND nb.hi),
+       | st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+       |               (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+       | qt AS (SELECT * FROM tf WHERE tok IN ($inList)),
+       | dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM qt GROUP BY tok),
+       | sc AS (SELECT qt.doc_id,
+       |   ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * qt.tf /
+       |   (qt.tf + 1.2 * (1 - 0.75 + 0.75 * qd.qdl / st.avgdl)) AS s
+       |  FROM qt JOIN dfs ON qt.tok = dfs.tok JOIN qd ON qt.doc_id = qd.doc_id, st)
+       | SELECT doc_id, round(sum(s), 5) AS score FROM sc GROUP BY doc_id
+       | ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   private def bm25Sql(terms: Seq[String], mode: String, mustNot: Seq[String]): String = {
     val inList = terms.map(t => s"'$t'").mkString(",")
     val havingClause = if (mode == "and") s"HAVING count(*) = ${terms.distinct.size}" else ""

@@ -224,6 +224,54 @@ object TextOps {
     anti.select(col(idCol), round(col("score_raw"), 5).as("score"))
   }
 
+  /** SmallFloat norm-quantization buckets `(lo, hi, qdl)` — one row per
+    * norm byte, qdl = the bucket start the engine scores with after the
+    * `byte4ToInt(intToByte4(dl))` round-trip (reference util/SmallFloat
+    * .java int4 encoding). Derived from the SAME [[graft.codec.SmallFloat]]
+    * the codec writes, so the declarative twin and the derived oracle SQL
+    * can never drift from the engine's norm quantization. */
+  def normQuantBuckets: Seq[(Long, Long, Long)] = {
+    val starts = (0 until 256).map(i => graft.codec.SmallFloat.byte4ToInt(i.toByte).toLong)
+    require(starts.sliding(2).forall(p => p(0) < p(1)),
+      "norm bucket starts must be strictly ascending")
+    starts.zipWithIndex.map { case (lo, i) =>
+      (lo, if (i == starts.size - 1) Long.MaxValue else starts(i + 1) - 1, lo)
+    }
+  }
+
+  /** Declarative twin of the ENGINE's BM25 ranking: identical formula to
+    * [[bm25All]] but the per-doc length in the denominator is the
+    * SmallFloat-quantized `qdl` the engine actually scores with (norm byte
+    * round-trip), while avgdl stays exact (sumTotalTermFreq/docCount, as
+    * BM25Similarity computes it). Double arithmetic rounded to 5 — the
+    * rank-identical float path is [[graft.query.QueryEngine.topK]]; this
+    * twin exists so the driver oracle can hash-check the engine's top-k
+    * doc set AND its scores (to 5 decimals) against DuckDB. */
+  def bm25QuantizedNorms(docs: DataFrame, idCol: String, textCol: String,
+                         terms: Seq[String],
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = termFreqs(docs, idCol, textCol)
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val buckets = broadcast(normQuantBuckets.toDF("lo", "hi", "qdl"))
+    val qdl = dl.join(buckets, col("dl") >= col("lo") && col("dl") <= col("hi"))
+      .select(col(idCol), col("qdl"))
+    val stats = docs.agg(count("*").as("n"))
+      .crossJoin(dl.agg(sum("dl").as("__totDl")))
+      .withColumn("avgdl", col("__totDl") / col("n"))
+    val qtf = tf.filter(col("tok").isin(terms: _*))
+    val dfs = qtf.groupBy("tok").agg(count("*").as("df"))
+    qtf
+      .join(broadcast(dfs), "tok")
+      .join(qdl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) * col("tf") /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("qdl") / col("avgdl"))))
+      .groupBy(idCol).agg(round(sum("s"), 5).as("score"))
+  }
+
   /** req-opt scoring (ReqOptSumScorer, Boolean2ScorerSupplier.java:107-114):
     * docs must match ALL `required` terms; `optional` terms add to the score
     * when present but never gate matching. */

@@ -111,4 +111,18 @@ class BlockCodecSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("normQuantBuckets range rule == SmallFloat byte4 round-trip for every dl") {
+    // the derived-oracle bucket table (TextOps.normQuantBuckets, embedded
+    // in the ft_engine_topk/wand oracle SQL as VALUES) must quantize dl
+    // exactly as the engine's norm byte round-trip does
+    val buckets = graft.operators.TextOps.normQuantBuckets
+    assert(buckets.size == 256)
+    def lookup(dl: Long): Long =
+      buckets.find(bkt => dl >= bkt._1 && dl <= bkt._2).get._3
+    ((0 to 4096) ++ (4097 to 300000 by 13)).foreach { dl =>
+      val q = SmallFloat.byte4ToInt(SmallFloat.intToByte4(dl)).toLong
+      assert(q == lookup(dl.toLong), s"dl=$dl")
+    }
+  }
 }
