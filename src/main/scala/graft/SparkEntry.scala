@@ -1235,6 +1235,39 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos"), 5).as("cos"))
     }),
 
+    // planted-neighbor oracle-checked variants of the ANN paths (the
+    // dd_minhash_planted pattern): ten copies of the query vector scaled
+    // by 2.0f (a power of two — the scaling is exact in float, and both
+    // the sign sketch and the cosine IVF assignment are scale-invariant)
+    // are planted under known ids, so probe → rescore → top-k MUST
+    // surface exactly {query doc} ∪ {copies}, all at cos 1.0 — recall on
+    // them is structural, and the full indexed pipelines run end-to-end
+    "sim_ann_planted" -> ((s, d) => {
+      val embs = rd(s, d, "embeddings").select("vec_id", "embedding")
+      val q = embs.filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val qScaled = array(q.toIndexedSeq.map(v => lit(v * 2.0f)): _*)
+      val planted = embs.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 2000000).as("vec_id"), qScaled.as("embedding"))
+      val idx = Similarity.signIndex(embs.unionByName(planted),
+        "vec_id", "embedding", planes = 8)
+      Similarity.annTopKIndexed(idx, "vec_id", "embedding", q, planes = 8, k = 11)
+        .select(col("vec_id"), round(col("cos"), 5).as("cos"))
+    }),
+
+    "sim_ivf_planted" -> ((s, d) => {
+      val embs = rd(s, d, "embeddings").select("vec_id", "embedding")
+      val q = embs.filter(col("vec_id") === 3)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val qScaled = array(q.toIndexedSeq.map(v => lit(v * 2.0f)): _*)
+      val planted = embs.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 2000000).as("vec_id"), qScaled.as("embedding"))
+      val (assign, cents) = Similarity.ivfIndex(embs.unionByName(planted),
+        "vec_id", "embedding", k = 16, iters = 2)
+      Similarity.ivfTopK(assign, cents, "vec_id", "embedding", q, 11, nprobe = 4)
+        .select(col("vec_id"), round(col("cos"), 5).as("cos"))
+    }),
+
     // ---- multimodal plumbing (binary payload + typed metadata) ----
     "mm_decode" -> ((s, d) => Multimodal.decodeMeta(
       Multimodal.asMediaTable(rd(s, d, "documents"), "doc_id", "text"))
@@ -2462,6 +2495,18 @@ object SparkEntry {
           |   (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
           |    sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))) END, 5) AS cos
           | FROM embeddings, q""".stripMargin,
+      // the planted copies of the query vector plus the query doc itself,
+      // every cosine exactly 1.0 after round(.,5)
+      "sim_ann_planted" ->
+        """SELECT CAST(7 AS BIGINT) AS vec_id, CAST(1.0 AS DOUBLE) AS cos
+          | UNION ALL
+          | SELECT vec_id + 2000000, CAST(1.0 AS DOUBLE) FROM embeddings
+          | WHERE vec_id < 10""".stripMargin,
+      "sim_ivf_planted" ->
+        """SELECT CAST(3 AS BIGINT) AS vec_id, CAST(1.0 AS DOUBLE) AS cos
+          | UNION ALL
+          | SELECT vec_id + 2000000, CAST(1.0 AS DOUBLE) FROM embeddings
+          | WHERE vec_id < 10""".stripMargin,
       "mm_decode" ->
         """SELECT doc_id AS asset_id,
           | 'application/x-fake-' || substr(md5(text), 1, 4) AS mime,
