@@ -962,6 +962,28 @@ object SparkEntry {
     "ta_langid" -> ((s, d) => TextOps.languageId(rd(s, d, "documents"),
       "doc_id", "text", LangMarkers).select("doc_id", "lang_pred")),
 
+    // Snowball stemming through the real analyzer-chain path: each doc_id
+    // deterministically picks a word from the fixed per-language lists and
+    // stems it through AnalyzerChain(SnowballStemFilter(lang)) — the same
+    // chain an index build persists. Oracle = the same word->stem mapping
+    // embedded as CASE arms derived from the SAME Snowball object (which
+    // the 84k-word official vocabularies validate in SnowballVocabSpec),
+    // so chain wiring and stemmer cannot drift.
+    "ta_snowball" -> ((s, d) => {
+      import s.implicits._
+      val chains = Seq("german", "spanish", "french").map(l =>
+        graft.analysis.AnalyzerChain(Seq(graft.analysis.SnowballStemFilter(l))))
+      rd(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = Seq(SnowballWordsDe, SnowballWordsEs, SnowballWordsFr)
+            .map(ws => ws((id % ws.size).toInt))
+          (id, chains(0).terms(w(0)).mkString(" "),
+            chains(1).terms(w(1)).mkString(" "),
+            chains(2).terms(w(2)).mkString(" "))
+        }
+        .toDF("doc_id", "stem_de", "stem_es", "stem_fr")
+    }),
+
     "ta_fingerprint" -> ((s, d) => TextOps.fingerprint(rd(s, d, "documents"),
       "doc_id", "text")),
 
@@ -2364,6 +2386,7 @@ object SparkEntry {
           | length(text) AS n_chars
           | FROM documents""".stripMargin,
       "ta_langid" -> langIdSql,
+      "ta_snowball" -> snowballSql,
       "ta_fingerprint" ->
         """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
           | regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS fp FROM documents""".stripMargin,
@@ -2891,6 +2914,38 @@ object SparkEntry {
   }
 
   /** Shared BM25 oracle template (double arithmetic, round 5). */
+  /** Fixed per-language word lists for the ta_snowball chain query —
+    * chosen to exercise umlaut/accent handling, R1/R2/RV gating, verb
+    * suffixes, and derivational endings. */
+  private val SnowballWordsDe = Seq("häuser", "laufen", "ergebnisse",
+    "aufeinander", "schönheit", "freundlichkeit", "bücher", "wanderung",
+    "möglichkeiten", "wissenschaft", "universität", "entwicklung",
+    "gesprochen", "kinder", "arbeitet", "größe")
+  private val SnowballWordsEs = Seq("corriendo", "casas", "rápidamente",
+    "universidades", "cantaría", "lógica", "niños", "comiéndoselo",
+    "grandes", "felicidad", "trabajando", "españoles", "pequeñas",
+    "volver", "hablaban", "canciones")
+  private val SnowballWordsFr = Seq("continuerait", "majestueux",
+    "nationale", "chevaux", "abaissant", "premièrement", "mangeaient",
+    "curiosité", "logiquement", "châteaux", "heureuse", "volontiers",
+    "possibilités", "tranquillement", "différence", "appelleront")
+
+  /** The ta_snowball oracle: the same doc_id -> word -> stem mapping, as
+    * CASE arms with stems computed by the SAME Snowball stemmers. */
+  private def snowballSql: String = {
+    def arm(ws: Seq[String], stem: String => String): String =
+      ws.zipWithIndex.map { case (w, i) => s"WHEN $i THEN '${stem(w)}'" }
+        .mkString(" ")
+    val de = arm(SnowballWordsDe, graft.analysis.Snowball.German.stem)
+    val es = arm(SnowballWordsEs, graft.analysis.Snowball.Spanish.stem)
+    val fr = arm(SnowballWordsFr, graft.analysis.Snowball.French.stem)
+    s"""SELECT doc_id,
+       | CASE CAST(doc_id % ${SnowballWordsDe.size} AS INT) $de END AS stem_de,
+       | CASE CAST(doc_id % ${SnowballWordsEs.size} AS INT) $es END AS stem_es,
+       | CASE CAST(doc_id % ${SnowballWordsFr.size} AS INT) $fr END AS stem_fr
+       | FROM documents""".stripMargin
+  }
+
   /** Derived oracle for the engine's flagship BM25 top-k paths
     * (ft_engine_topk / ft_engine_wand): the same quantized-norm double
     * arithmetic as [[TextOps.bm25QuantizedNorms]], with the SmallFloat

@@ -40,6 +40,22 @@ case object PorterStemFilter extends TokenFilter {
     (tokens.map(t => t.copy(term = Porter.stem(t.term))), overlaps)
 }
 
+/** Snowball stemming for a configured language (the reference's
+  * SnowballFilter over the generated org.tartarus stemmers — here the
+  * re-derived [[Snowball]] algorithms, vocabulary-validated). Positions
+  * unchanged. */
+final case class SnowballStemFilter(lang: String) extends TokenFilter {
+  private val stemmer: String => String = lang match {
+    case "german"  => Snowball.German.stem
+    case "spanish" => Snowball.Spanish.stem
+    case "french"  => Snowball.French.stem
+    case "english" => Porter.stem
+    case other => throw new IllegalArgumentException(s"unsupported snowball language: $other")
+  }
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) =
+    (tokens.map(t => t.copy(term = stemmer(t.term))), overlaps)
+}
+
 /** Protected / overridden stemming — the fused semantics of the
   * reference's KeywordMarkerFilter (analysis/miscellaneous/
   * SetKeywordMarkerFilter.java: keyword-marked terms skip stemming),
@@ -337,6 +353,7 @@ object AnalyzerChain {
       case StopFilter(sw) =>
         s"""{"type":"stop","words":[${sw.toSeq.sorted.map(word).mkString(",")}]}"""
       case PorterStemFilter => """{"type":"porter"}"""
+      case SnowballStemFilter(lang) => s"""{"type":"snowball","lang":${word(lang)}}"""
       case SynonymFilter(m) =>
         val entries = m.toSeq.sortBy(_._1).map { case (k, vs) =>
           s"${word(k)}:[${vs.map(word).mkString(",")}]"
@@ -361,7 +378,7 @@ object AnalyzerChain {
 
   def fromJson(json: String): AnalyzerChain = {
     val filterRe =
-      """\{"type":"(stop|porter|synonym|ascii|length|shingle|edgengram|phonetic|worddelim|kwstem)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
+      """\{"type":"(stop|porter|snowball|synonym|ascii|length|shingle|edgengram|phonetic|worddelim|kwstem)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
     val wordsRe = """"([^"]+)"""".r
     def intField(body: String, k: String): Int =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
@@ -371,6 +388,8 @@ object AnalyzerChain {
       val body = m.matched
       m.group(1) match {
         case "porter" => PorterStemFilter
+        case "snowball" =>
+          SnowballStemFilter(""""lang":"([^"]+)"""".r.findFirstMatchIn(body).get.group(1))
         case "ascii"  => AsciiFoldingFilter
         case "length" => LengthFilter(intField(body, "min"), intField(body, "max"))
         case "shingle" =>

@@ -1,0 +1,580 @@
+package graft.analysis
+
+/**
+ * Snowball stemmers for German, Spanish, and French, implemented from the
+ * published algorithm descriptions (M.F. Porter, snowballstem.org; the
+ * algorithms are public and the reference wires their generated forms via
+ * lucene/analysis/common/src/java/org/apache/lucene/analysis/snowball/
+ * SnowballFilter.java:31). Re-derived from the prose specifications —
+ * validated word-for-word against the published test vocabularies in
+ * src/test/resources/snowball (SnowballVocabSpec).
+ *
+ * Shared machinery: the standard R1/R2 regions (R1 = region after the
+ * first non-vowel following a vowel; R2 = the same definition applied
+ * within R1) and language-specific RV regions, all tracked as indices
+ * into a mutable StringBuilder.
+ */
+object Snowball {
+
+  /** First index of the region after the first non-vowel following a
+    * vowel, searching from `from`; length if not found. */
+  private def regionAfterVC(s: CharSequence, from: Int, isVowel: Char => Boolean): Int = {
+    var i = from
+    val n = s.length
+    while (i < n && !isVowel(s.charAt(i))) i += 1    // find a vowel
+    while (i < n && isVowel(s.charAt(i))) i += 1     // then a non-vowel
+    if (i < n) i + 1 else n
+  }
+
+  // ---------------------------------------------------------------- German
+
+  /** Snowball German stemming algorithm (the classic 'german' variant the
+    * reference's GermanStemmer implements). */
+  object German {
+    private def isVowel(c: Char): Boolean = "aeiouyäöü".indexOf(c) >= 0
+    private val SEnding = "bdfghklmnrt"
+    private val StEnding = "bdfghklmnt"
+
+    def stem(word0: String): String = {
+      if (word0.isEmpty) return word0
+      val sb = new StringBuilder(word0.length + 4)
+      // substitute ß, and mark u/y between vowels as consonants (upper case)
+      var i = 0
+      while (i < word0.length) {
+        val c = word0.charAt(i)
+        if (c == 'ß') sb.append("ss") else sb.append(c)
+        i += 1
+      }
+      i = 1
+      while (i < sb.length - 1) {
+        val c = sb.charAt(i)
+        if ((c == 'u' || c == 'y') && isVowel(sb.charAt(i - 1)) && isVowel(sb.charAt(i + 1)))
+          sb.setCharAt(i, c.toUpper)
+        i += 1
+      }
+
+      var r1 = regionAfterVC(sb, 0, isVowel)
+      val r2 = regionAfterVC(sb, r1, isVowel)
+      // R1 is adjusted so that the region before it has at least 3 letters
+      if (r1 < 3) r1 = 3
+      if (r1 > sb.length) r1 = sb.length
+
+      def endsWith(suf: String): Boolean =
+        sb.length >= suf.length && sb.substring(sb.length - suf.length) == suf
+      def inR1(suf: String): Boolean = sb.length - suf.length >= r1
+      def inR2(suf: String): Boolean = sb.length - suf.length >= r2
+      def del(n: Int): Unit = sb.setLength(sb.length - n)
+
+      // Step 1
+      var done = false
+      for (suf <- Seq("ern", "em", "er") if !done) {
+        if (endsWith(suf)) { done = true; if (inR1(suf)) del(suf.length) }
+      }
+      if (!done) {
+        for (suf <- Seq("en", "es", "e") if !done) {
+          if (endsWith(suf)) {
+            done = true
+            if (inR1(suf)) del(suf.length)
+          }
+        }
+      }
+      if (!done && endsWith("s") && sb.length >= 2 &&
+          SEnding.indexOf(sb.charAt(sb.length - 2)) >= 0) {
+        done = true
+        if (inR1("s")) del(1)
+      }
+
+      // Step 2
+      done = false
+      for (suf <- Seq("est", "en", "er") if !done) {
+        if (endsWith(suf)) { done = true; if (inR1(suf)) del(suf.length) }
+      }
+      if (!done && endsWith("st") && sb.length >= 6 &&
+          StEnding.indexOf(sb.charAt(sb.length - 3)) >= 0) {
+        done = true
+        if (inR1("st")) del(2)
+      }
+
+      // Step 3: d-suffixes
+      if (endsWith("end") || endsWith("ung")) {
+        if (inR2("end")) {
+          del(3)
+          if (endsWith("ig") && !endsWith("eig") && inR2("ig")) del(2)
+        }
+      } else if (endsWith("isch")) {
+        if (inR2("isch") && !endsWith("eisch")) del(4)
+      } else if (endsWith("ig") || endsWith("ik")) {
+        val suf = sb.substring(sb.length - 2)
+        if (inR2(suf) && !(sb.length >= 3 && sb.charAt(sb.length - 3) == 'e')) del(2)
+      } else if (endsWith("lich") || endsWith("heit")) {
+        if (inR2("lich")) {
+          del(4)
+          if ((endsWith("er") || endsWith("en")) && inR1("er")) del(2)
+        }
+      } else if (endsWith("keit")) {
+        if (inR2("keit")) {
+          del(4)
+          if (endsWith("lich") && inR2("lich")) del(4)
+          else if (endsWith("ig") && inR2("ig")) del(2)
+        }
+      }
+
+      // Finally: unmark consonant u/y, remove umlauts
+      i = 0
+      while (i < sb.length) {
+        sb.charAt(i) match {
+          case 'U' => sb.setCharAt(i, 'u')
+          case 'Y' => sb.setCharAt(i, 'y')
+          case 'ä' => sb.setCharAt(i, 'a')
+          case 'ö' => sb.setCharAt(i, 'o')
+          case 'ü' => sb.setCharAt(i, 'u')
+          case _ =>
+        }
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
+  // --------------------------------------------------------------- Spanish
+
+  /** Snowball Spanish stemming algorithm. */
+  object Spanish {
+    private def isVowel(c: Char): Boolean = "aeiouáéíóúü".indexOf(c) >= 0
+
+    /** Spanish/French-family RV: second-letter-consonant -> after the next
+      * vowel; two leading vowels -> after the next consonant; else after
+      * the third letter. */
+    private def rvOf(s: CharSequence): Int = {
+      val n = s.length
+      if (n < 3) return n
+      if (!isVowel(s.charAt(1))) {
+        var i = 2
+        while (i < n && !isVowel(s.charAt(i))) i += 1
+        if (i < n) i + 1 else n
+      } else if (isVowel(s.charAt(0)) && isVowel(s.charAt(1))) {
+        var i = 2
+        while (i < n && isVowel(s.charAt(i))) i += 1
+        if (i < n) i + 1 else n
+      } else 3
+    }
+
+    private val Pronouns = Seq("selas", "selos", "sela", "selo", "las", "les",
+      "los", "nos", "me", "se", "la", "le", "lo")
+    private val Step0A = Seq("iéndo", "ándo", "ár", "ér", "ír")
+    private val Step0B = Seq("iendo", "ando", "ar", "er", "ir")
+
+    private val Step1Del = Seq("amientos", "imientos", "amiento", "imiento",
+      "anzas", "icos", "icas", "ismos", "ables", "ibles", "istas", "osos",
+      "osas", "anza", "ico", "ica", "ismo", "able", "ible", "ista", "oso",
+      "osa")
+    private val Step1Ador = Seq("aciones", "adoras", "adores", "ancias",
+      "adora", "ación", "antes", "ancia", "ador", "ante")
+    private val Step2aY = Seq("yeron", "yendo", "yamos", "yais", "yan",
+      "yen", "yas", "yes", "ya", "ye", "yo", "yó")
+    private val Step2bGu = Seq("emos", "éis", "en", "es")
+    private val Step2b = Seq("aríamos", "eríamos", "iríamos", "iéramos",
+      "iésemos", "aríais", "aremos", "eríais", "eremos", "iríais", "iremos",
+      "ierais", "ieseis", "asteis", "isteis", "ábamos", "áramos", "ásemos",
+      "arían", "arías", "aréis", "erían", "erías", "eréis", "irían",
+      "irías", "iréis", "ieran", "iesen", "ieron", "iendo", "ieras",
+      "ieses", "abais", "arais", "aseis", "íamos", "arán", "arás", "aría",
+      "erán", "erás", "ería", "irán", "irás", "iría", "iera", "iese",
+      "aste", "iste", "aban", "aran", "asen", "aron", "ando", "abas",
+      "adas", "idas", "aras", "ases", "íais", "ados", "idos", "amos",
+      "imos", "ará", "aré", "erá", "eré", "irá", "iré", "aba", "ada",
+      "ida", "ara", "ase", "ían", "ado", "ido", "ías", "áis", "ía", "ad",
+      "ed", "id", "an", "ió", "ar", "er", "ir", "as", "ís")
+
+    def stem(word: String): String = {
+      if (word.length < 2) return deAccent(word)
+      val sb = new StringBuilder(word)
+      val rv = rvOf(sb)
+      val r1 = regionAfterVC(sb, 0, isVowel)
+      val r2 = regionAfterVC(sb, r1, isVowel)
+
+      def endsWith(suf: String): Boolean =
+        sb.length >= suf.length && sb.substring(sb.length - suf.length) == suf
+      def inRegion(suf: String, r: Int): Boolean = sb.length - suf.length >= r
+      def del(n: Int): Unit = sb.setLength(sb.length - n)
+
+      // Step 0: attached pronoun
+      Pronouns.find(endsWith) match {
+        case Some(p) =>
+          val stemEnd = sb.length - p.length
+          val head = sb.substring(0, stemEnd)
+          def headEnds(s: String) = head.length >= s.length && head.endsWith(s)
+          val a = Step0A.find(headEnds).filter(s => stemEnd - s.length >= rv)
+          val b = Step0B.find(headEnds).filter(s => stemEnd - s.length >= rv)
+          if (a.isDefined) {
+            del(p.length)
+            // remove the accent from the verb ending
+            val i = sb.length - a.get.length
+            var j = i
+            while (j < sb.length) { sb.setCharAt(j, deAccentChar(sb.charAt(j))); j += 1 }
+          } else if (b.isDefined) {
+            del(p.length)
+          } else if (headEnds("yendo") && head.length >= 6 &&
+                     head.charAt(head.length - 6) == 'u') {
+            del(p.length)
+          }
+        case None =>
+      }
+
+      // Step 1: standard suffix removal (longest match over the whole set)
+      val len0 = sb.length
+      val all1 = (Step1Del ++ Step1Ador ++ Seq("logías", "logía", "uciones",
+        "ución", "encias", "encia", "amente", "mente", "idades", "idad",
+        "ivas", "ivos", "iva", "ivo")).sortBy(-_.length)
+      all1.find(endsWith) match {
+        case Some(suf) if Step1Del.contains(suf) =>
+          if (inRegion(suf, r2)) del(suf.length)
+        case Some(suf) if Step1Ador.contains(suf) =>
+          if (inRegion(suf, r2)) {
+            del(suf.length)
+            if (endsWith("ic") && inRegion("ic", r2)) del(2)
+          }
+        case Some(suf @ ("logías" | "logía")) =>
+          if (inRegion(suf, r2)) { del(suf.length); sb.append("log") }
+        case Some(suf @ ("uciones" | "ución")) =>
+          if (inRegion(suf, r2)) { del(suf.length); sb.append("u") }
+        case Some(suf @ ("encias" | "encia")) =>
+          if (inRegion(suf, r2)) { del(suf.length); sb.append("ente") }
+        case Some("amente") =>
+          if (inRegion("amente", r1)) {
+            del(6)
+            if (endsWith("iv") && inRegion("iv", r2)) {
+              del(2)
+              if (endsWith("at") && inRegion("at", r2)) del(2)
+            } else {
+              Seq("os", "ic", "ad").find(p => sb.endsWith(p) && inRegion(p, r2))
+                .foreach(_ => del(2))
+            }
+          }
+        case Some("mente") =>
+          if (inRegion("mente", r2)) {
+            del(5)
+            Seq("ante", "able", "ible").find(p => sb.endsWith(p) && inRegion(p, r2))
+              .foreach(_ => del(4))
+          }
+        case Some(suf @ ("idades" | "idad")) =>
+          if (inRegion(suf, r2)) {
+            del(suf.length)
+            Seq("abil", "ic", "iv").find(p => sb.endsWith(p) && inRegion(p, r2))
+              .foreach(p => del(p.length))
+          }
+        case Some(suf @ ("ivas" | "ivos" | "iva" | "ivo")) =>
+          if (inRegion(suf, r2)) {
+            del(suf.length)
+            if (endsWith("at") && inRegion("at", r2)) del(2)
+          }
+        case _ =>
+      }
+
+      // Steps 2a/2b are `setlimit tomark pV` in the published algorithm:
+      // the suffix search itself is confined to RV, so a shorter suffix
+      // inside RV matches even when a longer one starts before RV.
+      var removed2a = false
+      if (sb.length == len0) {
+        // Step 2a: -y- verb suffixes after u (the u need not be in RV)
+        Step2aY.sortBy(-_.length)
+          .find(s => endsWith(s) && inRegion(s, rv)) match {
+          case Some(suf) if sb.length - suf.length >= 1 &&
+              sb.charAt(sb.length - suf.length - 1) == 'u' =>
+            del(suf.length); removed2a = true
+          case _ =>
+        }
+        // Step 2b (only if 2a removed nothing)
+        if (!removed2a) {
+          (Step2bGu ++ Step2b).sortBy(-_.length)
+            .find(s => endsWith(s) && inRegion(s, rv)) match {
+            case Some(suf) if Step2bGu.contains(suf) =>
+              del(suf.length)
+              if (endsWith("gu")) del(1)
+            case Some(suf) =>
+              del(suf.length)
+            case None =>
+          }
+        }
+      }
+
+      // Step 3: residual suffix (one longest match among the whole set)
+      Seq("os", "a", "o", "á", "í", "ó", "e", "é").find(endsWith) match {
+        case Some(suf @ ("e" | "é")) =>
+          if (inRegion(suf, rv)) {
+            del(1)
+            if (endsWith("gu") && sb.length - 1 >= rv) del(1)
+          }
+        case Some(suf) =>
+          if (inRegion(suf, rv)) del(suf.length)
+        case None =>
+      }
+
+      var i = 0
+      while (i < sb.length) { sb.setCharAt(i, deAccentChar(sb.charAt(i))); i += 1 }
+      sb.toString
+    }
+
+    private def deAccentChar(c: Char): Char = c match {
+      case 'á' => 'a'; case 'é' => 'e'; case 'í' => 'i'
+      case 'ó' => 'o'; case 'ú' => 'u'
+      case other => other
+    }
+    private def deAccent(s: String): String = s.map(deAccentChar)
+  }
+
+  // ---------------------------------------------------------------- French
+
+  /** Snowball French stemming algorithm. */
+  object French {
+    private def isVowel(c: Char): Boolean = "aeiouyâàëéêèïîôûù".indexOf(c) >= 0
+
+    private val Step1Simple = Seq("ances", "iqUes", "ismes", "ables", "istes",
+      "ance", "iqUe", "isme", "able", "iste", "eux")
+    private val Step1Ateur = Seq("atrices", "atrice", "ateurs", "ations",
+      "ateur", "ation")
+    private val Step2a = Seq("issaIent", "issantes", "iraIent", "issante",
+      "issants", "issions", "irions", "issais", "issait", "issant",
+      "issent", "issiez", "issons", "irais", "irait", "irent", "iriez",
+      "irons", "iront", "isses", "issez", "îmes", "îtes", "irai", "iras",
+      "irez", "isse", "ies", "ira", "ît", "ie", "ir", "is", "it", "i")
+    private val Step2bIons = Seq("ions")
+    private val Step2bEr = Seq("eraIent", "erions", "èrent", "erais",
+      "erait", "eriez", "erons", "eront", "erai", "eras", "erez", "ées",
+      "era", "iez", "ée", "és", "er", "ez", "é")
+    private val Step2bA = Seq("assions", "assent", "assiez", "aIent",
+      "antes", "asses", "âmes", "âtes", "ante", "ants", "asse", "ais",
+      "ait", "ant", "ât", "ai", "as", "a")
+
+    def stem(word: String): String = {
+      if (word.length < 2) return word
+      val sb = new StringBuilder(word)
+
+      // prelude: mark u/i between vowels, y next to a vowel, u after q as
+      // consonants (upper case), scanning left to right over the current
+      // state (an already-marked char no longer counts as a vowel)
+      var i = 0
+      while (i < sb.length) {
+        val c = sb.charAt(i)
+        if (i > 0 && isVowel(sb.charAt(i - 1)) && i + 1 < sb.length && isVowel(sb.charAt(i + 1)) &&
+            (c == 'u' || c == 'i')) {
+          sb.setCharAt(i, c.toUpper)
+        } else if (c == 'y' &&
+                   ((i > 0 && isVowel(sb.charAt(i - 1))) ||
+                    (i + 1 < sb.length && isVowel(sb.charAt(i + 1))))) {
+          sb.setCharAt(i, 'Y')
+        } else if (c == 'u' && i > 0 && sb.charAt(i - 1) == 'q') {
+          sb.setCharAt(i, 'U')
+        }
+        i += 1
+      }
+
+      val rv: Int = {
+        val n = sb.length
+        if (n >= 3 && (sb.substring(0, 3) == "par" || sb.substring(0, 3) == "col" ||
+                       sb.substring(0, 3) == "tap")) 3
+        else if (n >= 3 && isVowel(sb.charAt(0)) && isVowel(sb.charAt(1))) 3
+        else {
+          var j = 1
+          while (j < n && !isVowel(sb.charAt(j))) j += 1
+          if (j < n) j + 1 else n
+        }
+      }
+      val r1 = regionAfterVC(sb, 0, isVowel)
+      val r2 = regionAfterVC(sb, r1, isVowel)
+
+      def endsWith(suf: String): Boolean =
+        sb.length >= suf.length && sb.substring(sb.length - suf.length) == suf
+      def inRegion(suf: String, r: Int): Boolean = sb.length - suf.length >= r
+      def del(n: Int): Unit = sb.setLength(sb.length - n)
+
+      val original = sb.toString
+      var step1Changed = false
+      var mentFound = false
+      var doStep2 = false
+
+      // ---- Step 1: standard suffix removal (longest match, one action)
+      val all1 = (Step1Simple ++ Step1Ateur ++ Seq("logies", "logie",
+        "usions", "utions", "usion", "ution", "ences", "ence", "ements",
+        "ement", "ités", "ité", "ives", "ifs", "ive", "if", "eaux", "aux",
+        "euses", "euse", "issements", "issement", "amment", "emment",
+        "ments", "ment")).sortBy(-_.length)
+      all1.find(endsWith) match {
+        case Some(suf) if Step1Simple.contains(suf) =>
+          if (inRegion(suf, r2)) { del(suf.length); step1Changed = true }
+        case Some(suf) if Step1Ateur.contains(suf) =>
+          if (inRegion(suf, r2)) {
+            del(suf.length); step1Changed = true
+            if (sb.endsWith("ic")) {
+              if (inRegion("ic", r2)) del(2)
+              else { del(2); sb.append("iqU") }
+            }
+          }
+        case Some(suf @ ("logies" | "logie")) =>
+          if (inRegion(suf, r2)) { del(suf.length); sb.append("log"); step1Changed = true }
+        case Some(suf @ ("usions" | "utions" | "usion" | "ution")) =>
+          if (inRegion(suf, r2)) { del(suf.length); sb.append("u"); step1Changed = true }
+        case Some(suf @ ("ences" | "ence")) =>
+          if (inRegion(suf, r2)) { del(suf.length); sb.append("ent"); step1Changed = true }
+        case Some(suf @ ("ements" | "ement")) =>
+          if (inRegion(suf, rv)) {
+            del(suf.length); step1Changed = true
+            if (sb.endsWith("iv") && inRegion("iv", r2)) {
+              del(2)
+              if (sb.endsWith("at") && inRegion("at", r2)) del(2)
+            } else if (sb.endsWith("eus")) {
+              if (inRegion("eus", r2)) del(3)
+              else if (inRegion("eus", r1)) { del(1); sb.append("x") }
+            } else if ((sb.endsWith("abl") && inRegion("abl", r2)) ||
+                       (sb.endsWith("iqU") && inRegion("iqU", r2))) {
+              del(3)
+            } else if ((sb.endsWith("ièr") && inRegion("ièr", rv)) ||
+                       (sb.endsWith("Ièr") && inRegion("Ièr", rv))) {
+              del(3); sb.append("i")
+            }
+          }
+        case Some(suf @ ("ités" | "ité")) =>
+          if (inRegion(suf, r2)) {
+            del(suf.length); step1Changed = true
+            if (sb.endsWith("abil")) {
+              if (inRegion("abil", r2)) del(4)
+              else { del(4); sb.append("abl") }
+            } else if (sb.endsWith("ic")) {
+              if (inRegion("ic", r2)) del(2)
+              else { del(2); sb.append("iqU") }
+            } else if (sb.endsWith("iv") && inRegion("iv", r2)) del(2)
+          }
+        case Some(suf @ ("ives" | "ive" | "ifs" | "if")) =>
+          if (inRegion(suf, r2)) {
+            del(suf.length); step1Changed = true
+            if (sb.endsWith("at") && inRegion("at", r2)) {
+              del(2)
+              if (sb.endsWith("ic")) {
+                if (inRegion("ic", r2)) del(2)
+                else { del(2); sb.append("iqU") }
+              }
+            }
+          }
+        case Some("eaux") =>
+          del(1); step1Changed = true                      // eaux -> eau
+        case Some("aux") =>
+          if (inRegion("aux", r1)) { del(2); sb.append("l"); step1Changed = true }
+        case Some(suf @ ("euses" | "euse")) =>
+          if (inRegion(suf, r2)) { del(suf.length); step1Changed = true }
+          else if (inRegion(suf, r1)) {
+            del(suf.length); sb.append("eux"); step1Changed = true
+          }
+        case Some(suf @ ("issements" | "issement")) =>
+          if (inRegion(suf, r1) && sb.length - suf.length >= 1 &&
+              !isVowel(sb.charAt(sb.length - suf.length - 1))) {
+            del(suf.length); step1Changed = true
+          }
+        case Some("amment") =>
+          if (inRegion("amment", rv)) { del(6); sb.append("ant"); mentFound = true }
+        case Some("emment") =>
+          if (inRegion("emment", rv)) { del(6); sb.append("ent"); mentFound = true }
+        case Some(suf @ ("ments" | "ment")) =>
+          // delete if preceded by a vowel in RV
+          if (sb.length - suf.length >= 1 &&
+              isVowel(sb.charAt(sb.length - suf.length - 1)) &&
+              sb.length - suf.length - 1 >= rv) {
+            del(suf.length); mentFound = true
+          }
+        case None =>
+      }
+
+      doStep2 = !step1Changed || mentFound
+      var step2Changed = false
+
+      if (doStep2) {
+        // Steps 2a/2b are `setlimit tomark pV`: the suffix search itself is
+        // confined to RV (a shorter suffix inside RV matches even when a
+        // longer one starts before RV).
+        var removed2a = false
+        Step2a.sortBy(-_.length)
+          .find(s => endsWith(s) && inRegion(s, rv)) match {
+          case Some(suf) =>
+            val pre = sb.length - suf.length - 1
+            if (pre >= rv && pre >= 0 && !isVowel(sb.charAt(pre))) {
+              del(suf.length); removed2a = true; step2Changed = true
+            }
+          case None =>
+        }
+        if (!removed2a) {
+          // ---- Step 2b: other verb suffixes (all within RV)
+          (Step2bIons ++ Step2bEr ++ Step2bA).sortBy(-_.length).find(s =>
+            endsWith(s) && inRegion(s, rv)) match {
+            case Some("ions") =>
+              if (inRegion("ions", r2)) { del(4); step2Changed = true }
+            case Some(suf) if Step2bEr.contains(suf) =>
+              del(suf.length); step2Changed = true
+            case Some(suf) if Step2bA.contains(suf) =>
+              del(suf.length); step2Changed = true
+              if (sb.endsWith("e") && sb.length - 1 >= rv) del(1)
+            case _ =>
+          }
+        }
+      }
+
+      if (step1Changed || step2Changed) {
+        // ---- Step 3
+        if (sb.nonEmpty && sb.charAt(sb.length - 1) == 'Y') sb.setCharAt(sb.length - 1, 'i')
+        else if (sb.nonEmpty && sb.charAt(sb.length - 1) == 'ç') sb.setCharAt(sb.length - 1, 'c')
+      } else {
+        // ---- Step 4: residual suffix
+        if (sb.nonEmpty && sb.charAt(sb.length - 1) == 's') {
+          val pre = if (sb.length >= 2) sb.charAt(sb.length - 2) else ' '
+          if ("aiouès".indexOf(pre) < 0) del(1)
+        }
+        // the residual among is `setlimit tomark pV` too
+        Seq("ière", "Ière", "ion", "ier", "Ier", "e", "ë")
+          .find(s => endsWith(s) && inRegion(s, rv)) match {
+          case Some("ion") =>
+            if (inRegion("ion", r2) && sb.length - 4 >= 0 &&
+                (sb.charAt(sb.length - 4) == 's' || sb.charAt(sb.length - 4) == 't') &&
+                sb.length - 4 >= rv) {
+              del(3)
+            }
+          case Some(suf @ ("ière" | "Ière" | "ier" | "Ier")) =>
+            del(suf.length); sb.append("i")
+          case Some("e") =>
+            del(1)
+          case Some("ë") =>
+            if (sb.length >= 3 && sb.substring(sb.length - 3, sb.length - 1) == "gu") del(1)
+          case _ =>
+        }
+      }
+
+      // ---- Step 5: undouble
+      for (end <- Seq("enn", "onn", "ett", "ell", "eill"))
+        if (endsWith(end) && sb.endsWith(end)) del(1)
+
+      // ---- Step 6: un-accent a final é/è followed only by non-vowels
+      var j = sb.length - 1
+      var sawNonVowel = false
+      var break = false
+      while (j >= 0 && !break) {
+        val c = sb.charAt(j)
+        if (!isVowel(c)) { sawNonVowel = true; j -= 1 }
+        else {
+          if ((c == 'é' || c == 'è') && sawNonVowel) sb.setCharAt(j, 'e')
+          break = true
+        }
+      }
+
+      // postlude
+      i = 0
+      while (i < sb.length) {
+        sb.charAt(i) match {
+          case 'U' => sb.setCharAt(i, 'u')
+          case 'I' => sb.setCharAt(i, 'i')
+          case 'Y' => sb.setCharAt(i, 'y')
+          case _ =>
+        }
+        i += 1
+      }
+      val out = sb.toString
+      if (out.isEmpty) original else out
+    }
+  }
+}

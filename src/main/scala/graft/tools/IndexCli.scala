@@ -44,10 +44,15 @@ object IndexCli {
       // index; query/search/spell then analyze through it automatically);
       // --code: camelCase/alnum identifier splitting (WordDelimiterFilter
       // with preserveOriginal) — the source-code analyzer
+      // --snowball <german|spanish|french|english>: Snowball-stemmed chain
       val base =
         if (rest.contains("--english"))
           graft.analysis.AnalyzerChain.english(Set("the", "a", "of", "and"))
-        else graft.analysis.AnalyzerChain.standard
+        else rest.dropWhile(_ != "--snowball").drop(1).headOption match {
+          case Some(lang) if !lang.startsWith("--") =>
+            graft.analysis.AnalyzerChain(Seq(graft.analysis.SnowballStemFilter(lang)))
+          case _ => graft.analysis.AnalyzerChain.standard
+        }
       val chain =
         if (rest.contains("--code"))
           base.copy(wordDelimiter = Some(graft.analysis.WordDelimiterFilter()))

@@ -109,6 +109,22 @@ class FiltersSpec extends AnyFunSuite {
     assert(toks.map(_.pos) === Seq(0, 1, 2))
   }
 
+  test("snowball stem filter: per-language goldens through the chain") {
+    // goldens cross-checked against the official snowballstem.org test
+    // vocabularies (SnowballVocabSpec covers all 84k pairs; these spots
+    // exercise umlaut removal, RV-limited verb suffixes, and undoubling)
+    val de = AnalyzerChain(Seq(SnowballStemFilter("german")))
+    assert(de.terms("häuser laufen schönheit bücher") ===
+      Seq("haus", "lauf", "schonheit", "buch"))
+    val es = AnalyzerChain(Seq(SnowballStemFilter("spanish")))
+    assert(es.terms("casas corriendo felicidad niños") ===
+      Seq("cas", "corr", "felic", "niñ"))
+    val fr = AnalyzerChain(Seq(SnowballStemFilter("french")))
+    assert(fr.terms("continuerait majestueux nationale chevaux") ===
+      Seq("continu", "majestu", "national", "cheval"))
+    intercept[IllegalArgumentException](SnowballStemFilter("klingon"))
+  }
+
   test("synonym filter injects at the same position as an overlap") {
     val chain = AnalyzerChain(Seq(SynonymFilter(Map("fast" -> Seq("quick", "rapid")))))
     val (toks, overlaps) = chain.analyzeWithOverlaps("fast scan")
@@ -282,7 +298,9 @@ class FiltersSpec extends AnyFunSuite {
         SynonymFilter(Map("fast" -> Seq("quick"), "big" -> Seq("large", "huge"))),
         PorterStemFilter)),
       AnalyzerChain(Seq(KeywordStemFilter(Set("tables"),
-        Map("running" -> "sprint")))))
+        Map("running" -> "sprint")))),
+      AnalyzerChain(Seq(SnowballStemFilter("german"))),
+      AnalyzerChain(Seq(StopFilter(Set("le", "la")), SnowballStemFilter("french"))))
     chains.foreach { c =>
       val rt = AnalyzerChain.fromJson(AnalyzerChain.toJson(c))
       assert(rt === c, AnalyzerChain.toJson(c))

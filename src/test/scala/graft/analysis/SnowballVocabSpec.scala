@@ -1,0 +1,34 @@
+package graft.analysis
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Word-for-word validation of the Snowball stemmers against the
+  * published snowballstem.org test vocabularies (the same voc/output
+  * pairs the reference's TestSnowballVocab runs). */
+class SnowballVocabSpec extends AnyFunSuite {
+
+  private def pairs(lang: String): Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream(s"/snowball/$lang.tsv")
+    require(in != null, s"missing /snowball/$lang.tsv")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map { l =>
+      val t = l.split('\t'); (t(0), if (t.length > 1) t(1) else "")
+    }.toVector
+    finally src.close()
+  }
+
+  private def check(lang: String, stem: String => String): Unit = {
+    val vocab = pairs(lang)
+    val bad = vocab.filter { case (w, want) => stem(w) != want }
+    if (bad.nonEmpty) {
+      val sample = bad.take(25).map { case (w, want) =>
+        s"$w -> got '${stem(w)}' want '$want'"
+      }.mkString("\n  ")
+      fail(s"$lang: ${bad.size}/${vocab.size} mismatches\n  $sample")
+    }
+  }
+
+  test("german vocabulary stems exactly") { check("german", Snowball.German.stem) }
+  test("spanish vocabulary stems exactly") { check("spanish", Snowball.Spanish.stem) }
+  test("french vocabulary stems exactly") { check("french", Snowball.French.stem) }
+}
