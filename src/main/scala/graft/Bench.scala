@@ -362,11 +362,15 @@ object Bench {
         val ci = cleanIdxOf(roundCeils.reverse)
         val bm = cleanMedianOf(pairEffs, ci)
         val qm = cleanMedianOf(qPairEffs, ci)
-        // stop when both medians clear the target, the window is visibly
-        // clean (nothing more to wait out), or the round/time budget is spent
+        // stop when both medians clear the target AND the medians rest on
+        // at least MinCleanRounds host-clean pairs (a single clean pair is
+        // a weak artifact even when it clears the bar), or the window is
+        // visibly clean (nothing more to wait out), or the budget is spent
         val contended = roundCeils.reverse.takeRight(2).exists(_ < 0.95)
         val timeLeft = (System.nanoTime() - tStart) / 1e9 < deadlineSecs
-        done = (bm >= target && qm >= target) || !contended || r >= maxRounds || !timeLeft
+        val cleanEnough = ci.count(i => roundCeils.reverse(i) >= CleanCeiling) >= MinCleanRounds
+        done = (bm >= target && qm >= target && cleanEnough) ||
+          !contended || r >= maxRounds || !timeLeft
       }
     }
     // lists were prepended: reverse to chronological before zipping
@@ -400,6 +404,10 @@ object Bench {
     * host-corrupted (external contention) and excluded from the clean
     * median; the all-rounds median is still reported alongside. */
   private val CleanCeiling = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLEAN_CEIL", "0.85").toDouble
+
+  /** The target-met early stop also requires this many host-clean rounds
+    * backing the medians (the extension keeps hunting otherwise). */
+  private val MinCleanRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_CLEAN_ROUNDS", "2").toInt
   private var cleanRounds: Int = 0
   private var roundCeilings: List[Double] = Nil
   private var allMedianPairEff: Double = Double.NaN

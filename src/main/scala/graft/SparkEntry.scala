@@ -1300,6 +1300,24 @@ object SparkEntry {
       Multimodal.decodeMeta(Multimodal.asMediaTable(rd(s, d, "documents"), "doc_id", "text")),
       stride = 2)),
 
+    // REAL image decode: deterministic PNG payloads (dims a pure function
+    // of doc_id) synthesized by the JDK's PNG writer, decoded back by the
+    // javax.imageio path in decodeMeta — the oracle predicts the decoded
+    // dimensions from the same doc_id arithmetic (n_bytes is codec-level
+    // detail and stays out of the oracle row)
+    "mm_decode_png" -> ((s, d) => {
+      import s.implicits._
+      val media = rd(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, "image/png",
+            Multimodal.synthPng(id, 16 + (id % 32).toInt, 16 + (id % 16).toInt))
+        })
+        .toDF("asset_id", "mime", "payload")
+      Multimodal.decodeMeta(media)
+        .select(col("asset_id"), col("mime"), col("width"), col("height"),
+          col("n_frames"), round(col("duration_s"), 5).as("duration_s"))
+    }),
+
     // ---- reverse search (monitor/percolator): registered queries matched
     // against the document stream in one broadcast-anchored narrow pass ----
     "mon_percolate" -> ((s, d) => Monitor.matches(rd(s, d, "documents"),
@@ -2542,6 +2560,12 @@ object SparkEntry {
       "mm_frames" ->
         """SELECT doc_id AS asset_id, CAST(1 + octet_length(encode(text)) // 1000 AS INT) AS n_frames,
           | CAST(unnest(range(0, 1 + octet_length(encode(text)) // 1000, 2)) AS INT) AS frame_idx
+          | FROM documents""".stripMargin,
+      "mm_decode_png" ->
+        """SELECT doc_id AS asset_id, 'image/png' AS mime,
+          | CAST(16 + doc_id % 32 AS INT) AS width,
+          | CAST(16 + doc_id % 16 AS INT) AS height,
+          | CAST(1 AS INT) AS n_frames, CAST(0.0 AS DOUBLE) AS duration_s
           | FROM documents""".stripMargin,
 
       // reverse search: the four registered monitor queries, each as its

@@ -45,7 +45,41 @@ object Multimodal {
     (w, h, frames, frames / 30.0)
   }
 
-  /** Decode metadata for every asset (mapPartitions batch shape). */
+  /** REAL raster decode via javax.imageio (the JDK ships PNG/JPEG/BMP/GIF
+    * readers, so image decode needs no external media library): width and
+    * height come from the decoded image, frames=1, duration 0. */
+  def decodeImage(payload: Array[Byte]): (Int, Int, Int, Double) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable raster image")
+    (img.getWidth, img.getHeight, 1, 0.0)
+  }
+
+  /** MIME routing: raster images decode for real; audio/video (absent
+    * codec libraries in this sandbox) keep the deterministic stub. */
+  def decodeMedia(mime: String, payload: Array[Byte]): (Int, Int, Int, Double) =
+    if (mime.startsWith("image/")) decodeImage(payload) else decodeStub(payload)
+
+  /** Deterministic PNG synthesis: a w×h RGB raster whose pixels are a pure
+    * function of (seed, x, y), encoded by the JDK's PNG writer. The test
+    * payload generator for the real-decode path. */
+  def synthPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (((x * 31 + y * 7 + seed) % 0x1000000) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode metadata for every asset (mapPartitions batch shape); raster
+    * mime types go through the real javax.imageio decoder. */
   def decodeMeta(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(media.schema.filterNot(_.name == "payload") ++ Seq(
@@ -54,10 +88,11 @@ object Multimodal {
       StructField("duration_s", DoubleType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     val payloadIdx = media.schema.fieldIndex("payload")
+    val mimeIdx = media.schema.fieldIndex("mime")
     media.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        val (w, h, f, d) = decodeStub(payload)
+        val (w, h, f, d) = decodeMedia(r.getString(mimeIdx), payload)
         val passThrough = r.toSeq.zipWithIndex.collect { case (v, i) if i != payloadIdx => v }
         Row.fromSeq(passThrough ++ Seq[Any](payload.length, w, h, f, d))
       }

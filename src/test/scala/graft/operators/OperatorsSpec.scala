@@ -283,6 +283,22 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(rm.getAs[Int]("width") === 16 + ((nBytes + 3) / 4) % 1024)
   }
 
+  test("multimodal: real PNG decode via javax.imageio round-trips synthesized dimensions") {
+    // raster mime routes to the REAL decoder; fake mime keeps the stub
+    val png = Multimodal.synthPng(seed = 42L, w = 37, h = 21)
+    assert(Multimodal.decodeImage(png) === ((37, 21, 1, 0.0)))
+    // content is deterministic: same seed -> identical bytes
+    assert(png.toSeq === Multimodal.synthPng(42L, 37, 21).toSeq)
+    assert(png.toSeq !== Multimodal.synthPng(43L, 37, 21).toSeq)
+    val media = Seq((5L, "image/png", png)).toDF("asset_id", "mime", "payload")
+    val r = Multimodal.decodeMeta(media).head()
+    assert(r.getAs[Int]("width") === 37 && r.getAs[Int]("height") === 21)
+    assert(r.getAs[Int]("n_frames") === 1 && r.getAs[Double]("duration_s") === 0.0)
+    // a non-image payload under an image mime fails loudly, not silently
+    val bad = Seq((6L, "image/png", Array[Byte](1, 2, 3))).toDF("asset_id", "mime", "payload")
+    intercept[org.apache.spark.SparkException](Multimodal.decodeMeta(bad).collect())
+  }
+
   test("approx_count_distinct (HLL parity) stays within 10% of exact") {
     val df = spark.range(0, 20000).select((col("id") % 1337).as("v"))
     val approx = df.agg(approx_count_distinct("v")).head().getLong(0)
