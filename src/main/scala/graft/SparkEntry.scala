@@ -1484,7 +1484,11 @@ object SparkEntry {
     Monitor.TermQ("mq_spark", "spark"),
     Monitor.AndQ("mq_and", Seq("group", "stream")),
     Monitor.OrQ("mq_or", Seq("slow", "vector")),
-    Monitor.PhraseQ("mq_phrase", Seq("data", "group")))
+    Monitor.PhraseQ("mq_phrase", Seq("data", "group")),
+    // un-anchorable wildcard -> ANYTOKEN presearcher path
+    Monitor.WildcardQ("mq_wild", "str"),
+    // negation enforced at verification; only the positive part anchors
+    Monitor.NotQ("mq_not", Monitor.TermQ("mq_not_inc", "data"), Seq("slow")))
 
   /** DuckDB-runnable oracles. Keys absent here (q30_hll, dd_minhash,
     * dd_simhash, sim_ann, sim_ivf) are approximate/recall-based paths
@@ -2583,7 +2587,12 @@ object SparkEntry {
           | UNION ALL
           | SELECT DISTINCT a.doc_id, 'mq_phrase' AS query_id FROM t a
           |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-          | WHERE a.tok = 'data' AND b.tok = 'group'""".stripMargin,
+          | WHERE a.tok = 'data' AND b.tok = 'group'
+          | UNION ALL
+          | SELECT DISTINCT doc_id, 'mq_wild' AS query_id FROM d WHERE tok LIKE 'str%'
+          | UNION ALL
+          | SELECT doc_id, 'mq_not' AS query_id FROM d WHERE tok = 'data'
+          |  AND doc_id NOT IN (SELECT doc_id FROM d WHERE tok = 'slow')""".stripMargin,
 
       // Naive Bayes: reference arithmetic (class-df likelihood, add-one
       // smoothing, avg-unique-terms denominator, tf-weighted, prior added),

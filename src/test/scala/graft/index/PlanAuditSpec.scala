@@ -200,7 +200,10 @@ class PlanAuditSpec extends SparkSpec {
     val plan = planOf(graft.operators.Monitor.matches(docs, Seq(
       graft.operators.Monitor.TermQ("t", "spark"),
       graft.operators.Monitor.AndQ("a", Seq("spark", "query")),
-      graft.operators.Monitor.PhraseQ("p", Seq("spark", "query")))))
+      graft.operators.Monitor.PhraseQ("p", Seq("spark", "query")),
+      graft.operators.Monitor.WildcardQ("w", "spa"),
+      graft.operators.Monitor.NotQ("n",
+        graft.operators.Monitor.TermQ("ni", "query"), Seq("slow")))))
     assert(!plan.contains("Exchange"), plan.take(2000))
     assert(plan.contains("MapPartitions"), plan.take(2000))
   }

@@ -86,6 +86,38 @@ class MonitorSpec extends SparkSpec {
     assert(got2.toSeq === Seq((0L, "o")))
   }
 
+  test("wildcard queries ride the ANYTOKEN path: verified on every doc, matched by prefix") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("verifiedW")
+    val df = docs.toDF("doc_id", "text")
+    val got = Monitor.matches(df, Seq(WildcardQ("w", "spa")), verifiedAcc = Some(acc))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((0L, "w"), (3L, "w"), (7L, "w")))
+    // ANYTOKEN: every doc is a candidate (nothing anchors a wildcard);
+    // the empty doc (6) contributes a candidate too
+    assert(acc.value === docs.size.toLong)
+    // a prefix matching nothing still verifies everywhere, matches nowhere
+    assert(Monitor.matches(df, Seq(WildcardQ("none", "zzz"))).collect().isEmpty)
+  }
+
+  test("NOT queries anchor only the positive part; negation enforced at verification") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("verifiedN")
+    val df = docs.toDF("doc_id", "text")
+    val q = NotQ("n", OrQ("n_inc", Seq("data", "slow")), Seq("spark"))
+    val got = Monitor.matches(df, Seq(q), verifiedAcc = Some(acc))
+      .collect().map(_.getLong(0)).toSet
+    // docs with data|slow: 0,1,2,3,5; minus those containing spark: 0,3
+    assert(got === Set(1L, 2L, 5L))
+    // only the 5 positive-anchored docs were ever verified — absence of
+    // 'spark' never surfaced unanchored candidates
+    assert(acc.value === 5L)
+    // nested NotQ under AND-include verifies compositionally
+    val got2 = Monitor.matches(df, Seq(NotQ("n2", AndQ("a", Seq("data", "group")), Seq("key"))))
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 === Set(3L, 5L)) // doc 2 has 'key' -> excluded
+  }
+
   test("streaming percolation: matchBatch over a memory stream == batch matches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
