@@ -962,6 +962,22 @@ object SparkEntry {
     "ta_langid" -> ((s, d) => TextOps.languageId(rd(s, d, "documents"),
       "doc_id", "text", LangMarkers).select("doc_id", "lang_pred")),
 
+    // ascii folding through the real analyzer-chain path (the --folded CLI
+    // preset's chain): accented words fold to ascii, sub-2-char tokens drop
+    // via LengthFilter. The oracle is INDEPENDENT: DuckDB's strip_accents
+    // computes the expected folding (word list avoids ligatures/ß, which
+    // fold here but not there — FoldingSpec covers those)
+    "ta_fold" -> ((s, d) => {
+      import s.implicits._
+      val chain = graft.analysis.AnalyzerChain(Seq(
+        graft.analysis.AsciiFoldingFilter, graft.analysis.LengthFilter(2, 255)))
+      rd(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, chain.terms(FoldWords((id % FoldWords.size).toInt)).mkString(" "))
+        }
+        .toDF("doc_id", "folded")
+    }),
+
     // Snowball stemming through the real analyzer-chain path: each doc_id
     // deterministically picks a word from the fixed per-language lists and
     // stems it through AnalyzerChain(SnowballStemFilter(lang)) — the same
@@ -2409,6 +2425,7 @@ object SparkEntry {
           | FROM documents""".stripMargin,
       "ta_langid" -> langIdSql,
       "ta_snowball" -> snowballSql,
+      "ta_fold" -> foldSql,
       "ta_fingerprint" ->
         """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
           | regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS fp FROM documents""".stripMargin,
@@ -2947,6 +2964,11 @@ object SparkEntry {
   }
 
   /** Shared BM25 oracle template (double arithmetic, round 5). */
+  /** Accented (ligature-free) words for the ta_fold chain query. */
+  private val FoldWords = Seq("café", "naïve", "résumé", "jalapeño",
+    "über", "crème brûlée", "señor día", "zürich tokyo", "élève motivé",
+    "piñata función", "à la côte", "smörgåsbord")
+
   /** Fixed per-language word lists for the ta_snowball chain query —
     * chosen to exercise umlaut/accent handling, R1/R2/RV gating, verb
     * suffixes, and derivational endings. */
@@ -2962,6 +2984,19 @@ object SparkEntry {
     "nationale", "chevaux", "abaissant", "premièrement", "mangeaient",
     "curiosité", "logiquement", "châteaux", "heureuse", "volontiers",
     "possibilités", "tranquillement", "différence", "appelleront")
+
+  /** The ta_fold oracle — INDEPENDENT of the Scala folding: DuckDB's own
+    * strip_accents does the unaccenting and a list_filter replicates the
+    * LengthFilter(2,255) drop of sub-2-char folded tokens. */
+  private def foldSql: String = {
+    val arms = FoldWords.zipWithIndex
+      .map { case (w, i) => s"WHEN $i THEN '$w'" }.mkString(" ")
+    s"""SELECT doc_id,
+       | array_to_string(list_filter(
+       |   string_split(strip_accents(CASE CAST(doc_id % ${FoldWords.size} AS INT) $arms END), ' '),
+       |   t -> length(t) >= 2), ' ') AS folded
+       | FROM documents""".stripMargin
+  }
 
   /** The ta_snowball oracle: the same doc_id -> word -> stem mapping, as
     * CASE arms with stems computed by the SAME Snowball stemmers. */

@@ -53,10 +53,17 @@ object IndexCli {
             graft.analysis.AnalyzerChain(Seq(graft.analysis.SnowballStemFilter(lang)))
           case _ => graft.analysis.AnalyzerChain.standard
         }
+      // --folded: AsciiFolding + Length(2,255) preset (accent-insensitive
+      // matching; cafe finds café) composable with the stem presets
+      val folded =
+        if (rest.contains("--folded"))
+          base.copy(filters = graft.analysis.AsciiFoldingFilter +:
+            graft.analysis.LengthFilter(2, 255) +: base.filters)
+        else base
       val chain =
         if (rest.contains("--code"))
-          base.copy(wordDelimiter = Some(graft.analysis.WordDelimiterFilter()))
-        else base
+          folded.copy(wordDelimiter = Some(graft.analysis.WordDelimiterFilter()))
+        else folded
       val t0 = System.nanoTime()
       IndexStore.build(spark, withIds, dir, segs, spark.sparkContext.defaultParallelism,
         withPositions = rest.contains("--pos"), withOffsets = rest.contains("--offsets"),
