@@ -645,6 +645,29 @@ object SparkEntry {
       array_contains(TextOps.tokensOf("text"), "data"),
       Seq(("lang", col("lang") === "en"), ("source", col("source") === "src13")))),
 
+    // JSON Facet API domain changes (FacetRequest.java:237): facet CHILD
+    // docs under a parent-query domain — base = orders with two tagged
+    // filters, excludeTags drops the price filter, blockChildren switches
+    // the domain to the matching orders' lineitems, a domain filter
+    // restricts them, and the facet counts l_returnflag
+    "ft_facet_domain" -> ((s, d) => R.facetDomain(
+      rd(s, d, "orders"),
+      Seq(R.TaggedFilter("st", col("o_orderstatus") === "F"),
+        R.TaggedFilter("pr", col("o_totalprice") > 150000)),
+      Seq(R.DomainExcludeTags(Set("pr")),
+        R.DomainBlockChildren(rd(s, d, "lineitem"), "o_orderkey", "l_orderkey"),
+        R.DomainFilter(col("l_quantity") >= 30)),
+      "l_returnflag")),
+
+    // the mirror: child-query domain switched to DISTINCT parents
+    // (blockParent), then filtered and faceted on the parent side
+    "ft_facet_domain_parent" -> ((s, d) => R.facetDomain(
+      rd(s, d, "lineitem"),
+      Seq(R.TaggedFilter("q", col("l_quantity") >= 45)),
+      Seq(R.DomainBlockParent(rd(s, d, "orders"), "l_orderkey", "o_orderkey"),
+        R.DomainFilter(col("o_totalprice") > 50000)),
+      "o_orderstatus")),
+
     // spatial heatmap facet (facet.heatmap): grid-cell counts over the
     // synthetic lat/lon derived as in q46_geo
     "ft_geo_heatmap" -> ((s, d) => {
@@ -1959,6 +1982,18 @@ object SparkEntry {
           | h AS (SELECT '__hits__' AS dim, '' AS value, count(*) AS cnt
           |       FROM base WHERE lang = 'en' AND source = 'src13' HAVING count(*) > 0)
           | SELECT * FROM l UNION ALL SELECT * FROM s UNION ALL SELECT * FROM h""".stripMargin,
+      "ft_facet_domain" ->
+        """SELECT CAST(l_returnflag AS VARCHAR) AS value, count(*) AS cnt
+          | FROM lineitem
+          | WHERE l_quantity >= 30
+          |  AND l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+          | GROUP BY 1 ORDER BY cnt DESC, value""".stripMargin,
+      "ft_facet_domain_parent" ->
+        """SELECT CAST(o_orderstatus AS VARCHAR) AS value, count(*) AS cnt
+          | FROM orders
+          | WHERE o_totalprice > 50000
+          |  AND o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45)
+          | GROUP BY 1 ORDER BY cnt DESC, value""".stripMargin,
       "ft_geo_heatmap" ->
         """WITH ev AS (SELECT user_id % 17000 / 100.0 - 85.0 AS lat,
           |   user_id % 35900 / 100.0 - 179.5 AS lon FROM events)

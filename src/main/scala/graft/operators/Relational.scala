@@ -656,6 +656,56 @@ object Relational {
    * @param dims (dimColumn, selectedPredicate) per drilled dimension
    * @return (dim, value, cnt), plus the (`__hits__`, '') drill-down count
    */
+  // ---- JSON Facet API domain changes (reference solr/core .../search/
+  // facet/FacetRequest.java:237 parseDomain: domain:{filter, excludeTags,
+  // blockChildren, blockParent}): the facet is computed over a DOMAIN
+  // derived from the base result set by composable transforms. ----
+
+  /** A tagged top-level filter (Solr's `fq={!tag=x}...`): excludeTags
+    * re-selects which of these form the base domain. */
+  final case class TaggedFilter(tag: String, pred: Column)
+
+  sealed trait DomainChange extends Serializable
+  /** domain:{filter:...} — restrict the domain. */
+  final case class DomainFilter(pred: Column) extends DomainChange
+  /** domain:{blockChildren:...} — switch from parent docs to ALL their
+    * children (the children of every parent in the current domain). */
+  final case class DomainBlockChildren(children: DataFrame,
+                                       parentKey: String, childKey: String) extends DomainChange
+  /** domain:{blockParent:...} — switch from child docs to their DISTINCT
+    * parents. */
+  final case class DomainBlockParent(parents: DataFrame,
+                                     childKey: String, parentKey: String) extends DomainChange
+  /** domain:{excludeTags:[...]} — drop the matching tagged base filters
+    * before the domain is formed (the drill-sideways move, composable). */
+  final case class DomainExcludeTags(tags: Set[String]) extends DomainChange
+
+  /**
+   * Facet `facetField` over a transformed domain. Plan shape: the base is
+   * the filtered scan; block switches are LEFT SEMI joins carrying ONLY
+   * the key column of the current domain (the fact-side table never
+   * widens), and the final count is a partial+final aggregation.
+   */
+  def facetDomain(docs: DataFrame, filters: Seq[TaggedFilter],
+                  domain: Seq[DomainChange], facetField: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val excluded = domain.collect { case DomainExcludeTags(ts) => ts }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val base = filters.filterNot(f => excluded(f.tag))
+      .foldLeft(docs)((d, f) => d.filter(f.pred))
+    val dom = domain.foldLeft(base) {
+      case (d, DomainFilter(p)) => d.filter(p)
+      case (d, DomainBlockChildren(children, pk, ck)) =>
+        children.join(d.select(col(pk).as(ck)).distinct(), Seq(ck), "left_semi")
+      case (d, DomainBlockParent(parents, ck, pk)) =>
+        parents.join(d.select(col(ck).as(pk)).distinct(), Seq(pk), "left_semi")
+      case (d, _: DomainExcludeTags) => d
+    }
+    dom.groupBy(col(facetField).cast("string").as("value"))
+      .agg(count("*").as("cnt"))
+      .orderBy(desc("cnt"), asc("value"))
+  }
+
   def drillSideways(df: DataFrame, base: Column,
                     dims: Seq[(String, Column)]): DataFrame = {
     require(dims.nonEmpty)

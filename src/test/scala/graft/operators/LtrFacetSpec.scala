@@ -83,4 +83,48 @@ class LtrFacetSpec extends SparkSpec {
     assert(got(("fr/web", 2)) == (1.0, 1L))
     assert(got.size == 5)
   }
+
+  test("facetDomain: filter, blockChildren, blockParent, and excludeTags compose") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Relational._
+    // parents: (pid, status, price); children: (pid, flag, qty)
+    val parents = Seq((1L, "F", 100.0), (2L, "F", 300.0), (3L, "O", 300.0))
+      .toDF("pid", "status", "price")
+    val children = Seq(
+      (1L, "A", 10), (1L, "B", 50), (2L, "A", 60), (2L, "A", 5), (3L, "B", 99))
+      .toDF("pid", "flag", "qty")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // parent filter -> children domain -> child filter -> facet flag
+    val f1 = counts(facetDomain(parents,
+      Seq(TaggedFilter("st", col("status") === "F")),
+      Seq(DomainBlockChildren(children, "pid", "pid"),
+        DomainFilter(col("qty") >= 50)),
+      "flag"))
+    assert(f1 === Map("B" -> 1L, "A" -> 1L)) // p1's B(50), p2's A(60)
+
+    // excludeTags drops the price filter; with it kept, only p2 remains
+    val withPrice = Seq(TaggedFilter("st", col("status") === "F"),
+      TaggedFilter("pr", col("price") > 200))
+    val kept = counts(facetDomain(parents, withPrice,
+      Seq(DomainBlockChildren(children, "pid", "pid")), "flag"))
+    assert(kept === Map("A" -> 2L)) // p2's two A children
+    val excl = counts(facetDomain(parents, withPrice,
+      Seq(DomainExcludeTags(Set("pr")),
+        DomainBlockChildren(children, "pid", "pid")), "flag"))
+    assert(excl === Map("A" -> 3L, "B" -> 1L)) // p1+p2 children
+
+    // child query -> DISTINCT parents domain -> parent facet
+    val up = counts(facetDomain(children,
+      Seq(TaggedFilter("q", col("qty") >= 50)),
+      Seq(DomainBlockParent(parents, "pid", "pid")), "status"))
+    assert(up === Map("F" -> 2L, "O" -> 1L)) // p1, p2, p3 each ONCE (no doubling)
+    // a parent-side domain filter stacks on top of the switch
+    val upF = counts(facetDomain(children,
+      Seq(TaggedFilter("q", col("qty") >= 50)),
+      Seq(DomainBlockParent(parents, "pid", "pid"),
+        DomainFilter(col("status") === "F")), "status"))
+    assert(upF === Map("F" -> 2L))
+  }
 }
