@@ -668,6 +668,31 @@ object SparkEntry {
         R.DomainFilter(col("o_totalprice") > 50000)),
       "o_orderstatus")),
 
+    // indexed shapes (LatLonShape): deterministic diamond polygons (one
+    // per doc_id) run through the exploded-edge shape machinery; relations
+    // vs a query box plus containment of a tiny box. The oracle is
+    // INDEPENDENT: a diamond is an L1 ball, so DuckDB computes the same
+    // relations in closed form (L1 distance arithmetic), not by the
+    // crossing/orientation algorithm under test
+    "geo_shapes" -> ((s, d) => {
+      val clat = (col("doc_id") * 7 % 140).cast("double") - 70 + 0.5
+      val clon = (col("doc_id") * 13 % 340).cast("double") - 170 + 0.5
+      val r = lit(0.26) + (col("doc_id") % 5).cast("double") * 0.2
+      val verts = array(
+        struct((clat + r).as("lat"), clon.as("lon")),
+        struct(clat.as("lat"), (clon + r).as("lon")),
+        struct((clat - r).as("lat"), clon.as("lon")),
+        struct(clat.as("lat"), (clon - r).as("lon")))
+      val shapes = rd(s, d, "documents")
+        .select(col("doc_id").as("shape_id"), verts.as("verts"))
+      val edges = graft.operators.Geo.shapeEdges(shapes, "shape_id", "verts")
+      val big = graft.operators.Geo.boxRelations(edges, "shape_id", -10, 10, -20, 20)
+      val tiny = graft.operators.Geo.boxRelations(edges, "shape_id", 0.4, 0.6, 0.4, 0.6)
+        .select(col("shape_id"), col("contains").as("contains_tiny"))
+      big.select(col("shape_id"), col("intersects"), col("within"), col("disjoint"))
+        .join(tiny, "shape_id")
+    }),
+
     // spatial heatmap facet (facet.heatmap): grid-cell counts over the
     // synthetic lat/lon derived as in q46_geo
     "ft_geo_heatmap" -> ((s, d) => {
@@ -1982,6 +2007,21 @@ object SparkEntry {
           | h AS (SELECT '__hits__' AS dim, '' AS value, count(*) AS cnt
           |       FROM base WHERE lang = 'en' AND source = 'src13' HAVING count(*) > 0)
           | SELECT * FROM l UNION ALL SELECT * FROM s UNION ALL SELECT * FROM h""".stripMargin,
+      "geo_shapes" ->
+        """WITH s AS (SELECT doc_id AS shape_id,
+          |   CAST(doc_id * 7 % 140 AS DOUBLE) - 70 + 0.5 AS clat,
+          |   CAST(doc_id * 13 % 340 AS DOUBLE) - 170 + 0.5 AS clon,
+          |   0.26 + CAST(doc_id % 5 AS DOUBLE) * 0.2 AS r
+          |  FROM documents),
+          | rel AS (SELECT shape_id,
+          |   greatest(-10 - clat, clat - 10, 0) + greatest(-20 - clon, clon - 20, 0) <= r AS inter,
+          |   clat - r >= -10 AND clat + r <= 10 AND clon - r >= -20 AND clon + r <= 20 AS wthn,
+          |   abs(0.4 - clat) + abs(0.4 - clon) <= r AND abs(0.4 - clat) + abs(0.6 - clon) <= r AND
+          |   abs(0.6 - clat) + abs(0.4 - clon) <= r AND abs(0.6 - clat) + abs(0.6 - clon) <= r AS ctiny
+          |  FROM s)
+          | SELECT shape_id, CAST(inter AS INT) AS intersects, CAST(wthn AS INT) AS within,
+          |  CAST(NOT inter AS INT) AS disjoint, CAST(ctiny AS INT) AS contains_tiny
+          | FROM rel""".stripMargin,
       "ft_facet_domain" ->
         """SELECT CAST(l_returnflag AS VARCHAR) AS value, count(*) AS cnt
           | FROM lineitem

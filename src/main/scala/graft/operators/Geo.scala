@@ -135,4 +135,103 @@ object Geo {
         floor((col(lonCol) - lonMin) / cellDeg).cast("long").as("grid_lon"))
       .agg(count("*").as("cnt"))
       .orderBy(asc("grid_lat"), asc("grid_lon"))
+
+  // ---- Indexed shapes (reference lucene/sandbox .../document/LatLonShape
+  // .java:60: polygons indexed as tessellated triangles in a BKD tree;
+  // queries relate a box/shape to the indexed shapes). Spark-first
+  // decomposition: a shape becomes (a) a per-shape bounding-box summary —
+  // the BKD analogue: min/max-prunable columns a parquet scan skips on —
+  // and (b) an exploded closed-edge table over which every relation is
+  // pure column arithmetic (ray-crossing parity + segment orientation
+  // tests aggregated per shape), so relations run as ONE scan + ONE
+  // partial+final aggregation at any shape count. ----
+
+  /** Closed edge table of a shapes frame: one row per polygon edge,
+    * (idCol, y1, x1, y2, x2). `vertsCol` is array<struct<lat,lon>>; the
+    * closing edge vN→v0 is generated. */
+  def shapeEdges(shapes: DataFrame, idCol: String, vertsCol: String): DataFrame = {
+    val n = size(col(vertsCol))
+    val edges = transform(sequence(lit(0), n - 1), i => struct(
+      element_at(col(vertsCol), i + 1).getField("lat").as("y1"),
+      element_at(col(vertsCol), i + 1).getField("lon").as("x1"),
+      element_at(col(vertsCol), pmod(i + 1, n) + 1).getField("lat").as("y2"),
+      element_at(col(vertsCol), pmod(i + 1, n) + 1).getField("lon").as("x2")))
+    shapes.select(col(idCol), explode(edges).as("e"))
+      .select(col(idCol), col("e.y1"), col("e.x1"), col("e.y2"), col("e.x2"))
+  }
+
+  /** Per-shape bounding boxes — the prunable index summary. */
+  def shapeBounds(edges: DataFrame, idCol: String): DataFrame =
+    edges.groupBy(idCol).agg(
+      min("y1").as("lat_min"), max("y1").as("lat_max"),
+      min("x1").as("lon_min"), max("x1").as("lon_max"))
+
+  /** 2·(signed area) of triangle (a,b,c) — orientation sign. */
+  private def orient(ay: Column, ax: Column, by: Column, bx: Column,
+                     cy: Column, cx: Column): Column =
+    (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+  /** Proper segment intersection of the edge (y1,x1)-(y2,x2) with a fixed
+    * segment (cy1,cx1)-(cy2,cx2): endpoints strictly straddle each other's
+    * carrier lines (general position; boundary-touching inputs are the
+    * caller's responsibility, as in the reference's encoded-space tests). */
+  private def segCross(y1: Column, x1: Column, y2: Column, x2: Column,
+                       cy1: Double, cx1: Double, cy2: Double, cx2: Double): Column = {
+    val o1 = orient(y1, x1, y2, x2, lit(cy1), lit(cx1))
+    val o2 = orient(y1, x1, y2, x2, lit(cy2), lit(cx2))
+    val o3 = orient(lit(cy1), lit(cx1), lit(cy2), lit(cx2), y1, x1)
+    val o4 = orient(lit(cy1), lit(cx1), lit(cy2), lit(cx2), y2, x2)
+    (signum(o1) =!= signum(o2)) && (signum(o3) =!= signum(o4))
+  }
+
+  /** Ray-crossing contribution of an edge for the fixed point (py, px).
+    * Division-free (the naive `px < (x2-x1)(py-y1)/(y2-y1)+x1` form trips
+    * ANSI divide-by-zero when subexpression elimination hoists the shared
+    * division across corner tests and evaluates it on horizontal edges):
+    * multiply through by (y2-y1) and flip the comparison with its sign. */
+  private def rayCross(y1: Column, x1: Column, y2: Column, x2: Column,
+                       py: Double, px: Double): Column = {
+    val dy = y2 - y1
+    val lhs = (lit(px) - x1) * dy
+    val rhs = (x2 - x1) * (lit(py) - y1)
+    when(((y1 > py) =!= (y2 > py)) &&
+      when(dy > 0, lhs < rhs).otherwise(lhs > rhs), 1).otherwise(0)
+  }
+
+  /**
+   * Relations of every indexed shape against a query box, in one pass over
+   * the edge table: returns (idCol, intersects, within, disjoint, contains)
+   * as 0/1 ints.
+   *  - within:     every vertex inside the (convex) box
+   *  - intersects: a vertex inside, a box corner inside the polygon
+   *                (crossing parity), or a proper edge/box-edge crossing
+   *  - contains:   all four box corners inside AND no edge crossing
+   *  - disjoint:   not intersects
+   */
+  def boxRelations(edges: DataFrame, idCol: String,
+                   latLo: Double, latHi: Double,
+                   lonLo: Double, lonHi: Double): DataFrame = {
+    val inBox = col("y1").between(latLo, latHi) && col("x1").between(lonLo, lonHi)
+    val corners = Seq((latLo, lonLo), (latLo, lonHi), (latHi, lonHi), (latHi, lonLo))
+    val boxSegs = corners.zip(corners.tail :+ corners.head)
+    val anyEdgeCross = boxSegs.map { case ((ay, ax), (by, bx)) =>
+      segCross(col("y1"), col("x1"), col("y2"), col("x2"), ay, ax, by, bx).cast("int")
+    }.reduce(greatest(_, _))
+    val cornerCrossings = corners.zipWithIndex.map { case ((py, px), i) =>
+      sum(rayCross(col("y1"), col("x1"), col("y2"), col("x2"), py, px)).as(s"c$i")
+    }
+    val aggCols = Seq(
+      min(inBox.cast("int")).as("all_v"),
+      max(inBox.cast("int")).as("any_v"),
+      max(anyEdgeCross).as("any_e")) ++ cornerCrossings
+    val agg = edges.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
+    val anyCornerIn = (0 until 4).map(i => (col(s"c$i") % 2) === 1).reduce(_ || _)
+    val allCornersIn = (0 until 4).map(i => (col(s"c$i") % 2) === 1).reduce(_ && _)
+    val intersects = (col("any_v") === 1) || (col("any_e") === 1) || anyCornerIn
+    agg.select(col(idCol),
+      intersects.cast("int").as("intersects"),
+      (col("all_v") === 1).cast("int").as("within"),
+      (!intersects).cast("int").as("disjoint"),
+      (allCornersIn && col("any_e") === 0).cast("int").as("contains"))
+  }
 }

@@ -137,4 +137,39 @@ class GeoSpec extends SparkSpec {
       .sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
     assert(got === want)
   }
+
+  test("indexed shapes: box relations over the edge table (convex, concave, crossing)") {
+    def poly(vs: (Double, Double)*) = vs.map { case (la, lo) => (la, lo) }
+    // query box: lat [0, 10], lon [0, 10]
+    val shapes = Seq(
+      (1L, poly((2.0, 2.0), (2.0, 4.0), (4.0, 4.0), (4.0, 2.0))),          // fully inside
+      (2L, poly((20.0, 20.0), (20.0, 22.0), (22.0, 21.0))),                // far away
+      (3L, poly((-2.0, 3.0), (3.0, 3.0), (3.0, -2.0))),                    // straddles corner
+      (4L, poly((-5.0, -5.0), (-5.0, 15.0), (15.0, 15.0), (15.0, -5.0))),  // contains the box
+      // concave C-shape whose BBOX overlaps the box but whose body does
+      // not: bbox pruning alone would call this an intersection
+      (5L, poly((-15.0, -6.0), (12.3, -6.0), (12.3, 12.0), (11.7, 12.0),
+        (11.7, -5.0), (-15.0, -5.0))),
+      // thin sliver crossing straight through: NO vertex of either shape
+      // inside the other — only the edge test can see it
+      (6L, poly((4.9, -15.0), (5.1, -15.0), (5.1, 15.0), (4.9, 15.0))))
+    val df = shapes.toDF("shape_id", "verts")
+      .select(col("shape_id"), expr(
+        "transform(verts, v -> named_struct('lat', v._1, 'lon', v._2))").as("verts"))
+    val edges = graft.operators.Geo.shapeEdges(df, "shape_id", "verts")
+    assert(edges.count() === shapes.map(_._2.size).sum)
+    val bounds = graft.operators.Geo.shapeBounds(edges, "shape_id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(bounds(1L) === ((2.0, 4.0)))
+    val rel = graft.operators.Geo.boxRelations(edges, "shape_id", 0, 10, 0, 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    //                    (intersects, within, disjoint, contains)
+    assert(rel(1L) === ((1, 1, 0, 0)))
+    assert(rel(2L) === ((0, 0, 1, 0)))
+    assert(rel(3L) === ((1, 0, 0, 0)))
+    assert(rel(4L) === ((1, 0, 0, 1)))
+    assert(rel(5L) === ((0, 0, 1, 0)), "bbox-overlapping concave body must stay disjoint")
+    assert(rel(6L) === ((1, 0, 0, 0)), "pure edge crossing must intersect")
+  }
 }
