@@ -811,6 +811,14 @@ object IndexStore {
      * clause. Ranking runs over the FULL filtered match set (scoresAll),
      * so the filter can surface docs from outside the unfiltered top-k.
      */
+    /** [[QueryEngine.topKWithTotal]] — top-k plus the TotalHits counting
+      * contract (exact up to totalHitsThreshold, lower bound beyond). */
+    def topKWithTotal(terms: Seq[String], k: Int,
+                      mode: QueryEngine.Mode = QueryEngine.Or,
+                      totalHitsThreshold: Int = 1000): (Seq[(Long, Float)], QueryEngine.TotalHits) =
+      QueryEngine.topKWithTotal(spark, blocks, termstats, stats, terms, k, mode,
+        totalHitsThreshold, dfCache = Some(dfCache))
+
     def topKWithFilter(terms: Seq[String], k: Int, fq: IndexStore.Fq,
                        mode: QueryEngine.Mode = QueryEngine.Or): DataFrame = {
       val base = QueryEngine.scoresAll(spark, blocks, termstats, stats, terms,

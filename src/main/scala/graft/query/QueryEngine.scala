@@ -434,6 +434,82 @@ object QueryEngine {
     (hits, partials.iterator.map(_._1).sum)
   }
 
+  /** Lucene TotalHits (reference search/TotalHits.java): `value` is the
+    * exact hit count when `exact`, else a valid lower bound (the
+    * GREATER_THAN_OR_EQUAL_TO relation). */
+  final case class TotalHits(value: Long, exact: Boolean)
+
+  /**
+   * TopScoreDocCollector's totalHitsThreshold contract (reference
+   * TopScoreDocCollector.java:49-95,233: hits are counted exactly while
+   * the count is within the threshold; beyond it the collector may skip
+   * non-competitive docs and the count degrades to a lower bound).
+   *
+   * The mapping onto block-max pruning decides UP FRONT from dictionary
+   * stats: a single term's count is its df (free, from the dictionary);
+   * multi-term counts are bounded by Σdf (Or) / min df (And), and when
+   * that bound fits the threshold (or threshold is Int.MaxValue) the
+   * engine counts exhaustively and reports EXACT. Otherwise the Or path
+   * prunes with theta and reports the decoded-doc count as a GTE lower
+   * bound. The bound class is always sound; it equals Lucene's whenever
+   * the df bound is decisive (it is conservative-GTE where Lucene's
+   * per-hit counter could still prove EQ on overlapping multi-term
+   * matches).
+   */
+  def topKWithTotal(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame,
+                    stats: CorpusStats, terms: Seq[String], k: Int, mode: Mode = Or,
+                    totalHitsThreshold: Int = 1000,
+                    dfCache: Option[DfCache] = None): (Seq[(Long, Float)], TotalHits) = {
+    import spark.implicits._
+    val infos = plan(termstats, stats, terms, dfCache = dfCache)
+    if (infos.isEmpty || (mode == And && infos.size < terms.distinct.size))
+      return (Nil, TotalHits(0L, exact = true))
+    val noLimit = totalHitsThreshold == Int.MaxValue
+    val dfs = lookupDfs(termstats, infos.map(_.term), dfCache)
+    if (infos.size == 1) {
+      val df = dfs(infos.head.term)
+      val hits = topK(spark, blocks, termstats, stats, terms, k, mode,
+        prune = !noLimit && df > totalHitsThreshold, dfCache = dfCache)
+        .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      // the dictionary df IS the exact count; the bound class still follows
+      // the reference rule (EQ iff the count fits the threshold)
+      return (hits, TotalHits(df, exact = noLimit || df <= totalHitsThreshold))
+    }
+    val dfBound = mode match {
+      case Or  => infos.map(i => dfs(i.term)).sum
+      case And => infos.map(i => dfs(i.term)).min
+    }
+    val exhaustive = noLimit || dfBound <= totalHitsThreshold
+    val theta = if (!exhaustive && mode == Or) estimateTheta(spark, blocks, infos, k) else 0f
+    val scored = scoredPostings(spark, blocks, infos, theta)
+    val grouped = scored.groupBy("docId")
+      .agg(collect_list(struct($"ti", $"score")).as("parts"))
+    val filtered = mode match {
+      case Or  => grouped
+      case And => grouped.filter(size($"parts") === infos.size)
+    }
+    implicit val worstFirst: Ordering[(Long, Float)] =
+      Ordering.by { case (id, s) => (-s, id) }
+    val partials = filtered.select($"docId", combinedScore).as[(Long, Float)]
+      .mapPartitions { it =>
+        var n = 0L
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Float)]
+        it.foreach { r =>
+          n += 1
+          heap.enqueue(r)
+          if (heap.size > k) heap.dequeue(): Unit
+        }
+        Iterator.single((n, heap.toArray))
+      }
+      .collect()
+    val hits = partials.iterator.flatMap(_._2)
+      .toArray.sortBy { case (id, s) => (-s, id) }.take(k).toSeq
+    val n = partials.iterator.map(_._1).sum
+    // theta == 0 means nothing was skipped: the count is exact even on the
+    // not-provably-small path (And mode, or an Or whose estimate was 0)
+    (hits, TotalHits(n, exact = theta == 0f && (noLimit || n <= totalHitsThreshold)))
+  }
+
   /** Single-term BM25 scores over all matching docs (no limit): the leaf
     * frame of composed boolean evaluation ([[Searcher]]). (docId, score). */
   def termScores(spark: SparkSession, blocks: Dataset[BlockRow], termstats: DataFrame,

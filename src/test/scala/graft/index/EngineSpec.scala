@@ -84,6 +84,53 @@ class EngineSpec extends SparkSpec {
     assert(tiny === exhaustive)
   }
 
+  test("totalHitsThreshold contract: exact within the threshold, sound lower bound beyond") {
+    def trueCount(terms: Seq[String], mode: QueryEngine.Mode): Long = {
+      val analyzed = corpusLocal.map(d =>
+        (d.docId, graft.analysis.Analyzer.termFreqs(d.content)._1))
+      val sets = terms.map(t => analyzed.filter(_._2.contains(t)).map(_._1).toSet)
+      (mode match {
+        case QueryEngine.And => sets.reduce(_ intersect _)
+        case _               => sets.reduce(_ union _)
+      }).size.toLong
+    }
+    def run(terms: Seq[String], mode: QueryEngine.Mode, thr: Int) =
+      QueryEngine.topKWithTotal(spark, blocks, termstats, stats, terms, 10, mode, thr)
+
+    // single term: df IS the count; bound class follows the threshold rule
+    val dfPublic = trueCount(Seq("public"), QueryEngine.Or)
+    val (h1, t1) = run(Seq("public"), QueryEngine.Or, Int.MaxValue)
+    assert(t1 === QueryEngine.TotalHits(dfPublic, exact = true))
+    assert(h1 === engineTopK(Seq("public"), 10))
+    val (_, t2) = run(Seq("public"), QueryEngine.Or, 10)
+    assert(t2 === QueryEngine.TotalHits(dfPublic, exact = false)) // beyond threshold -> GTE
+
+    // multi-term Or, threshold unlimited: exact count, rank-identical hits
+    val orTerms = Seq("import", "return", "uniq_10_1")
+    val (h3, t3) = run(orTerms, QueryEngine.Or, Int.MaxValue)
+    assert(t3 === QueryEngine.TotalHits(trueCount(orTerms, QueryEngine.Or), exact = true))
+    assert(h3 === engineTopK(orTerms, 10))
+
+    // multi-term Or beyond the threshold: pruned path — hits identical,
+    // count a valid lower bound covering at least the top-k
+    val (h4, t4) = run(orTerms, QueryEngine.Or, 5)
+    assert(h4 === engineTopK(orTerms, 10))
+    assert(!t4.exact)
+    assert(t4.value >= h4.size && t4.value <= trueCount(orTerms, QueryEngine.Or))
+
+    // And mode: nothing is ever skipped (theta stays 0), so a small true
+    // count under a small threshold still reports EXACT
+    val andTerms = Seq("import", "handler3")
+    val nAnd = trueCount(andTerms, QueryEngine.And)
+    val (h5, t5) = run(andTerms, QueryEngine.And, math.max(nAnd.toInt, 1))
+    assert(t5 === QueryEngine.TotalHits(nAnd, exact = true))
+    assert(h5 === engineTopK(andTerms, 10, QueryEngine.And))
+
+    // absent terms: empty, exact zero
+    assert(run(Seq("nosuchterm"), QueryEngine.Or, 1000)._2 ===
+      QueryEngine.TotalHits(0L, exact = true))
+  }
+
   test("multi-term expansion: prefix/fuzzy/set constant-score matches brute force") {
     import org.apache.spark.sql.functions.{col, levenshtein, lit}
     def brute(pred: String => Boolean, k: Int): Seq[Long] =
