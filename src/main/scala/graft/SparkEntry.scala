@@ -693,6 +693,44 @@ object SparkEntry {
         .join(tiny, "shape_id")
     }),
 
+    // shape-vs-shape: the same indexed diamonds against a QUERY POLYGON
+    // (diamond centered (0,0), L1 radius 20.3). Oracle: two L1 balls
+    // intersect iff the center distance is at most the radius sum, and
+    // ball1 lies within ball2 iff center distance + r1 <= r2 — closed
+    // forms independent of the crossing/orientation machinery
+    "geo_shapes_poly" -> ((s, d) => {
+      val clat = (col("doc_id") * 7 % 140).cast("double") - 70 + 0.5
+      val clon = (col("doc_id") * 13 % 340).cast("double") - 170 + 0.5
+      val r = lit(0.26) + (col("doc_id") % 5).cast("double") * 0.2
+      val verts = array(
+        struct((clat + r).as("lat"), clon.as("lon")),
+        struct(clat.as("lat"), (clon + r).as("lon")),
+        struct((clat - r).as("lat"), clon.as("lon")),
+        struct(clat.as("lat"), (clon - r).as("lon")))
+      val shapes = rd(s, d, "documents")
+        .select(col("doc_id").as("shape_id"), verts.as("verts"))
+      val qPoly = Seq((20.3, 0.0), (0.0, 20.3), (-20.3, 0.0), (0.0, -20.3))
+      graft.operators.Geo.polyRelations(
+        graft.operators.Geo.shapeEdges(shapes, "shape_id", "verts"), "shape_id", qPoly)
+    }),
+
+    // indexed LINES (open chains) against the same query polygon: each
+    // doc contributes a 1-degree vertical polyline; the closed-form L1
+    // oracle uses the separable segment-to-center distance
+    "geo_lines_poly" -> ((s, d) => {
+      val clat = (col("doc_id") * 7 % 140).cast("double") - 70 + 0.5
+      val clon = (col("doc_id") * 13 % 340).cast("double") - 170 + 0.5
+      val verts = array(
+        struct(clat.as("lat"), clon.as("lon")),
+        struct((clat + 1.0).as("lat"), clon.as("lon")))
+      val lines = rd(s, d, "documents")
+        .select(col("doc_id").as("shape_id"), verts.as("verts"))
+      val qPoly = Seq((20.3, 0.0), (0.0, 20.3), (-20.3, 0.0), (0.0, -20.3))
+      graft.operators.Geo.polyRelations(
+        graft.operators.Geo.lineEdges(lines, "shape_id", "verts"), "shape_id", qPoly,
+        closed = false)
+    }),
+
     // spatial heatmap facet (facet.heatmap): grid-cell counts over the
     // synthetic lat/lon derived as in q46_geo
     "ft_geo_heatmap" -> ((s, d) => {
@@ -2021,6 +2059,31 @@ object SparkEntry {
           |  FROM s)
           | SELECT shape_id, CAST(inter AS INT) AS intersects, CAST(wthn AS INT) AS within,
           |  CAST(NOT inter AS INT) AS disjoint, CAST(ctiny AS INT) AS contains_tiny
+          | FROM rel""".stripMargin,
+      "geo_shapes_poly" ->
+        """WITH s AS (SELECT doc_id AS shape_id,
+          |   CAST(doc_id * 7 % 140 AS DOUBLE) - 70 + 0.5 AS clat,
+          |   CAST(doc_id * 13 % 340 AS DOUBLE) - 170 + 0.5 AS clon,
+          |   0.26 + CAST(doc_id % 5 AS DOUBLE) * 0.2 AS r
+          |  FROM documents),
+          | rel AS (SELECT shape_id,
+          |   abs(clat) + abs(clon) <= 20.3 + r AS inter,
+          |   abs(clat) + abs(clon) + r <= 20.3 AS wthn
+          |  FROM s)
+          | SELECT shape_id, CAST(inter AS INT) AS intersects,
+          |  CAST(wthn AS INT) AS within, CAST(NOT inter AS INT) AS disjoint
+          | FROM rel""".stripMargin,
+      "geo_lines_poly" ->
+        """WITH s AS (SELECT doc_id AS shape_id,
+          |   CAST(doc_id * 7 % 140 AS DOUBLE) - 70 + 0.5 AS clat,
+          |   CAST(doc_id * 13 % 340 AS DOUBLE) - 170 + 0.5 AS clon
+          |  FROM documents),
+          | rel AS (SELECT shape_id,
+          |   abs(clon) + greatest(clat, -(clat + 1.0), 0) <= 20.3 AS inter,
+          |   abs(clat) + abs(clon) <= 20.3 AND abs(clat + 1.0) + abs(clon) <= 20.3 AS wthn
+          |  FROM s)
+          | SELECT shape_id, CAST(inter AS INT) AS intersects,
+          |  CAST(wthn AS INT) AS within, CAST(NOT inter AS INT) AS disjoint
           | FROM rel""".stripMargin,
       "ft_facet_domain" ->
         """SELECT CAST(l_returnflag AS VARCHAR) AS value, count(*) AS cnt

@@ -198,6 +198,81 @@ object Geo {
       when(dy > 0, lhs < rhs).otherwise(lhs > rhs), 1).otherwise(0)
   }
 
+  /** Open polyline edge table: like [[shapeEdges]] but WITHOUT the closing
+    * edge (LatLonShape's line fields: a line is an open chain of segments). */
+  def lineEdges(lines: DataFrame, idCol: String, vertsCol: String): DataFrame = {
+    val n = size(col(vertsCol))
+    val edges = transform(sequence(lit(0), n - 2), i => struct(
+      element_at(col(vertsCol), i + 1).getField("lat").as("y1"),
+      element_at(col(vertsCol), i + 1).getField("lon").as("x1"),
+      element_at(col(vertsCol), i + 2).getField("lat").as("y2"),
+      element_at(col(vertsCol), i + 2).getField("lon").as("x2")))
+    lines.select(col(idCol), explode(edges).as("e"))
+      .select(col(idCol), col("e.y1"), col("e.x1"), col("e.y2"), col("e.x2"))
+  }
+
+  /** Ray-crossing parity of the fixed query polygon for a POINT COLUMN:
+    * is (py, px) inside `queryPoly`? Edges of the query polygon are
+    * constants, so this is a pure column sum. */
+  private def inQueryPoly(py: Column, px: Column,
+                          queryPoly: Seq[(Double, Double)]): Column = {
+    val crossings = polygonEdges(queryPoly).map { case ((ay, ax), (by, bx)) =>
+      // the horizontal-ray test with the EDGE constant and the point a
+      // column: same division-free multiply-through as rayCross
+      val dy = lit(by - ay)
+      val lhs = (px - ax) * dy
+      val rhs = lit(bx - ax) * (py - ay)
+      when(((lit(ay) > py) =!= (lit(by) > py)) &&
+        when(dy > 0, lhs < rhs).otherwise(lhs > rhs), 1).otherwise(0)
+    }.reduce(_ + _)
+    crossings % 2 === 1
+  }
+
+  /**
+   * Shape-vs-shape relations: every indexed shape (or open line, via
+   * [[lineEdges]]) against a fixed QUERY POLYGON, one pass over the edge
+   * table. Returns (idCol, intersects, within, disjoint) 0/1 ints —
+   * `within` means the indexed shape lies inside the query polygon (all
+   * vertices inside and no boundary crossing, the simple-polygon rule;
+   * for lines the same test applies to the chain).
+   */
+  def polyRelations(edges: DataFrame, idCol: String,
+                    queryPoly: Seq[(Double, Double)],
+                    closed: Boolean = true): DataFrame = {
+    require(queryPoly.size >= 3)
+    val vIn = inQueryPoly(col("y1"), col("x1"), queryPoly)
+    val v2In = inQueryPoly(col("y2"), col("x2"), queryPoly)
+    val anyEdgeCross = polygonEdges(queryPoly).map { case ((ay, ax), (by, bx)) =>
+      segCross(col("y1"), col("x1"), col("y2"), col("x2"), ay, ax, by, bx).cast("int")
+    }.reduce(greatest(_, _))
+    // any query-poly vertex inside the indexed shape: per-vertex crossing
+    // parity aggregated over the shape's own edges
+    val qCrossings = queryPoly.zipWithIndex.map { case ((py, px), i) =>
+      sum(rayCross(col("y1"), col("x1"), col("y2"), col("x2"), py, px)).as(s"q$i")
+    }
+    val aggCols = Seq(
+      min(vIn.cast("int")).as("all_v"),
+      max(vIn.cast("int")).as("any_v"),
+      // an open line's LAST vertex appears only as y2/x2 — fold both ends
+      min(v2In.cast("int")).as("all_v2"),
+      max(v2In.cast("int")).as("any_v2"),
+      max(anyEdgeCross).as("any_e")) ++ qCrossings
+    val agg = edges.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
+    // a query vertex "inside the shape" only makes sense for CLOSED shapes:
+    // ray parity over an open chain is not containment and would
+    // false-positive on chains that merely straddle the ray
+    val anyQIn =
+      if (closed) queryPoly.indices.map(i => (col(s"q$i") % 2) === 1).reduce(_ || _)
+      else lit(false)
+    val intersects = (col("any_v") === 1) || (col("any_v2") === 1) ||
+      (col("any_e") === 1) || anyQIn
+    val within = (col("all_v") === 1) && (col("all_v2") === 1) && (col("any_e") === 0)
+    agg.select(col(idCol),
+      intersects.cast("int").as("intersects"),
+      within.cast("int").as("within"),
+      (!intersects).cast("int").as("disjoint"))
+  }
+
   /**
    * Relations of every indexed shape against a query box, in one pass over
    * the edge table: returns (idCol, intersects, within, disjoint, contains)

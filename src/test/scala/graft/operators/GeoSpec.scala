@@ -172,4 +172,43 @@ class GeoSpec extends SparkSpec {
     assert(rel(5L) === ((0, 0, 1, 0)), "bbox-overlapping concave body must stay disjoint")
     assert(rel(6L) === ((1, 0, 0, 0)), "pure edge crossing must intersect")
   }
+
+  test("indexed shapes: shape-vs-shape and line-vs-shape relations") {
+    def poly(vs: (Double, Double)*) = vs.toSeq
+    def toDf(rows: Seq[(Long, Seq[(Double, Double)])]) =
+      rows.toDF("shape_id", "verts").select(col("shape_id"), expr(
+        "transform(verts, v -> named_struct('lat', v._1, 'lon', v._2))").as("verts"))
+    // query polygon: diamond centered (0,0), L1 radius 10
+    val q = poly((10.0, 0.0), (0.0, 10.0), (-10.0, 0.0), (0.0, -10.0))
+
+    val shapes = Seq(
+      (1L, poly((1.0, 1.0), (1.0, 3.0), (3.0, 3.0), (3.0, 1.0))),     // inside
+      (2L, poly((30.0, 30.0), (30.0, 32.0), (32.0, 31.0))),           // far away
+      (3L, poly((9.0, -3.0), (9.0, 3.0), (12.0, 0.0))),               // straddles the top
+      (4L, poly((-20.0, -20.0), (-20.0, 20.0), (20.0, 20.0), (20.0, -20.0)))) // contains q
+    val rel = graft.operators.Geo.polyRelations(
+      graft.operators.Geo.shapeEdges(toDf(shapes), "shape_id", "verts"), "shape_id", q)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(rel(1L) === ((1, 1, 0)))
+    assert(rel(2L) === ((0, 0, 1)))
+    assert(rel(3L) === ((1, 0, 0)))
+    assert(rel(4L) === ((1, 0, 0)), "shape containing the query poly intersects via query-vertex parity")
+
+    val lines = Seq(
+      (11L, poly((0.0, -2.0), (1.0, 0.0), (0.0, 2.0))),               // chain inside
+      (12L, poly((-15.0, -15.0), (15.0, -15.0))),                     // far away
+      (13L, poly((8.0, -8.0), (8.0, 8.0))),                           // crosses the diamond's top edges
+      // entirely OUTSIDE the diamond but straddling the horizontal ray
+      // from the query vertex (0,-10): parity over an open chain must NOT
+      // call this an intersection
+      (14L, poly((-3.0, 14.0), (3.0, 14.0))))
+    val lrel = graft.operators.Geo.polyRelations(
+      graft.operators.Geo.lineEdges(toDf(lines), "shape_id", "verts"), "shape_id", q,
+      closed = false)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(lrel(11L) === ((1, 1, 0)))
+    assert(lrel(12L) === ((0, 0, 1)))
+    assert(lrel(13L) === ((1, 0, 0)))
+    assert(lrel(14L) === ((0, 0, 1)), "open-chain ray parity must not fake containment")
+  }
 }
