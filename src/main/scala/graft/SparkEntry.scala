@@ -1073,17 +1073,19 @@ object SparkEntry {
     // so chain wiring and stemmer cannot drift.
     "ta_snowball" -> ((s, d) => {
       import s.implicits._
-      val chains = Seq("german", "spanish", "french").map(l =>
-        graft.analysis.AnalyzerChain(Seq(graft.analysis.SnowballStemFilter(l))))
+      val chains = Seq("german", "spanish", "french", "italian", "portuguese")
+        .map(l => graft.analysis.AnalyzerChain(Seq(graft.analysis.SnowballStemFilter(l))))
       rd(s, d, "documents").select(col("doc_id")).as[Long]
         .map { id =>
-          val w = Seq(SnowballWordsDe, SnowballWordsEs, SnowballWordsFr)
-            .map(ws => ws((id % ws.size).toInt))
+          val w = Seq(SnowballWordsDe, SnowballWordsEs, SnowballWordsFr,
+            SnowballWordsIt, SnowballWordsPt).map(ws => ws((id % ws.size).toInt))
           (id, chains(0).terms(w(0)).mkString(" "),
             chains(1).terms(w(1)).mkString(" "),
-            chains(2).terms(w(2)).mkString(" "))
+            chains(2).terms(w(2)).mkString(" "),
+            chains(3).terms(w(3)).mkString(" "),
+            chains(4).terms(w(4)).mkString(" "))
         }
-        .toDF("doc_id", "stem_de", "stem_es", "stem_fr")
+        .toDF("doc_id", "stem_de", "stem_es", "stem_fr", "stem_it", "stem_pt")
     }),
 
     "ta_fingerprint" -> ((s, d) => TextOps.fingerprint(rd(s, d, "documents"),
@@ -3122,6 +3124,14 @@ object SparkEntry {
     "nationale", "chevaux", "abaissant", "premièrement", "mangeaient",
     "curiosité", "logiquement", "châteaux", "heureuse", "volontiers",
     "possibilités", "tranquillement", "différence", "appelleront")
+  private val SnowballWordsIt = Seq("abbandonata", "pronunciare",
+    "felicità", "nazionale", "cantavano", "possibilità", "bellissimo",
+    "organizzazione", "rapidamente", "giocatori", "tradizionali",
+    "sviluppo", "raggiungere", "particolarmente", "centinaia", "vicinanza")
+  private val SnowballWordsPt = Seq("comunicação", "felicidade",
+    "trabalhando", "nacional", "cantavam", "possibilidades", "rapidamente",
+    "jogadores", "tradicionais", "desenvolvimento", "alcançar",
+    "particularmente", "centenas", "organização", "pequeninos", "falaria")
 
   /** The ta_fold oracle — INDEPENDENT of the Scala folding: DuckDB's own
     * strip_accents does the unaccenting and a list_filter replicates the
@@ -3145,10 +3155,14 @@ object SparkEntry {
     val de = arm(SnowballWordsDe, graft.analysis.Snowball.German.stem)
     val es = arm(SnowballWordsEs, graft.analysis.Snowball.Spanish.stem)
     val fr = arm(SnowballWordsFr, graft.analysis.Snowball.French.stem)
+    val it = arm(SnowballWordsIt, graft.analysis.Snowball.Italian.stem)
+    val pt = arm(SnowballWordsPt, graft.analysis.Snowball.Portuguese.stem)
     s"""SELECT doc_id,
        | CASE CAST(doc_id % ${SnowballWordsDe.size} AS INT) $de END AS stem_de,
        | CASE CAST(doc_id % ${SnowballWordsEs.size} AS INT) $es END AS stem_es,
-       | CASE CAST(doc_id % ${SnowballWordsFr.size} AS INT) $fr END AS stem_fr
+       | CASE CAST(doc_id % ${SnowballWordsFr.size} AS INT) $fr END AS stem_fr,
+       | CASE CAST(doc_id % ${SnowballWordsIt.size} AS INT) $it END AS stem_it,
+       | CASE CAST(doc_id % ${SnowballWordsPt.size} AS INT) $pt END AS stem_pt
        | FROM documents""".stripMargin
   }
 

@@ -46,10 +46,12 @@ case object PorterStemFilter extends TokenFilter {
   * unchanged. */
 final case class SnowballStemFilter(lang: String) extends TokenFilter {
   private val stemmer: String => String = lang match {
-    case "german"  => Snowball.German.stem
-    case "spanish" => Snowball.Spanish.stem
-    case "french"  => Snowball.French.stem
-    case "english" => Porter.stem
+    case "german"     => Snowball.German.stem
+    case "spanish"    => Snowball.Spanish.stem
+    case "french"     => Snowball.French.stem
+    case "italian"    => Snowball.Italian.stem
+    case "portuguese" => Snowball.Portuguese.stem
+    case "english"    => Porter.stem
     case other => throw new IllegalArgumentException(s"unsupported snowball language: $other")
   }
   def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) =

@@ -323,6 +323,318 @@ object Snowball {
     private def deAccent(s: String): String = s.map(deAccentChar)
   }
 
+  // --------------------------------------------------------------- Italian
+
+  /** Snowball Italian stemming algorithm. */
+  object Italian {
+    private def isVowel(c: Char): Boolean = "aeiouàèìòù".indexOf(c) >= 0
+
+    private def rvOf(s: CharSequence): Int = {
+      val n = s.length
+      if (n < 3) return n
+      if (!isVowel(s.charAt(1))) {
+        var i = 2
+        while (i < n && !isVowel(s.charAt(i))) i += 1
+        if (i < n) i + 1 else n
+      } else if (isVowel(s.charAt(0)) && isVowel(s.charAt(1))) {
+        var i = 2
+        while (i < n && isVowel(s.charAt(i))) i += 1
+        if (i < n) i + 1 else n
+      } else 3
+    }
+
+    private val Pronouns = Seq("gliela", "gliele", "glieli", "glielo",
+      "gliene", "sene", "mela", "mele", "meli", "melo", "mene", "tela",
+      "tele", "teli", "telo", "tene", "cela", "cele", "celi", "celo",
+      "cene", "vela", "vele", "veli", "velo", "vene", "gli", "ci", "la",
+      "le", "li", "lo", "mi", "ne", "si", "ti", "vi")
+
+    private val Step1Del = Seq("atrice", "atrici", "abile", "abili",
+      "ibile", "ibili", "mente", "anza", "anze", "iche", "ichi", "ismo",
+      "ismi", "ista", "iste", "isti", "istà", "istè", "istì", "ante",
+      "anti", "ico", "ici", "ica", "ice", "oso", "osi", "osa", "ose")
+    private val Step1Ator = Seq("azione", "azioni", "atore", "atori")
+    private val Step2 = Seq("erebbero", "irebbero", "assero", "assimo",
+      "eranno", "erebbe", "eremmo", "ereste", "eresti", "essero", "iranno",
+      "irebbe", "iremmo", "ireste", "iresti", "iscano", "iscono", "issero",
+      "arono", "avamo", "avano", "avate", "eremo", "erete", "erono",
+      "evamo", "evano", "evate", "iremo", "irete", "irono", "ivamo",
+      "ivano", "ivate", "ammo", "ando", "asse", "assi", "emmo", "enda",
+      "ende", "endi", "endo", "erai", "erei", "Yamo", "iamo", "immo",
+      "irai", "irei", "isca", "isce", "isci", "isco", "ano", "are", "ata",
+      "ate", "ati", "ato", "ava", "avi", "avo", "erà", "ere", "erò",
+      "ete", "eva", "evi", "evo", "irà", "ire", "irò", "ita", "ite",
+      "iti", "ito", "iva", "ivi", "ivo", "ono", "uta", "ute", "uti",
+      "uto", "ar", "ir")
+
+    def stem(word0: String): String = {
+      if (word0.length < 2) return word0
+      // replace acute accents by grave
+      val sb = new StringBuilder(word0.map {
+        case 'á' => 'à'; case 'é' => 'è'; case 'í' => 'ì'
+        case 'ó' => 'ò'; case 'ú' => 'ù'; case c => c
+      })
+      // mark u/i between vowels, and u after q, as consonants
+      var i = 1
+      while (i < sb.length) {
+        val c = sb.charAt(i)
+        if ((c == 'u' || c == 'i') && i + 1 < sb.length &&
+            isVowel(sb.charAt(i - 1)) && isVowel(sb.charAt(i + 1)))
+          sb.setCharAt(i, c.toUpper)
+        else if (c == 'u' && sb.charAt(i - 1) == 'q')
+          sb.setCharAt(i, 'U')
+        i += 1
+      }
+
+      val rv = rvOf(sb)
+      val r1 = regionAfterVC(sb, 0, isVowel)
+      val r2 = regionAfterVC(sb, r1, isVowel)
+
+      def endsWith(suf: String): Boolean =
+        sb.length >= suf.length && sb.substring(sb.length - suf.length) == suf
+      def inRegion(suf: String, r: Int): Boolean = sb.length - suf.length >= r
+      def del(n: Int): Unit = sb.setLength(sb.length - n)
+
+      // Step 0: attached pronoun after ando/endo (delete) or ar/er/ir
+      // (replace pronoun with e); the verb ending must be in RV
+      Pronouns.find(p => endsWith(p) && inRegion(p, rv)) match {
+        case Some(p) =>
+          val head = sb.substring(0, sb.length - p.length)
+          if ((head.endsWith("ando") || head.endsWith("endo")) &&
+              sb.length - p.length - 4 >= rv) {
+            del(p.length)
+          } else if ((head.endsWith("ar") || head.endsWith("er") || head.endsWith("ir")) &&
+                     sb.length - p.length - 2 >= rv) {
+            del(p.length); sb.append("e")
+          }
+        case None =>
+      }
+
+      // Step 1: standard suffix removal
+      val len0 = sb.length
+      val all1 = (Step1Del ++ Step1Ator ++ Seq("amente", "amento", "amenti",
+        "imento", "imenti", "logia", "logie", "uzione", "uzioni", "usione",
+        "usioni", "enza", "enze", "ità", "ivo", "ivi", "iva", "ive"))
+        .sortBy(-_.length)
+      all1.find(endsWith) match {
+        case Some("amente") =>
+          if (inRegion("amente", r1)) {
+            del(6)
+            if (sb.endsWith("iv") && inRegion("iv", r2)) {
+              del(2)
+              if (sb.endsWith("at") && inRegion("at", r2)) del(2)
+            } else {
+              Seq("os", "ic", "abil").find(p => sb.endsWith(p) && inRegion(p, r2))
+                .foreach(p => del(p.length))
+            }
+          }
+        case Some(suf) if Step1Del.contains(suf) =>
+          if (inRegion(suf, r2)) del(suf.length)
+        case Some(suf) if Step1Ator.contains(suf) =>
+          if (inRegion(suf, r2)) {
+            del(suf.length)
+            if (sb.endsWith("ic") && inRegion("ic", r2)) del(2)
+          }
+        case Some(suf @ ("amento" | "amenti" | "imento" | "imenti")) =>
+          if (inRegion(suf, rv)) del(suf.length)
+        case Some(suf @ ("logia" | "logie")) =>
+          if (inRegion(suf, r2)) { del(suf.length); sb.append("log") }
+        case Some(suf @ ("uzione" | "uzioni" | "usione" | "usioni")) =>
+          if (inRegion(suf, r2)) { del(suf.length); sb.append("u") }
+        case Some(suf @ ("enza" | "enze")) =>
+          if (inRegion(suf, r2)) { del(suf.length); sb.append("ente") }
+        case Some("ità") =>
+          if (inRegion("ità", r2)) {
+            del(3)
+            Seq("abil", "ic", "iv").find(p => sb.endsWith(p) && inRegion(p, r2))
+              .foreach(p => del(p.length))
+          }
+        case Some(suf @ ("ivo" | "ivi" | "iva" | "ive")) =>
+          if (inRegion(suf, r2)) {
+            del(suf.length)
+            if (sb.endsWith("at") && inRegion("at", r2)) {
+              del(2)
+              if (sb.endsWith("ic") && inRegion("ic", r2)) del(2)
+            }
+          }
+        case _ =>
+      }
+
+      // Step 2 (verb suffixes, only if step 1 removed nothing): the search
+      // is setlimit-to-RV — only suffixes entirely inside RV match
+      if (sb.length == len0) {
+        Step2.sortBy(-_.length).find(s => endsWith(s) && inRegion(s, rv))
+          .foreach(s => del(s.length))
+      }
+
+      // Step 3a: final vowel (and a preceding i) in RV
+      Seq("a", "e", "i", "o", "à", "è", "ì", "ò").find(endsWith) match {
+        case Some(suf) if inRegion(suf, rv) =>
+          del(1)
+          if (endsWith("i") && inRegion("i", rv)) del(1)
+        case _ =>
+      }
+      // Step 3b: ch/gh -> c/g in RV
+      if ((endsWith("ch") || endsWith("gh")) && inRegion("ch", rv)) del(1)
+
+      var j = 0
+      while (j < sb.length) {
+        val c = sb.charAt(j)
+        if (c == 'U' || c == 'I' || c == 'Y') sb.setCharAt(j, c.toLower)
+        j += 1
+      }
+      sb.toString
+    }
+  }
+
+  // ------------------------------------------------------------ Portuguese
+
+  /** Snowball Portuguese stemming algorithm. The nasal vowels ã/õ are
+    * rewritten to the two-character forms a~/o~ during stemming (making
+    * them non-vowels, as the published algorithm specifies) and restored
+    * at the end. */
+  object Portuguese {
+    private def isVowel(c: Char): Boolean = "aeiouáéíóúâêô".indexOf(c) >= 0
+
+    private def rvOf(s: CharSequence): Int = {
+      val n = s.length
+      if (n < 3) return n
+      if (!isVowel(s.charAt(1))) {
+        var i = 2
+        while (i < n && !isVowel(s.charAt(i))) i += 1
+        if (i < n) i + 1 else n
+      } else if (isVowel(s.charAt(0)) && isVowel(s.charAt(1))) {
+        var i = 2
+        while (i < n && isVowel(s.charAt(i))) i += 1
+        if (i < n) i + 1 else n
+      } else 3
+    }
+
+    private val Step1Del = Seq("amentos", "imentos", "amento", "imento",
+      "adoras", "adores", "ismos", "istas", "adora", "antes", "ância",
+      "ezas", "icos", "icas", "ismo", "ável", "ível", "ista", "osos",
+      "osas", "ador", "ante", "eza", "ico", "ica", "oso", "osa")
+    private val Step2 = Seq("aríamos", "eríamos", "iríamos", "ássemos",
+      "êssemos", "íssemos", "aríeis", "eríeis", "iríeis", "ásseis",
+      "ésseis", "ísseis", "áramos", "éramos", "íramos", "ávamos", "aremos",
+      "eremos", "iremos", "ariam", "eriam", "iriam", "assem", "essem",
+      "issem", "ara~o", "era~o", "ira~o", "arias", "erias", "irias",
+      "ardes", "erdes", "irdes", "asses", "esses", "isses", "astes",
+      "estes", "istes", "áreis", "areis", "éreis", "ereis", "íreis",
+      "ireis", "áveis", "íamos", "armos", "ermos", "irmos", "aria",
+      "eria", "iria", "asse", "esse", "isse", "aste", "este", "iste",
+      "arei", "erei", "irei", "aram", "eram", "iram", "avam", "arem",
+      "erem", "irem", "ando", "endo", "indo", "adas", "idas", "arás",
+      "aras", "erás", "eras", "irás", "avas", "ares", "eres", "ires",
+      "íeis", "ados", "idos", "ámos", "amos", "emos", "imos", "iras",
+      "ada", "ida", "ará", "ara", "erá", "era", "irá", "ava", "iam",
+      "ado", "ido", "ias", "ais", "eis", "ira", "ia", "ei", "am", "em",
+      "ar", "er", "ir", "as", "es", "is", "eu", "iu", "ou")
+
+    def stem(word0: String): String = {
+      if (word0.length < 2) return word0
+      val sb = new StringBuilder()
+      word0.foreach {
+        case 'ã' => sb.append("a~")
+        case 'õ' => sb.append("o~")
+        case c => sb.append(c)
+      }
+
+      val rv = rvOf(sb)
+      val r1 = regionAfterVC(sb, 0, isVowel)
+      val r2 = regionAfterVC(sb, r1, isVowel)
+
+      def endsWith(suf: String): Boolean =
+        sb.length >= suf.length && sb.substring(sb.length - suf.length) == suf
+      def inRegion(suf: String, r: Int): Boolean = sb.length - suf.length >= r
+      def del(n: Int): Unit = sb.setLength(sb.length - n)
+
+      // Step 1: standard suffix removal
+      val len0 = sb.length
+      val all1 = (Step1Del ++ Seq("aça~o", "aço~es", "logias", "logia",
+        "ências", "ência", "amente", "mente", "idades",
+        "idade", "ivas", "ivos", "iva", "ivo", "iras", "ira")).sortBy(-_.length)
+      all1.find(endsWith) match {
+        case Some("amente") =>
+          if (inRegion("amente", r1)) {
+            del(6)
+            if (sb.endsWith("iv") && inRegion("iv", r2)) {
+              del(2)
+              if (sb.endsWith("at") && inRegion("at", r2)) del(2)
+            } else {
+              Seq("os", "ic", "ad").find(p => sb.endsWith(p) && inRegion(p, r2))
+                .foreach(_ => del(2))
+            }
+          }
+        case Some("mente") =>
+          if (inRegion("mente", r2)) {
+            del(5)
+            Seq("ante", "avel", "ível").find(p => sb.endsWith(p) && inRegion(p, r2))
+              .foreach(p => del(p.length))
+          }
+        case Some(suf) if Step1Del.contains(suf) || suf == "aça~o" || suf == "aço~es" =>
+          if (inRegion(suf, r2)) del(suf.length)
+        case Some(suf @ ("logias" | "logia")) =>
+          if (inRegion(suf, r2)) { del(suf.length); sb.append("log") }
+        case Some(suf @ ("ências" | "ência")) =>
+          if (inRegion(suf, r2)) { del(suf.length); sb.append("ente") }
+        case Some(suf @ ("idades" | "idade")) =>
+          if (inRegion(suf, r2)) {
+            del(suf.length)
+            Seq("abil", "ic", "iv").find(p => sb.endsWith(p) && inRegion(p, r2))
+              .foreach(p => del(p.length))
+          }
+        case Some(suf @ ("ivas" | "ivos" | "iva" | "ivo")) =>
+          if (inRegion(suf, r2)) {
+            del(suf.length)
+            if (sb.endsWith("at") && inRegion("at", r2)) del(2)
+          }
+        case Some(suf @ ("iras" | "ira")) =>
+          if (inRegion(suf, rv) && sb.length - suf.length >= 1 &&
+              sb.charAt(sb.length - suf.length - 1) == 'e') {
+            del(suf.length); sb.append("ir")
+          }
+        case _ =>
+      }
+
+      // Step 2 (verb suffixes, only if step 1 removed nothing): setlimit-RV
+      if (sb.length == len0) {
+        Step2.sortBy(-_.length).find(s => endsWith(s) && inRegion(s, rv))
+          .foreach(s => del(s.length))
+      }
+
+      // Step 3 (if steps 1-2 changed the word): delete i after c in RV
+      if (sb.length != len0) {
+        if (endsWith("i") && inRegion("i", rv) && sb.length >= 2 &&
+            sb.charAt(sb.length - 2) == 'c') del(1)
+      } else {
+        // Step 4 (residual suffix)
+        Seq("os", "a", "i", "o", "á", "í", "ó")
+          .find(s => endsWith(s) && inRegion(s, rv))
+          .foreach(s => del(s.length))
+      }
+
+      // Step 5 (always): final e/é/ê in RV, with gu/ci undoubling; ç -> c
+      if ((endsWith("e") || endsWith("é") || endsWith("ê")) && inRegion("e", rv)) {
+        del(1)
+        if ((endsWith("gu") || endsWith("ci")) && sb.length - 1 >= rv) del(1)
+      } else if (endsWith("ç")) {
+        sb.setCharAt(sb.length - 1, 'c')
+      }
+
+      // restore nasal vowels
+      val out = new StringBuilder(sb.length)
+      var j = 0
+      while (j < sb.length) {
+        val c = sb.charAt(j)
+        if (c == 'a' && j + 1 < sb.length && sb.charAt(j + 1) == '~') { out.append('ã'); j += 2 }
+        else if (c == 'o' && j + 1 < sb.length && sb.charAt(j + 1) == '~') { out.append('õ'); j += 2 }
+        else { out.append(c); j += 1 }
+      }
+      out.toString
+    }
+  }
+
   // ---------------------------------------------------------------- French
 
   /** Snowball French stemming algorithm. */

@@ -31,4 +31,6 @@ class SnowballVocabSpec extends AnyFunSuite {
   test("german vocabulary stems exactly") { check("german", Snowball.German.stem) }
   test("spanish vocabulary stems exactly") { check("spanish", Snowball.Spanish.stem) }
   test("french vocabulary stems exactly") { check("french", Snowball.French.stem) }
+  test("italian vocabulary stems exactly") { check("italian", Snowball.Italian.stem) }
+  test("portuguese vocabulary stems exactly") { check("portuguese", Snowball.Portuguese.stem) }
 }
