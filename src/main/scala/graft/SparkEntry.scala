@@ -765,6 +765,39 @@ object SparkEntry {
       .search("+spark +query -slow", 1000000)
       .select(col("docId").as("doc_id"))),
 
+    // XML query parser (CoreParser dialect): boolean of a dismax must, a
+    // constant-score range should (affects scores only), and a mustNot —
+    // the match set is (spark OR query) minus slow, oracled as a doc set
+    "qp_xml" -> ((s, d) => docIndex(s, d).searchXml(
+      """<BooleanQuery>
+        |  <Clause occurs="must">
+        |    <DisjunctionMaxQuery tieBreaker="0.3">
+        |      <TermQuery>spark</TermQuery>
+        |      <UserQuery>query</UserQuery>
+        |    </DisjunctionMaxQuery>
+        |  </Clause>
+        |  <Clause occurs="should">
+        |    <ConstantScoreQuery boost="0.5">
+        |      <RangeQuery lowerTerm="join" upperTerm="joz"/>
+        |    </ConstantScoreQuery>
+        |  </Clause>
+        |  <Clause occurs="mustNot"><TermQuery>slow</TermQuery></Clause>
+        |</BooleanQuery>""".stripMargin, 1000000)
+      .select(col("docId").as("doc_id"))),
+
+    // XML span tree at the document root: (sort|hash) then merge within 2
+    "sp_xml" -> ((s, d) => {
+      val parsed = graft.query.XmlParser.parse(
+        """<SpanNear slop="2" inOrder="true">
+          |  <SpanOrTerms>sort hash</SpanOrTerms>
+          |  <SpanTerm>merge</SpanTerm>
+          |</SpanNear>""".stripMargin) match {
+        case graft.query.XmlParser.Span(q) => q
+        case _ => throw new IllegalStateException("expected a span root")
+      }
+      Spans.matchingDocs(rd(s, d, "documents"), "doc_id", "text", parsed)
+    }),
+
     // SimpleQueryParser dialect: infix +/| with op-change grouping —
     // `data + group | quer*` parses as ((data AND group) OR quer*)
     "qp_simple" -> ((s, d) => {
@@ -2144,6 +2177,20 @@ object SparkEntry {
            |  SELECT doc_id FROM ($tok) WHERE tok IN ('spark','query')
            |  GROUP BY doc_id HAVING count(DISTINCT tok) = 2)
            | WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM ($tok) WHERE tok = 'slow')""".stripMargin,
+      // the dismax must-clause matches on ANY of its children; the
+      // constant-score should never gates
+      "qp_xml" ->
+        s"""SELECT DISTINCT doc_id FROM ($tok) WHERE tok IN ('spark','query')
+           | AND doc_id NOT IN (SELECT DISTINCT doc_id FROM ($tok) WHERE tok = 'slow')""".stripMargin,
+      "sp_xml" ->
+        """WITH t AS (SELECT doc_id,
+          |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          |  FROM documents)
+          | SELECT a.doc_id, count(*) AS n_spans FROM t a JOIN t b
+          |  ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+          | WHERE a.tok IN ('sort', 'hash') AND b.tok = 'merge'
+          | GROUP BY a.doc_id""".stripMargin,
       "qp_simple" ->
         s"""SELECT doc_id FROM (
            |  SELECT doc_id FROM ($tok) WHERE tok IN ('data','group')

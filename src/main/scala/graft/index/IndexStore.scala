@@ -911,6 +911,10 @@ object IndexStore {
     def search(query: String, k: Int): DataFrame =
       graft.query.Searcher.search(this, query, k)
 
+    /** XML query (CoreParser dialect) search — [[graft.query.XmlParser]]. */
+    def searchXml(xml: String, k: Int): DataFrame =
+      graft.query.Searcher.searchXml(this, xml, k)
+
     /** Decoded postings of one term: (docId, tf) — the raw read API. */
     def postings(term: String): DataFrame = {
       import spark.implicits._

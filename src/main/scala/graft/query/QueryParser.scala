@@ -49,6 +49,14 @@ object QueryParser {
     * clauses' scores (must + should), in clause order. */
   final case class BoolQ(must: Seq[Query], should: Seq[Query], mustNot: Seq[Query]) extends Query
 
+  /** DisjunctionMaxQuery over sub-queries (produced by the XML parser;
+    * the classic text grammar has no dismax syntax). */
+  final case class DisMaxQ(clauses: Seq[Query], tie: Float) extends Query
+
+  /** ConstantScoreQuery: the child decides the match set, every match
+    * scores 1 (times any wrapping boost). */
+  final case class ConstQ(inner: Query) extends Query
+
   final case class ParseException(msg: String, pos: Int)
     extends RuntimeException(s"$msg at position $pos")
 

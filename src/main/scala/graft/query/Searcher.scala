@@ -50,6 +50,15 @@ object Searcher {
     live.orderBy(desc("score"), asc("docId")).limit(k)
   }
 
+  /** XML query (CoreParser dialect) search: parse via [[XmlParser]] and
+    * rank like [[search]]. Span-rooted documents are rejected here — they
+    * evaluate over a text column via [[graft.operators.Spans]]. */
+  def searchXml(idx: OpenIndex, xml: String, k: Int): DataFrame = {
+    val scored = eval(idx, XmlParser.parseScored(xml))
+    val live = idx.deletes.fold(scored)(d => scored.join(d, Seq("docId"), "left_anti"))
+    live.orderBy(desc("score"), asc("docId")).limit(k)
+  }
+
   /** [[SimpleQueryParser]] dialect search — the lenient end-user surface
     * (never throws on malformed syntax). */
   def searchSimple(idx: OpenIndex, query: String, k: Int,
@@ -78,6 +87,9 @@ object Searcher {
       case BoostQ(b, inner) => ev(inner)
         .select(col("docId"), (col("score") * lit(b)).cast("float").as("score"))
       case BoolQ(m, sh, n) => evalBool(default.spark, ev, m, sh, n)
+      case DisMaxQ(cs, tie) => evalDisMax(ev, cs, tie)
+      case ConstQ(inner) =>
+        ev(inner).select(col("docId")).distinct().withColumn("score", lit(1f))
       case leaf => eval(default, leaf)
     }
     val scored = ev(QueryParser.parse(query))
@@ -114,6 +126,22 @@ object Searcher {
                       else col("term") > lo && col("term") < hi)
     case BoolQ(must, should, mustNot) =>
       evalBool(idx.spark, eval(idx, _), must, should, mustNot)
+    case DisMaxQ(clauses, tie) => evalDisMax(eval(idx, _), clauses, tie)
+    case ConstQ(inner) =>
+      eval(idx, inner).select(col("docId")).distinct().withColumn("score", lit(1f))
+  }
+
+  /** DisjunctionMaxQuery combine: per-doc max + tie · (sum − max) over the
+    * clause frames (reference search/DisjunctionMaxQuery.java). */
+  private def evalDisMax(ev: Query => DataFrame, clauses: Seq[Query],
+                         tie: Float): DataFrame = {
+    require(clauses.nonEmpty, "DisMaxQ needs >= 1 clause")
+    clauses.map(q => ev(q).select(col("docId"), col("score").cast("double").as("s")))
+      .reduce(_.unionByName(_))
+      .groupBy("docId")
+      .agg(max("s").as("mx"), sum("s").as("sm"))
+      .select(col("docId"),
+        (col("mx") + lit(tie.toDouble) * (col("sm") - col("mx"))).cast("float").as("score"))
   }
 
   private def emptyScored(spark: SparkSession): DataFrame = {

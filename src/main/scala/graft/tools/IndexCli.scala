@@ -135,6 +135,13 @@ object IndexCli {
       println(f"""search "$q" top-$k in $ms%.0f ms:""")
       hits.foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)}"))
 
+    // xmlsearch <dir> <k> <xml...> : CoreParser XML query dialect
+    case "xmlsearch" :: dir :: k :: xmlParts if xmlParts.nonEmpty =>
+      val xml = xmlParts.mkString(" ")
+      val hits = IndexStore.OpenIndex(spark, dir).searchXml(xml, k.toInt).collect()
+      println(s"xmlsearch top-$k:")
+      hits.foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)}"))
+
     // addindexes <dstDir> <srcDir> : import srcDir's segments into dstDir
     // (doc ids rebased, merged stats — IndexWriter.addIndexes)
     case "addindexes" :: dst :: src :: Nil =>
