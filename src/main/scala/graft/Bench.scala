@@ -453,7 +453,11 @@ object Bench {
     val headline = Seq("q1_agg", "q2_join_inner", "q3_join_broadcast", "q7_topk",
       "q13_timeseries", "q16_sig_terms", "ft_bm25_or", "ft_engine_topk",
       "dd_minhash", "dd_simhash", "sim_cosine", "ta_quality", "mm_decode")
-    val qs = SparkEntry.queries
+    // ft_engine_topk headline = the PURE engine path (the oracle-shaped
+    // SparkEntry entry joins the declarative score twin for hash checking)
+    val qs = SparkEntry.queries +
+      ("ft_engine_topk" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        SparkEntry.engineTopKBench(s, d)))
     // pre-build the engine doc index untimed so ft_engine_* headlines
     // measure query execution, not the one-time index build
     try qs.get("ft_engine_tf").foreach(f => f(spark, sfDir).count(): Unit)

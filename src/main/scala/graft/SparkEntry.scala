@@ -48,6 +48,13 @@ object SparkEntry {
     })
   }
 
+  /** The PURE engine top-k path for the benchmark headline: the driver
+    * oracle's ft_engine_topk joins the quantized-norm declarative twin to
+    * make its scores hash-checkable, which is oracle plumbing, not engine
+    * work — the bench must time the codec + scorer + heap path alone. */
+  private[graft] def engineTopKBench(s: SparkSession, dir: String): DataFrame =
+    docIndex(s, dir).topK(Seq("spark", "query", "join"), 20)
+
   private val stemIdxCache = scala.collection.mutable.Map[(SparkSession, String), IndexStore.OpenIndex]()
 
   /** Stop + Porter-stemmed index over the documents table (the
