@@ -1113,19 +1113,23 @@ object SparkEntry {
     // so chain wiring and stemmer cannot drift.
     "ta_snowball" -> ((s, d) => {
       import s.implicits._
-      val chains = Seq("german", "spanish", "french", "italian", "portuguese")
-        .map(l => graft.analysis.AnalyzerChain(Seq(graft.analysis.SnowballStemFilter(l))))
+      val langs = Seq("german", "spanish", "french", "italian", "portuguese",
+        "danish", "norwegian", "swedish", "dutch", "russian")
+      val chains = langs.map(l =>
+        graft.analysis.AnalyzerChain(Seq(graft.analysis.SnowballStemFilter(l))))
+      val lists = Seq(SnowballWordsDe, SnowballWordsEs, SnowballWordsFr,
+        SnowballWordsIt, SnowballWordsPt, SnowballWordsDa, SnowballWordsNo,
+        SnowballWordsSv, SnowballWordsNl, SnowballWordsRu)
       rd(s, d, "documents").select(col("doc_id")).as[Long]
         .map { id =>
-          val w = Seq(SnowballWordsDe, SnowballWordsEs, SnowballWordsFr,
-            SnowballWordsIt, SnowballWordsPt).map(ws => ws((id % ws.size).toInt))
-          (id, chains(0).terms(w(0)).mkString(" "),
-            chains(1).terms(w(1)).mkString(" "),
-            chains(2).terms(w(2)).mkString(" "),
-            chains(3).terms(w(3)).mkString(" "),
-            chains(4).terms(w(4)).mkString(" "))
+          val stems = chains.zip(lists).map { case (c, ws) =>
+            c.terms(ws((id % ws.size).toInt)).mkString(" ")
+          }
+          (id, stems(0), stems(1), stems(2), stems(3), stems(4),
+            stems(5), stems(6), stems(7), stems(8), stems(9))
         }
-        .toDF("doc_id", "stem_de", "stem_es", "stem_fr", "stem_it", "stem_pt")
+        .toDF("doc_id", "stem_de", "stem_es", "stem_fr", "stem_it", "stem_pt",
+          "stem_da", "stem_no", "stem_sv", "stem_nl", "stem_ru")
     }),
 
     "ta_fingerprint" -> ((s, d) => TextOps.fingerprint(rd(s, d, "documents"),
@@ -3186,6 +3190,16 @@ object SparkEntry {
     "trabalhando", "nacional", "cantavam", "possibilidades", "rapidamente",
     "jogadores", "tradicionais", "desenvolvimento", "alcançar",
     "particularmente", "centenas", "organização", "pequeninos", "falaria")
+  private val SnowballWordsDa = Seq("huset", "bøgerne", "løbende",
+    "kærlighed", "arbejderne", "vigtigste", "spørgsmålet", "hurtigt")
+  private val SnowballWordsNo = Seq("bøkene", "arbeiderne", "viktigste",
+    "kjærlighet", "løpende", "spørsmålet", "hurtigst", "husene")
+  private val SnowballWordsSv = Seq("huset", "böckerna", "löpande",
+    "kärleken", "arbetarna", "viktigaste", "frågorna", "snabbaste")
+  private val SnowballWordsNl = Seq("huizen", "lopende", "belangrijkste",
+    "vriendelijkheid", "werkende", "gebouwen", "mogelijkheden", "snelheid")
+  private val SnowballWordsRu = Seq("книгами", "работающий", "быстрее",
+    "возможности", "прекрасная", "понимание", "государственный", "читатели")
 
   /** The ta_fold oracle — INDEPENDENT of the Scala folding: DuckDB's own
     * strip_accents does the unaccenting and a list_filter replicates the
@@ -3211,12 +3225,22 @@ object SparkEntry {
     val fr = arm(SnowballWordsFr, graft.analysis.Snowball.French.stem)
     val it = arm(SnowballWordsIt, graft.analysis.Snowball.Italian.stem)
     val pt = arm(SnowballWordsPt, graft.analysis.Snowball.Portuguese.stem)
+    val da = arm(SnowballWordsDa, graft.analysis.Snowball.Danish.stem)
+    val no = arm(SnowballWordsNo, graft.analysis.Snowball.Norwegian.stem)
+    val sv = arm(SnowballWordsSv, graft.analysis.Snowball.Swedish.stem)
+    val nl = arm(SnowballWordsNl, graft.analysis.Snowball.Dutch.stem)
+    val ru = arm(SnowballWordsRu, graft.analysis.Snowball.Russian.stem)
     s"""SELECT doc_id,
        | CASE CAST(doc_id % ${SnowballWordsDe.size} AS INT) $de END AS stem_de,
        | CASE CAST(doc_id % ${SnowballWordsEs.size} AS INT) $es END AS stem_es,
        | CASE CAST(doc_id % ${SnowballWordsFr.size} AS INT) $fr END AS stem_fr,
        | CASE CAST(doc_id % ${SnowballWordsIt.size} AS INT) $it END AS stem_it,
-       | CASE CAST(doc_id % ${SnowballWordsPt.size} AS INT) $pt END AS stem_pt
+       | CASE CAST(doc_id % ${SnowballWordsPt.size} AS INT) $pt END AS stem_pt,
+       | CASE CAST(doc_id % ${SnowballWordsDa.size} AS INT) $da END AS stem_da,
+       | CASE CAST(doc_id % ${SnowballWordsNo.size} AS INT) $no END AS stem_no,
+       | CASE CAST(doc_id % ${SnowballWordsSv.size} AS INT) $sv END AS stem_sv,
+       | CASE CAST(doc_id % ${SnowballWordsNl.size} AS INT) $nl END AS stem_nl,
+       | CASE CAST(doc_id % ${SnowballWordsRu.size} AS INT) $ru END AS stem_ru
        | FROM documents""".stripMargin
   }
 

@@ -51,6 +51,11 @@ final case class SnowballStemFilter(lang: String) extends TokenFilter {
     case "french"     => Snowball.French.stem
     case "italian"    => Snowball.Italian.stem
     case "portuguese" => Snowball.Portuguese.stem
+    case "danish"     => Snowball.Danish.stem
+    case "norwegian"  => Snowball.Norwegian.stem
+    case "swedish"    => Snowball.Swedish.stem
+    case "dutch"      => Snowball.Dutch.stem
+    case "russian"    => Snowball.Russian.stem
     case "english"    => Porter.stem
     case other => throw new IllegalArgumentException(s"unsupported snowball language: $other")
   }

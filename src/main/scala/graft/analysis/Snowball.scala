@@ -323,6 +323,353 @@ object Snowball {
     private def deAccent(s: String): String = s.map(deAccentChar)
   }
 
+  // ---------------------------------------------- Danish/Norwegian/Swedish
+
+  /** The Scandinavian trio shares R1-with-3-letter-minimum and the
+    * s-ending gate; only the suffix tables differ. */
+  sealed abstract class Scandinavian {
+    protected def vowels: String
+    protected def isVowel(c: Char): Boolean = vowels.indexOf(c) >= 0
+
+    protected final class W(word: String) {
+      val sb = new StringBuilder(word)
+      var r1: Int = regionAfterVC(sb, 0, isVowel)
+      if (r1 < 3) r1 = 3
+      if (r1 > sb.length) r1 = sb.length
+      def endsWith(suf: String): Boolean =
+        sb.length >= suf.length && sb.substring(sb.length - suf.length) == suf
+      def inR1(suf: String): Boolean = sb.length - suf.length >= r1
+      def del(n: Int): Unit = sb.setLength(sb.length - n)
+      def charBefore(suf: String): Char =
+        if (sb.length > suf.length) sb.charAt(sb.length - suf.length - 1) else ' '
+    }
+  }
+
+  /** Snowball Danish stemming algorithm. */
+  object Danish extends Scandinavian {
+    protected def vowels = "aeiouyæåø"
+    private val Step1 = Seq("erendes", "erende", "hedens", "ethed",
+      "erede", "heden", "heder", "endes", "ernes", "erens", "erets",
+      "ered", "ende", "erne", "eren", "erer", "heds", "enes", "eres",
+      "ens", "ere", "ene", "ers", "ets", "eret", "hed", "en", "er",
+      "es", "et", "e").sortBy(-_.length)
+    private val SEnding = "abcdfghjklmnoprtvyzå"
+
+    def stem(word: String): String = {
+      if (word.length < 3) return word
+      val w = new W(word)
+      import w._
+      // Step 1
+      Step1.find(s => endsWith(s) && inR1(s)) match {
+        case Some(s) => del(s.length)
+        case None =>
+          if (endsWith("s") && inR1("s") && SEnding.indexOf(charBefore("s")) >= 0)
+            del(1)
+      }
+      // Step 2: consonant-pair tail loses its last letter
+      for (p <- Seq("gd", "dt", "gt", "kt"))
+        if (endsWith(p) && inR1(p) && sb.endsWith(p)) del(1)
+      // Step 3
+      if (endsWith("igst")) del(2)
+      Seq("elig", "lig", "els", "ig").find(s => endsWith(s) && inR1(s)) match {
+        case Some(s) =>
+          del(s.length)
+          for (p <- Seq("gd", "dt", "gt", "kt"))
+            if (endsWith(p) && inR1(p) && sb.endsWith(p)) del(1)
+        case None =>
+          if (endsWith("løst") && inR1("løst")) del(1)
+      }
+      // Step 4: undouble a final double consonant in R1
+      if (sb.length >= 2 && sb.length - 1 >= r1 &&
+          sb.charAt(sb.length - 1) == sb.charAt(sb.length - 2) &&
+          !isVowel(sb.charAt(sb.length - 1))) del(1)
+      sb.toString
+    }
+  }
+
+  /** Snowball Norwegian stemming algorithm. */
+  object Norwegian extends Scandinavian {
+    protected def vowels = "aeiouyæåø"
+    private val Step1 = Seq("hetenes", "hetene", "hetens", "heten",
+      "heter", "endes", "enes", "edes", "ende", "ande", "ane", "ene",
+      "ens", "ers", "ets", "het", "ast", "ede", "en", "ar", "er", "as",
+      "es", "et", "a", "e").sortBy(-_.length)
+    private val SEnding = "bcdfghjlmnoprtvyz"
+
+    def stem(word: String): String = {
+      if (word.length < 3) return word
+      val w = new W(word)
+      import w._
+      // Step 1 (longest among ALL alternatives, erte/ert included)
+      (Step1 ++ Seq("erte", "ert", "s")).sortBy(-_.length)
+        .find(s => endsWith(s) && inR1(s)) match {
+        case Some("erte") => del(4); sb.append("er")
+        case Some("ert")  => del(3); sb.append("er")
+        case Some("s") =>
+          val pre = charBefore("s")
+          val ok = SEnding.indexOf(pre) >= 0 ||
+            (pre == 'k' && {
+              val i = sb.length - 3
+              i < 0 || !isVowel(sb.charAt(i))
+            })
+          if (ok) del(1)
+        case Some(s) => del(s.length)
+        case None =>
+      }
+      // Step 2: dt/vt lose the t
+      if ((endsWith("dt") || endsWith("vt")) && inR1("dt")) del(1)
+      // Step 3
+      Seq("hetslov", "eleg", "elig", "elov", "slov", "leg", "eig",
+        "lig", "els", "lov", "ig").find(s => endsWith(s) && inR1(s))
+        .foreach(s => del(s.length))
+      sb.toString
+    }
+  }
+
+  /** Snowball Swedish stemming algorithm. */
+  object Swedish extends Scandinavian {
+    protected def vowels = "aeiouyäåö"
+    private val Step1 = Seq("heterna", "hetens", "anden", "andes",
+      "arnas", "ernas", "ornas", "arens", "heten", "heter", "arna",
+      "erna", "orna", "ande", "arne", "aste", "aren", "ades", "erns",
+      "andet", "ade", "are", "ern", "ens", "het", "ast", "ad", "en",
+      "ar", "er", "or", "as", "es", "at", "a", "e").sortBy(-_.length)
+    private val SEnding = "bcdfghjklmnoprtvy"
+
+    def stem(word: String): String = {
+      if (word.length < 3) return word
+      val w = new W(word)
+      import w._
+      Step1.find(s => endsWith(s) && inR1(s)) match {
+        case Some(s) => del(s.length)
+        case None =>
+          if (endsWith("s") && inR1("s") && SEnding.indexOf(charBefore("s")) >= 0)
+            del(1)
+      }
+      for (p <- Seq("dd", "gd", "nn", "dt", "gt", "kt", "tt"))
+        if (endsWith(p) && inR1(p) && sb.endsWith(p)) del(1)
+      Seq("fullt", "löst", "lig", "els", "ig").find(s => endsWith(s) && inR1(s)) match {
+        case Some("fullt") => del(1)
+        case Some("löst")  => del(1)
+        case Some(s)       => del(s.length)
+        case None =>
+      }
+      sb.toString
+    }
+  }
+
+  // --------------------------------------------------------------- Russian
+
+  /** Snowball Russian stemming algorithm (Cyrillic). All suffix matching
+    * is confined to RV (the region after the first vowel); group-1 verb /
+    * gerund / participle endings must follow а or я. Snowball `among`
+    * semantics: the LONGEST matching suffix is chosen first and its
+    * condition then decides — a failed condition does NOT fall back to a
+    * shorter suffix. */
+  object Russian {
+    private def isVowel(c: Char): Boolean = "аеиоуыэюя".indexOf(c) >= 0
+
+    // (suffix, mustFollowAYa)
+    private val PerfGerund = Seq(
+      ("вшись", true), ("вши", true), ("в", true),
+      ("ившись", false), ("ывшись", false), ("ивши", false),
+      ("ывши", false), ("ив", false), ("ыв", false))
+    private val Adjective = Seq("ими", "ыми", "его", "ого", "ему", "ому",
+      "ее", "ие", "ые", "ое", "ей", "ий", "ый", "ой", "ем", "им", "ым",
+      "ом", "их", "ых", "ею", "ою", "ую", "юю", "ая", "яя").map((_, false))
+    private val Participle = Seq(
+      ("ем", true), ("нн", true), ("вш", true), ("ющ", true), ("щ", true),
+      ("ивш", false), ("ывш", false), ("ующ", false))
+    private val Verb = Seq(
+      ("ла", true), ("на", true), ("ете", true), ("йте", true), ("ли", true),
+      ("й", true), ("л", true), ("ем", true), ("н", true), ("ло", true),
+      ("но", true), ("ет", true), ("ют", true), ("ны", true), ("ть", true),
+      ("ешь", true), ("нно", true),
+      ("ила", false), ("ыла", false), ("ена", false), ("ейте", false),
+      ("уйте", false), ("ите", false), ("или", false), ("ыли", false),
+      ("ей", false), ("уй", false), ("ил", false), ("ыл", false),
+      ("им", false), ("ым", false), ("ен", false), ("ило", false),
+      ("ыло", false), ("ено", false), ("ят", false), ("ует", false),
+      ("уют", false), ("ит", false), ("ыт", false), ("ены", false),
+      ("ить", false), ("ыть", false), ("ишь", false), ("ую", false),
+      ("ю", false))
+    private val Noun = Seq("иями", "ями", "ами", "ией", "иям", "ием",
+      "иях", "ев", "ов", "ие", "ье", "еи", "ии", "ей", "ой", "ий", "ям",
+      "ем", "ам", "ом", "ах", "ях", "ию", "ью", "ия", "ья", "а", "е",
+      "и", "й", "о", "у", "ы", "ь", "ю", "я").map((_, false))
+
+    def stem(word0: String): String = {
+      val sb = new StringBuilder(word0.replace('ё', 'е'))
+      var rv = 0
+      while (rv < sb.length && !isVowel(sb.charAt(rv))) rv += 1
+      rv = if (rv < sb.length) rv + 1 else sb.length
+      val r1 = regionAfterVC(sb, 0, isVowel)
+      val r2 = regionAfterVC(sb, r1, isVowel)
+
+      def endsWith(suf: String): Boolean =
+        sb.length >= suf.length && sb.substring(sb.length - suf.length) == suf
+      def inRV(suf: String): Boolean = sb.length - suf.length >= rv
+      def del(n: Int): Unit = sb.setLength(sb.length - n)
+
+      /** Longest in-RV match, then its а/я condition decides — no
+        * fallback on condition failure (Snowball among semantics). */
+      def tryDel(groups: Seq[(String, Boolean)]): Boolean =
+        groups.sortBy(-_._1.length)
+          .find { case (s, _) => endsWith(s) && inRV(s) } match {
+          case Some((s, needsAYa)) =>
+            val i = sb.length - s.length - 1
+            val ok = !needsAYa ||
+              (i >= rv && (sb.charAt(i) == 'а' || sb.charAt(i) == 'я'))
+            if (ok) del(s.length)
+            ok
+          case None => false
+        }
+
+      // Step 1
+      if (!tryDel(PerfGerund)) {
+        if (endsWith("ся") && inRV("ся")) del(2)
+        else if (endsWith("сь") && inRV("сь")) del(2)
+        val adj = tryDel(Adjective)
+        if (adj) { tryDel(Participle); () }
+        else if (!tryDel(Verb)) { tryDel(Noun); () }
+      }
+      // Step 2: final и
+      if (endsWith("и") && inRV("и")) del(1)
+      // Step 3: derivational (R2)
+      if (endsWith("ость") && sb.length - 4 >= r2) del(4)
+      else if (endsWith("ост") && sb.length - 3 >= r2) del(3)
+      // Step 4: superlative / нн undouble / final ь — longest alternative
+      if (endsWith("ейше") && inRV("ейше")) {
+        del(4)
+        if (endsWith("нн")) del(1)
+      } else if (endsWith("ейш") && inRV("ейш")) {
+        del(3)
+        if (endsWith("нн")) del(1)
+      } else if (endsWith("нн") && inRV("н")) {
+        del(1)
+      } else if (endsWith("ь") && inRV("ь")) {
+        del(1)
+      }
+      sb.toString
+    }
+  }
+
+  // ----------------------------------------------------------------- Dutch
+
+  /** Snowball Dutch stemming algorithm. */
+  object Dutch {
+    private def isVowel(c: Char): Boolean = "aeiouyè".indexOf(c) >= 0
+
+    def stem(word0: String): String = {
+      if (word0.length < 3) return deAccent(word0)
+      // remove umlauts and acute accents; grave accents stay
+      val sb = new StringBuilder(deAccent(word0))
+      // mark initial y, y after a vowel, and i between vowels as consonants
+      var i = 0
+      while (i < sb.length) {
+        val c = sb.charAt(i)
+        if (c == 'y' && (i == 0 || isVowel(sb.charAt(i - 1))))
+          sb.setCharAt(i, 'Y')
+        else if (c == 'i' && i > 0 && i + 1 < sb.length &&
+                 isVowel(sb.charAt(i - 1)) && isVowel(sb.charAt(i + 1)))
+          sb.setCharAt(i, 'I')
+        i += 1
+      }
+
+      var r1 = regionAfterVC(sb, 0, isVowel)
+      val r2 = regionAfterVC(sb, r1, isVowel)
+      if (r1 < 3) r1 = 3
+      if (r1 > sb.length) r1 = sb.length
+
+      def endsWith(suf: String): Boolean =
+        sb.length >= suf.length && sb.substring(sb.length - suf.length) == suf
+      def inR1(suf: String): Boolean = sb.length - suf.length >= r1
+      def inR2(suf: String): Boolean = sb.length - suf.length >= r2
+      def del(n: Int): Unit = sb.setLength(sb.length - n)
+      def undouble(): Unit =
+        for (p <- Seq("kk", "dd", "tt")) if (sb.endsWith(p)) del(1)
+      def enPreceded(suf: String): Boolean = {
+        val i = sb.length - suf.length - 1
+        i >= 0 && !isVowel(sb.charAt(i)) &&
+          !(i >= 2 && sb.substring(i - 2, i + 1) == "gem")
+      }
+
+      // Step 1
+      if (endsWith("heden")) {
+        if (inR1("heden")) { del(5); sb.append("heid") }
+      } else if (endsWith("ene") || endsWith("en")) {
+        val suf = if (endsWith("ene")) "ene" else "en"
+        if (inR1(suf) && enPreceded(suf)) { del(suf.length); undouble() }
+      } else if (endsWith("se") || endsWith("s")) {
+        val suf = if (endsWith("se")) "se" else "s"
+        val i = sb.length - suf.length - 1
+        if (inR1(suf) && i >= 0 && !isVowel(sb.charAt(i)) && sb.charAt(i) != 'j')
+          del(suf.length)
+      }
+
+      // Step 2: delete e in R1 after a non-vowel; record for step 3b's bar
+      var eRemoved = false
+      if (endsWith("e") && inR1("e") && sb.length >= 2 && !isVowel(sb.charAt(sb.length - 2))) {
+        del(1); undouble(); eRemoved = true
+      }
+
+      // Step 3a: heid (not after c), then the en treatment again
+      if (endsWith("heid") && inR2("heid") && sb.length >= 5 &&
+          sb.charAt(sb.length - 5) != 'c') {
+        del(4)
+        if (endsWith("en") && inR1("en") && enPreceded("en")) { del(2); undouble() }
+      }
+
+      // Step 3b: d-suffixes
+      Seq("end", "ing", "lijk", "baar", "bar", "ig").sortBy(-_.length)
+        .find(endsWith) match {
+        case Some(suf @ ("end" | "ing")) =>
+          if (inR2(suf)) {
+            del(3)
+            if (endsWith("ig") && inR2("ig") && sb.charAt(sb.length - 3) != 'e') del(2)
+            else undouble()
+          }
+        case Some("ig") =>
+          if (inR2("ig") && !(sb.length >= 3 && sb.charAt(sb.length - 3) == 'e')) del(2)
+        case Some("lijk") =>
+          if (inR2("lijk")) {
+            del(4)
+            if (endsWith("e") && inR1("e") && sb.length >= 2 &&
+                !isVowel(sb.charAt(sb.length - 2))) { del(1); undouble() }
+          }
+        case Some("baar") =>
+          if (inR2("baar")) del(4)
+        case Some("bar") =>
+          if (inR2("bar") && eRemoved) del(3)
+        case _ =>
+      }
+
+      // Step 4: undouble vowel in C-VV-D (D a non-vowel other than I)
+      if (sb.length >= 4) {
+        val d = sb.charAt(sb.length - 1)
+        val v1 = sb.charAt(sb.length - 2)
+        val v2 = sb.charAt(sb.length - 3)
+        val c = sb.charAt(sb.length - 4)
+        if (!isVowel(d) && d != 'I' && v1 == v2 && "aeou".indexOf(v1) >= 0 && !isVowel(c)) {
+          sb.deleteCharAt(sb.length - 2): Unit
+        }
+      }
+
+      var j = 0
+      while (j < sb.length) {
+        val c = sb.charAt(j)
+        if (c == 'Y' || c == 'I') sb.setCharAt(j, c.toLower)
+        j += 1
+      }
+      sb.toString
+    }
+
+    private def deAccent(s: String): String = s.map {
+      case 'ä' | 'á' => 'a'; case 'ë' | 'é' => 'e'; case 'ï' | 'í' => 'i'
+      case 'ö' | 'ó' => 'o'; case 'ü' | 'ú' => 'u'; case c => c
+    }
+  }
+
   // --------------------------------------------------------------- Italian
 
   /** Snowball Italian stemming algorithm. */

@@ -33,4 +33,9 @@ class SnowballVocabSpec extends AnyFunSuite {
   test("french vocabulary stems exactly") { check("french", Snowball.French.stem) }
   test("italian vocabulary stems exactly") { check("italian", Snowball.Italian.stem) }
   test("portuguese vocabulary stems exactly") { check("portuguese", Snowball.Portuguese.stem) }
+  test("danish vocabulary stems exactly") { check("danish", Snowball.Danish.stem) }
+  test("norwegian vocabulary stems exactly") { check("norwegian", Snowball.Norwegian.stem) }
+  test("swedish vocabulary stems exactly") { check("swedish", Snowball.Swedish.stem) }
+  test("dutch vocabulary stems exactly") { check("dutch", Snowball.Dutch.stem) }
+  test("russian vocabulary stems exactly") { check("russian", Snowball.Russian.stem) }
 }
