@@ -271,4 +271,36 @@ class PlanAuditSpec extends SparkSpec {
     val plan = planOf(idx.termsEnum(prefix = Some("pub"), limit = 5))
     assert(!plan.contains("blocks") && plan.contains("termstats"), plan.take(800))
   }
+
+  test("facetDomain: block switch is a semi join carrying ONLY the key; count is partial+final") {
+    import graft.operators.Relational._
+    val parents = spark.range(1000).select($"id".as("pid"), ($"id" % 3).as("status"))
+    val children = spark.range(5000).select(($"id" % 1000).as("pid"), ($"id" % 7).as("flag"))
+    val plan = planOf(facetDomain(parents,
+      Seq(TaggedFilter("st", col("status") === 1)),
+      Seq(DomainBlockChildren(children, "pid", "pid"), DomainFilter(col("flag") >= 2)),
+      "flag"))
+    // the child side joins against the parent KEY set only (left semi),
+    // never the widened parent row
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(!plan.contains("status#") ||
+      !plan.substring(plan.indexOf("LeftSemi")).contains("status"), plan.take(2000))
+    // final facet count = partial + final HashAggregate pair
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
+  test("shape relations: ONE scan + ONE aggregation exchange, no joins") {
+    val shapes = spark.range(500).select($"id".as("shape_id"),
+      expr("array(named_struct('lat', CAST(id % 50 AS DOUBLE), 'lon', CAST(id % 70 AS DOUBLE))," +
+        "named_struct('lat', CAST(id % 50 + 1 AS DOUBLE), 'lon', CAST(id % 70 AS DOUBLE))," +
+        "named_struct('lat', CAST(id % 50 AS DOUBLE), 'lon', CAST(id % 70 + 1 AS DOUBLE)))").as("verts"))
+    val edges = graft.operators.Geo.shapeEdges(shapes, "shape_id", "verts")
+    val plan = planOf(graft.operators.Geo.boxRelations(edges, "shape_id", 0, 10, 0, 20))
+    assert(!plan.contains("Join"), plan.take(1500))
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan.take(1500))
+    val plan2 = planOf(graft.operators.Geo.polyRelations(edges, "shape_id",
+      Seq((10.0, 0.0), (0.0, 10.0), (-10.0, 0.0), (0.0, -10.0))))
+    assert(!plan2.contains("Join"), plan2.take(1500))
+    assert("Exchange".r.findAllIn(plan2).size <= 1, plan2.take(1500))
+  }
 }
