@@ -56,6 +56,7 @@ final case class SnowballStemFilter(lang: String) extends TokenFilter {
     case "swedish"    => Snowball.Swedish.stem
     case "dutch"      => Snowball.Dutch.stem
     case "russian"    => Snowball.Russian.stem
+    case "romanian"   => Snowball.Romanian.stem
     case "english"    => Porter.stem
     case other => throw new IllegalArgumentException(s"unsupported snowball language: $other")
   }

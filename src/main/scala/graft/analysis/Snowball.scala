@@ -458,6 +458,165 @@ object Snowball {
     }
   }
 
+  // -------------------------------------------------------------- Romanian
+
+  /** Snowball Romanian stemming algorithm (cedilla forms ş/ţ, as the
+    * published algorithm and test vocabulary use). */
+  object Romanian {
+    private def isVowel(c: Char): Boolean = "aăâeiîou".indexOf(c) >= 0
+
+    private def rvOf(s: CharSequence): Int = {
+      val n = s.length
+      if (n < 3) return n
+      if (!isVowel(s.charAt(1))) {
+        var i = 2
+        while (i < n && !isVowel(s.charAt(i))) i += 1
+        if (i < n) i + 1 else n
+      } else if (isVowel(s.charAt(0)) && isVowel(s.charAt(1))) {
+        var i = 2
+        while (i < n && isVowel(s.charAt(i))) i += 1
+        if (i < n) i + 1 else n
+      } else 3
+    }
+
+    // step 1 combining suffixes: suffix -> replacement
+    private val Step1 = Seq(
+      "abilitate" -> "abil", "abilitati" -> "abil", "abilităi" -> "abil",
+      "abilităţi" -> "abil", "ibilitate" -> "ibil",
+      "ivitate" -> "iv", "ivitati" -> "iv", "ivităi" -> "iv", "ivităţi" -> "iv",
+      "icitate" -> "ic", "icitati" -> "ic", "icităi" -> "ic", "icităţi" -> "ic",
+      "icatori" -> "ic", "icator" -> "ic",
+      "iciva" -> "ic", "icive" -> "ic", "icivi" -> "ic", "icivă" -> "ic", "iciv" -> "ic",
+      "icala" -> "ic", "icale" -> "ic", "icali" -> "ic", "icală" -> "ic", "ical" -> "ic",
+      "ativa" -> "at", "ative" -> "at", "ativi" -> "at", "ativă" -> "at", "ativ" -> "at",
+      "aţiune" -> "at", "atoare" -> "at", "atori" -> "at", "ator" -> "at",
+      "ătoare" -> "at", "ători" -> "at", "ător" -> "at",
+      "itiva" -> "it", "itive" -> "it", "itivi" -> "it", "itivă" -> "it", "itiv" -> "it",
+      "iţiune" -> "it", "itoare" -> "it", "itori" -> "it", "itor" -> "it")
+      .sortBy(-_._1.length)
+
+    private val Step2Del = Seq("itate", "itati", "ităţi", "abila", "abile",
+      "abili", "abilă", "ibila", "ibile", "ibili", "ibilă", "atori", "oasa",
+      "oasă", "oase", "anta", "ante", "anti", "antă", "ator", "abil",
+      "ibil", "ităi", "ata", "ată", "ati", "ate", "uta", "ută", "uti",
+      "ute", "ita", "ită", "iti", "ite", "ica", "ice", "ici", "ică",
+      "iva", "ive", "ivi", "ivă", "osi", "oşi", "ant", "at", "ut", "it",
+      "ic", "os", "iv").sortBy(-_.length)
+    private val Step2Ist = Seq("isme", "ista", "iste", "isti", "istă",
+      "işti", "ism", "ist").sortBy(-_.length)
+
+    private val Verb1 = Seq("aserăţi", "iserăţi", "âserăţi", "userăţi",
+      "aserăm", "iserăm", "âserăm", "userăm", "aseră", "iseră", "âseră",
+      "useră", "aseşi", "iseşi", "âseşi", "useşi", "asem", "isem", "âsem",
+      "usem", "arăţi", "irăţi", "ârăţi", "urăţi", "arăm", "irăm", "ârăm",
+      "urăm", "ară", "iră", "âră", "ură", "aşi", "işi", "âşi", "uşi",
+      "ează", "ească", "eaţi", "iaţi", "eze", "ezi", "ez", "esc",
+      "eşti", "eşte", "ăsc", "ăşti", "ăşte", "indu", "ându", "ind", "ând",
+      "are", "ere", "ire", "âre", "eam", "eai", "eau", "iam", "iai",
+      "iau", "ase", "ise", "âse", "use", "ea", "ia", "ui", "âi", "am",
+      "ai", "au").map(_ -> 1)
+    private val Verb2 = Seq("seserăţi", "seserăm", "seseşi", "sesem",
+      "seseră", "serăţi", "serăm", "seră", "sese", "seşi", "sei", "se",
+      "aţi", "eţi", "iţi", "âţi", "ăm", "em", "im", "âm").map(_ -> 2)
+
+    def stem(word0: String): String = {
+      if (word0.length < 2) return word0
+      val sb = new StringBuilder(word0)
+      // mark i/u between vowels as consonants
+      var i = 1
+      while (i < sb.length - 1) {
+        val c = sb.charAt(i)
+        if ((c == 'i' || c == 'u') && isVowel(sb.charAt(i - 1)) && isVowel(sb.charAt(i + 1)))
+          sb.setCharAt(i, c.toUpper)
+        i += 1
+      }
+      val rv = rvOf(sb)
+      val r1 = regionAfterVC(sb, 0, isVowel)
+      val r2 = regionAfterVC(sb, r1, isVowel)
+
+      def endsWith(suf: String): Boolean =
+        sb.length >= suf.length && sb.substring(sb.length - suf.length) == suf
+      def inRegion(suf: String, r: Int): Boolean = sb.length - suf.length >= r
+      def del(n: Int): Unit = sb.setLength(sb.length - n)
+      def replace(suf: String, by: String): Unit = { del(suf.length); sb.append(by) }
+
+      // Step 0: removal of plurals — plain `[substring] R1 among`:
+      // the LONGEST match is chosen first and the R1 test then decides,
+      // with NO fallback to a shorter suffix
+      Seq("iilor", "ului", "elor", "iile", "ilor", "atei", "aţie", "aţia",
+        "aua", "ele", "iua", "iei", "ile", "ul", "ea", "ii")
+        .sortBy(-_.length)
+        .find(endsWith) match {
+        case Some(s) if inRegion(s, r1) => s match {
+          case "ul" | "ului" => del(s.length)
+          case "aua" => replace("aua", "a")
+          case "ea" | "ele" | "elor" => replace(s, "e")
+          case "ii" | "iua" | "iei" | "iile" | "iilor" | "ilor" => replace(s, "i")
+          case "ile" =>
+            if (!(sb.length >= 5 && sb.substring(sb.length - 5, sb.length - 3) == "ab"))
+              replace("ile", "i")
+          case "atei" => replace("atei", "at")
+          case "aţie" | "aţia" => replace(s, "aţi")
+          case _ =>
+        }
+        case _ =>
+      }
+
+      // Step 1: combining suffixes, repeated to fixpoint (match-then-R1)
+      var removed = false
+      var changed = true
+      while (changed) {
+        changed = false
+        Step1.find { case (s, _) => endsWith(s) } match {
+          case Some((s, by)) if inRegion(s, r1) =>
+            replace(s, by); changed = true; removed = true
+          case _ =>
+        }
+      }
+
+      // Step 2: standard suffixes (R2)
+      (Step2Del.map(_ -> 0) ++ Step2Ist.map(_ -> 1) ++
+        Seq("iune" -> 2, "iuni" -> 2)).sortBy(-_._1.length)
+        .find { case (s, _) => endsWith(s) } match {
+        case Some((s, 0)) if inRegion(s, r2) => del(s.length); removed = true
+        case Some((s, 1)) if inRegion(s, r2) => replace(s, "ist"); removed = true
+        case Some((s, 2)) if inRegion(s, r2) &&
+            sb.length > s.length && sb.charAt(sb.length - s.length - 1) == 'ţ' =>
+          del(s.length); sb.setCharAt(sb.length - 1, 't'); removed = true
+        case _ =>
+      }
+
+      // Step 3: verb suffixes (only if steps 1-2 removed nothing; RV)
+      if (!removed) {
+        (Verb1 ++ Verb2).sortBy(-_._1.length)
+          .find { case (s, _) => endsWith(s) && inRegion(s, rv) } match {
+          case Some((s, 1)) =>
+            val i2 = sb.length - s.length - 1
+            if (i2 >= rv && (!isVowel(sb.charAt(i2)) || sb.charAt(i2) == 'u'))
+              del(s.length)
+          case Some((s, 2)) => del(s.length)
+          case _ =>
+        }
+      }
+
+      // Step 4: final vowel — match-then-RV, no fallback ('anglie' keeps
+      // its 'ie' because the longest match fails the RV test)
+      Seq("ie", "a", "e", "i", "ă").sortBy(-_.length)
+        .find(endsWith) match {
+        case Some(s) if inRegion(s, rv) => del(s.length)
+        case _ =>
+      }
+
+      var j = 0
+      while (j < sb.length) {
+        val c = sb.charAt(j)
+        if (c == 'I' || c == 'U') sb.setCharAt(j, c.toLower)
+        j += 1
+      }
+      sb.toString
+    }
+  }
+
   // --------------------------------------------------------------- Russian
 
   /** Snowball Russian stemming algorithm (Cyrillic). All suffix matching

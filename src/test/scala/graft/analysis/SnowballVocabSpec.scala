@@ -38,4 +38,5 @@ class SnowballVocabSpec extends AnyFunSuite {
   test("swedish vocabulary stems exactly") { check("swedish", Snowball.Swedish.stem) }
   test("dutch vocabulary stems exactly") { check("dutch", Snowball.Dutch.stem) }
   test("russian vocabulary stems exactly") { check("russian", Snowball.Russian.stem) }
+  test("romanian vocabulary stems exactly") { check("romanian", Snowball.Romanian.stem) }
 }
