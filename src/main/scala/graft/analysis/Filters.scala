@@ -57,7 +57,9 @@ final case class SnowballStemFilter(lang: String) extends TokenFilter {
     case "dutch"      => Snowball.Dutch.stem
     case "russian"    => Snowball.Russian.stem
     case "romanian"   => Snowball.Romanian.stem
-    case "english"    => Porter.stem
+    // SnowballFilter("English") is Porter2; the classic 1980 Porter stays
+    // behind PorterStemFilter (Lucene's PorterStemFilter)
+    case "english"    => Snowball.English.stem
     case other => throw new IllegalArgumentException(s"unsupported snowball language: $other")
   }
   def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) =

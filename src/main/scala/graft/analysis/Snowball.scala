@@ -323,6 +323,169 @@ object Snowball {
     private def deAccent(s: String): String = s.map(deAccentChar)
   }
 
+  // --------------------------------------------------------------- English
+
+  /** Snowball English stemming algorithm (Porter2 — the reference's
+    * SnowballFilter("English"); the classic 1980 Porter lives in
+    * [[Porter]] behind PorterStemFilter). */
+  object English {
+    private def isVowel(c: Char): Boolean = "aeiouy".indexOf(c) >= 0
+
+    private val Exceptions1 = Map(
+      "skis" -> "ski", "skies" -> "sky", "dying" -> "die", "lying" -> "lie",
+      "tying" -> "tie", "idly" -> "idl", "gently" -> "gentl", "ugly" -> "ugli",
+      "early" -> "earli", "only" -> "onli", "singly" -> "singl",
+      "sky" -> "sky", "news" -> "news", "howe" -> "howe", "atlas" -> "atlas",
+      "cosmos" -> "cosmos", "bias" -> "bias", "andes" -> "andes")
+    private val Exceptions2 = Set("inning", "outing", "canning", "herring",
+      "earring", "proceed", "exceed", "succeed")
+    private val Doubles = Set("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+    private val LiEnding = "cdeghkmnrt"
+    private val Step2 = Seq(
+      "ization" -> "ize", "ational" -> "ate", "fulness" -> "ful",
+      "ousness" -> "ous", "iveness" -> "ive", "tional" -> "tion",
+      "biliti" -> "ble", "lessli" -> "less", "entli" -> "ent",
+      "ation" -> "ate", "alism" -> "al", "aliti" -> "al", "ousli" -> "ous",
+      "iviti" -> "ive", "fulli" -> "ful", "enci" -> "ence",
+      "anci" -> "ance", "abli" -> "able", "izer" -> "ize", "ator" -> "ate",
+      "alli" -> "al", "bli" -> "ble", "ogi" -> "og", "li" -> "")
+    private val Step3 = Seq("ational" -> "ate", "tional" -> "tion",
+      "alize" -> "al", "icate" -> "ic", "iciti" -> "ic", "ical" -> "ic",
+      "ative" -> "", "ful" -> "", "ness" -> "")
+    private val Step4 = Seq("ement", "ance", "ence", "able", "ible",
+      "ment", "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize",
+      "ion", "al", "er", "ic")
+
+    def stem(word0: String): String = {
+      // length gate on the ORIGINAL word, before the apostrophe strip
+      if (word0.length <= 2) return word0
+      Exceptions1.get(word0).foreach(e => return e)
+      var w = word0
+      if (w.startsWith("'")) w = w.substring(1)
+      val sb = new StringBuilder(w)
+      // mark consonant y
+      if (sb.charAt(0) == 'y') sb.setCharAt(0, 'Y')
+      var i = 1
+      while (i < sb.length) {
+        if (sb.charAt(i) == 'y' && isVowel(sb.charAt(i - 1))) sb.setCharAt(i, 'Y')
+        i += 1
+      }
+
+      val r1 = {
+        val s = sb.toString
+        if (s.startsWith("gener")) 5
+        else if (s.startsWith("commun")) 6
+        else if (s.startsWith("arsen")) 5
+        else regionAfterVC(sb, 0, isVowel)
+      }
+      val r2 = regionAfterVC(sb, r1, isVowel)
+
+      def endsWith(suf: String): Boolean =
+        sb.length >= suf.length && sb.substring(sb.length - suf.length) == suf
+      def inR1(suf: String): Boolean = sb.length - suf.length >= r1
+      def inR2(suf: String): Boolean = sb.length - suf.length >= r2
+      def del(n: Int): Unit = sb.setLength(sb.length - n)
+      def containsVowel(from: Int, until: Int): Boolean = {
+        var j = from; var found = false
+        while (!found && j < until) { found = isVowel(sb.charAt(j)); j += 1 }
+        found
+      }
+      /** Short syllable ending at `end` (exclusive). */
+      def endsShortSyllable: Boolean = {
+        val n = sb.length
+        if (n >= 3) {
+          val c = sb.charAt(n - 1); val v = sb.charAt(n - 2); val p = sb.charAt(n - 3)
+          if (!isVowel(c) && c != 'w' && c != 'x' && c != 'Y' &&
+              isVowel(v) && !isVowel(p)) return true
+        }
+        n == 2 && isVowel(sb.charAt(0)) && !isVowel(sb.charAt(1))
+      }
+      def isShortWord: Boolean = endsShortSyllable && r1 >= sb.length
+
+      // Step 0
+      if (endsWith("'s'")) del(3)
+      else if (endsWith("'s")) del(2)
+      else if (endsWith("'")) del(1)
+
+      // Step 1a
+      if (endsWith("sses")) del(2)
+      else if (endsWith("ied") || endsWith("ies")) {
+        if (sb.length > 4) del(2) else del(1)
+      } else if (endsWith("ss") || endsWith("us")) {
+        // nothing
+      } else if (endsWith("s")) {
+        if (containsVowel(0, sb.length - 2)) del(1)
+      }
+
+      if (Exceptions2.contains(sb.toString)) {
+        return sb.toString.replace('Y', 'y')
+      }
+
+      // Step 1b
+      if (endsWith("eedly")) { if (inR1("eedly")) { del(5); sb.append("ee") } }
+      else if (endsWith("eed")) { if (inR1("eed")) { del(3); sb.append("ee") } }
+      else {
+        val suf = Seq("ingly", "edly", "ing", "ed").find(endsWith)
+        suf.foreach { s =>
+          if (containsVowel(0, sb.length - s.length)) {
+            del(s.length)
+            if (endsWith("at") || endsWith("bl") || endsWith("iz")) sb.append("e")
+            else if (sb.length >= 2 && Doubles.contains(sb.substring(sb.length - 2))) del(1)
+            else if (isShortWord) sb.append("e")
+          }
+        }
+      }
+
+      // Step 1c: y/Y -> i after a non-vowel that is not the first letter
+      if (sb.length > 2 && (sb.charAt(sb.length - 1) == 'y' || sb.charAt(sb.length - 1) == 'Y') &&
+          !isVowel(sb.charAt(sb.length - 2)))
+        sb.setCharAt(sb.length - 1, 'i')
+
+      // Step 2 (R1): match-then-test, longest first
+      Step2.sortBy(-_._1.length).find { case (s, _) => endsWith(s) } match {
+        case Some((s, by)) if inR1(s) =>
+          s match {
+            case "ogi" =>
+              if (sb.length >= 4 && sb.charAt(sb.length - 4) == 'l') { del(3); sb.append(by) }
+            case "li" =>
+              if (sb.length >= 3 && LiEnding.indexOf(sb.charAt(sb.length - 3)) >= 0) del(2)
+            case _ => del(s.length); sb.append(by)
+          }
+        case _ =>
+      }
+
+      // Step 3 (R1; ative needs R2)
+      Step3.sortBy(-_._1.length).find { case (s, _) => endsWith(s) } match {
+        case Some((s, by)) if inR1(s) =>
+          if (s == "ative") { if (inR2(s)) del(5) }
+          else { del(s.length); sb.append(by) }
+        case _ =>
+      }
+
+      // Step 4 (R2): ion needs preceding s/t
+      Step4.sortBy(-_.length).find(endsWith) match {
+        case Some("ion") =>
+          if (inR2("ion") && sb.length >= 4 &&
+              (sb.charAt(sb.length - 4) == 's' || sb.charAt(sb.length - 4) == 't')) del(3)
+        case Some(s) if inR2(s) => del(s.length)
+        case _ =>
+      }
+
+      // Step 5
+      if (endsWith("e")) {
+        if (inR2("e")) del(1)
+        else if (inR1("e")) {
+          // delete unless preceded by a short syllable
+          val save = sb.charAt(sb.length - 1)
+          sb.setLength(sb.length - 1)
+          if (endsShortSyllable) sb.append(save) else ()
+        }
+      } else if (endsWith("ll") && inR2("l")) del(1)
+
+      sb.toString.replace('Y', 'y')
+    }
+  }
+
   // ---------------------------------------------- Danish/Norwegian/Swedish
 
   /** The Scandinavian trio shares R1-with-3-letter-minimum and the

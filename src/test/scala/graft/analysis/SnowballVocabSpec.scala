@@ -39,4 +39,17 @@ class SnowballVocabSpec extends AnyFunSuite {
   test("dutch vocabulary stems exactly") { check("dutch", Snowball.Dutch.stem) }
   test("russian vocabulary stems exactly") { check("russian", Snowball.Russian.stem) }
   test("romanian vocabulary stems exactly") { check("romanian", Snowball.Romanian.stem) }
+  test("english (Porter2) vocabulary stems exactly") {
+    check("english", Snowball.English.stem)
+  }
+  test("porter vocabulary stems exactly (words of length >= 3)") {
+    // the reference PorterStemmer leaves words of length <= 2 unchanged
+    // (PorterStemmer.java:479 `if (k > k0+1)`), matching our port; the
+    // snowball demo variant stems them ('as'->'a', 's'->'') — those 12
+    // two-letter rows are the only divergence, excluded by contract here
+    val vocab = pairs("porter").filter(_._1.length >= 3)
+    val bad = vocab.filter { case (w, want) => Porter.stem(w) != want }
+    assert(bad.isEmpty, bad.take(10).mkString(", "))
+    assert(vocab.size > 30000)
+  }
 }
