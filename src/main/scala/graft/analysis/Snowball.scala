@@ -323,6 +323,146 @@ object Snowball {
     private def deAccent(s: String): String = s.map(deAccentChar)
   }
 
+  // --------------------------------------------------------------- Finnish
+
+  /** Snowball Finnish stemming algorithm. Semantics decoded from the
+    * published description plus the generated automaton's behavioral
+    * contract: suffix matching (and any among-attached VI/LONG lookback)
+    * is confined to R1/R2, switch-level conditions test unlimited
+    * lookbacks, and a failed among-attached condition falls back down the
+    * suffix trie (den/seen/tten/siin fall back to the bare n case) while
+    * a failed switch condition fails the whole step. */
+  object Finnish {
+    private def isVowel(c: Char): Boolean = "aeiouyäö".indexOf(c) >= 0
+    private val LongPairs = Set("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+    private val ViVowels = "aeiouäö" // V2: vowels sans y, for the Vi test
+
+    def stem(word0: String): String = {
+      if (word0.length < 2) return word0
+      val sb = new StringBuilder(word0)
+      val r1 = regionAfterVC(sb, 0, isVowel)
+      val r2 = regionAfterVC(sb, r1, isVowel)
+
+      def endsWith(suf: String): Boolean =
+        sb.length >= suf.length && sb.substring(sb.length - suf.length) == suf
+      def inR1(suf: String): Boolean = sb.length - suf.length >= r1
+      def inR2(suf: String): Boolean = sb.length - suf.length >= r2
+      def del(n: Int): Unit = sb.setLength(sb.length - n)
+      def at(back: Int): Char =
+        if (sb.length >= back) sb.charAt(sb.length - back) else '\u0000'
+
+      // Step 1: particles — suffix in R1; gates look back unlimited
+      Seq("kaan", "kään", "sti", "han", "hän", "kin", "ko", "kö", "pa", "pä")
+        .sortBy(-_.length).find(s => endsWith(s) && inR1(s)) match {
+        case Some("sti") => if (inR2("sti")) del(3)
+        case Some(s) =>
+          val p = at(s.length + 1)
+          if (p == 'n' || p == 't' || isVowel(p)) del(s.length)
+        case None =>
+      }
+
+      // Step 2: possessives — suffix in R1; gates unlimited
+      Seq("nsa", "nsä", "mme", "nne", "si", "ni", "an", "än", "en")
+        .sortBy(-_.length).find(s => endsWith(s) && inR1(s)) match {
+        case Some("si") => if (at(3) != 'k') del(2)
+        case Some("ni") =>
+          del(2)
+          if (endsWith("kse")) { del(1); sb.append("i") }
+        case Some(s @ ("nsa" | "nsä" | "mme" | "nne")) => del(3)
+        case Some("an") =>
+          if (Seq("ta", "ssa", "sta", "lla", "lta", "na")
+                .exists(p => sb.substring(0, sb.length - 2).endsWith(p))) del(2)
+        case Some("än") =>
+          if (Seq("tä", "ssä", "stä", "llä", "ltä", "nä")
+                .exists(p => sb.substring(0, sb.length - 2).endsWith(p))) del(2)
+        case Some("en") =>
+          if (Seq("lle", "ine").exists(p => sb.substring(0, sb.length - 2).endsWith(p)))
+            del(2)
+        case _ =>
+      }
+
+      // Step 3: case endings
+      var endingRemoved = false
+      def caseEnding(): Unit = {
+        // among-attached conditions (checked IN R1); failure falls back
+        // down the trie to the bare n entry
+        def viOk(s: String): Boolean =
+          at(s.length + 1) == 'i' && sb.length - s.length - 1 >= r1 &&
+            ViVowels.indexOf(at(s.length + 2)) >= 0 && sb.length - s.length - 2 >= r1
+        def longOk(s: String): Boolean =
+          sb.length - s.length - 2 >= r1 &&
+            LongPairs.contains(sb.substring(sb.length - s.length - 2, sb.length - s.length))
+        val attached = Seq("siin", "seen", "tten", "den")
+        for (s <- attached if endsWith(s) && inR1(s)) {
+          val ok = if (s == "seen") longOk(s) else viOk(s)
+          if (ok) { del(s.length); endingRemoved = true; return }
+          // fall through to the n case below
+        }
+        val hXn = Map("han" -> 'a', "hen" -> 'e', "hin" -> 'i', "hon" -> 'o',
+          "hän" -> 'ä', "hön" -> 'ö')
+        val plain = Seq("lla", "llä", "ssa", "ssä", "sta", "stä", "lta",
+          "ltä", "lle", "ine", "ksi", "na", "nä", "ta", "tä")
+        val all = (hXn.keys.toSeq ++ plain ++ Seq("tta", "ttä", "a", "ä", "n"))
+          .sortBy(-_.length)
+        all.find(s => endsWith(s) && inR1(s)) match {
+          case Some(s) if hXn.contains(s) =>
+            // the X gate looks back unlimited; failure fails the step
+            if (at(4) == hXn(s)) { del(3); endingRemoved = true }
+          case Some(s @ ("tta" | "ttä")) =>
+            if (at(4) == 'e') { del(3); endingRemoved = true }
+          case Some(s) if plain.contains(s) =>
+            del(s.length); endingRemoved = true
+          case Some(s @ ("a" | "ä")) =>
+            if (isVowel(at(2)) && !isVowel(at(3)) && at(3) != '\u0000') {
+              del(1); endingRemoved = true
+            }
+          case Some("n") =>
+            del(1); endingRemoved = true
+            if ((sb.length >= 2 && LongPairs.contains(sb.substring(sb.length - 2))) ||
+                endsWith("ie")) del(1)
+          case _ =>
+        }
+      }
+      caseEnding()
+
+      // Step 4: other endings — suffix in R2; the po gate unlimited
+      Seq("imma", "immä", "impa", "impä", "immi", "impi", "eja", "ejä",
+        "mma", "mmä", "mpa", "mpä", "mmi", "mpi")
+        .sortBy(-_.length).find(s => endsWith(s) && inR2(s)) match {
+        case Some(s @ ("mma" | "mmä" | "mpa" | "mpä" | "mmi" | "mpi")) =>
+          if (!(at(s.length + 2) == 'p' && at(s.length + 1) == 'o')) del(s.length)
+        case Some(s) => del(s.length)
+        case _ =>
+      }
+
+      // Step 5: plurals
+      if (endingRemoved) {
+        if ((endsWith("i") || endsWith("j")) && inR1("i")) del(1)
+      } else {
+        // final t in R1 whose preceding vowel is ALSO in R1
+        if (endsWith("t") && inR1("t") && isVowel(at(2)) && sb.length - 2 >= r1) {
+          del(1)
+          if (endsWith("imma") && inR2("imma")) del(4)
+          else if (endsWith("mma") && inR2("mma") &&
+                   !(at(5) == 'p' && at(4) == 'o')) del(3)
+        }
+      }
+
+      // Step 6: tidying — steps a-d fully inside R1; undouble unlimited
+      if (sb.length >= 2 && sb.length - 2 >= r1 &&
+          LongPairs.contains(sb.substring(sb.length - 2))) del(1)
+      if (sb.length >= 2 && sb.length - 2 >= r1 &&
+          "aäei".indexOf(at(1)) >= 0 && !isVowel(at(2))) del(1)
+      if ((endsWith("oj") || endsWith("uj")) && sb.length - 2 >= r1) del(1)
+      if (endsWith("jo") && sb.length - 2 >= r1) del(1)
+      var k = sb.length - 1
+      while (k >= 0 && isVowel(sb.charAt(k))) k -= 1
+      if (k >= 1 && !isVowel(sb.charAt(k)) && sb.charAt(k) == sb.charAt(k - 1))
+        sb.deleteCharAt(k): Unit
+      sb.toString
+    }
+  }
+
   // --------------------------------------------------------------- English
 
   /** Snowball English stemming algorithm (Porter2 — the reference's
