@@ -1114,23 +1114,25 @@ object SparkEntry {
     "ta_snowball" -> ((s, d) => {
       import s.implicits._
       val langs = Seq("german", "spanish", "french", "italian", "portuguese",
-        "danish", "norwegian", "swedish", "dutch", "russian", "romanian", "finnish")
+        "danish", "norwegian", "swedish", "dutch", "russian", "romanian",
+        "finnish", "hungarian")
       val chains = langs.map(l =>
         graft.analysis.AnalyzerChain(Seq(graft.analysis.SnowballStemFilter(l))))
       val lists = Seq(SnowballWordsDe, SnowballWordsEs, SnowballWordsFr,
         SnowballWordsIt, SnowballWordsPt, SnowballWordsDa, SnowballWordsNo,
         SnowballWordsSv, SnowballWordsNl, SnowballWordsRu, SnowballWordsRo,
-        SnowballWordsFi)
+        SnowballWordsFi, SnowballWordsHu)
       rd(s, d, "documents").select(col("doc_id")).as[Long]
         .map { id =>
           val stems = chains.zip(lists).map { case (c, ws) =>
             c.terms(ws((id % ws.size).toInt)).mkString(" ")
           }
-          (id, stems(0), stems(1), stems(2), stems(3), stems(4),
-            stems(5), stems(6), stems(7), stems(8), stems(9), stems(10), stems(11))
+          (id, stems(0), stems(1), stems(2), stems(3), stems(4), stems(5),
+            stems(6), stems(7), stems(8), stems(9), stems(10), stems(11), stems(12))
         }
         .toDF("doc_id", "stem_de", "stem_es", "stem_fr", "stem_it", "stem_pt",
-          "stem_da", "stem_no", "stem_sv", "stem_nl", "stem_ru", "stem_ro", "stem_fi")
+          "stem_da", "stem_no", "stem_sv", "stem_nl", "stem_ru", "stem_ro",
+          "stem_fi", "stem_hu")
     }),
 
     "ta_fingerprint" -> ((s, d) => TextOps.fingerprint(rd(s, d, "documents"),
@@ -3205,6 +3207,8 @@ object SparkEntry {
     "posibilităţi", "cititorilor", "frumuseţe", "dezvoltarea", "muncitoare")
   private val SnowballWordsFi = Seq("taloissa", "kirjoittaminen", "nopeasti",
     "mahdollisuuksien", "työntekijät", "kauneimmat", "järjestykseen", "puhelimella")
+  private val SnowballWordsHu = Seq("házakban", "lehetõségei", "munkásokkal",
+    "legszebb", "barátaim", "fejlesztése", "városából", "gyerekeknek")
 
   /** The ta_fold oracle — INDEPENDENT of the Scala folding: DuckDB's own
     * strip_accents does the unaccenting and a list_filter replicates the
@@ -3237,6 +3241,7 @@ object SparkEntry {
     val ru = arm(SnowballWordsRu, graft.analysis.Snowball.Russian.stem)
     val ro = arm(SnowballWordsRo, graft.analysis.Snowball.Romanian.stem)
     val fi = arm(SnowballWordsFi, graft.analysis.Snowball.Finnish.stem)
+    val hu = arm(SnowballWordsHu, graft.analysis.Snowball.Hungarian.stem)
     s"""SELECT doc_id,
        | CASE CAST(doc_id % ${SnowballWordsDe.size} AS INT) $de END AS stem_de,
        | CASE CAST(doc_id % ${SnowballWordsEs.size} AS INT) $es END AS stem_es,
@@ -3249,7 +3254,8 @@ object SparkEntry {
        | CASE CAST(doc_id % ${SnowballWordsNl.size} AS INT) $nl END AS stem_nl,
        | CASE CAST(doc_id % ${SnowballWordsRu.size} AS INT) $ru END AS stem_ru,
        | CASE CAST(doc_id % ${SnowballWordsRo.size} AS INT) $ro END AS stem_ro,
-       | CASE CAST(doc_id % ${SnowballWordsFi.size} AS INT) $fi END AS stem_fi
+       | CASE CAST(doc_id % ${SnowballWordsFi.size} AS INT) $fi END AS stem_fi,
+       | CASE CAST(doc_id % ${SnowballWordsHu.size} AS INT) $hu END AS stem_hu
        | FROM documents""".stripMargin
   }
 

@@ -58,6 +58,7 @@ final case class SnowballStemFilter(lang: String) extends TokenFilter {
     case "russian"    => Snowball.Russian.stem
     case "romanian"   => Snowball.Romanian.stem
     case "finnish"    => Snowball.Finnish.stem
+    case "hungarian"  => Snowball.Hungarian.stem
     // SnowballFilter("English") is Porter2; the classic 1980 Porter stays
     // behind PorterStemFilter (Lucene's PorterStemFilter)
     case "english"    => Snowball.English.stem

@@ -323,6 +323,144 @@ object Snowball {
     private def deAccent(s: String): String = s.map(deAccentChar)
   }
 
+  // ------------------------------------------------------------- Hungarian
+
+  /** Snowball Hungarian stemming algorithm (the published algorithm's
+    * original encoding spells ő/ű as õ/û, as does the test vocabulary).
+    * R1 starts after the first consonant-or-digraph following a leading
+    * vowel run, or after the first vowel of a consonant-initial word.
+    * Every step is a match-then-R1 among; doubled-consonant endings
+    * (including digraph doubles like ggy/ssz) undouble by dropping the
+    * second-to-last character. */
+  object Hungarian {
+    private val Vowels = "aáeéiíoóöõuúüû"
+    private def isVowel(c: Char): Boolean = Vowels.indexOf(c) >= 0
+    private val Digraphs = Seq("dzs", "ccs", "zzs", "ssz", "ggy", "lly",
+      "nny", "tty", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+    private val StartDigraphs = Seq("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+    private val Doubles = Seq("ccs", "ggy", "lly", "nny", "ssz", "tty",
+      "zzs", "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn",
+      "pp", "rr", "ss", "tt", "vv", "zz")
+    private val CaseSuffixes = Seq("képpen", "anként", "enként", "onként",
+      "ként", "képp", "ban", "ben", "nak", "nek", "val", "vel", "nál",
+      "nél", "ból", "ról", "tól", "bõl", "rõl", "tõl", "hez", "hoz",
+      "höz", "ért", "kor", "ba", "ra", "be", "re", "ig", "ul", "ül",
+      "an", "en", "on", "ön", "at", "et", "ot", "öt", "vá", "vé", "n", "t")
+      .sortBy(-_.length)
+    // (suffix, replacement or null=delete)
+    private val Owned = Seq("áéi" -> "a", "ééi" -> "e", "aké" -> null,
+      "eké" -> null, "oké" -> null, "áké" -> "a", "éké" -> "e",
+      "öké" -> null, "éi" -> null, "ké" -> null, "éé" -> "e", "é" -> null)
+    private val SingOwner = Seq("ájuk" -> "a", "éjük" -> "e", "unk" -> null,
+      "ánk" -> "a", "énk" -> "e", "ünk" -> null, "juk" -> null,
+      "jük" -> null, "ja" -> null, "je" -> null, "ad" -> null,
+      "ed" -> null, "od" -> null, "ád" -> "a", "éd" -> "e", "öd" -> null,
+      "nk" -> null, "uk" -> null, "ük" -> null, "am" -> null,
+      "em" -> null, "om" -> null, "ám" -> "a", "ém" -> "e", "a" -> null,
+      "d" -> null, "e" -> null, "m" -> null, "o" -> null, "á" -> "a",
+      "é" -> "e")
+    private val PlurOwner = Seq("jeitek" -> null, "jaitok" -> null,
+      "aitok" -> null, "áitok" -> "a", "eitek" -> null, "éitek" -> "e",
+      "jaink" -> null, "jeink" -> null, "jaid" -> null, "jeid" -> null,
+      "itek" -> null, "aink" -> null, "eink" -> null, "áink" -> "a",
+      "éink" -> "e", "jaim" -> null, "jeim" -> null, "aid" -> null,
+      "eid" -> null, "áid" -> "a", "éid" -> "e", "jai" -> null,
+      "jei" -> null, "aik" -> null, "jaik" -> null, "jeik" -> null,
+      "eik" -> null, "áik" -> "a", "éik" -> "e", "ink" -> null,
+      "aim" -> null, "eim" -> null, "áim" -> "a", "éim" -> "e",
+      "id" -> null, "ai" -> null, "ei" -> null, "ái" -> "a", "éi" -> "e",
+      "ik" -> null, "im" -> null, "i" -> null)
+    private val Plural = Seq("ák" -> "a", "ék" -> "e", "ök" -> null,
+      "ak" -> null, "ok" -> null, "ek" -> null, "k" -> null)
+
+    def stem(word0: String): String = {
+      if (word0.length < 2) return word0
+      val sb = new StringBuilder(word0)
+
+      val r1: Int = {
+        if (isVowel(sb.charAt(0))) {
+          var i = 0
+          while (i < sb.length && isVowel(sb.charAt(i))) i += 1
+          if (i >= sb.length) sb.length
+          else {
+            val rest = sb.substring(i)
+            StartDigraphs.find(rest.startsWith) match {
+              case Some(d) => i + d.length
+              case None => i + 1
+            }
+          }
+        } else {
+          var i = 0
+          while (i < sb.length && !isVowel(sb.charAt(i))) i += 1
+          if (i >= sb.length) sb.length else i + 1
+        }
+      }
+
+      def endsWith(suf: String): Boolean =
+        sb.length >= suf.length && sb.substring(sb.length - suf.length) == suf
+      def inR1(suf: String): Boolean = sb.length - suf.length >= r1
+      def del(n: Int): Unit = sb.setLength(sb.length - n)
+      def endsDouble: Boolean = Doubles.exists(endsWith)
+      def undouble(): Unit =
+        if (sb.length >= 2) sb.deleteCharAt(sb.length - 2): Unit
+      def vEnding(): Unit = {
+        if (endsWith("á") && inR1("á")) sb.setCharAt(sb.length - 1, 'a')
+        else if (endsWith("é") && inR1("é")) sb.setCharAt(sb.length - 1, 'e')
+      }
+      def amongReplace(table: Seq[(String, String)]): Unit =
+        table.sortBy(-_._1.length).find { case (s, _) => endsWith(s) } match {
+          case Some((s, by)) if inR1(s) =>
+            del(s.length)
+            if (by != null) sb.append(by)
+          case _ =>
+        }
+
+      // instrumental: al/el in R1 after a double consonant
+      Seq("al", "el").find(endsWith) match {
+        case Some(s) if inR1(s) && {
+          val head = sb.substring(0, sb.length - 2)
+          Doubles.exists(head.endsWith)
+        } =>
+          del(2); undouble()
+        case _ =>
+      }
+      // general cases, then repair á/é endings
+      CaseSuffixes.find(endsWith) match {
+        case Some(s) if inR1(s) => del(s.length); vEnding()
+        case _ =>
+      }
+      // special cases
+      Seq("ánként", "én", "án").find(endsWith) match {
+        case Some(s @ "ánként") if inR1(s) => del(6); sb.append("a")
+        case Some(s @ "én") if inR1(s) => del(2); sb.append("e")
+        case Some(s @ "án") if inR1(s) => del(2); sb.append("a")
+        case _ =>
+      }
+      // other cases (stul/stül family)
+      Seq("ástul", "éstül", "astul", "estül", "stul", "stül")
+        .find(endsWith) match {
+        case Some(s @ "ástul") if inR1(s) => del(5); sb.append("a")
+        case Some(s @ "éstül") if inR1(s) => del(5); sb.append("e")
+        case Some(s) if inR1(s) => del(s.length)
+        case _ =>
+      }
+      // factive á/é after a double consonant
+      Seq("á", "é").find(endsWith) match {
+        case Some(s) if inR1(s) && {
+          val head = sb.substring(0, sb.length - 1)
+          Doubles.exists(head.endsWith)
+        } =>
+          del(1); undouble()
+        case _ =>
+      }
+      amongReplace(Owned)
+      amongReplace(SingOwner)
+      amongReplace(PlurOwner)
+      amongReplace(Plural)
+      sb.toString
+    }
+  }
+
   // --------------------------------------------------------------- Finnish
 
   /** Snowball Finnish stemming algorithm. Semantics decoded from the

@@ -40,6 +40,7 @@ class SnowballVocabSpec extends AnyFunSuite {
   test("russian vocabulary stems exactly") { check("russian", Snowball.Russian.stem) }
   test("romanian vocabulary stems exactly") { check("romanian", Snowball.Romanian.stem) }
   test("finnish vocabulary stems exactly") { check("finnish", Snowball.Finnish.stem) }
+  test("hungarian vocabulary stems exactly") { check("hungarian", Snowball.Hungarian.stem) }
   test("english (Porter2) vocabulary stems exactly") {
     check("english", Snowball.English.stem)
   }
