@@ -1836,4 +1836,618 @@ object Snowball {
       if (out.isEmpty) original else out
     }
   }
+
+  // --------------------------------------------------------------- Turkish
+
+  /** Snowball Turkish stemming algorithm (the suffix-stripping automaton the
+    * reference wires via lucene/analysis/common/src/java/org/tartarus/
+    * snowball/ext/TurkishStemmer.java). Re-derived from the published
+    * algorithm; validated word-for-word against the official test
+    * vocabulary (96k pairs, SnowballVocabSpec).
+    *
+    * Turkish is agglutinative: the algorithm strips a nominal-verb
+    * (copula) suffix chain, then a noun-case/possessive chain with a
+    * recursive branch for the relative suffix -ki, then devoices a final
+    * b/c/d/ğ and restores the vowel of a truncated -dU/-dUk suffix.
+    * Three decoded conventions matter for vocabulary-exactness:
+    *
+    *  - suffix matching runs right-to-left, and every save/restore of the
+    *    match position is relative to the string END, so a restore across
+    *    a deletion lands shifted by the deleted width;
+    *  - deletions applied by a failing sub-path persist (only the cursor
+    *    is restored, never the string);
+    *  - the bare plural branch of the nominal-verb pass stops the whole
+    *    algorithm: the noun pass AND the final devoicing/vowel-restore
+    *    post-processing are skipped (continue_stemming flag), and the
+    *    post-processing is also skipped entirely for the reserved words
+    *    "ad" and "soyad".
+    *
+    * Suffixes with an optional joining consonant (n/s/y) accept the
+    * consonant only between two vowels: if the char before the match
+    * position is that consonant it must be preceded by a vowel (and is
+    * consumed); any other char must be preceded by a vowel one further
+    * back. The optional-U-vowel variant (possessives) is the mirror
+    * image: the U vowel (ı/i/u/ü) must be preceded by a NON-vowel.
+    *
+    * Vowel harmony is checked existentially: the last vowel of the
+    * remaining window must be preceded somewhere by a vowel of its
+    * harmony class (a→aouı, e→iöü+e, ı→aı, i→ei, o/u→ou, ö/ü→öü).
+    */
+  object Turkish {
+    private def isVowel(c: Char): Boolean = "aeıioöuü".indexOf(c) >= 0
+    private def isU(c: Char): Boolean = c == 'ı' || c == 'i' || c == 'u' || c == 'ü'
+
+    private def harmonyClass(v: Char): String = v match {
+      case 'a'       => "aouı"
+      case 'e'       => "eiöü"
+      case 'ı'       => "aı"
+      case 'i'       => "ei"
+      case 'o' | 'u' => "ou"
+      case _         => "öü" // ö, ü
+    }
+
+    /** Backward-mode matcher over a mutable buffer. `cursor` is absolute
+      * (0..sb.length, suffix matching consumes leftward); saves are
+      * end-relative offsets so they stay meaningful across deletions,
+      * which only ever remove text at/right of the cursor. */
+    private final class M(val sb: StringBuilder) {
+      var cursor: Int = sb.length
+      var ket: Int = sb.length // right end of the candidate slice
+      var bra: Int = sb.length // left end
+
+      def save: Int = sb.length - cursor
+      def restore(v: Int): Unit = cursor = sb.length - v
+      def markKet(): Unit = ket = cursor
+      def markBra(): Unit = bra = cursor
+      def delete(): Unit = { sb.delete(bra, ket): Unit }
+      def replace(s: String): Unit = { sb.replace(bra, ket, s): Unit }
+
+      def eqS(s: String): Boolean = {
+        val n = s.length
+        if (cursor < n) return false
+        var i = 0
+        while (i < n) {
+          if (sb.charAt(cursor - n + i) != s.charAt(i)) return false
+          i += 1
+        }
+        cursor -= n; true
+      }
+      def inU(): Boolean =
+        if (cursor > 0 && isU(sb.charAt(cursor - 1))) { cursor -= 1; true } else false
+      /** backward `goto`: stop with a matching char just before the cursor. */
+      def gotoIn(pred: Char => Boolean): Boolean = {
+        while (cursor > 0) {
+          if (pred(sb.charAt(cursor - 1))) return true
+          cursor -= 1
+        }
+        false
+      }
+      /** longest-match suffix table (entries pre-sorted longest first). */
+      def among(sufs: Array[String]): Boolean = {
+        var i = 0
+        while (i < sufs.length) {
+          val s = sufs(i)
+          val n = s.length
+          if (cursor >= n) {
+            var j = 0
+            while (j < n && sb.charAt(cursor - n + j) == s.charAt(j)) j += 1
+            if (j == n) { cursor -= n; return true }
+          }
+          i += 1
+        }
+        false
+      }
+    }
+
+    /** Snowball `or`: alternatives left to right, cursor restored before each. */
+    private def or(m: M)(alts: (M => Boolean)*): Boolean = {
+      val v = m.save
+      alts.exists { a => m.restore(v); a(m) }
+    }
+
+    /** Snowball `try`: run the body, restore the cursor if it fails. */
+    private def attempt(m: M)(body: M => Boolean): Unit = {
+      val v = m.save
+      if (!body(m)) m.restore(v)
+    }
+
+    private def checkVowelHarmony(m: M): Boolean = {
+      val v0 = m.save
+      val ok =
+        if (!m.gotoIn(isVowel)) false
+        else {
+          val cls = harmonyClass(m.sb.charAt(m.cursor - 1))
+          m.cursor -= 1
+          m.gotoIn(c => cls.indexOf(c) >= 0)
+        }
+      m.restore(v0)
+      ok
+    }
+
+    /** Optional joining consonant `ch` before the match position. */
+    private def optCons(m: M, ch: Char): Boolean = {
+      val c = m.cursor
+      if (c >= 1 && m.sb.charAt(c - 1) == ch) {
+        if (c >= 2 && isVowel(m.sb.charAt(c - 2))) { m.cursor = c - 1; true } else false
+      } else c >= 2 && isVowel(m.sb.charAt(c - 2))
+    }
+
+    /** Optional possessive U vowel (must follow a non-vowel). */
+    private def optU(m: M): Boolean = {
+      val c = m.cursor
+      if (c >= 1 && isU(m.sb.charAt(c - 1))) {
+        if (c >= 2 && !isVowel(m.sb.charAt(c - 2))) { m.cursor = c - 1; true } else false
+      } else c >= 2 && !isVowel(m.sb.charAt(c - 2))
+    }
+
+    // ---- suffix recognizers (cursor moves on success; callers restore on fail)
+
+    private val PossT = Array("miz", "niz", "muz", "nuz", "müz", "nüz", "mız", "nız", "m", "n")
+    private val YDUT = Array(
+      "dik", "tik", "duk", "tuk", "dük", "tük", "dık", "tık",
+      "dim", "tim", "dum", "tum", "düm", "tüm", "dım", "tım",
+      "din", "tin", "dun", "tun", "dün", "tün", "dın", "tın",
+      "di", "ti", "du", "tu", "dü", "tü", "dı", "tı")
+
+    private def possessives(m: M) = m.among(PossT) && optU(m)
+    private def sU(m: M)    = checkVowelHarmony(m) && m.inU() && optCons(m, 's')
+    private def lArI(m: M)  = m.among(Array("leri", "ları"))
+    private def yU(m: M)    = checkVowelHarmony(m) && m.inU() && optCons(m, 'y')
+    private def nU(m: M)    = checkVowelHarmony(m) && m.among(Array("ni", "nu", "nü", "nı"))
+    private def nUn(m: M)   = checkVowelHarmony(m) && m.among(Array("in", "un", "ün", "ın")) && optCons(m, 'n')
+    private def yA(m: M)    = checkVowelHarmony(m) && m.among(Array("a", "e")) && optCons(m, 'y')
+    private def nA(m: M)    = checkVowelHarmony(m) && m.among(Array("na", "ne"))
+    private def dA(m: M)    = checkVowelHarmony(m) && m.among(Array("da", "ta", "de", "te"))
+    private def ndA(m: M)   = checkVowelHarmony(m) && m.among(Array("nda", "nde"))
+    private def dAn(m: M)   = checkVowelHarmony(m) && m.among(Array("dan", "tan", "den", "ten"))
+    private def ndAn(m: M)  = checkVowelHarmony(m) && m.among(Array("ndan", "nden"))
+    private def ylA(m: M)   = checkVowelHarmony(m) && m.among(Array("la", "le")) && optCons(m, 'y')
+    private def ki(m: M)    = m.eqS("ki")
+    private def ncA(m: M)   = checkVowelHarmony(m) && m.among(Array("ca", "ce")) && optCons(m, 'n')
+    private def yUm(m: M)   = checkVowelHarmony(m) && m.among(Array("im", "um", "üm", "ım")) && optCons(m, 'y')
+    private def sUn(m: M)   = checkVowelHarmony(m) && m.among(Array("sin", "sun", "sün", "sın"))
+    private def yUz(m: M)   = checkVowelHarmony(m) && m.among(Array("iz", "uz", "üz", "ız")) && optCons(m, 'y')
+    private def sUnUz(m: M) = m.among(Array("siniz", "sunuz", "sünüz", "sınız"))
+    private def lAr(m: M)   = checkVowelHarmony(m) && m.among(Array("lar", "ler"))
+    private def nUz(m: M)   = checkVowelHarmony(m) && m.among(Array("niz", "nuz", "nüz", "nız"))
+    private def dUr(m: M)   = checkVowelHarmony(m) && m.among(Array("dir", "tir", "dur", "tur", "dür", "tür", "dır", "tır"))
+    private def cAsInA(m: M) = m.among(Array("casına", "cesine"))
+    private def yDU(m: M)   = checkVowelHarmony(m) && m.among(YDUT) && optCons(m, 'y')
+    private def ysA(m: M)   = m.among(Array("sak", "sek", "sam", "sem", "san", "sen", "sa", "se")) && optCons(m, 'y')
+    private def ymUs(m: M)  = checkVowelHarmony(m) && m.among(Array("miş", "muş", "müş", "mış")) && optCons(m, 'y')
+    private def yken(m: M)  = m.eqS("ken") && optCons(m, 'y')
+
+    /** Copula / nominal-verb pass. Returns false when the algorithm must
+      * stop before the noun pass (the bare -lAr branch); the routine's own
+      * match success is irrelevant to the caller (do-semantics). */
+    private def stemNominalVerbSuffixes(m: M): Boolean = {
+      m.markKet()
+      var continueNoun = true
+      val v1 = m.save
+      var matched = false
+
+      // (ymUş | ydU | ysA | yken): a copula attached directly
+      if (or(m)(ymUs, yDU, ysA, yken)) matched = true
+
+      // cAsInA (sUnUz|lAr|yUm|sUn|yUz)? ymUş
+      if (!matched) {
+        m.restore(v1)
+        if (cAsInA(m)) {
+          val v3 = m.save
+          if (!or(m)(sUnUz, lAr, yUm, sUn, yUz)) m.restore(v3)
+          if (ymUs(m)) matched = true
+        }
+      }
+
+      // lAr (dUr|ydU|ysA|ymUş)? — and stop all further stemming
+      if (!matched) {
+        m.restore(v1)
+        if (lAr(m)) {
+          m.markBra(); m.delete()
+          val v4 = m.save
+          m.markKet()
+          if (!or(m)(dUr, yDU, ysA, ymUs)) m.restore(v4)
+          continueNoun = false
+          matched = true
+        }
+      }
+
+      // nUz (ydU|ysA)
+      if (!matched) {
+        m.restore(v1)
+        if (nUz(m) && or(m)(yDU, ysA)) matched = true
+      }
+
+      // (sUnUz|yUz|sUn|yUm) ymUş?
+      if (!matched) {
+        m.restore(v1)
+        if (or(m)(sUnUz, yUz, sUn, yUm)) {
+          m.markBra(); m.delete()
+          val v8 = m.save
+          m.markKet()
+          if (!ymUs(m)) m.restore(v8)
+          matched = true
+        }
+      }
+
+      // dUr ((sUnUz|lAr|yUm|sUn|yUz)? ymUş)?
+      if (!matched) {
+        m.restore(v1)
+        if (dUr(m)) {
+          m.markBra(); m.delete()
+          val v9 = m.save
+          m.markKet()
+          val inner = {
+            val v10 = m.save
+            if (!or(m)(sUnUz, lAr, yUm, sUn, yUz)) m.restore(v10)
+            ymUs(m)
+          }
+          if (!inner) m.restore(v9)
+          matched = true
+        }
+      }
+
+      if (matched) { m.markBra(); m.delete() }
+      continueNoun
+    }
+
+    /** The recursive -ki branch: ki after a locative/genitive chain. */
+    private def stemChainKi(m: M): Boolean = {
+      m.markKet()
+      if (!ki(m)) return false
+      val v1 = m.save
+
+      // -dAki
+      if (dA(m)) {
+        m.markBra(); m.delete()
+        val v2 = m.save
+        val sub = {
+          m.markKet()
+          val v3 = m.save
+          val a1 =
+            if (lAr(m)) { m.markBra(); m.delete(); attempt(m)(stemChainKi); true } else false
+          if (a1) true
+          else {
+            m.restore(v3)
+            if (possessives(m)) {
+              m.markBra(); m.delete()
+              val v5 = m.save
+              val t = {
+                m.markKet()
+                if (lAr(m)) { m.markBra(); m.delete(); stemChainKi(m) } else false
+              }
+              if (!t) m.restore(v5)
+              true
+            } else false
+          }
+        }
+        if (!sub) m.restore(v2)
+        return true
+      }
+
+      // -nUnki
+      m.restore(v1)
+      if (nUn(m)) {
+        m.markBra(); m.delete()
+        val v6 = m.save
+        val sub = {
+          m.markKet()
+          val v7 = m.save
+          if (lArI(m)) { m.markBra(); m.delete(); true }
+          else {
+            m.restore(v7)
+            val a2 = {
+              m.markKet()
+              if (or(m)(possessives, sU)) {
+                m.markBra(); m.delete()
+                val v9 = m.save
+                val t = {
+                  m.markKet()
+                  if (lAr(m)) { m.markBra(); m.delete(); stemChainKi(m) } else false
+                }
+                if (!t) m.restore(v9)
+                true
+              } else false
+            }
+            if (a2) true
+            else { m.restore(v7); stemChainKi(m) }
+          }
+        }
+        if (!sub) m.restore(v6)
+        return true
+      }
+
+      // -ndAki
+      m.restore(v1)
+      if (ndA(m)) {
+        val v10 = m.save
+        if (lArI(m)) { m.markBra(); m.delete(); return true }
+        m.restore(v10)
+        if (sU(m)) {
+          m.markBra(); m.delete()
+          val v11 = m.save
+          val t = {
+            m.markKet()
+            if (lAr(m)) { m.markBra(); m.delete(); stemChainKi(m) } else false
+          }
+          if (!t) m.restore(v11)
+          return true
+        }
+        m.restore(v10)
+        return stemChainKi(m)
+      }
+      false
+    }
+
+    /** Noun case/possessive pass: first matching branch wins. */
+    private def stemNounSuffixes(m: M): Boolean = {
+      val v1 = m.save
+
+      // lAr (ki-chain)?
+      m.markKet()
+      if (lAr(m)) {
+        m.markBra(); m.delete()
+        attempt(m)(stemChainKi)
+        return true
+      }
+
+      // ncA (lArI | (poss|sU)(lAr ki-chain)? | lAr ki-chain)?
+      m.restore(v1)
+      m.markKet()
+      if (ncA(m)) {
+        m.markBra(); m.delete()
+        val v3 = m.save
+        val sub = {
+          val v4 = m.save
+          val a1 = { m.markKet(); if (lArI(m)) { m.markBra(); m.delete(); true } else false }
+          if (a1) true
+          else {
+            m.restore(v4)
+            val a2 = {
+              m.markKet()
+              if (or(m)(possessives, sU)) {
+                m.markBra(); m.delete()
+                val v6 = m.save
+                val t = {
+                  m.markKet()
+                  if (lAr(m)) { m.markBra(); m.delete(); stemChainKi(m) } else false
+                }
+                if (!t) m.restore(v6)
+                true
+              } else false
+            }
+            if (a2) true
+            else {
+              m.restore(v4)
+              m.markKet()
+              if (lAr(m)) { m.markBra(); m.delete(); stemChainKi(m) } else false
+            }
+          }
+        }
+        if (!sub) m.restore(v3)
+        return true
+      }
+
+      // (ndA|nA) (lArI | sU (lAr ki-chain)? | ki-chain) — all-required
+      m.restore(v1)
+      m.markKet()
+      if (or(m)(ndA, nA)) {
+        val v8 = m.save
+        val sub =
+          if (lArI(m)) { m.markBra(); m.delete(); true }
+          else {
+            m.restore(v8)
+            if (sU(m)) {
+              m.markBra(); m.delete()
+              val v9 = m.save
+              val t = {
+                m.markKet()
+                if (lAr(m)) { m.markBra(); m.delete(); stemChainKi(m) } else false
+              }
+              if (!t) m.restore(v9)
+              true
+            } else { m.restore(v8); stemChainKi(m) }
+          }
+        if (sub) return true
+      }
+
+      // (ndAn|nU) (sU (lAr ki-chain)? | lArI-with-no-deletion)
+      m.restore(v1)
+      m.markKet()
+      if (or(m)(ndAn, nU)) {
+        val v11 = m.save
+        val sub =
+          if (sU(m)) {
+            m.markBra(); m.delete()
+            val v12 = m.save
+            val t = {
+              m.markKet()
+              if (lAr(m)) { m.markBra(); m.delete(); stemChainKi(m) } else false
+            }
+            if (!t) m.restore(v12)
+            true
+          } else {
+            // decoded quirk: the lArI alternative matches WITHOUT deleting,
+            // consuming the branch so no later branch runs
+            m.restore(v11); lArI(m)
+          }
+        if (sub) return true
+      }
+
+      // dAn (poss (lAr ki-chain)? | lAr ki-chain? | ki-chain)?
+      m.restore(v1)
+      m.markKet()
+      if (dAn(m)) {
+        m.markBra(); m.delete()
+        val v13 = m.save
+        val sub = {
+          m.markKet()
+          val v14 = m.save
+          val a1 =
+            if (possessives(m)) {
+              m.markBra(); m.delete()
+              val v15 = m.save
+              val t = {
+                m.markKet()
+                if (lAr(m)) { m.markBra(); m.delete(); stemChainKi(m) } else false
+              }
+              if (!t) m.restore(v15)
+              true
+            } else false
+          if (a1) true
+          else {
+            m.restore(v14)
+            val a2 =
+              if (lAr(m)) { m.markBra(); m.delete(); attempt(m)(stemChainKi); true } else false
+            if (a2) true
+            else { m.restore(v14); stemChainKi(m) }
+          }
+        }
+        if (!sub) m.restore(v13)
+        return true
+      }
+
+      // (nUn|ylA) (lAr ki-chain | (poss|sU)(lAr ki-chain)? | ki-chain)?
+      m.restore(v1)
+      m.markKet()
+      if (or(m)(nUn, ylA)) {
+        m.markBra(); m.delete()
+        val v18 = m.save
+        val sub = {
+          val v19 = m.save
+          val a1 = {
+            m.markKet()
+            if (lAr(m)) { m.markBra(); m.delete(); stemChainKi(m) } else false
+          }
+          if (a1) true
+          else {
+            m.restore(v19)
+            val a2 = {
+              m.markKet()
+              if (or(m)(possessives, sU)) {
+                m.markBra(); m.delete()
+                val v21 = m.save
+                val t = {
+                  m.markKet()
+                  if (lAr(m)) { m.markBra(); m.delete(); stemChainKi(m) } else false
+                }
+                if (!t) m.restore(v21)
+                true
+              } else false
+            }
+            if (a2) true
+            else { m.restore(v19); stemChainKi(m) }
+          }
+        }
+        if (!sub) m.restore(v18)
+        return true
+      }
+
+      // lArI
+      m.restore(v1)
+      m.markKet()
+      if (lArI(m)) { m.markBra(); m.delete(); return true }
+
+      // bare ki-chain
+      m.restore(v1)
+      if (stemChainKi(m)) return true
+
+      // (dA|yU|yA) ((poss lAr? | lAr) ki-chain)?
+      m.restore(v1)
+      m.markKet()
+      if (or(m)(dA, yU, yA)) {
+        m.markBra(); m.delete()
+        val v23 = m.save
+        val sub = {
+          m.markKet()
+          val v24 = m.save
+          val got = {
+            val a1 =
+              if (possessives(m)) {
+                m.markBra(); m.delete()
+                val v25 = m.save
+                val t = { m.markKet(); lAr(m) }
+                if (!t) m.restore(v25)
+                true
+              } else false
+            if (a1) true
+            else { m.restore(v24); lAr(m) }
+          }
+          if (got) {
+            m.markBra(); m.delete()
+            m.markKet()
+            stemChainKi(m)
+          } else false
+        }
+        if (!sub) m.restore(v23)
+        return true
+      }
+
+      // (poss|sU) (lAr ki-chain)? — final mandatory branch
+      m.restore(v1)
+      m.markKet()
+      if (or(m)(possessives, sU)) {
+        m.markBra(); m.delete()
+        val v27 = m.save
+        val t = {
+          m.markKet()
+          if (lAr(m)) { m.markBra(); m.delete(); stemChainKi(m) } else false
+        }
+        if (!t) m.restore(v27)
+        true
+      } else false
+    }
+
+    /** Devoice a final b/c/d/ğ to p/ç/t/k. */
+    private def postProcessLastConsonants(m: M): Boolean = {
+      m.markKet()
+      if (m.eqS("b")) { m.markBra(); m.replace("p"); true }
+      else if (m.eqS("c")) { m.markBra(); m.replace("ç"); true }
+      else if (m.eqS("d")) { m.markBra(); m.replace("t"); true }
+      else if (m.eqS("ğ")) { m.markBra(); m.replace("k"); true }
+      else false
+    }
+
+    /** A stem left ending in d/g lost the U vowel of a -dU/-dUk suffix:
+      * append the harmony-matching U (keyed on the last remaining vowel). */
+    private def appendUToStemsEndingWithDOrG(m: M): Boolean = {
+      val c = m.cursor
+      if (c < 1) return false
+      val last = m.sb.charAt(c - 1)
+      if (last != 'd' && last != 'g') return false
+      var i = c - 1
+      while (i >= 0 && !isVowel(m.sb.charAt(i))) i -= 1
+      if (i < 0) return false
+      m.sb.charAt(i) match {
+        case 'a' | 'ı' => m.sb.append('ı'); true
+        case 'e' | 'i' => m.sb.append('i'); true
+        case 'o' | 'u' => m.sb.append('u'); true
+        case 'ö' | 'ü' => m.sb.append('ü'); true
+        case _         => false
+      }
+    }
+
+    def stem(word: String): String = {
+      // words with fewer than two vowels are left untouched
+      var vc = 0
+      var i = 0
+      while (i < word.length) { if (isVowel(word.charAt(i))) vc += 1; i += 1 }
+      if (vc < 2) return word
+
+      val m = new M(new StringBuilder(word))
+      val continueNoun = stemNominalVerbSuffixes(m) // deletions persist either way
+      if (!continueNoun) return m.sb.toString       // bare -lAr: stop before noun pass and postlude
+      m.cursor = m.sb.length
+      stemNounSuffixes(m): Unit
+
+      // postlude — skipped entirely for the reserved words
+      val s = m.sb.toString
+      if (s == "ad" || s == "soyad") return s
+      m.cursor = m.sb.length
+      appendUToStemsEndingWithDOrG(m): Unit
+      m.cursor = m.sb.length
+      postProcessLastConsonants(m): Unit
+      m.sb.toString
+    }
+  }
 }

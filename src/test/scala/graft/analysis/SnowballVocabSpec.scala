@@ -41,6 +41,7 @@ class SnowballVocabSpec extends AnyFunSuite {
   test("romanian vocabulary stems exactly") { check("romanian", Snowball.Romanian.stem) }
   test("finnish vocabulary stems exactly") { check("finnish", Snowball.Finnish.stem) }
   test("hungarian vocabulary stems exactly") { check("hungarian", Snowball.Hungarian.stem) }
+  test("turkish vocabulary stems exactly") { check("turkish", Snowball.Turkish.stem) }
   test("english (Porter2) vocabulary stems exactly") {
     check("english", Snowball.English.stem)
   }
