@@ -2450,4 +2450,426 @@ object Snowball {
       m.sb.toString
     }
   }
+
+  // ---------------------------------------------------------------- Arabic
+
+  /** Snowball Arabic stemming algorithm (Assem Chelli's light stemmer; the
+    * reference wires its generated form via lucene/analysis/common/src/
+    * java/org/tartarus/snowball/ext/ArabicStemmer.java). Re-derived from
+    * the published algorithm; validated word-for-word against the official
+    * test vocabulary (SnowballVocabSpec).
+    *
+    * Shape: a pre-normalization pass (strip tatweel and harakat, map
+    * Arabic-Indic digits to ASCII, fold the U+FE80..U+FEFC presentation
+    * forms to base letters — the lam-alef ligatures expand to two
+    * letters), a prefix classification that flags definite nouns, a
+    * backward suffix pass (verb pronoun/person chains, noun
+    * pronoun/plural/feminine chains, alef-maqsura fold), a forward prefix
+    * pass (hamza normalization, conjunction fa/waw, definite articles,
+    * verb futurity seen-forms), and a post-normalization (final hamza
+    * deconstruction, hamza carriers folded to bare alef/waw/yeh).
+    *
+    * Every suffix/prefix rule is gated on the word length AT ROUTINE
+    * ENTRY, and the cursor carries between steps (a verb/noun chain's
+    * optional bare `next` can leave the cursor one letter inside the
+    * word, making a later deletion mid-string) — both decoded semantics
+    * are preserved.
+    */
+  object Arabic {
+    // base-form letters
+    private val Hamza      = "ء" // ء
+    private val Madda      = "آ" // آ
+    private val AHamza     = "أ" // أ
+    private val WHamza     = "ؤ" // ؤ
+    private val IHamza     = "إ" // إ
+    private val YHamza     = "ئ" // ئ
+    private val Alef       = "ا" // ا
+    private val Beh        = "ب" // ب
+    private val TehMarbuta = "ة" // ة
+    private val Teh        = "ت" // ت
+    private val Seen       = "س" // س
+    private val Feh        = "ف" // ف
+    private val Kaf        = "ك" // ك
+    private val Lam        = "ل" // ل
+    private val Meem       = "م" // م
+    private val Noon       = "ن" // ن
+    private val Heh        = "ه" // ه
+    private val Waw        = "و" // و
+    private val Maqsura    = "ى" // ى
+    private val Yeh        = "ي" // ي
+
+    /** U+FE80..U+FEFC presentation forms → base letters, run-length
+      * encoded in code-point order (count, replacement). */
+    private val PresentationForms: Array[String] = {
+      val runs = Seq(
+        1 -> Hamza, 2 -> Madda, 2 -> AHamza, 2 -> WHamza, 2 -> IHamza,
+        4 -> YHamza, 2 -> Alef, 4 -> Beh, 2 -> TehMarbuta, 4 -> Teh,
+        4 -> "ث", 4 -> "ج", 4 -> "ح", 4 -> "خ",
+        2 -> "د", 2 -> "ذ", 2 -> "ر", 2 -> "ز",
+        4 -> Seen, 4 -> "ش", 4 -> "ص", 4 -> "ض",
+        4 -> "ط", 4 -> "ظ", 4 -> "ع", 4 -> "غ",
+        4 -> Feh, 4 -> "ق", 4 -> Kaf, 4 -> Lam, 4 -> Meem,
+        4 -> Noon, 4 -> Heh, 2 -> Waw, 2 -> Maqsura, 4 -> Yeh,
+        2 -> (Lam + Madda), 2 -> (Lam + AHamza), 2 -> (Lam + IHamza),
+        2 -> (Lam + Alef))
+      runs.flatMap { case (n, rep) => Seq.fill(n)(rep) }.toArray
+    }
+
+    // suffix tables: (suffix, rule id), longest first; prefix tables likewise
+    private val VerbS1 = Array(
+      Kaf + Meem + Alef -> 3, Heh + Meem + Alef -> 3, Kaf + Meem + Waw -> 3,
+      Noon + Alef -> 2, Heh + Alef -> 2, Kaf + Meem -> 2, Heh + Meem -> 2,
+      Kaf + Noon -> 2, Heh + Noon -> 2, Noon + Yeh -> 2, Kaf -> 1, Heh -> 1)
+    private val VerbS2a = Array(
+      Teh + Meem + Alef -> 5, Teh + Alef -> 3, Noon + Alef -> 3,
+      Teh + Noon -> 3, Alef + Noon -> 4, Waw + Noon -> 4, Yeh + Noon -> 4,
+      Alef -> 2, Noon -> 2, Yeh -> 2, Teh -> 1)
+    private val VerbS2b = Array(Waw + Alef -> 1, Teh + Meem -> 1)
+    private val VerbS2c = Array(Teh + Meem + Waw -> 2, Waw -> 1)
+    private val NounS1a = Array(
+      Kaf + Meem + Alef -> 3, Heh + Meem + Alef -> 3,
+      Noon + Alef -> 2, Heh + Alef -> 2, Kaf + Meem -> 2, Heh + Meem -> 2,
+      Heh + Noon -> 2, Kaf -> 1, Heh -> 1, Yeh -> 1)
+
+    private final class M(val sb: StringBuilder) {
+      var cursor = 0
+      var bra = 0
+      var ket = 0
+      var isNoun = true
+      var isVerb = true
+      var isDefined = false
+
+      def saveB: Int = sb.length - cursor
+      def restoreB(v: Int): Unit = cursor = sb.length - v
+      def replaceSlice(s: String): Unit = {
+        val adj = s.length - (ket - bra)
+        sb.replace(bra, ket, s): Unit
+        if (cursor >= ket) cursor += adj else if (cursor > bra) cursor = bra
+      }
+      def delSlice(): Unit = replaceSlice("")
+
+      def startsHere(s: String): Boolean = {
+        val n = s.length
+        if (cursor + n > sb.length) return false
+        var i = 0
+        while (i < n) { if (sb.charAt(cursor + i) != s.charAt(i)) return false; i += 1 }
+        true
+      }
+      def amongF(entries: Array[(String, Int)]): Int = {
+        var i = 0
+        while (i < entries.length) {
+          val (s, id) = entries(i)
+          if (startsHere(s)) { cursor += s.length; return id }
+          i += 1
+        }
+        0
+      }
+      def endsHere(s: String): Boolean = {
+        val n = s.length
+        if (cursor < n) return false
+        var i = 0
+        while (i < n) { if (sb.charAt(cursor - n + i) != s.charAt(i)) return false; i += 1 }
+        true
+      }
+      def amongB(entries: Array[(String, Int)]): Int = {
+        var i = 0
+        while (i < entries.length) {
+          val (s, id) = entries(i)
+          if (endsHere(s)) { cursor -= s.length; return id }
+          i += 1
+        }
+        0
+      }
+    }
+
+    /** One backward suffix rule: match the table at the cursor, gate on
+      * the entry length, delete the slice. */
+    private def sDel(m: M, table: Array[(String, Int)], need: Int => Int): Boolean = {
+      val wl = m.sb.length
+      m.ket = m.cursor
+      val id = m.amongB(table)
+      if (id == 0) return false
+      m.bra = m.cursor
+      if (wl < need(id)) return false
+      m.delSlice(); true
+    }
+
+    private def sVerbStep1(m: M)    = sDel(m, VerbS1, { case 1 => 4; case 2 => 5; case _ => 6 })
+    private def sVerbStep2a(m: M)   = sDel(m, VerbS2a, { case 1 | 2 => 4; case 3 => 5; case _ => 6 })
+    private def sVerbStep2b(m: M)   = sDel(m, VerbS2b, _ => 5)
+    private def sVerbStep2c(m: M)   = sDel(m, VerbS2c, { case 1 => 4; case _ => 6 })
+    private def sNounStep1a(m: M)   = sDel(m, NounS1a, { case 1 => 4; case 2 => 5; case _ => 6 })
+    private def sNounStep1b(m: M)   = sDel(m, Array(Noon -> 1), _ => 6)
+    private def sNounStep2a(m: M)   = sDel(m, Array(Alef -> 1, Waw -> 1, Yeh -> 1), _ => 5)
+    private def sNounStep2b(m: M)   = sDel(m, Array(Alef + Teh -> 1), _ => 5)
+    private def sNounStep2c1(m: M)  = sDel(m, Array(Teh -> 1), _ => 4)
+    private def sNounStep2c2(m: M)  = sDel(m, Array(TehMarbuta -> 1), _ => 4)
+    private def sNounStep3(m: M)    = sDel(m, Array(Yeh -> 1), _ => 3)
+    private def sAlefMaqsura(m: M): Boolean = {
+      m.ket = m.cursor
+      if (m.amongB(Array(Maqsura -> 1)) == 0) return false
+      m.bra = m.cursor
+      m.replaceSlice(Yeh); true
+    }
+
+    // verb suffix chain: (Step1+ (Step2a|Step2c|next)) | Step2b | Step2a
+    private def verbSuffixes(m: M): Boolean = {
+      val v5 = m.saveB
+      val alt1 = {
+        var n = 0
+        var go = true
+        while (go) {
+          val v = m.saveB
+          if (sVerbStep1(m)) n += 1 else { m.restoreB(v); go = false }
+        }
+        if (n == 0) false
+        else {
+          val v8 = m.saveB
+          if (sVerbStep2a(m)) true
+          else {
+            m.restoreB(v8)
+            if (sVerbStep2c(m)) true
+            else {
+              m.restoreB(v8)
+              if (m.cursor > 0) { m.cursor -= 1; true } else false
+            }
+          }
+        }
+      }
+      if (alt1) return true
+      m.restoreB(v5)
+      if (sVerbStep2b(m)) return true
+      m.restoreB(v5)
+      sVerbStep2a(m)
+    }
+
+    // noun suffix chain: an optional pronoun/plural/feminine group, then
+    // the final-yeh strip is REQUIRED for the branch to hold
+    private def nounSuffixes(m: M): Boolean = {
+      val v9 = m.saveB
+      val tried = {
+        val v10 = m.saveB
+        if (sNounStep2c2(m)) true
+        else {
+          m.restoreB(v10)
+          val alt2 =
+            if (m.isDefined) false
+            else if (sNounStep1a(m)) {
+              val v12 = m.saveB
+              if (sNounStep2a(m)) true
+              else {
+                m.restoreB(v12)
+                if (sNounStep2b(m)) true
+                else {
+                  m.restoreB(v12)
+                  if (sNounStep2c1(m)) true
+                  else {
+                    m.restoreB(v12)
+                    if (m.cursor > 0) { m.cursor -= 1; true } else false
+                  }
+                }
+              }
+            } else false
+          if (alt2) true
+          else {
+            m.restoreB(v10)
+            val alt3 =
+              if (sNounStep1b(m)) {
+                val v13 = m.saveB
+                if (sNounStep2a(m)) true
+                else {
+                  m.restoreB(v13)
+                  if (sNounStep2b(m)) true
+                  else { m.restoreB(v13); sNounStep2c1(m) }
+                }
+              } else false
+            if (alt3) true
+            else {
+              m.restoreB(v10)
+              if (!m.isDefined && sNounStep2a(m)) true
+              else { m.restoreB(v10); sNounStep2b(m) }
+            }
+          }
+        }
+      }
+      if (!tried) m.restoreB(v9)
+      sNounStep3(m)
+    }
+
+    // ---- forward prefix rules (the cursor carries between steps)
+
+    private def checks1(m: M): Boolean = {
+      val wl = m.sb.length
+      val id = m.amongF(Array(
+        Beh + Alef + Lam -> 1, Kaf + Alef + Lam -> 1, Alef + Lam -> 2, Lam + Lam -> 2))
+      if (id == 0) return false
+      if (wl <= (if (id == 1) 4 else 3)) return false
+      m.isNoun = true; m.isVerb = false; m.isDefined = true
+      true
+    }
+
+    private def prefixStep1(m: M): Boolean = {
+      val wl = m.sb.length
+      m.bra = m.cursor
+      val id = m.amongF(Array(
+        AHamza + Madda -> 2, AHamza + AHamza -> 1, AHamza + WHamza -> 3,
+        AHamza + IHamza -> 5, AHamza + Alef -> 4))
+      if (id == 0) return false
+      m.ket = m.cursor
+      if (wl <= 3) return false
+      id match {
+        case 1 | 3 => m.replaceSlice(AHamza)
+        case 2     => m.replaceSlice(Madda)
+        case 4     => m.replaceSlice(Alef)
+        case _     => m.replaceSlice(IHamza)
+      }
+      true
+    }
+
+    private def prefixStep2(m: M): Boolean = {
+      val wl = m.sb.length
+      if (m.startsHere(Feh + Alef) || m.startsHere(Waw + Alef)) return false
+      m.bra = m.cursor
+      if (m.amongF(Array(Feh -> 1, Waw -> 1)) == 0) return false
+      m.ket = m.cursor
+      if (wl <= 3) return false
+      m.delSlice(); true
+    }
+
+    private def prefixStep3aNoun(m: M): Boolean = {
+      val wl = m.sb.length
+      m.bra = m.cursor
+      val id = m.amongF(Array(
+        Beh + Alef + Lam -> 1, Kaf + Alef + Lam -> 1, Alef + Lam -> 2, Lam + Lam -> 2))
+      if (id == 0) return false
+      m.ket = m.cursor
+      if (wl <= (if (id == 1) 5 else 4)) return false
+      m.delSlice(); true
+    }
+
+    private def prefixStep3bNoun(m: M): Boolean = {
+      val wl = m.sb.length
+      if (m.startsHere(Beh + Alef)) return false
+      m.bra = m.cursor
+      val id = m.amongF(Array(Beh + Beh -> 2, Kaf + Kaf -> 3, Beh -> 1))
+      if (id == 0) return false
+      m.ket = m.cursor
+      if (wl <= 3) return false
+      id match {
+        case 1 => m.delSlice()
+        case 2 => m.replaceSlice(Beh)
+        case _ => m.replaceSlice(Kaf)
+      }
+      true
+    }
+
+    private def prefixStep3Verb(m: M): Boolean = {
+      val wl = m.sb.length
+      m.bra = m.cursor
+      val id = m.amongF(Array(
+        Seen + Yeh -> 1, Seen + Teh -> 2, Seen + Noon -> 3, Seen + AHamza -> 4))
+      if (id == 0) return false
+      m.ket = m.cursor
+      if (wl <= 4) return false
+      id match {
+        case 1 => m.replaceSlice(Yeh)
+        case 2 => m.replaceSlice(Teh)
+        case 3 => m.replaceSlice(Noon)
+        case _ => m.replaceSlice(AHamza)
+      }
+      true
+    }
+
+    private def prefixStep4Verb(m: M): Boolean = {
+      val wl = m.sb.length
+      m.bra = m.cursor
+      val id = m.amongF(Array(
+        Teh + Seen + Teh -> 1, Noon + Seen + Teh -> 1, Yeh + Seen + Teh -> 1))
+      if (id == 0) return false
+      m.ket = m.cursor
+      if (wl <= 4) return false
+      m.isVerb = true; m.isNoun = false
+      m.replaceSlice(Alef + Seen + Teh)
+      true
+    }
+
+    private def prefixes(m: M): Unit = {
+      val v16 = m.cursor
+      if (!prefixStep1(m)) m.cursor = v16
+      val v17 = m.cursor
+      if (!prefixStep2(m)) m.cursor = v17
+      val v18 = m.cursor
+      if (!prefixStep3aNoun(m)) {
+        m.cursor = v18
+        val alt2 = m.isNoun && prefixStep3bNoun(m)
+        if (!alt2) {
+          m.cursor = v18
+          if (!m.isVerb) return
+          val v19 = m.cursor
+          if (!prefixStep3Verb(m)) m.cursor = v19
+          prefixStep4Verb(m): Unit
+        }
+      }
+    }
+
+    /** Strip tatweel and harakat, map Arabic-Indic digits to ASCII, fold
+      * presentation forms (lam-alef ligatures expand to two letters). */
+    private def normalizePre(sb: StringBuilder): Unit = {
+      var i = 0
+      while (i < sb.length) {
+        val c = sb.charAt(i)
+        if (c == 'ـ' || (c >= 'ً' && c <= 'ْ')) sb.deleteCharAt(i): Unit
+        else if (c >= '٠' && c <= '٩') {
+          sb.setCharAt(i, ('0' + (c - '٠')).toChar); i += 1
+        } else if (c >= 'ﺀ' && c <= 'ﻼ') {
+          val rep = PresentationForms(c - 0xFE80)
+          sb.replace(i, i + 1, rep): Unit
+          i += rep.length
+        } else i += 1
+      }
+    }
+
+    /** Deconstruct a final hamza carrier to bare hamza; fold the carriers
+      * to alef/waw/yeh everywhere else. */
+    private def normalizePost(sb: StringBuilder): Unit = {
+      if (sb.nonEmpty) {
+        val last = sb.charAt(sb.length - 1)
+        if (last == Madda(0) || last == AHamza(0) || last == WHamza(0) ||
+            last == IHamza(0) || last == YHamza(0))
+          sb.setCharAt(sb.length - 1, Hamza(0))
+      }
+      var i = 0
+      while (i < sb.length) {
+        val c = sb.charAt(i)
+        if (c == Madda(0) || c == AHamza(0) || c == IHamza(0)) sb.setCharAt(i, Alef(0))
+        else if (c == WHamza(0)) sb.setCharAt(i, Waw(0))
+        else if (c == YHamza(0)) sb.setCharAt(i, Yeh(0))
+        i += 1
+      }
+    }
+
+    def stem(word: String): String = {
+      val sb = new StringBuilder(word)
+      val m = new M(sb)
+      checks1(m): Unit        // flags only, on the raw word
+      m.cursor = 0
+      normalizePre(sb)
+      // backward suffix block
+      m.cursor = sb.length
+      val alt1 = m.isVerb && verbSuffixes(m)
+      if (!alt1) {
+        m.cursor = sb.length
+        val alt2 = m.isNoun && nounSuffixes(m)
+        if (!alt2) {
+          m.cursor = sb.length
+          sAlefMaqsura(m): Unit
+        }
+      }
+      // forward prefix block
+      m.cursor = 0
+      prefixes(m)
+      normalizePost(sb)
+      sb.toString
+    }
+  }
 }

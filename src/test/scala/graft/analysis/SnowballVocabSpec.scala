@@ -42,6 +42,7 @@ class SnowballVocabSpec extends AnyFunSuite {
   test("finnish vocabulary stems exactly") { check("finnish", Snowball.Finnish.stem) }
   test("hungarian vocabulary stems exactly") { check("hungarian", Snowball.Hungarian.stem) }
   test("turkish vocabulary stems exactly") { check("turkish", Snowball.Turkish.stem) }
+  test("arabic vocabulary stems exactly") { check("arabic", Snowball.Arabic.stem) }
   test("english (Porter2) vocabulary stems exactly") {
     check("english", Snowball.English.stem)
   }
