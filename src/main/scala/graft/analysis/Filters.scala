@@ -47,6 +47,7 @@ case object PorterStemFilter extends TokenFilter {
 final case class SnowballStemFilter(lang: String) extends TokenFilter {
   private val stemmer: String => String = lang match {
     case "german"     => Snowball.German.stem
+    case "german2"    => Snowball.German2.stem
     case "spanish"    => Snowball.Spanish.stem
     case "french"     => Snowball.French.stem
     case "italian"    => Snowball.Italian.stem

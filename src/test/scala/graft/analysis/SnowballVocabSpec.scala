@@ -43,6 +43,7 @@ class SnowballVocabSpec extends AnyFunSuite {
   test("hungarian vocabulary stems exactly") { check("hungarian", Snowball.Hungarian.stem) }
   test("turkish vocabulary stems exactly") { check("turkish", Snowball.Turkish.stem) }
   test("arabic vocabulary stems exactly") { check("arabic", Snowball.Arabic.stem) }
+  test("german2 vocabulary stems exactly") { check("german2", Snowball.German2.stem) }
   test("english (Porter2) vocabulary stems exactly") {
     check("english", Snowball.English.stem)
   }
