@@ -44,6 +44,7 @@ class SnowballVocabSpec extends AnyFunSuite {
   test("turkish vocabulary stems exactly") { check("turkish", Snowball.Turkish.stem) }
   test("arabic vocabulary stems exactly") { check("arabic", Snowball.Arabic.stem) }
   test("german2 vocabulary stems exactly") { check("german2", Snowball.German2.stem) }
+  test("lovins vocabulary stems exactly") { check("lovins", Snowball.Lovins.stem) }
   test("english (Porter2) vocabulary stems exactly") {
     check("english", Snowball.English.stem)
   }
