@@ -63,6 +63,7 @@ final case class SnowballStemFilter(lang: String) extends TokenFilter {
     case "turkish"    => Snowball.Turkish.stem
     case "arabic"     => Snowball.Arabic.stem
     case "lovins"     => Snowball.Lovins.stem
+    case "kp"         => Snowball.KraaijPohlmann.stem
     // SnowballFilter("English") is Porter2; the classic 1980 Porter stays
     // behind PorterStemFilter (Lucene's PorterStemFilter)
     case "english"    => Snowball.English.stem

@@ -45,6 +45,9 @@ class SnowballVocabSpec extends AnyFunSuite {
   test("arabic vocabulary stems exactly") { check("arabic", Snowball.Arabic.stem) }
   test("german2 vocabulary stems exactly") { check("german2", Snowball.German2.stem) }
   test("lovins vocabulary stems exactly") { check("lovins", Snowball.Lovins.stem) }
+  test("kraaij_pohlmann vocabulary stems exactly") {
+    check("kraaij_pohlmann", Snowball.KraaijPohlmann.stem)
+  }
   test("english (Porter2) vocabulary stems exactly") {
     check("english", Snowball.English.stem)
   }
