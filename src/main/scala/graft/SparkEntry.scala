@@ -1115,24 +1115,29 @@ object SparkEntry {
       import s.implicits._
       val langs = Seq("german", "spanish", "french", "italian", "portuguese",
         "danish", "norwegian", "swedish", "dutch", "russian", "romanian",
-        "finnish", "hungarian")
+        "finnish", "hungarian", "turkish", "arabic", "german2", "lovins",
+        "kp", "english")
       val chains = langs.map(l =>
         graft.analysis.AnalyzerChain(Seq(graft.analysis.SnowballStemFilter(l))))
       val lists = Seq(SnowballWordsDe, SnowballWordsEs, SnowballWordsFr,
         SnowballWordsIt, SnowballWordsPt, SnowballWordsDa, SnowballWordsNo,
         SnowballWordsSv, SnowballWordsNl, SnowballWordsRu, SnowballWordsRo,
-        SnowballWordsFi, SnowballWordsHu)
+        SnowballWordsFi, SnowballWordsHu, SnowballWordsTr, SnowballWordsAr,
+        SnowballWordsDe2, SnowballWordsLov, SnowballWordsKp, SnowballWordsEn)
       rd(s, d, "documents").select(col("doc_id")).as[Long]
         .map { id =>
           val stems = chains.zip(lists).map { case (c, ws) =>
             c.terms(ws((id % ws.size).toInt)).mkString(" ")
           }
           (id, stems(0), stems(1), stems(2), stems(3), stems(4), stems(5),
-            stems(6), stems(7), stems(8), stems(9), stems(10), stems(11), stems(12))
+            stems(6), stems(7), stems(8), stems(9), stems(10), stems(11),
+            stems(12), stems(13), stems(14), stems(15), stems(16), stems(17),
+            stems(18))
         }
         .toDF("doc_id", "stem_de", "stem_es", "stem_fr", "stem_it", "stem_pt",
           "stem_da", "stem_no", "stem_sv", "stem_nl", "stem_ru", "stem_ro",
-          "stem_fi", "stem_hu")
+          "stem_fi", "stem_hu", "stem_tr", "stem_ar", "stem_de2", "stem_lov",
+          "stem_kp", "stem_en")
     }),
 
     "ta_fingerprint" -> ((s, d) => TextOps.fingerprint(rd(s, d, "documents"),
@@ -3209,6 +3214,18 @@ object SparkEntry {
     "mahdollisuuksien", "työntekijät", "kauneimmat", "järjestykseen", "puhelimella")
   private val SnowballWordsHu = Seq("házakban", "lehetõségei", "munkásokkal",
     "legszebb", "barátaim", "fejlesztése", "városából", "gyerekeknek")
+  private val SnowballWordsTr = Seq("kitaplarımdan", "evlerinde", "çocukları",
+    "arkadaşlarımla", "geliyorum", "okullardan", "öğretmenlerimiz", "şehirlerde")
+  private val SnowballWordsAr = Seq("ءامنوا", "أطفالهم", "بالكتاب",
+    "يستعملون", "مدرستنا", "والمعلمين", "سيذهبون", "مكتبات")
+  private val SnowballWordsDe2 = Seq("haeuser", "schoenheit", "uebung",
+    "quelle", "groesse", "moeglichkeiten", "fuehren", "baeume")
+  private val SnowballWordsLov = Seq("nationally", "proceedings", "sitting",
+    "magnesium", "believable", "induction", "angularity", "happiness")
+  private val SnowballWordsKp = Seq("huizen", "lopende", "gebouwen",
+    "mogelijkheden", "snelheid", "werkende", "belangrijkste", "vriendelijkheid")
+  private val SnowballWordsEn = Seq("generously", "crying", "agreements",
+    "conflated", "national", "ties", "happiness", "running")
 
   /** The ta_fold oracle — INDEPENDENT of the Scala folding: DuckDB's own
     * strip_accents does the unaccenting and a list_filter replicates the
@@ -3242,6 +3259,12 @@ object SparkEntry {
     val ro = arm(SnowballWordsRo, graft.analysis.Snowball.Romanian.stem)
     val fi = arm(SnowballWordsFi, graft.analysis.Snowball.Finnish.stem)
     val hu = arm(SnowballWordsHu, graft.analysis.Snowball.Hungarian.stem)
+    val tr = arm(SnowballWordsTr, graft.analysis.Snowball.Turkish.stem)
+    val ar = arm(SnowballWordsAr, graft.analysis.Snowball.Arabic.stem)
+    val de2 = arm(SnowballWordsDe2, graft.analysis.Snowball.German2.stem)
+    val lov = arm(SnowballWordsLov, graft.analysis.Snowball.Lovins.stem)
+    val kp = arm(SnowballWordsKp, graft.analysis.Snowball.KraaijPohlmann.stem)
+    val en = arm(SnowballWordsEn, graft.analysis.Snowball.English.stem)
     s"""SELECT doc_id,
        | CASE CAST(doc_id % ${SnowballWordsDe.size} AS INT) $de END AS stem_de,
        | CASE CAST(doc_id % ${SnowballWordsEs.size} AS INT) $es END AS stem_es,
@@ -3255,7 +3278,13 @@ object SparkEntry {
        | CASE CAST(doc_id % ${SnowballWordsRu.size} AS INT) $ru END AS stem_ru,
        | CASE CAST(doc_id % ${SnowballWordsRo.size} AS INT) $ro END AS stem_ro,
        | CASE CAST(doc_id % ${SnowballWordsFi.size} AS INT) $fi END AS stem_fi,
-       | CASE CAST(doc_id % ${SnowballWordsHu.size} AS INT) $hu END AS stem_hu
+       | CASE CAST(doc_id % ${SnowballWordsHu.size} AS INT) $hu END AS stem_hu,
+       | CASE CAST(doc_id % ${SnowballWordsTr.size} AS INT) $tr END AS stem_tr,
+       | CASE CAST(doc_id % ${SnowballWordsAr.size} AS INT) $ar END AS stem_ar,
+       | CASE CAST(doc_id % ${SnowballWordsDe2.size} AS INT) $de2 END AS stem_de2,
+       | CASE CAST(doc_id % ${SnowballWordsLov.size} AS INT) $lov END AS stem_lov,
+       | CASE CAST(doc_id % ${SnowballWordsKp.size} AS INT) $kp END AS stem_kp,
+       | CASE CAST(doc_id % ${SnowballWordsEn.size} AS INT) $en END AS stem_en
        | FROM documents""".stripMargin
   }
 
