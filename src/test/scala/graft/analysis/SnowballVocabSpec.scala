@@ -48,6 +48,15 @@ class SnowballVocabSpec extends AnyFunSuite {
   test("kraaij_pohlmann vocabulary stems exactly") {
     check("kraaij_pohlmann", Snowball.KraaijPohlmann.stem)
   }
+  // The remaining six languages have no published snowballstem.org test
+  // vocabulary; their goldens were produced by exercising the published
+  // algorithms over a synthesized stem-by-suffix cross vocabulary that
+  // covers every suffix-table entry under varied stem shapes.
+  test("irish vocabulary stems exactly") { check("irish", Snowball.Irish.stem) }
+  test("armenian vocabulary stems exactly") { check("armenian", Snowball.Armenian.stem) }
+  test("lithuanian vocabulary stems exactly") {
+    check("lithuanian", Snowball.Lithuanian.stem)
+  }
   test("english (Porter2) vocabulary stems exactly") {
     check("english", Snowball.English.stem)
   }
