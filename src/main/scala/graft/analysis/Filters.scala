@@ -64,6 +64,12 @@ final case class SnowballStemFilter(lang: String) extends TokenFilter {
     case "arabic"     => Snowball.Arabic.stem
     case "lovins"     => Snowball.Lovins.stem
     case "kp"         => Snowball.KraaijPohlmann.stem
+    case "irish"      => Snowball.Irish.stem
+    case "armenian"   => Snowball.Armenian.stem
+    case "lithuanian" => Snowball.Lithuanian.stem
+    case "basque"     => Snowball.Basque.stem
+    case "catalan"    => Snowball.Catalan.stem
+    case "estonian"   => Snowball.Estonian.stem
     // SnowballFilter("English") is Porter2; the classic 1980 Porter stays
     // behind PorterStemFilter (Lucene's PorterStemFilter)
     case "english"    => Snowball.English.stem

@@ -57,6 +57,9 @@ class SnowballVocabSpec extends AnyFunSuite {
   test("lithuanian vocabulary stems exactly") {
     check("lithuanian", Snowball.Lithuanian.stem)
   }
+  test("basque vocabulary stems exactly") { check("basque", Snowball.Basque.stem) }
+  test("catalan vocabulary stems exactly") { check("catalan", Snowball.Catalan.stem) }
+  test("estonian vocabulary stems exactly") { check("estonian", Snowball.Estonian.stem) }
   test("english (Porter2) vocabulary stems exactly") {
     check("english", Snowball.English.stem)
   }
