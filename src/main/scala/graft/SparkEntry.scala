@@ -1104,6 +1104,21 @@ object SparkEntry {
         .toDF("doc_id", "folded")
     }),
 
+    // CJK analysis through the real analyzer-chain path (the --cjk CLI
+    // preset: width folding + character bigrams). The oracle is INDEPENDENT:
+    // the expected bigram strings are written out by hand in CjkExpected,
+    // not computed by the filter under test.
+    "ta_cjk" -> ((s, d) => {
+      import s.implicits._
+      val chain = graft.analysis.AnalyzerChain(Seq(
+        graft.analysis.CJKWidthFilter, graft.analysis.CJKBigramFilter()))
+      rd(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, chain.terms(CjkWords((id % CjkWords.size).toInt)).mkString(" "))
+        }
+        .toDF("doc_id", "cjk_terms")
+    }),
+
     // Snowball stemming through the real analyzer-chain path: each doc_id
     // deterministically picks a word from the fixed per-language lists and
     // stems it through AnalyzerChain(SnowballStemFilter(lang)) — the same
@@ -2631,6 +2646,7 @@ object SparkEntry {
           | FROM documents""".stripMargin,
       "ta_langid" -> langIdSql,
       "ta_snowball" -> snowballSql,
+      "ta_cjk" -> cjkSql,
       "ta_fold" -> foldSql,
       "ta_fingerprint" ->
         """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
@@ -3175,6 +3191,28 @@ object SparkEntry {
     "über", "crème brûlée", "señor día", "zürich tokyo", "élève motivé",
     "piñata función", "à la côte", "smörgåsbord")
 
+  /** CJK inputs for the ta_cjk chain query (width variants, Japanese
+    * han/kana mixes, Korean spaced words) paired with the HAND-WRITTEN
+    * expected output of the width→bigram chain, so the oracle is fully
+    * independent of the Scala implementation. */
+  private val CjkWords = Seq(
+    "多くの学生",     "中国人民共和国",   "ｶﾀｶﾅ",          "ﾊﾟﾅｿﾆｯｸ",
+    "東京タワー",     "한국어 처리",      "Ｔｅｓｔ １２３４", "日本語テキスト",
+    "データ分析と機械学習", "ヴィッツ",   "検索エンジンの性能", "中 test 国")
+  private val CjkExpected = Seq(
+    "多く くの の学 学生",
+    "中国 国人 人民 民共 共和 和国",
+    "カタ タカ カナ",
+    "パナ ナソ ソニ ニッ ック",
+    "東京 京タ タワ ワー",
+    "한국 국어 처리",
+    "test 1234",
+    "日本 本語 語テ テキ キス スト",
+    "デー ータ タ分 分析 析と と機 機械 械学 学習",
+    "ヴィ ィッ ッツ",
+    "検索 索エ エン ンジ ジン ンの の性 性能",
+    "中 test 国")
+
   /** Fixed per-language word lists for the ta_snowball chain query —
     * chosen to exercise umlaut/accent handling, R1/R2/RV gating, verb
     * suffixes, and derivational endings. */
@@ -3237,6 +3275,16 @@ object SparkEntry {
        | array_to_string(list_filter(
        |   string_split(strip_accents(CASE CAST(doc_id % ${FoldWords.size} AS INT) $arms END), ' '),
        |   t -> length(t) >= 2), ' ') AS folded
+       | FROM documents""".stripMargin
+  }
+
+  /** The ta_cjk oracle: doc_id -> hand-written expected bigram string
+    * (CjkExpected literals — independent of the Scala chain). */
+  private def cjkSql: String = {
+    val arms = CjkExpected.zipWithIndex
+      .map { case (w, i) => s"WHEN $i THEN '$w'" }.mkString(" ")
+    s"""SELECT doc_id,
+       | CASE CAST(doc_id % ${CjkExpected.size} AS INT) $arms END AS cjk_terms
        | FROM documents""".stripMargin
   }
 

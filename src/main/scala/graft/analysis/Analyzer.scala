@@ -89,8 +89,28 @@ object Analyzer extends Serializable {
   /** CJK ideographs are single-codepoint tokens (UAX#29 gives Han no
     * word-joining rule; reference StandardTokenizer emits IDEOGRAPHIC
     * type per character — analysis/standard/StandardTokenizerImpl.java).
-    * Katakana/Hangul stay letter runs, also per UAX#29. */
+    * Hiragana likewise has no joining rule (per-char <HIRAGANA> tokens);
+    * Katakana joins only with itself (WB13 — <KATAKANA> runs break against
+    * Latin/digits/other scripts); Hangul syllables are ALetter and stay
+    * generic letter runs (which is why "한국abc" is ONE token both here
+    * and in the reference). */
   @inline private def isIdeograph(cp: Int): Boolean = Character.isIdeographic(cp)
+
+  /** Hiragana LETTERS (combining marks / symbols in the block excluded —
+    * they are not word chars and never reach the token). */
+  @inline private def isHiragana(cp: Int): Boolean =
+    (cp >= 0x3041 && cp <= 0x3096) || cp == 0x309D || cp == 0x309E
+
+  /** Katakana word-char class (UAX#29 Katakana property's letter subset):
+    * the main block incl. ー U+30FC, phonetic extensions, halfwidth forms. */
+  @inline private def isKatakana(cp: Int): Boolean =
+    (cp >= 0x30A1 && cp <= 0x30FA) || (cp >= 0x30FC && cp <= 0x30FE) ||
+    (cp >= 0x31F0 && cp <= 0x31FF) || (cp >= 0xFF66 && cp <= 0xFF9F)
+
+  /** WB13: a Katakana↔non-Katakana boundary between two word chars breaks
+    * the run ('_' ExtendNumLet still joins per WB13a/b). */
+  @inline private def scriptBreak(prev: Int, next: Int): Boolean =
+    isWordChar(prev) && isWordChar(next) && (isKatakana(prev) != isKatakana(next))
 
   @inline private def isExtend(cp: Int): Boolean = cp == '_'
 
@@ -136,12 +156,13 @@ object Analyzer extends Serializable {
         out += Token(text.substring(i, e), pos)
         pos += 1
         i = e
-      } else if (isIdeograph(cp)) {
+      } else if (isIdeograph(cp) || isHiragana(cp)) {
         if (sb.length > 0) flush()
         sb.appendCodePoint(cp)
-        flush() // one token per ideograph
+        flush() // one token per ideograph / hiragana char
         i += w
       } else if (isWordChar(cp) || (isExtend(cp) && sb.length > 0)) {
+        if (sb.length > 0 && scriptBreak(sb.codePointBefore(sb.length), cp)) flush()
         sb.appendCodePoint(cp)
         i += w
       } else if (sb.length > 0 && i + w < n && joins(cp, sb.codePointBefore(sb.length), text.codePointAt(i + w))) {
@@ -201,13 +222,14 @@ object Analyzer extends Serializable {
         out += OffsetToken(text.substring(i, e), pos, i, e)
         pos += 1
         i = e
-      } else if (isIdeograph(cp)) {
+      } else if (isIdeograph(cp) || isHiragana(cp)) {
         if (sb.length > 0) flush()
         tokStart = i
         sb.appendCodePoint(cp)
-        flush() // one token per ideograph
+        flush() // one token per ideograph / hiragana char
         i += w
       } else if (isWordChar(cp) || (isExtend(cp) && sb.length > 0)) {
+        if (sb.length > 0 && scriptBreak(sb.codePointBefore(sb.length), cp)) flush()
         if (sb.length == 0) tokStart = i
         sb.appendCodePoint(cp)
         i += w
@@ -276,12 +298,13 @@ object Analyzer extends Serializable {
         val e = emojiEnd(text, i)
         f(text.substring(i, e))
         i = e
-      } else if (isIdeograph(cp)) {
+      } else if (isIdeograph(cp) || isHiragana(cp)) {
         if (sb.length > 0) flush()
         sb.appendCodePoint(cp)
-        flush() // one token per ideograph
+        flush() // one token per ideograph / hiragana char
         i += w
       } else if (isWordChar(cp) || (isExtend(cp) && sb.length > 0)) {
+        if (sb.length > 0 && scriptBreak(sb.codePointBefore(sb.length), cp)) flush()
         sb.appendCodePoint(cp)
         i += w
       } else if (sb.length > 0 && i + w < n && joins(cp, sb.codePointBefore(sb.length), text.codePointAt(i + w))) {

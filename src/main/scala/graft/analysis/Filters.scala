@@ -300,6 +300,177 @@ final case class WordDelimiterFilter(preserveOriginal: Boolean = true,
   }
 }
 
+/** Width folding for CJK text (analysis/cjk/CJKWidthFilter.java): fullwidth
+  * ASCII variants (U+FF01-FF5E) fold to basic Latin, halfwidth Katakana
+  * variants (U+FF61-FF9F) fold to standard Katakana with the halfwidth
+  * voiced/semi-voiced sound marks (U+FF9E/FF9F) composed onto the preceding
+  * kana (the reference's explicit KANA_NORM/KANA_COMBINE_* tables are the
+  * width-form slice of NFKC + canonical composition, which is what runs
+  * here — spliced per width-form run so no other compatibility characters
+  * in the token are touched). Positions unchanged. */
+case object CJKWidthFilter extends TokenFilter {
+  @inline private def isWidthForm(c: Char): Boolean = c >= 0xFF00 && c <= 0xFFEF
+  private[analysis] def fold(s: String): String = {
+    if (!s.exists(isWidthForm)) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (isWidthForm(s.charAt(i))) {
+        var j = i + 1
+        while (j < s.length && isWidthForm(s.charAt(j))) j += 1
+        // a leading voice mark composes onto the PRECEDING (already-standard)
+        // kana: pull the emitted kana back into the normalization window
+        if ((s.charAt(i) == 0xFF9E.toChar || s.charAt(i) == 0xFF9F.toChar) && sb.length > 0) {
+          val prev = sb.charAt(sb.length - 1)
+          sb.setLength(sb.length - 1)
+          sb.append(java.text.Normalizer.normalize(prev.toString + s.substring(i, j),
+            java.text.Normalizer.Form.NFKC))
+        } else {
+          sb.append(java.text.Normalizer.normalize(s.substring(i, j),
+            java.text.Normalizer.Form.NFKC))
+        }
+        i = j
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) =
+    (tokens.map(t => t.copy(term = fold(t.term))), overlaps)
+}
+
+/**
+ * CJK bigram formation (analysis/cjk/CJKBigramFilter.java with all four
+ * scripts enabled — the CJKAnalyzer configuration): maximal runs of
+ * adjacent Han / Hiragana / Katakana / Hangul characters are re-emitted as
+ * overlapping character bigrams ("多くの" → 多く, くの); a lone CJK
+ * character with no neighbor stays a unigram (the reference's SINGLE
+ * fallback). With `outputUnigrams` every character is ALSO emitted as a
+ * unigram and the bigrams stack on them as overlaps (posInc 0) — the
+ * combined unigram+bigram recall/precision mode.
+ *
+ * Adjacency on this chain's position-only stream: characters inside one
+ * token are adjacent by construction; ACROSS a token boundary the run
+ * continues only when the positions are consecutive AND one side is a
+ * single-character Han or Hiragana token. The tokenizer emits Han and
+ * Hiragana one-char-per-token (so 中国 and これ arrive as tokens that must
+ * re-join) but keeps Katakana and Hangul as letter RUNS — a boundary
+ * between two run tokens therefore implies a real separator in the text
+ * and breaks the bigram window, mirroring the reference's
+ * offset-contiguity rule (CJKBigramFilter.java:304-310, lastEndOffset);
+ * for Korean, where whitespace separates real words, runs never join
+ * across it. The one documented divergence: whitespace BETWEEN two Han or
+ * Hiragana characters does not break the run here (offsets are not
+ * carried through the chain; Japanese/Chinese text does not use
+ * intra-word whitespace). Non-CJK tokens pass through unmodified; mixed
+ * CJK/non-CJK tokens pass through whole, as the reference does for
+ * mixed-script ALPHANUM tokens (CJKBigramFilter.java:49-56 scaladoc).
+ *
+ * Positions shift like [[WordDelimiterFilter]]: a run of n chars occupies
+ * n-1 positions (bigram mode), n positions (unigram+bigram mode), or 1
+ * (lone char); downstream tokens slide to stay dense.
+ */
+final case class CJKBigramFilter(outputUnigrams: Boolean = false) extends TokenFilter {
+  @inline private def isCjkCp(cp: Int): Boolean =
+    Character.isIdeographic(cp) ||
+    (cp >= 0x3040 && cp <= 0x30FF) || // hiragana + katakana (incl. ー U+30FC)
+    (cp >= 0x31F0 && cp <= 0x31FF) || // katakana phonetic extensions
+    (cp >= 0xAC00 && cp <= 0xD7AF) || // hangul syllables
+    (cp >= 0x1100 && cp <= 0x11FF)    // hangul jamo
+  private def isCjkToken(term: String): Boolean = {
+    var i = 0
+    while (i < term.length) {
+      val cp = term.codePointAt(i)
+      if (!isCjkCp(cp)) return false
+      i += Character.charCount(cp)
+    }
+    term.nonEmpty
+  }
+  /** Single Han/Hiragana char — the token shapes the tokenizer emits
+    * per-character, whose boundaries carry no separator information. */
+  @inline private def joinableSingle(term: String): Boolean =
+    term.codePointCount(0, term.length) == 1 && {
+      val cp = term.codePointAt(0)
+      Character.isIdeographic(cp) || (cp >= 0x3041 && cp <= 0x309E)
+    }
+
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) = {
+    val outT = Vector.newBuilder[Token] // Vector: downstream filters index into the stream
+    val outO = Vector.newBuilder[Boolean]
+    var shift = 0
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      if (!isCjkToken(t.term) || overlaps(i)) {
+        // pass-through (injected overlaps never join a bigram run — they are
+        // synonyms of whole tokens, not adjacent text)
+        outT += t.copy(pos = t.pos + shift); outO += overlaps(i)
+        i += 1
+      } else {
+        // collect the maximal run
+        val runStart = i
+        val cps = new ArrayBufferInt
+        var k = i
+        while ({
+          var c = 0
+          while (c < tokens(k).term.length) {
+            val cp = tokens(k).term.codePointAt(c)
+            cps += cp; c += Character.charCount(cp)
+          }
+          val next = k + 1
+          val joins = next < tokens.length && !overlaps(next) &&
+            tokens(next).pos == tokens(k).pos + 1 && isCjkToken(tokens(next).term) &&
+            (joinableSingle(tokens(k).term) || joinableSingle(tokens(next).term))
+          if (joins) { k = next; true } else false
+        }) ()
+        val m = cps.length
+        val base = t.pos + shift
+        val consumed = tokens(k).pos - t.pos + 1 // input positions used by the run
+        var emitted = 0
+        if (m == 1) {
+          outT += Token(new String(Character.toChars(cps(0))), base); outO += false
+          emitted = 1
+        } else if (outputUnigrams) {
+          var u = 0
+          while (u < m) {
+            outT += Token(new String(Character.toChars(cps(u))), base + u); outO += false
+            if (u < m - 1) {
+              outT += Token(new String(Character.toChars(cps(u))) +
+                new String(Character.toChars(cps(u + 1))), base + u)
+              outO += true // bigram overlaps its first char's unigram
+            }
+            u += 1
+          }
+          emitted = m
+        } else {
+          var u = 0
+          while (u < m - 1) {
+            outT += Token(new String(Character.toChars(cps(u))) +
+              new String(Character.toChars(cps(u + 1))), base + u)
+            outO += false
+            u += 1
+          }
+          emitted = m - 1
+        }
+        shift += emitted - consumed
+        i = k + 1
+      }
+    }
+    (outT.result(), outO.result())
+  }
+}
+
+/** Tiny growable int buffer (avoids boxing in the bigram hot path). */
+private[analysis] final class ArrayBufferInt {
+  private var a = new Array[Int](16)
+  private var n = 0
+  def +=(v: Int): Unit = {
+    if (n == a.length) { val b = new Array[Int](n * 2); System.arraycopy(a, 0, b, 0, n); a = b }
+    a(n) = v; n += 1
+  }
+  def apply(i: Int): Int = a(i)
+  def length: Int = n
+}
+
 /**
  * The analysis chain: the standard tokenizer ([[Analyzer]]: UAX#29 subset
  * + lowercase) followed by the configured filters. `AnalyzerChain(Nil)`
@@ -389,6 +560,8 @@ object AnalyzerChain {
       case EdgeNGramFilter(mn, mx, orig) =>
         s"""{"type":"edgengram","min":$mn,"max":$mx,"original":$orig}"""
       case PhoneticFilter(inj) => s"""{"type":"phonetic","inject":$inj}"""
+      case CJKWidthFilter => """{"type":"cjkwidth"}"""
+      case CJKBigramFilter(uni) => s"""{"type":"cjkbigram","unigrams":$uni}"""
       case KeywordStemFilter(prot, ov) =>
         val entries = ov.toSeq.sortBy(_._1).map { case (k, v) => s"${word(k)}:${word(v)}" }
         s"""{"type":"kwstem","protected":[${prot.toSeq.sorted.map(word).mkString(",")}],""" +
@@ -401,7 +574,7 @@ object AnalyzerChain {
 
   def fromJson(json: String): AnalyzerChain = {
     val filterRe =
-      """\{"type":"(stop|porter|snowball|synonym|ascii|length|shingle|edgengram|phonetic|worddelim|kwstem)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
+      """\{"type":"(stop|porter|snowball|synonym|ascii|length|shingle|edgengram|phonetic|worddelim|kwstem|cjkwidth|cjkbigram)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
     val wordsRe = """"([^"]+)"""".r
     def intField(body: String, k: String): Int =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
@@ -421,6 +594,8 @@ object AnalyzerChain {
           EdgeNGramFilter(intField(body, "min"), intField(body, "max"),
             boolField(body, "original"))
         case "phonetic" => PhoneticFilter(boolField(body, "inject"))
+        case "cjkwidth" => CJKWidthFilter
+        case "cjkbigram" => CJKBigramFilter(boolField(body, "unigrams"))
         case "worddelim" =>
           WordDelimiterFilter(boolField(body, "original"), boolField(body, "possessive"))
         case "stop" =>

@@ -60,10 +60,17 @@ object IndexCli {
           base.copy(filters = graft.analysis.AsciiFoldingFilter +:
             graft.analysis.LengthFilter(2, 255) +: base.filters)
         else base
+      // --cjk: CJKAnalyzer preset (width folding + character bigrams —
+      // analysis/cjk/CJKAnalyzer.java's width→lowercase→bigram stack)
+      val cjk =
+        if (rest.contains("--cjk"))
+          folded.copy(filters = graft.analysis.CJKWidthFilter +:
+            graft.analysis.CJKBigramFilter() +: folded.filters)
+        else folded
       val chain =
         if (rest.contains("--code"))
-          folded.copy(wordDelimiter = Some(graft.analysis.WordDelimiterFilter()))
-        else folded
+          cjk.copy(wordDelimiter = Some(graft.analysis.WordDelimiterFilter()))
+        else cjk
       val t0 = System.nanoTime()
       IndexStore.build(spark, withIds, dir, segs, spark.sparkContext.defaultParallelism,
         withPositions = rest.contains("--pos"), withOffsets = rest.contains("--offsets"),

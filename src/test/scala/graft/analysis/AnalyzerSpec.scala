@@ -35,6 +35,14 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(Analyzer.terms("hello世界ok") === Seq("hello", "世", "界", "ok"))
     assert(Analyzer.terms("カタカナ") === Seq("カタカナ")) // katakana run
     assert(Analyzer.terms("한국어 텍스트") === Seq("한국어", "텍스트")) // hangul runs
+    // hiragana is per-character (UAX#29 gives it no joining rule — the
+    // reference StandardTokenizer emits <HIRAGANA> per char); katakana
+    // runs break against Latin/digits (WB13 joins Katakana only with
+    // Katakana); hangul is ALetter and merges with Latin
+    assert(Analyzer.terms("これはtestです") === Seq("こ", "れ", "は", "test", "で", "す"))
+    assert(Analyzer.terms("テストtest") === Seq("テスト", "test"))
+    assert(Analyzer.terms("タワー2") === Seq("タワー", "2"))
+    assert(Analyzer.terms("한국abc") === Seq("한국abc"))
     // positions advance per ideograph token
     assert(Analyzer.analyze("x 中国 y").map(t => (t.term, t.pos)) ===
       Seq(("x", 0), ("中", 1), ("国", 2), ("y", 3)))
