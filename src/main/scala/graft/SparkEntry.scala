@@ -1155,6 +1155,26 @@ object SparkEntry {
           "stem_kp", "stem_en")
     }),
 
+    // CLEF light/minimal stemmer family (Savoy/UniNE/RSLP/Sorani rules;
+    // each vocabulary-validated in LightStemVocabSpec) through the chain
+    "ta_lightstem" -> ((s, d) => {
+      import s.implicits._
+      val chains = LightStemLangs.map(l =>
+        graft.analysis.AnalyzerChain(Seq(graft.analysis.LightStemFilter(l))))
+      val lists = LightStemWords
+      rd(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val stems = chains.zip(lists).map { case (c, ws) =>
+            c.terms(ws((id % ws.size).toInt)).mkString(" ")
+          }
+          (id, stems(0), stems(1), stems(2), stems(3), stems(4), stems(5),
+            stems(6), stems(7), stems(8), stems(9), stems(10), stems(11),
+            stems(12), stems(13), stems(14), stems(15), stems(16), stems(17),
+            stems(18), stems(19))
+        }
+        .toDF("doc_id" +: LightStemLangs.map(l => s"ls_$l"): _*)
+    }),
+
     "ta_fingerprint" -> ((s, d) => TextOps.fingerprint(rd(s, d, "documents"),
       "doc_id", "text")),
 
@@ -2646,6 +2666,7 @@ object SparkEntry {
           | FROM documents""".stripMargin,
       "ta_langid" -> langIdSql,
       "ta_snowball" -> snowballSql,
+      "ta_lightstem" -> lightstemSql,
       "ta_cjk" -> cjkSql,
       "ta_fold" -> foldSql,
       "ta_fingerprint" ->
@@ -3286,6 +3307,66 @@ object SparkEntry {
     s"""SELECT doc_id,
        | CASE CAST(doc_id % ${CjkExpected.size} AS INT) $arms END AS cjk_terms
        | FROM documents""".stripMargin
+  }
+
+  /** Languages and fixed word lists for the ta_lightstem chain query —
+    * words drawn from each stemmer's golden vocabulary (all pairs of which
+    * LightStemVocabSpec checks exactly), chosen to actually stem. */
+  private val LightStemLangs = graft.analysis.LightStemFilter.languages
+
+  private val LightStemWords: Seq[Seq[String]] = {
+    val de = Seq("abgetreten", "angeboten", "ausgesetzte", "beschwerlichkeiten",
+      "einkehren", "fortzuscheuchen", "gichtschmerzen", "herumzukreuzen")
+    val deMin = Seq("abgetötet", "anfechten", "ausgedientes", "besamende",
+      "einflösse", "fischeimer", "gesteckten", "helmzier")
+    val fr = Seq("accident", "apparitions", "cantinière", "couverts",
+      "encourager", "impressions", "opposant", "prophéties")
+    val frMin = Seq("achèterons", "attribuer", "confrère", "échappées",
+      "indienne", "possibilités", "témoigne")
+    val es = Seq("ajustándolo", "audiencia", "cheyenne", "culposos",
+      "empatado", "gallegos", "infraestructura", "acámbaro")
+    val it = Seq("abbruciacchiavano", "affermò", "approvviggionamento",
+      "beffardi", "commisione", "danneggia", "eseguirlo", "generatori")
+    val pt = Seq("academia", "almirante", "atrairá", "castanhos",
+      "cotecchino", "eleição", "favorecendo", "hostilidade")
+    val ptMin = Seq("adornadas", "bananeiras", "decifrados", "florianópolis",
+      "plásticos")
+    val ptRslp = Seq("absorção", "aguentamos", "arrebentar", "buchecha",
+      "conectassem", "descansar", "encaixem", "estimulando")
+    val gl = Seq("aconsellou", "avemaría", "declaracións", "expertos",
+      "preliminar")
+    val ru = Seq("алая", "бегах", "блюдечке", "величайшему",
+      "вперегонку", "гневаться", "длилась", "дьячка")
+    val sv = Seq("afundsjuka", "barnbarnen", "brottets", "flegmatiska",
+      "förvånat", "inkommit", "längtande", "nästföljande")
+    val fi = Seq("aamulehdeltä", "ahjoharju", "ainoista", "akvarelleissa",
+      "aloitteentekijä", "ankkurien", "arvokasta", "asiakkaasta")
+    val hu = Seq("adaptáló", "agresszívabb", "alkönyvtárai", "bankoknál",
+      "betáplálva", "bántson", "kamatoztathatja", "kenyerével")
+    val nb = Seq("bilens", "sekretærene", "bibliotekarer", "bibliotekarene",
+      "veskene", "husets", "flagga", "flaggenes")
+    val nn = Seq("gutens", "søknadar", "søknadanes", "kjolas",
+      "prospektas", "hemmelegheit", "vanskelegheit", "hevelse")
+    val nnMin = Seq("gutens", "søknadar", "søknadanes", "jentas",
+      "prospektas", "søner", "dotter", "klørne")
+    val ckb = Seq("ئاراسته‌ی", "ئاماژه‌یان", "ئۆجەلان", "بریتییه‌",
+      "بڕیاروایه‌", "تایبه‌تى", "خاكی", "ده‌رباره‌ی‌")
+    Seq(de, deMin, fr, frMin, es, it, pt, ptMin, ptRslp, gl, gl, ru, sv, fi,
+      hu, nb, nb, nn, nnMin, ckb)
+  }
+
+  /** The ta_lightstem oracle: doc_id -> word -> chain output, CASE arms
+    * computed with the SAME chains (stemmers vocabulary-validated). */
+  private def lightstemSql: String = {
+    val cols = LightStemLangs.zip(LightStemWords).map { case (lang, ws) =>
+      val chain = graft.analysis.AnalyzerChain(
+        Seq(graft.analysis.LightStemFilter(lang)))
+      val arms = ws.zipWithIndex.map { case (w, i) =>
+        s"WHEN $i THEN '${chain.terms(w).mkString(" ")}'"
+      }.mkString(" ")
+      s"CASE CAST(doc_id % ${ws.size} AS INT) $arms END AS ls_$lang"
+    }
+    s"SELECT doc_id,\n ${cols.mkString(",\n ")}\n FROM documents"
   }
 
   /** The ta_snowball oracle: the same doc_id -> word -> stem mapping, as

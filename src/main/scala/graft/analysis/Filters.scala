@@ -79,6 +79,48 @@ final case class SnowballStemFilter(lang: String) extends TokenFilter {
     (tokens.map(t => t.copy(term = stemmer(t.term))), overlaps)
 }
 
+/** CLEF light/minimal stemming for a configured language (the reference's
+  * *LightStemFilter / *MinimalStemFilter family over the published Savoy /
+  * UniNE / RSLP / Sorani rule sets — here the re-derived [[LightStemmers]]
+  * and [[Rslp]] algorithms, vocabulary-validated). `ckb` runs the Sorani
+  * normalizer before its stemmer, as SoraniAnalyzer does. Positions
+  * unchanged. */
+final case class LightStemFilter(lang: String) extends TokenFilter {
+  private val stemmer: String => String = LightStemFilter.stemmer(lang)
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) =
+    (tokens.map(t => t.copy(term = stemmer(t.term))), overlaps)
+}
+
+object LightStemFilter {
+  val languages: Seq[String] = Seq("de_light", "de_minimal", "fr_light",
+    "fr_minimal", "es_light", "it_light", "pt_light", "pt_minimal", "pt_rslp",
+    "gl", "gl_minimal", "ru_light", "sv_light", "fi_light", "hu_light",
+    "no_light", "no_minimal", "nn_light", "nn_minimal", "ckb")
+  def stemmer(lang: String): String => String = lang match {
+    case "de_light"   => LightStemmers.GermanLight.stem
+    case "de_minimal" => LightStemmers.GermanMinimal.stem
+    case "fr_light"   => LightStemmers.FrenchLight.stem
+    case "fr_minimal" => LightStemmers.FrenchMinimal.stem
+    case "es_light"   => LightStemmers.SpanishLight.stem
+    case "it_light"   => LightStemmers.ItalianLight.stem
+    case "pt_light"   => LightStemmers.PortugueseLight.stem
+    case "pt_minimal" => Rslp.PortugueseMinimal.stem
+    case "pt_rslp"    => Rslp.Portuguese.stem
+    case "gl"         => Rslp.Galician.stem
+    case "gl_minimal" => Rslp.GalicianMinimal.stem
+    case "ru_light"   => LightStemmers.RussianLight.stem
+    case "sv_light"   => LightStemmers.SwedishLight.stem
+    case "fi_light"   => LightStemmers.FinnishLight.stem
+    case "hu_light"   => LightStemmers.HungarianLight.stem
+    case "no_light"   => LightStemmers.norwegianLightNb.stem
+    case "no_minimal" => LightStemmers.norwegianMinimalNb.stem
+    case "nn_light"   => LightStemmers.norwegianLightNn.stem
+    case "nn_minimal" => LightStemmers.norwegianMinimalNn.stem
+    case "ckb"        => LightStemmers.SoraniStem.stemNormalized
+    case other => throw new IllegalArgumentException(s"unsupported light-stem language: $other")
+  }
+}
+
 /** Protected / overridden stemming — the fused semantics of the
   * reference's KeywordMarkerFilter (analysis/miscellaneous/
   * SetKeywordMarkerFilter.java: keyword-marked terms skip stemming),
@@ -548,6 +590,7 @@ object AnalyzerChain {
         s"""{"type":"stop","words":[${sw.toSeq.sorted.map(word).mkString(",")}]}"""
       case PorterStemFilter => """{"type":"porter"}"""
       case SnowballStemFilter(lang) => s"""{"type":"snowball","lang":${word(lang)}}"""
+      case LightStemFilter(lang) => s"""{"type":"lightstem","lang":${word(lang)}}"""
       case SynonymFilter(m) =>
         val entries = m.toSeq.sortBy(_._1).map { case (k, vs) =>
           s"${word(k)}:[${vs.map(word).mkString(",")}]"
@@ -574,7 +617,7 @@ object AnalyzerChain {
 
   def fromJson(json: String): AnalyzerChain = {
     val filterRe =
-      """\{"type":"(stop|porter|snowball|synonym|ascii|length|shingle|edgengram|phonetic|worddelim|kwstem|cjkwidth|cjkbigram)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
+      """\{"type":"(stop|porter|snowball|lightstem|synonym|ascii|length|shingle|edgengram|phonetic|worddelim|kwstem|cjkwidth|cjkbigram)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
     val wordsRe = """"([^"]+)"""".r
     def intField(body: String, k: String): Int =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
@@ -586,6 +629,8 @@ object AnalyzerChain {
         case "porter" => PorterStemFilter
         case "snowball" =>
           SnowballStemFilter(""""lang":"([^"]+)"""".r.findFirstMatchIn(body).get.group(1))
+        case "lightstem" =>
+          LightStemFilter(""""lang":"([^"]+)"""".r.findFirstMatchIn(body).get.group(1))
         case "ascii"  => AsciiFoldingFilter
         case "length" => LengthFilter(intField(body, "min"), intField(body, "max"))
         case "shingle" =>

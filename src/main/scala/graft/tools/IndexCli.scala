@@ -51,7 +51,14 @@ object IndexCli {
         else rest.dropWhile(_ != "--snowball").drop(1).headOption match {
           case Some(lang) if !lang.startsWith("--") =>
             graft.analysis.AnalyzerChain(Seq(graft.analysis.SnowballStemFilter(lang)))
-          case _ => graft.analysis.AnalyzerChain.standard
+          case _ =>
+            // --light <de_light|fr_minimal|pt_rslp|ckb|...>: CLEF light/
+            // minimal (Savoy/RSLP/Sorani) stemmed chain
+            rest.dropWhile(_ != "--light").drop(1).headOption match {
+              case Some(lang) if !lang.startsWith("--") =>
+                graft.analysis.AnalyzerChain(Seq(graft.analysis.LightStemFilter(lang)))
+              case _ => graft.analysis.AnalyzerChain.standard
+            }
         }
       // --folded: AsciiFolding + Length(2,255) preset (accent-insensitive
       // matching; cafe finds café) composable with the stem presets
