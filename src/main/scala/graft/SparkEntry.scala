@@ -1175,6 +1175,23 @@ object SparkEntry {
         .toDF("doc_id" +: LightStemLangs.map(l => s"ls_$l"): _*)
     }),
 
+    // second light-stemmer wave: lv/cz/bg/id/hi/bn/ar-light/fa-norm/el
+    "ta_lightstem2" -> ((s, d) => {
+      import s.implicits._
+      val chains = LightStemLangs2.map(l =>
+        graft.analysis.AnalyzerChain(Seq(graft.analysis.LightStemFilter(l))))
+      val lists = LightStemWords2
+      rd(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val stems = chains.zip(lists).map { case (c, ws) =>
+            c.terms(ws((id % ws.size).toInt)).mkString(" ")
+          }
+          (id, stems(0), stems(1), stems(2), stems(3), stems(4), stems(5),
+            stems(6), stems(7), stems(8))
+        }
+        .toDF("doc_id" +: LightStemLangs2.map(l => s"ls_$l"): _*)
+    }),
+
     "ta_fingerprint" -> ((s, d) => TextOps.fingerprint(rd(s, d, "documents"),
       "doc_id", "text")),
 
@@ -2667,6 +2684,7 @@ object SparkEntry {
       "ta_langid" -> langIdSql,
       "ta_snowball" -> snowballSql,
       "ta_lightstem" -> lightstemSql,
+      "ta_lightstem2" -> lightstem2Sql,
       "ta_cjk" -> cjkSql,
       "ta_fold" -> foldSql,
       "ta_fingerprint" ->
@@ -3353,6 +3371,44 @@ object SparkEntry {
       "بڕیاروایه‌", "تایبه‌تى", "خاكی", "ده‌رباره‌ی‌")
     Seq(de, deMin, fr, frMin, es, it, pt, ptMin, ptRslp, gl, gl, ru, sv, fi,
       hu, nb, nb, nn, nnMin, ckb)
+  }
+
+  private val LightStemLangs2 = graft.analysis.LightStemFilter.languages2
+
+  private val LightStemWords2: Seq[Seq[String]] = {
+    val lv = Seq("tēvs", "tēva", "tēviem", "tēvā", "tēvi", "lāča",
+      "lāčiem", "lācī")
+    val cz = Seq("páni", "pána", "pánům", "pánech", "hrade", "hradech",
+      "muži", "mužů")
+    val bg = Seq("града", "градове", "народът", "народе", "пътища",
+      "градецът", "дядовците", "къщите")
+    val id = Seq("bukukah", "bukupun", "bukunya", "menduga", "merusak",
+      "penduga", "tersapu", "belajar")
+    val hi = Seq("लडका", "लडकों", "दोस्तों", "किताबें",
+      "आध्यापीकाएं", "खाता", "लडके", "किताबों")
+    val bn = Seq("করেছিলাম", "খাইতাম", "করছিলে", "যাবে",
+      "মেয়েরা", "একটি", "বিড়ালটা", "বাড়ীতে")
+    val ar = Seq("الحسن", "بالحسن", "للاخر", "ساهدان", "ساهدين",
+      "ساهده", "وساهدون", "الاولاد")
+    val fa = Seq("های", "کشاندن", "زادہ", "کتاب",
+      "میخواهیم", "ایرانی")
+    val el = Seq("άνθρωπος", "άνθρωπο", "ανθρώπων", "πελάτης",
+      "πελατών", "ελέφαντες", "μπαμπά", "μπακάλης")
+    Seq(lv, cz, bg, id, hi, bn, ar, fa, el)
+  }
+
+  /** The ta_lightstem2 oracle: same derivation as ta_lightstem over the
+    * golden-validated second wave. */
+  private def lightstem2Sql: String = {
+    val cols = LightStemLangs2.zip(LightStemWords2).map { case (lang, ws) =>
+      val chain = graft.analysis.AnalyzerChain(
+        Seq(graft.analysis.LightStemFilter(lang)))
+      val arms = ws.zipWithIndex.map { case (w, i) =>
+        s"WHEN $i THEN '${chain.terms(w).mkString(" ")}'"
+      }.mkString(" ")
+      s"CASE CAST(doc_id % ${ws.size} AS INT) $arms END AS ls_$lang"
+    }
+    s"SELECT doc_id,\n ${cols.mkString(",\n ")}\n FROM documents"
   }
 
   /** The ta_lightstem oracle: doc_id -> word -> chain output, CASE arms

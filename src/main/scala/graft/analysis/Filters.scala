@@ -96,6 +96,11 @@ object LightStemFilter {
     "fr_minimal", "es_light", "it_light", "pt_light", "pt_minimal", "pt_rslp",
     "gl", "gl_minimal", "ru_light", "sv_light", "fi_light", "hu_light",
     "no_light", "no_minimal", "nn_light", "nn_minimal", "ckb")
+
+  /** Second wave: the reference's per-language stemmers/normalizers with
+    * inline golden tests instead of vocabulary archives. */
+  val languages2: Seq[String] = Seq("lv", "cz", "bg", "id", "hi", "bn",
+    "ar_light", "fa_norm", "el")
   def stemmer(lang: String): String => String = lang match {
     case "de_light"   => LightStemmers.GermanLight.stem
     case "de_minimal" => LightStemmers.GermanMinimal.stem
@@ -117,6 +122,15 @@ object LightStemFilter {
     case "nn_light"   => LightStemmers.norwegianLightNn.stem
     case "nn_minimal" => LightStemmers.norwegianMinimalNn.stem
     case "ckb"        => LightStemmers.SoraniStem.stemNormalized
+    case "lv"         => LightStemmers.LatvianLight.stem
+    case "cz"         => LightStemmers.CzechLight.stem
+    case "bg"         => LightStemmers.BulgarianLight.stem
+    case "id"         => LightStemmers.Indonesian.stem
+    case "hi"         => IndicStemmers.HindiStem.stemNormalized
+    case "bn"         => IndicStemmers.BengaliStem.stemNormalized
+    case "ar_light"   => IndicStemmers.ArabicLight.stemNormalized
+    case "fa_norm"    => IndicStemmers.PersianNormalizer.normalize
+    case "el"         => GreekStemmers.stemLowercased
     case other => throw new IllegalArgumentException(s"unsupported light-stem language: $other")
   }
 }

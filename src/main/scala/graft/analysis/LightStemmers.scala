@@ -621,4 +621,243 @@ object LightStemmers {
     }
     def stemNormalized(w: String): String = stem(SoraniNormalizer.normalize(w))
   }
+
+  /** Latvian light stemmer (the reference's lv/LatvianStemmer — "A Stemming
+    * Algorithm for Latvian", Kreslins-derived light variant): first matching
+    * affix from the ordered table strips iff the word keeps >= 3 chars and
+    * more vowels than the affix contains; some strips then un-palatalize the
+    * stem-final consonant cluster. */
+  object LatvianLight {
+    // (affix, vowel count, fires un-palatalization)
+    private val affixes = Seq(
+      ("ajiem", 3, false), ("ajai", 3, false), ("ajam", 2, false),
+      ("ajām", 2, false), ("ajos", 2, false), ("ajās", 2, false),
+      ("iem", 2, true), ("ajā", 2, false), ("ais", 2, false),
+      ("ai", 2, false), ("ei", 2, false), ("ām", 1, false), ("am", 1, false),
+      ("ēm", 1, false), ("īm", 1, false), ("im", 1, false), ("um", 1, false),
+      ("us", 1, true), ("as", 1, false), ("ās", 1, false), ("es", 1, false),
+      ("os", 1, true), ("ij", 1, false), ("īs", 1, false), ("ēs", 1, false),
+      ("is", 1, false), ("ie", 1, false), ("u", 1, true), ("a", 1, true),
+      ("i", 1, true), ("e", 1, false), ("ā", 1, false), ("ē", 1, false),
+      ("ī", 1, false), ("ū", 1, false), ("o", 1, false), ("s", 0, false),
+      ("š", 0, false))
+    private def vowels(s: String): Int = s.count("aeiouāīēū".indexOf(_) >= 0)
+    private def unpalatalize(stem: String, removedFirst: Char): String = {
+      // -u strips are gen.pl. — only there kš->kst and ņņ->nn apply
+      if (removedFirst == 'u') {
+        if (stem.endsWith("kš")) return stem.dropRight(2) + "kst"
+        if (stem.endsWith("ņņ")) return stem.dropRight(2) + "nn"
+      }
+      if (stem.endsWith("pj") || stem.endsWith("bj") ||
+          stem.endsWith("mj") || stem.endsWith("vj")) stem.dropRight(1)
+      else if (stem.endsWith("šņ")) stem.dropRight(2) + "sn"
+      else if (stem.endsWith("žņ")) stem.dropRight(2) + "zn"
+      else if (stem.endsWith("šļ")) stem.dropRight(2) + "sl"
+      else if (stem.endsWith("žļ")) stem.dropRight(2) + "zl"
+      else if (stem.endsWith("ļņ")) stem.dropRight(2) + "ln"
+      else if (stem.endsWith("ļļ")) stem.dropRight(2) + "ll"
+      else if (stem.nonEmpty && stem.last == 'č') stem.dropRight(1) + "c"
+      else if (stem.nonEmpty && stem.last == 'ļ') stem.dropRight(1) + "l"
+      else if (stem.nonEmpty && stem.last == 'ņ') stem.dropRight(1) + "n"
+      else stem
+    }
+    def stem(w: String): String = {
+      val nv = vowels(w)
+      affixes.collectFirst {
+        case (a, vc, pal) if nv > vc && w.length >= a.length + 3 && w.endsWith(a) =>
+          val stemmed = w.dropRight(a.length)
+          if (pal) unpalatalize(stemmed, a.head) else stemmed
+      }.getOrElse(w)
+    }
+  }
+
+  /** Czech light stemmer (Dolamic & Savoy, "Indexing and stemming
+    * approaches for the Czech language"): case endings, possessives, then
+    * the čt/št/c/z/e-insertion/ů normalizations. */
+  object CzechLight {
+    private val case3 = Seq("ech", "ich", "ích", "ého", "ěmi", "emi", "ému",
+      "ěte", "ete", "ěti", "eti", "ího", "iho", "ími", "ímu", "imu", "ách",
+      "ata", "aty", "ých", "ama", "ami", "ové", "ovi", "ými")
+    private val case2 = Seq("em", "es", "ém", "ím", "ům", "at", "ám", "os",
+      "us", "ým", "mi", "ou")
+    private def removeCase(s: String): String = {
+      val n = s.length
+      if (n > 7 && s.endsWith("atech")) return s.dropRight(5)
+      if (n > 6 && (s.endsWith("ětem") || s.endsWith("etem") || s.endsWith("atům")))
+        return s.dropRight(4)
+      if (n > 5 && case3.exists(s.endsWith)) return s.dropRight(3)
+      if (n > 4 && case2.exists(s.endsWith)) return s.dropRight(2)
+      if (n > 3 && "aeiouůyáéíýě".indexOf(s.last) >= 0) return s.dropRight(1)
+      s
+    }
+    private def removePossessives(s: String): String =
+      if (s.length > 5 && (s.endsWith("ov") || s.endsWith("in") || s.endsWith("ův")))
+        s.dropRight(2)
+      else s
+    private def normalize(s: String): String = {
+      if (s.endsWith("čt")) return s.dropRight(2) + "ck"
+      if (s.endsWith("št")) return s.dropRight(2) + "sk"
+      s.last match {
+        case 'c' | 'č' => return s.dropRight(1) + "k"
+        case 'z' | 'ž' => return s.dropRight(1) + "h"
+        case _ =>
+      }
+      val n = s.length
+      if (n > 1 && s.charAt(n - 2) == 'e')
+        s.substring(0, n - 2) + s.charAt(n - 1) // e-insertion undone
+      else if (n > 2 && s.charAt(n - 2) == 'ů')
+        s.substring(0, n - 2) + "o" + s.charAt(n - 1)
+      else s
+    }
+    def stem(w: String): String = {
+      val s = removePossessives(removeCase(w))
+      if (s.nonEmpty) normalize(s) else s
+    }
+  }
+
+  /** Bulgarian light stemmer (Nakov's BulStem-derived rules in the
+    * reference's bg/BulgarianStemmer): definite article, plural, and the
+    * ен/ъ elision reversals. */
+  object BulgarianLight {
+    private def removeArticle(s: String): String = {
+      val n = s.length
+      if (n > 6 && s.endsWith("ият")) return s.dropRight(3)
+      if (n > 5 && (s.endsWith("ът") || s.endsWith("то") || s.endsWith("те") ||
+        s.endsWith("та") || s.endsWith("ия"))) return s.dropRight(2)
+      if (n > 4 && s.endsWith("ят")) return s.dropRight(2)
+      s
+    }
+    private def removePlural(s: String): String = {
+      val n = s.length
+      if (n > 6) {
+        if (s.endsWith("овци")) return s.dropRight(3)
+        if (s.endsWith("ове")) return s.dropRight(3)
+        if (s.endsWith("еве")) return s.dropRight(3) + "й"
+      }
+      if (n > 5) {
+        if (s.endsWith("ища")) return s.dropRight(3)
+        if (s.endsWith("та")) return s.dropRight(2)
+        if (s.endsWith("ци")) return s.dropRight(2) + "к"
+        if (s.endsWith("зи")) return s.dropRight(2) + "г"
+        if (s.charAt(n - 3) == 'е' && s.last == 'и')
+          return s.substring(0, n - 3) + "я" + s.charAt(n - 2)
+      }
+      if (n > 4) {
+        if (s.endsWith("си")) return s.dropRight(2) + "х"
+        if (s.endsWith("и")) return s.dropRight(1)
+      }
+      s
+    }
+    def stem(w: String): String = {
+      if (w.length < 4) return w
+      if (w.length > 5 && w.endsWith("ища")) return w.dropRight(3)
+      var s = removePlural(removeArticle(w))
+      if (s.length > 3) {
+        if (s.endsWith("я")) s = s.dropRight(1)
+        if (s.endsWith("а") || s.endsWith("о") || s.endsWith("е")) s = s.dropRight(1)
+      }
+      if (s.length > 4 && s.endsWith("ен")) s = s.dropRight(2) + "н"
+      if (s.length > 5 && s.charAt(s.length - 2) == 'ъ')
+        s = s.substring(0, s.length - 2) + s.last
+      s
+    }
+  }
+
+  /** Indonesian stemmer (Tala, "A Study of Stemming Effects on Information
+    * Retrieval in Bahasa Indonesia"): particle and possessive clitics, then
+    * the ordered first/second-order prefix + suffix interplay with the
+    * removed-prefix guards. Full derivational stemming (the reference
+    * IndonesianStemFilter default). */
+  object Indonesian {
+    private final val KE = 1; private final val PENG = 2; private final val DI = 4
+    private final val MENG = 8; private final val TER = 16; private final val BER = 32
+    private final val PE = 64
+    @inline private def vowel(c: Char): Boolean = "aeiou".indexOf(c) >= 0
+
+    def stem(w: String): String = stem(w, derivational = true)
+
+    /** Inflectional-only mode (stemDerivational=false in the reference
+      * filter): clitic particles and possessives, no prefix/suffix phase. */
+    def stemInflectional(w: String): String = stem(w, derivational = false)
+
+    def stem(w: String, derivational: Boolean): String = {
+      var s = w
+      var syll = s.count(vowel)
+      var flags = 0
+
+      if (syll > 2) { // particles: -kah/-lah/-pun
+        if (s.endsWith("kah") || s.endsWith("lah") || s.endsWith("pun")) {
+          syll -= 1; s = s.dropRight(3)
+        }
+      }
+      if (syll > 2) { // possessives: -ku/-mu/-nya
+        if (s.endsWith("ku") || s.endsWith("mu")) { syll -= 1; s = s.dropRight(2) }
+        else if (s.endsWith("nya")) { syll -= 1; s = s.dropRight(3) }
+      }
+
+      def firstOrderPrefix(in: String): String = {
+        val t = in
+        if (t.startsWith("meng")) { flags |= MENG; syll -= 1; return t.drop(4) }
+        if (t.startsWith("meny") && t.length > 4 && vowel(t.charAt(4))) {
+          flags |= MENG; syll -= 1; return "s" + t.drop(4)
+        }
+        if (t.startsWith("men")) { flags |= MENG; syll -= 1; return t.drop(3) }
+        if (t.startsWith("mem")) { flags |= MENG; syll -= 1; return t.drop(3) }
+        if (t.startsWith("me"))  { flags |= MENG; syll -= 1; return t.drop(2) }
+        if (t.startsWith("peng")) { flags |= PENG; syll -= 1; return t.drop(4) }
+        if (t.startsWith("peny") && t.length > 4 && vowel(t.charAt(4))) {
+          flags |= PENG; syll -= 1; return "s" + t.drop(4)
+        }
+        if (t.startsWith("peny")) { flags |= PENG; syll -= 1; return t.drop(4) }
+        if (t.startsWith("pen") && t.length > 3 && vowel(t.charAt(3))) {
+          flags |= PENG; syll -= 1; return "t" + t.drop(3)
+        }
+        if (t.startsWith("pen")) { flags |= PENG; syll -= 1; return t.drop(3) }
+        if (t.startsWith("pem")) { flags |= PENG; syll -= 1; return t.drop(3) }
+        if (t.startsWith("di"))  { flags |= DI; syll -= 1; return t.drop(2) }
+        if (t.startsWith("ter")) { flags |= TER; syll -= 1; return t.drop(3) }
+        if (t.startsWith("ke"))  { flags |= KE; syll -= 1; return t.drop(2) }
+        t
+      }
+      def secondOrderPrefix(in: String): String = {
+        val t = in
+        if (t.startsWith("ber")) { flags |= BER; syll -= 1; return t.drop(3) }
+        if (t == "belajar") { flags |= BER; syll -= 1; return t.drop(3) }
+        if (t.startsWith("be") && t.length > 4 && !vowel(t.charAt(2)) &&
+          t.charAt(3) == 'e' && t.charAt(4) == 'r') {
+          flags |= BER; syll -= 1; return t.drop(2)
+        }
+        if (t.startsWith("per")) { syll -= 1; return t.drop(3) }
+        if (t == "pelajar") { syll -= 1; return t.drop(3) }
+        if (t.startsWith("pe")) { flags |= PE; syll -= 1; return t.drop(2) }
+        t
+      }
+      def suffix(in: String): String = {
+        val t = in
+        if (t.endsWith("kan") && (flags & KE) == 0 && (flags & PENG) == 0 &&
+          (flags & PE) == 0) { syll -= 1; return t.dropRight(3) }
+        if (t.endsWith("an") && (flags & DI) == 0 && (flags & MENG) == 0 &&
+          (flags & TER) == 0) { syll -= 1; return t.dropRight(2) }
+        if (t.endsWith("i") && !t.endsWith("si") && (flags & BER) == 0 &&
+          (flags & KE) == 0 && (flags & PENG) == 0) { syll -= 1; return t.dropRight(1) }
+        t
+      }
+
+      if (!derivational) return s
+      // derivational phase: first-order prefix, then (on success) suffix
+      // then (on success) second-order prefix; on first-order failure the
+      // order flips to second-order prefix then suffix
+      val before = s.length
+      if (syll > 2) s = firstOrderPrefix(s)
+      if (s.length != before) {
+        val mid = s.length
+        if (syll > 2) s = suffix(s)
+        if (s.length != mid) { if (syll > 2) s = secondOrderPrefix(s) }
+      } else {
+        if (syll > 2) s = secondOrderPrefix(s)
+        if (syll > 2) s = suffix(s)
+      }
+      s
+    }
+  }
 }
