@@ -1192,6 +1192,22 @@ object SparkEntry {
         .toDF("doc_id" +: LightStemLangs2.map(l => s"ls_$l"): _*)
     }),
 
+    // the full phonetic-encoder family (reference analysis/phonetic module):
+    // every encoder over a fixed surname list, replace mode
+    "ta_phonetic" -> ((s, d) => {
+      import s.implicits._
+      val chains = PhoneticEncoders.map(e => graft.analysis.AnalyzerChain(
+        Seq(graft.analysis.PhoneticFilter(inject = false, encoder = e))))
+      rd(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val codes = chains.map(c =>
+            c.terms(PhoneticWords((id % PhoneticWords.size).toInt)).mkString(" "))
+          (id, codes(0), codes(1), codes(2), codes(3), codes(4), codes(5),
+            codes(6), codes(7))
+        }
+        .toDF("doc_id" +: PhoneticEncoders.map(e => s"ph_$e"): _*)
+    }),
+
     "ta_fingerprint" -> ((s, d) => TextOps.fingerprint(rd(s, d, "documents"),
       "doc_id", "text")),
 
@@ -2685,6 +2701,7 @@ object SparkEntry {
       "ta_snowball" -> snowballSql,
       "ta_lightstem" -> lightstemSql,
       "ta_lightstem2" -> lightstem2Sql,
+      "ta_phonetic" -> phoneticSql,
       "ta_cjk" -> cjkSql,
       "ta_fold" -> foldSql,
       "ta_fingerprint" ->
@@ -3371,6 +3388,30 @@ object SparkEntry {
       "بڕیاروایه‌", "تایبه‌تى", "خاكی", "ده‌رباره‌ی‌")
     Seq(de, deMin, fr, frMin, es, it, pt, ptMin, ptRslp, gl, gl, ru, sv, fi,
       hu, nb, nb, nn, nnMin, ckb)
+  }
+
+  private val PhoneticEncoders = Seq("soundex", "metaphone", "dmetaphone",
+    "rsoundex", "caverphone", "cologne", "nysiis", "dmsoundex")
+
+  /** Surnames with divergent codes across encoders (alternate-triggering
+    * Slavic/Germanic names included for dmetaphone/dmsoundex branching). */
+  private val PhoneticWords = Seq("robert", "rupert", "ashcraft", "tymczak",
+    "pfister", "kuczewski", "muellerluedenscheidt", "peters", "auerbach",
+    "jackson", "thompson", "gauss", "knuth")
+
+  /** The ta_phonetic oracle: CASE arms computed with the SAME chains
+    * (encoders are the commons-codec implementations the reference
+    * delegates to, spec-tested against its inline vectors). */
+  private def phoneticSql: String = {
+    val cols = PhoneticEncoders.map { e =>
+      val chain = graft.analysis.AnalyzerChain(
+        Seq(graft.analysis.PhoneticFilter(inject = false, encoder = e)))
+      val arms = PhoneticWords.zipWithIndex.map { case (w, i) =>
+        s"WHEN $i THEN '${chain.terms(w).mkString(" ")}'"
+      }.mkString(" ")
+      s"CASE CAST(doc_id % ${PhoneticWords.size} AS INT) $arms END AS ph_$e"
+    }
+    s"SELECT doc_id,\n ${cols.mkString(",\n ")}\n FROM documents"
   }
 
   private val LightStemLangs2 = graft.analysis.LightStemFilter.languages2

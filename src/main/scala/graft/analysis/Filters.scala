@@ -616,7 +616,8 @@ object AnalyzerChain {
         s"""{"type":"shingle","max":$mx,"unigrams":$uni}"""
       case EdgeNGramFilter(mn, mx, orig) =>
         s"""{"type":"edgengram","min":$mn,"max":$mx,"original":$orig}"""
-      case PhoneticFilter(inj) => s"""{"type":"phonetic","inject":$inj}"""
+      case PhoneticFilter(inj, enc) =>
+        s"""{"type":"phonetic","inject":$inj,"encoder":${word(enc)}}"""
       case CJKWidthFilter => """{"type":"cjkwidth"}"""
       case CJKBigramFilter(uni) => s"""{"type":"cjkbigram","unigrams":$uni}"""
       case KeywordStemFilter(prot, ov) =>
@@ -652,7 +653,11 @@ object AnalyzerChain {
         case "edgengram" =>
           EdgeNGramFilter(intField(body, "min"), intField(body, "max"),
             boolField(body, "original"))
-        case "phonetic" => PhoneticFilter(boolField(body, "inject"))
+        case "phonetic" =>
+          // encoder is optional for pre-existing persisted chains (soundex)
+          val enc = """"encoder":"([^"]+)"""".r.findFirstMatchIn(body)
+            .map(_.group(1)).getOrElse("soundex")
+          PhoneticFilter(boolField(body, "inject"), enc)
         case "cjkwidth" => CJKWidthFilter
         case "cjkbigram" => CJKBigramFilter(boolField(body, "unigrams"))
         case "worddelim" =>

@@ -83,24 +83,78 @@ object Soundex {
   }
 }
 
-/** Index-time phonetic filter (PhoneticFilterFactory): with inject=true
-  * (the Solr default) the code is added at the SAME position as an
-  * overlap, keeping the original searchable; with inject=false the code
-  * replaces the term. */
-final case class PhoneticFilter(inject: Boolean = true) extends TokenFilter {
-  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) = {
-    if (!inject)
-      (tokens.map(t => t.copy(term = Soundex.encode(t.term))), overlaps)
-    else {
-      val outT = Vector.newBuilder[Token] // Vector: downstream filters index into the stream
-      val outO = Vector.newBuilder[Boolean]
-      tokens.indices.foreach { i =>
-        val t = tokens(i)
-        outT += t; outO += overlaps(i)
-        val c = Soundex.encode(t.term)
-        if (c != t.term) { outT += Token(c, t.pos); outO += true }
+/** Index-time phonetic filter (the reference's PhoneticFilter /
+  * DoubleMetaphoneFilter / DaitchMokotoffSoundexFilter over the
+  * commons-codec language encoders — the same public library the
+  * reference delegates to, already on the Spark classpath).
+  *
+  * Encoders: `soundex` (the in-house validated implementation with its
+  * codegen Column twin), `metaphone`, `dmetaphone` (primary + alternate,
+  * DoubleMetaphoneFilter semantics), `rsoundex`, `caverphone`
+  * (Caverphone 2.0), `cologne` (Kölner Phonetik), `nysiis`, and
+  * `dmsoundex` (Daitch-Mokotoff with its `|`-separated branch codes).
+  *
+  * Position semantics follow each reference filter exactly: with
+  * inject=true the original stays searchable at the same position (the
+  * reference emits code-then-original for PhoneticFilter; original-first
+  * for the DoubleMetaphone/DaitchMokotoff filters — mirrored, all at one
+  * position); with inject=false the first code replaces the term and any
+  * further codes stack as overlaps. A code that is empty or equal to the
+  * term leaves the token untouched (PhoneticFilter.java:55-60). */
+final case class PhoneticFilter(inject: Boolean = true,
+                                encoder: String = "soundex") extends TokenFilter {
+  import org.apache.commons.codec.language.{Metaphone, DoubleMetaphone,
+    RefinedSoundex, Caverphone2, ColognePhonetic, Nysiis, DaitchMokotoffSoundex}
+
+  /** term -> phonetic codes (empty = pass through). */
+  @transient private lazy val codesOf: String => Seq[String] = encoder match {
+    case "soundex" => t => Seq(Soundex.encode(t)).filter(_ != t)
+    case "metaphone" =>
+      val m = new Metaphone
+      t => Seq(m.encode(t)).filter(c => c.nonEmpty && c != t)
+    case "dmetaphone" =>
+      val m = new DoubleMetaphone
+      t => {
+        val p = m.doubleMetaphone(t)
+        val a = m.doubleMetaphone(t, true)
+        if (p == null || p.isEmpty || p == t) Nil
+        else if (a != null && a.nonEmpty && a != p) Seq(p, a)
+        else Seq(p)
       }
-      (outT.result(), outO.result())
+    case "rsoundex" =>
+      val m = new RefinedSoundex
+      t => Seq(m.encode(t)).filter(c => c.nonEmpty && c != t)
+    case "caverphone" =>
+      val m = new Caverphone2
+      t => Seq(m.encode(t)).filter(c => c.nonEmpty && c != t)
+    case "cologne" =>
+      val m = new ColognePhonetic
+      t => Seq(m.encode(t)).filter(c => c.nonEmpty && c != t)
+    case "nysiis" =>
+      val m = new Nysiis
+      t => Seq(m.encode(t)).filter(c => c.nonEmpty && c != t)
+    case "dmsoundex" =>
+      val m = new DaitchMokotoffSoundex
+      t => m.soundex(t).split('|').toSeq.filter(_.nonEmpty)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported phonetic encoder: $other")
+  }
+
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) = {
+    val outT = Vector.newBuilder[Token] // Vector: downstream filters index into the stream
+    val outO = Vector.newBuilder[Boolean]
+    tokens.indices.foreach { i =>
+      val t = tokens(i)
+      val codes = try codesOf(t.term) catch { case _: Exception => Nil }
+      if (codes.isEmpty) { outT += t; outO += overlaps(i) }
+      else if (inject) {
+        outT += t; outO += overlaps(i)
+        codes.foreach { c => outT += Token(c, t.pos); outO += true }
+      } else {
+        outT += Token(codes.head, t.pos); outO += overlaps(i)
+        codes.tail.foreach { c => outT += Token(c, t.pos); outO += true }
+      }
     }
+    (outT.result(), outO.result())
   }
 }

@@ -57,7 +57,16 @@ object IndexCli {
             rest.dropWhile(_ != "--light").drop(1).headOption match {
               case Some(lang) if !lang.startsWith("--") =>
                 graft.analysis.AnalyzerChain(Seq(graft.analysis.LightStemFilter(lang)))
-              case _ => graft.analysis.AnalyzerChain.standard
+              case _ =>
+                // --phonetic <soundex|metaphone|dmetaphone|rsoundex|
+                //   caverphone|cologne|nysiis|dmsoundex>: phonetic codes
+                //   injected alongside the originals (name matching)
+                rest.dropWhile(_ != "--phonetic").drop(1).headOption match {
+                  case Some(enc) if !enc.startsWith("--") =>
+                    graft.analysis.AnalyzerChain(
+                      Seq(graft.analysis.PhoneticFilter(inject = true, encoder = enc)))
+                  case _ => graft.analysis.AnalyzerChain.standard
+                }
             }
         }
       // --folded: AsciiFolding + Length(2,255) preset (accent-insensitive

@@ -66,4 +66,59 @@ class PhoneticSpec extends SparkSpec {
     val inj = AnalyzerChain(Seq(StopFilter(Set("the")), PhoneticFilter()))
     assert(AnalyzerChain.fromJson(AnalyzerChain.toJson(inj)) === inj)
   }
+
+  // The reference's TestPhoneticFilter / TestDoubleMetaphoneFilter /
+  // TestDaitchMokotoffSoundexFilter inline expectations, inject and
+  // replace modes (codes and originals share a position; the set of
+  // emitted terms is what matters for matching).
+  private def emitted(enc: String, inject: Boolean, text: String): Seq[String] =
+    AnalyzerChain(Seq(PhoneticFilter(inject, enc))).terms(text)
+
+  test("metaphone matches the reference test vectors") {
+    assert(emitted("metaphone", true, "aaa bbb ccc easgasg").toSet ===
+      Set("A", "aaa", "B", "bbb", "KKK", "ccc", "ESKS", "easgasg"))
+    assert(emitted("metaphone", false, "aaa bbb ccc easgasg") ===
+      Seq("A", "B", "KKK", "ESKS"))
+  }
+  test("double metaphone matches the reference test vectors") {
+    assert(emitted("dmetaphone", true, "aaa bbb ccc easgasg").toSet ===
+      Set("A", "aaa", "PP", "bbb", "KK", "ccc", "ASKS", "easgasg"))
+    assert(emitted("dmetaphone", false, "aaa bbb ccc easgasg") ===
+      Seq("A", "PP", "KK", "ASKS"))
+    // primary + alternate at one position (TestDoubleMetaphoneFilter
+    // testAlternateInjectFalse: "Kuczewski" -> KSSK, KXFS)
+    assert(emitted("dmetaphone", false, "kuczewski") === Seq("KSSK", "KXFS"))
+  }
+  test("refined soundex matches the reference test vectors") {
+    assert(emitted("rsoundex", false, "aaa bbb ccc easgasg") ===
+      Seq("A0", "B1", "C3", "E034034"))
+  }
+  test("caverphone2 matches the reference test vectors") {
+    assert(emitted("caverphone", false, "Darda Karleen Datha Carlene") ===
+      Seq("TTA1111111", "KLN1111111", "TTA1111111", "KLN1111111"))
+  }
+  test("nysiis matches the reference test vectors") {
+    assert(emitted("nysiis", false, "aaa bbb ccc easgasg") ===
+      Seq("A", "B", "C", "EASGAS"))
+  }
+  test("daitch-mokotoff emits every branch code") {
+    assert(emitted("dmsoundex", false, "aaa bbb ccc easgasg") ===
+      Seq("000000", "700000", "400000", "450000", "454000",
+        "540000", "545000", "500000", "045450"))
+    assert(emitted("dmsoundex", true, "ccc").toSet ===
+      Set("ccc", "400000", "450000", "454000", "540000", "545000", "500000"))
+  }
+  test("cologne phonetic encodes and round-trips") {
+    // Kölner Phonetik: published examples (Müller-Lüdenscheidt -> 65752682)
+    assert(emitted("cologne", false, "muellerluedenscheidt") === Seq("65752682"))
+    val chain = AnalyzerChain(Seq(PhoneticFilter(inject = true, "cologne")))
+    assert(AnalyzerChain.fromJson(AnalyzerChain.toJson(chain)) === chain)
+  }
+  test("all phonetic encoders round-trip through chain json") {
+    Seq("soundex", "metaphone", "dmetaphone", "rsoundex", "caverphone",
+      "cologne", "nysiis", "dmsoundex").foreach { enc =>
+      val chain = AnalyzerChain(Seq(PhoneticFilter(inject = false, enc)))
+      assert(AnalyzerChain.fromJson(AnalyzerChain.toJson(chain)) === chain, enc)
+    }
+  }
 }
