@@ -1208,6 +1208,22 @@ object SparkEntry {
         .toDF("doc_id" +: PhoneticEncoders.map(e => s"ph_$e"): _*)
     }),
 
+    // elision / common-grams / compound decomposition / html-strip /
+    // mapping char filter through the chain (reference charfilter,
+    // commongrams, compound, and util.ElisionFilter packages)
+    "ta_misc_filters" -> ((s, d) => {
+      import s.implicits._
+      val chains = MiscFilterChains
+      rd(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val outs = chains.map { case (_, chain, inputs) =>
+            chain.terms(inputs((id % inputs.size).toInt)).mkString(" ")
+          }
+          (id, outs(0), outs(1), outs(2), outs(3), outs(4))
+        }
+        .toDF("doc_id" +: MiscFilterChains.map(c => s"mf_${c._1}"): _*)
+    }),
+
     "ta_fingerprint" -> ((s, d) => TextOps.fingerprint(rd(s, d, "documents"),
       "doc_id", "text")),
 
@@ -2702,6 +2718,7 @@ object SparkEntry {
       "ta_lightstem" -> lightstemSql,
       "ta_lightstem2" -> lightstem2Sql,
       "ta_phonetic" -> phoneticSql,
+      "ta_misc_filters" -> miscFiltersSql,
       "ta_cjk" -> cjkSql,
       "ta_fold" -> foldSql,
       "ta_fingerprint" ->
@@ -3410,6 +3427,42 @@ object SparkEntry {
         s"WHEN $i THEN '${chain.terms(w).mkString(" ")}'"
       }.mkString(" ")
       s"CASE CAST(doc_id % ${PhoneticWords.size} AS INT) $arms END AS ph_$e"
+    }
+    s"SELECT doc_id,\n ${cols.mkString(",\n ")}\n FROM documents"
+  }
+
+  /** (name, chain, fixed inputs) for the ta_misc_filters query. */
+  private lazy val MiscFilterChains: Seq[(String, graft.analysis.AnalyzerChain, Seq[String])] = {
+    import graft.analysis._
+    Seq(
+      ("elision", AnalyzerChain(Seq(ElisionFilter())),
+        Seq("l'avion decolle", "d'histoire naturelle", "jusqu'au bout",
+          "c'est l'heure", "quoiqu'il arrive", "n'importe quoi")),
+      ("cgrams", AnalyzerChain(Seq(CommonGramsFilter(Set("the", "of", "a")))),
+        Seq("the quick fox", "house of cards", "a plan of record",
+          "quick brown fox", "top of the heap", "the end")),
+      ("compound", AnalyzerChain(Seq(DictionaryCompoundFilter(
+        Set("donau", "dampf", "schiff", "fahrt", "haus", "boot", "meister")))),
+        Seq("donaudampfschifffahrt", "hausboot fahrt", "dampfschiff ahoi",
+          "bootsmeister haus", "schifffahrtsmeister", "hausmeister dampf")),
+      ("html", AnalyzerChain(Nil, None, Seq(HtmlStripCharFilter)),
+        Seq("<div>alpha beta</div>", "x<script>var y=2;</script>gamma",
+          "a&amp;b &lt;tag&gt;", "<p>one</p><p>two</p>", "plain text here",
+          "<a href=\"#x\">link</a>ed")),
+      ("mapping", AnalyzerChain(Nil, None,
+        Seq(MappingCharFilter(Map("ph" -> "f", "qu" -> "kw", "ss" -> "s")))),
+        Seq("phase quit", "grossquartz", "philosophie", "quiet pass",
+          "phquss", "nothing")))
+  }
+
+  /** The ta_misc_filters oracle: CASE arms from the SAME chains (each
+    * filter spec-tested against reference golden behavior). */
+  private def miscFiltersSql: String = {
+    val cols = MiscFilterChains.map { case (name, chain, inputs) =>
+      val arms = inputs.zipWithIndex.map { case (w, i) =>
+        s"WHEN $i THEN '${chain.terms(w).mkString(" ")}'"
+      }.mkString(" ")
+      s"CASE CAST(doc_id % ${inputs.size} AS INT) $arms END AS mf_$name"
     }
     s"SELECT doc_id,\n ${cols.mkString(",\n ")}\n FROM documents"
   }

@@ -117,13 +117,14 @@ object Analyzer extends Serializable {
   /** MidLetter/MidNumLet for letters; MidNum/MidNumLet for digits.
     * Per UAX#29: ':' is MidLetter (letters ONLY — "12:30" must split,
     * matching StandardTokenizer); '.' is MidNumLet (both); ',' MidNum
-    * (digits only); '\'' MidLetter-ish (letters only). */
+    * (digits only); '\'' and U+2019 (curly apostrophe, MidNumLet)
+    * MidLetter-ish (letters only). */
   @inline private def joins(mid: Int, prev: Int, next: Int): Boolean = {
     val pl = Character.isLetter(prev); val nl = Character.isLetter(next)
     val pd = Character.isDigit(prev);  val nd = Character.isDigit(next)
     mid match {
       case '.'        => (pl && nl) || (pd && nd)
-      case ':' | '\'' => pl && nl
+      case ':' | '\'' | '\u2019' => pl && nl
       case ','        => pd && nd
       case _          => false
     }
@@ -178,7 +179,7 @@ object Analyzer extends Serializable {
     // token only if followed by word chars; strip any trailing joiners now.
     out.map { t =>
       var e = t.term.length
-      while (e > 0 && { val c = t.term.charAt(e - 1); c == '_' || c == '.' || c == ':' || c == '\'' || c == ',' }) e -= 1
+      while (e > 0 && { val c = t.term.charAt(e - 1); c == '_' || c == '.' || c == ':' || c == '\'' || c == '\u2019' || c == ',' }) e -= 1
       if (e == t.term.length) t else t.copy(term = t.term.substring(0, e))
     }.filter(_.term.nonEmpty).toSeq
   }
@@ -201,7 +202,7 @@ object Analyzer extends Serializable {
       while (s < len) {
         val end = math.min(s + MaxTokenLength, len)
         var e = end
-        while (e > s && { val c = sb.charAt(e - 1); c == '_' || c == '.' || c == ':' || c == '\'' || c == ',' }) e -= 1
+        while (e > s && { val c = sb.charAt(e - 1); c == '_' || c == '.' || c == ':' || c == '\'' || c == '\u2019' || c == ',' }) e -= 1
         if (e > s)
           out += OffsetToken(lowercase(sb.substring(s, e)), pos, tokStart + s, tokStart + e)
         // every chunk advances the position counter, even one emptied by
@@ -284,7 +285,7 @@ object Analyzer extends Serializable {
       while (s < len) {
         val end = math.min(s + MaxTokenLength, len)
         var e = end
-        while (e > s && { val c = sb.charAt(e - 1); c == '_' || c == '.' || c == ':' || c == '\'' || c == ',' }) e -= 1
+        while (e > s && { val c = sb.charAt(e - 1); c == '_' || c == '.' || c == ':' || c == '\'' || c == '\u2019' || c == ',' }) e -= 1
         if (e > s) f(lowercase(sb.substring(s, e)))
         s = end
       }

@@ -527,6 +527,163 @@ private[analysis] final class ArrayBufferInt {
   def length: Int = n
 }
 
+/** Strip a leading elided article + apostrophe (util/ElisionFilter.java:
+  * the first ' or ’ in the token; if the prefix before it is one of the
+  * articles, the prefix and apostrophe drop). Default articles are the
+  * FrenchAnalyzer set (fr/FrenchAnalyzer.java:61-63). Positions
+  * unchanged. */
+final case class ElisionFilter(articles: Set[String] = ElisionFilter.french)
+    extends TokenFilter {
+  private def strip(term: String): String = {
+    var i = 0
+    while (i < term.length) {
+      val c = term.charAt(i)
+      if (c == '\'' || c == '’') {
+        if (articles.contains(term.substring(0, i))) return term.substring(i + 1)
+        return term
+      }
+      i += 1
+    }
+    term
+  }
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) =
+    (tokens.map(t => t.copy(term = strip(t.term))), overlaps)
+}
+
+object ElisionFilter {
+  /** The reference FrenchAnalyzer's DEFAULT_ARTICLES. */
+  val french: Set[String] = Set("l", "m", "t", "qu", "n", "s", "j", "d", "c",
+    "jusqu", "quoiqu", "lorsqu", "puisqu")
+  /** CatalanAnalyzer / ItalianAnalyzer / IrishAnalyzer article sets. */
+  val catalan: Set[String] = Set("d", "l", "m", "n", "s", "t")
+  val italian: Set[String] = Set("c", "l", "all", "dall", "dell", "nell",
+    "sull", "coll", "pell", "gl", "agl", "dagl", "degl", "negl", "sugl",
+    "un", "m", "t", "s", "v", "d")
+  val irish: Set[String] = Set("d", "m", "b")
+}
+
+/** Common-word bigrams (commongrams/CommonGramsFilter.java): between each
+  * pair of stream-adjacent tokens where either side is a common word, a
+  * "first_second" gram is emitted at the FIRST token's position as an
+  * overlap (posInc 0 — test positions {1,0,1}). Unigrams always remain;
+  * phrase queries over stop-heavy text then match the precomposed grams
+  * instead of position holes. */
+final case class CommonGramsFilter(commonWords: Set[String]) extends TokenFilter {
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) = {
+    val outT = Vector.newBuilder[Token] // Vector: downstream filters index into the stream
+    val outO = Vector.newBuilder[Boolean]
+    // grams form over the non-overlap backbone, like the reference stream
+    val backbone = tokens.indices.filterNot(overlaps)
+    val gramAfter = backbone.indices.dropRight(1).filter { bi =>
+      commonWords.contains(tokens(backbone(bi)).term) ||
+        commonWords.contains(tokens(backbone(bi + 1)).term)
+    }.toSet
+    var b = 0
+    tokens.indices.foreach { i =>
+      outT += tokens(i); outO += overlaps(i)
+      if (!overlaps(i)) {
+        if (gramAfter.contains(b)) {
+          val next = tokens(backbone(b + 1))
+          outT += Token(tokens(i).term + "_" + next.term, tokens(i).pos)
+          outO += true
+        }
+        b += 1
+      }
+    }
+    (outT.result(), outO.result())
+  }
+}
+
+/** Dictionary compound decomposition (compound/
+  * DictionaryCompoundWordTokenFilter.java): tokens of >= minWordSize
+  * chars scan every start offset for dictionary subwords of length
+  * [minSubwordSize, maxSubwordSize]; each hit (or only the longest per
+  * start, with onlyLongestMatch) is emitted at the SAME position as an
+  * overlap. The original token always survives. The German-compound
+  * splitter ("donaudampfschiff" -> donau, dampf, schiff). */
+final case class DictionaryCompoundFilter(dictionary: Set[String],
+                                          minWordSize: Int = 5,
+                                          minSubwordSize: Int = 2,
+                                          maxSubwordSize: Int = 15,
+                                          onlyLongestMatch: Boolean = false)
+    extends TokenFilter {
+  private def subwords(term: String): Seq[String] = {
+    if (term.length < minWordSize) return Nil
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i <= term.length - minSubwordSize) {
+      var longest: String = null
+      var j = minSubwordSize
+      while (j <= maxSubwordSize && i + j <= term.length) {
+        val cand = term.substring(i, i + j)
+        if (dictionary.contains(cand)) {
+          if (onlyLongestMatch) {
+            if (longest == null || longest.length < j) longest = cand
+          } else out += cand
+        }
+        j += 1
+      }
+      if (onlyLongestMatch && longest != null) out += longest
+      i += 1
+    }
+    out.result()
+  }
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) = {
+    val outT = Vector.newBuilder[Token] // Vector: downstream filters index into the stream
+    val outO = Vector.newBuilder[Boolean]
+    tokens.indices.foreach { i =>
+      val t = tokens(i)
+      outT += t; outO += overlaps(i)
+      subwords(t.term).foreach { sw => outT += Token(sw, t.pos); outO += true }
+    }
+    (outT.result(), outO.result())
+  }
+}
+
+/** Keep only listed words (miscellaneous/KeepWordFilter.java — the
+  * inverse of a stop filter); position holes remain. */
+final case class KeepWordFilter(keep: Set[String]) extends TokenFilter {
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) = {
+    val idx = tokens.indices.filter(i => keep.contains(tokens(i).term))
+    (idx.map(tokens), idx.map(overlaps))
+  }
+}
+
+/** Truncate every token to a fixed prefix length (miscellaneous/
+  * TruncateTokenFilter.java). */
+final case class TruncateFilter(length: Int) extends TokenFilter {
+  require(length >= 1, "truncate length must be >= 1")
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) =
+    (tokens.map(t =>
+      if (t.term.length > length) t.copy(term = t.term.substring(0, length)) else t),
+      overlaps)
+}
+
+/** Reverse every token (reverse/ReverseStringFilter.java — the
+  * leading-wildcard acceleration trick: index reversed terms, rewrite
+  * *suffix into a reversed prefix scan). */
+case object ReverseStringFilter extends TokenFilter {
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) =
+    (tokens.map(t => t.copy(term = t.term.reverse)), overlaps)
+}
+
+/** Regex replacement on each token (pattern/PatternReplaceFilter.java);
+  * replaceAll vs first-occurrence per the reference's `all` flag. Tokens
+  * that become empty are REMOVED (the factory's usual stop-after
+  * configuration keeps streams clean; position holes remain). */
+final case class PatternReplaceFilter(pattern: String, replacement: String,
+                                      all: Boolean = true) extends TokenFilter {
+  @transient private lazy val re = java.util.regex.Pattern.compile(pattern)
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) = {
+    val replaced = tokens.map { t =>
+      val m = re.matcher(t.term)
+      t.copy(term = if (all) m.replaceAll(replacement) else m.replaceFirst(replacement))
+    }
+    val idx = replaced.indices.filter(i => replaced(i).term.nonEmpty)
+    (idx.map(replaced), idx.map(overlaps))
+  }
+}
+
 /**
  * The analysis chain: the standard tokenizer ([[Analyzer]]: UAX#29 subset
  * + lowercase) followed by the configured filters. `AnalyzerChain(Nil)`
@@ -536,7 +693,8 @@ private[analysis] final class ArrayBufferInt {
  * after lowercasing as before.
  */
 final case class AnalyzerChain(filters: Seq[TokenFilter],
-                               wordDelimiter: Option[WordDelimiterFilter] = None)
+                               wordDelimiter: Option[WordDelimiterFilter] = None,
+                               charFilters: Seq[CharFilter] = Nil)
     extends Serializable {
   require(!filters.exists(_.isInstanceOf[WordDelimiterFilter]),
     "WordDelimiterFilter goes in the wordDelimiter slot (it must run on " +
@@ -545,7 +703,10 @@ final case class AnalyzerChain(filters: Seq[TokenFilter],
   /** Tokens (with positions) after the whole chain. */
   def analyze(text: String): Seq[Token] = analyzeWithOverlaps(text)._1
 
-  def analyzeWithOverlaps(text: String): (Seq[Token], Seq[Boolean]) = {
+  def analyzeWithOverlaps(text0: String): (Seq[Token], Seq[Boolean]) = {
+    // char filters rewrite the raw text before segmentation (the
+    // reference's CharFilter stage)
+    val text = charFilters.foldLeft(text0)((t, f) => f(t))
     val base = wordDelimiter match {
       case Some(wdf) =>
         val seg = Analyzer.segment(text)
@@ -564,7 +725,7 @@ final case class AnalyzerChain(filters: Seq[TokenFilter],
     * non-overlap tokens only (discountOverlaps=true); tf counts every
     * occurrence including injected synonyms (they are real postings). */
   def termFreqs(text: String): (scala.collection.Map[String, Int], Int) = {
-    if (filters.isEmpty && wordDelimiter.isEmpty)
+    if (filters.isEmpty && wordDelimiter.isEmpty && charFilters.isEmpty)
       return Analyzer.termFreqs(text) // allocation-light hot path
     val (tokens, overlaps) = analyzeWithOverlaps(text)
     val m = new java.util.HashMap[String, Int](64)
@@ -624,15 +785,50 @@ object AnalyzerChain {
         val entries = ov.toSeq.sortBy(_._1).map { case (k, v) => s"${word(k)}:${word(v)}" }
         s"""{"type":"kwstem","protected":[${prot.toSeq.sorted.map(word).mkString(",")}],""" +
           s""""overrides":{${entries.mkString(",")}}}"""
+      case ElisionFilter(arts) =>
+        s"""{"type":"elision","articles":[${arts.toSeq.sorted.map(word).mkString(",")}]}"""
+      case CommonGramsFilter(ws) =>
+        s"""{"type":"commongrams","words":[${ws.toSeq.sorted.map(word).mkString(",")}]}"""
+      case DictionaryCompoundFilter(dict, mw, mns, mxs, lng) =>
+        s"""{"type":"compound","minword":$mw,"minsub":$mns,"maxsub":$mxs,""" +
+          s""""longest":$lng,"dict":[${dict.toSeq.sorted.map(word).mkString(",")}]}"""
+      case KeepWordFilter(ws) =>
+        s"""{"type":"keepword","words":[${ws.toSeq.sorted.map(word).mkString(",")}]}"""
+      case TruncateFilter(n) => s"""{"type":"truncate","len":$n}"""
+      case ReverseStringFilter => """{"type":"reverse"}"""
+      case PatternReplaceFilter(p, r, all) =>
+        // base64 dodges regex metachars in the json-lite encoding
+        s"""{"type":"patreplace","pattern":${word(b64e(p))},""" +
+          s""""replacement":${word(b64e(r))},"all":$all}"""
+    }
+    val cfs = chain.charFilters.map {
+      case HtmlStripCharFilter => """{"type":"htmlstrip"}"""
+      case MappingCharFilter(m) =>
+        val entries = m.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"${word(b64e(k))}:${word(b64e(v))}"
+        }
+        s"""{"type":"mapping","map":{${entries.mkString(",")}}}"""
     }
     val wd = chain.wordDelimiter.map(w =>
       s"""{"type":"worddelim","original":${w.preserveOriginal},"possessive":${w.stemPossessive}}""").toSeq
-    s"""{"filters":[${(wd ++ fs).mkString(",")}]}"""
+    val cfPart = if (cfs.isEmpty) "" else s""","charfilters":[${cfs.mkString(",")}]"""
+    s"""{"filters":[${(wd ++ fs).mkString(",")}]$cfPart}"""
   }
 
-  def fromJson(json: String): AnalyzerChain = {
+  private def b64e(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def b64d(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  def fromJson(json0: String): AnalyzerChain = {
+    // char filters live in their own section so the filter scan below
+    // never sees them
+    val cfStart = json0.indexOf(""","charfilters":[""")
+    val (json, cfJson) =
+      if (cfStart < 0) (json0, "")
+      else (json0.substring(0, cfStart), json0.substring(cfStart))
     val filterRe =
-      """\{"type":"(stop|porter|snowball|lightstem|synonym|ascii|length|shingle|edgengram|phonetic|worddelim|kwstem|cjkwidth|cjkbigram)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
+      """\{"type":"(stop|porter|snowball|lightstem|synonym|ascii|length|shingle|edgengram|phonetic|worddelim|kwstem|cjkwidth|cjkbigram|elision|commongrams|compound|keepword|truncate|reverse|patreplace)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
     val wordsRe = """"([^"]+)"""".r
     def intField(body: String, k: String): Int =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
@@ -665,6 +861,28 @@ object AnalyzerChain {
         case "stop" =>
           val arr = body.substring(body.indexOf('['), body.indexOf(']') + 1)
           StopFilter(wordsRe.findAllMatchIn(arr).map(_.group(1)).toSet)
+        case "elision" =>
+          val arr = body.substring(body.indexOf('['), body.indexOf(']') + 1)
+          ElisionFilter(wordsRe.findAllMatchIn(arr).map(_.group(1)).toSet)
+        case "commongrams" =>
+          val arr = body.substring(body.indexOf('['), body.indexOf(']') + 1)
+          CommonGramsFilter(wordsRe.findAllMatchIn(arr).map(_.group(1)).toSet)
+        case "keepword" =>
+          val arr = body.substring(body.indexOf('['), body.indexOf(']') + 1)
+          KeepWordFilter(wordsRe.findAllMatchIn(arr).map(_.group(1)).toSet)
+        case "compound" =>
+          val arr = body.substring(body.indexOf('['), body.indexOf(']') + 1)
+          DictionaryCompoundFilter(
+            wordsRe.findAllMatchIn(arr).map(_.group(1)).toSet,
+            intField(body, "minword"), intField(body, "minsub"),
+            intField(body, "maxsub"), boolField(body, "longest"))
+        case "truncate" => TruncateFilter(intField(body, "len"))
+        case "reverse" => ReverseStringFilter
+        case "patreplace" =>
+          def strField(k: String): String =
+            s""""$k":"([^"]*)"""".r.findFirstMatchIn(body).get.group(1)
+          PatternReplaceFilter(b64d(strField("pattern")),
+            b64d(strField("replacement")), boolField(body, "all"))
         case "kwstem" =>
           val protArr = body.substring(body.indexOf('['), body.indexOf(']') + 1)
           val ovBody = body.substring(body.indexOf("\"overrides\":{") + 13, body.lastIndexOf('}'))
@@ -682,6 +900,19 @@ object AnalyzerChain {
     }.toSeq
     // worddelim routes to its dedicated pre-lowercase slot, not the list
     val (wds, rest) = filters.partition(_.isInstanceOf[WordDelimiterFilter])
-    AnalyzerChain(rest, wds.headOption.map(_.asInstanceOf[WordDelimiterFilter]))
+    val cfRe = """\{"type":"(htmlstrip|mapping)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
+    val charFilters: Seq[CharFilter] = cfRe.findAllMatchIn(cfJson).map { m =>
+      m.group(1) match {
+        case "htmlstrip" => HtmlStripCharFilter
+        case "mapping" =>
+          val mapBody = m.matched.substring(
+            m.matched.indexOf("\"map\":{") + 7, m.matched.lastIndexOf('}'))
+          val pairRe = """"([^"]+)":"([^"]*)"""".r
+          MappingCharFilter(pairRe.findAllMatchIn(mapBody)
+            .map(e => b64d(e.group(1)) -> b64d(e.group(2))).toMap)
+      }
+    }.toSeq
+    AnalyzerChain(rest, wds.headOption.map(_.asInstanceOf[WordDelimiterFilter]),
+      charFilters)
   }
 }

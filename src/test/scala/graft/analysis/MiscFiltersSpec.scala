@@ -1,0 +1,113 @@
+package graft.analysis
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Elision, common-grams, compound decomposition, char filters, and the
+  * small miscellaneous token filters (keep/truncate/reverse/pattern). */
+class MiscFiltersSpec extends AnyFunSuite {
+
+  test("elision strips french articles before apostrophes") {
+    val chain = AnalyzerChain(Seq(ElisionFilter()))
+    assert(chain.terms("l'avion d'histoire jusqu'au xy'z") ===
+      Seq("avion", "histoire", "au", "xy'z"))
+    // right single quote form too
+    assert(chain.terms("l’avion") === Seq("avion"))
+    // positions unchanged
+    assert(chain.analyze("l'avion vole").map(_.pos) === Seq(0, 1))
+  }
+
+  test("common grams: bigram at first word's position as an overlap") {
+    val chain = AnalyzerChain(Seq(CommonGramsFilter(Set("the", "of"))))
+    val (toks, overlaps) = chain.analyzeWithOverlaps("the quick fox of doom")
+    val terms = toks.map(_.term)
+    assert(terms === Seq("the", "the_quick", "quick", "fox", "fox_of", "of",
+      "of_doom", "doom"))
+    assert(toks.zip(overlaps).collect { case (t, true) => t.term } ===
+      Seq("the_quick", "fox_of", "of_doom"))
+    // gram shares the first token's position (reference positions {1,0,1})
+    val pos = toks.groupBy(_.term).view.mapValues(_.head.pos).toMap
+    assert(pos("the_quick") === pos("the"))
+    assert(pos("of_doom") === pos("of"))
+    // doc length counts only the backbone
+    assert(chain.termFreqs("the quick fox of doom")._2 === 5)
+  }
+
+  test("dictionary compound decomposition emits subwords as overlaps") {
+    val dict = Set("donau", "dampf", "schiff", "fahrt")
+    val chain = AnalyzerChain(Seq(DictionaryCompoundFilter(dict)))
+    val (toks, overlaps) = chain.analyzeWithOverlaps("donaudampfschifffahrt ok")
+    assert(toks.map(_.term) ===
+      Seq("donaudampfschifffahrt", "donau", "dampf", "schiff", "fahrt", "ok"))
+    assert(overlaps === Seq(false, true, true, true, true, false))
+    assert(toks(1).pos === toks(0).pos)
+    // a dictionary word of exactly minWordSize re-emits itself as a
+    // subword overlap — the reference decompose() does the same
+    // (CompoundWordTokenFilterBase: i=0, j=len is in [minSub, maxSub])
+    assert(chain.terms("dampf") === Seq("dampf", "dampf"))
+    // below minWordSize bypasses decomposition entirely
+    assert(AnalyzerChain(Seq(DictionaryCompoundFilter(dict, minWordSize = 6)))
+      .terms("dampf") === Seq("dampf"))
+  }
+
+  test("keep/truncate/reverse/pattern-replace filters") {
+    assert(AnalyzerChain(Seq(KeepWordFilter(Set("alpha", "beta"))))
+      .terms("alpha gamma beta") === Seq("alpha", "beta"))
+    assert(AnalyzerChain(Seq(TruncateFilter(4)))
+      .terms("abcdef ab") === Seq("abcd", "ab"))
+    assert(AnalyzerChain(Seq(ReverseStringFilter))
+      .terms("abc xyz") === Seq("cba", "zyx"))
+    assert(AnalyzerChain(Seq(PatternReplaceFilter("[0-9]+", "#")))
+      .terms("a1b22c x9") === Seq("a#b#c", "x#"))
+    // tokens emptied by the pattern are removed, hole remains
+    val (t, _) = AnalyzerChain(Seq(PatternReplaceFilter("^x[0-9]+$", "")))
+      .analyzeWithOverlaps("a x42 b")
+    assert(t.map(_.term) === Seq("a", "b") && t.map(_.pos) === Seq(0, 2))
+  }
+
+  test("html strip removes markup, decodes entities, breaks at block tags") {
+    val html = "<div class=\"foo\">this is some text</div> here is a " +
+      "<a href=\"#bar\">link</a> and another " +
+      "<a href=\"http://lucene.apache.org/\">link</a>. " +
+      "This is an entity: &amp; plus a &lt;.  Here is an &. <!-- is a comment -->"
+    val gold = "\nthis is some text\n here is a link and another link. " +
+      "This is an entity: & plus a <.  Here is an &. "
+    assert(HtmlStripCharFilter(html) === gold)
+    // script/style bodies vanish; CDATA keeps inner text; numeric entities
+    assert(HtmlStripCharFilter("a<script>var x=1;</script>b") === "ab")
+    assert(HtmlStripCharFilter("<style>p{}</style>ok") === "ok")
+    assert(HtmlStripCharFilter("<![CDATA[kept]]> x") === "kept x")
+    assert(HtmlStripCharFilter("&#65;&#x42;") === "AB")
+    assert(HtmlStripCharFilter("3 < 4 and a&b") === "3 < 4 and a&b")
+    // through the chain: tags don't join words
+    val chain = AnalyzerChain(Nil, None, Seq(HtmlStripCharFilter))
+    assert(chain.terms("foo<p>bar</p><b>baz</b>qux") ===
+      Seq("foo", "bar", "bazqux"))
+  }
+
+  test("mapping char filter applies longest match") {
+    val f = MappingCharFilter(Map("ph" -> "f", "qu" -> "kw", "q" -> "k"))
+    assert(f("phquqx") === "fkwkx")
+    val chain = AnalyzerChain(Nil, None, Seq(f))
+    assert(chain.terms("phase quit") === Seq("fase", "kwit"))
+  }
+
+  test("new filters and char filters round-trip through chain json") {
+    val chains = Seq(
+      AnalyzerChain(Seq(ElisionFilter())),
+      AnalyzerChain(Seq(ElisionFilter(ElisionFilter.italian))),
+      AnalyzerChain(Seq(CommonGramsFilter(Set("the", "of")))),
+      AnalyzerChain(Seq(DictionaryCompoundFilter(Set("donau", "dampf"),
+        onlyLongestMatch = true))),
+      AnalyzerChain(Seq(KeepWordFilter(Set("a", "b")))),
+      AnalyzerChain(Seq(TruncateFilter(3), ReverseStringFilter)),
+      AnalyzerChain(Seq(PatternReplaceFilter("""\d+""", "#", all = false))),
+      AnalyzerChain(Nil, None, Seq(HtmlStripCharFilter,
+        MappingCharFilter(Map("ph" -> "f", "\"x\"" -> "\\y")))),
+      AnalyzerChain(Seq(StopFilter(Set("the")), ElisionFilter()), None,
+        Seq(HtmlStripCharFilter)))
+    chains.foreach { c =>
+      assert(AnalyzerChain.fromJson(AnalyzerChain.toJson(c)) === c,
+        AnalyzerChain.toJson(c))
+    }
+  }
+}
