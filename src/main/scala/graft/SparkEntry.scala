@@ -1224,6 +1224,22 @@ object SparkEntry {
         .toDF("doc_id" +: MiscFilterChains.map(c => s"mf_${c._1}"): _*)
     }),
 
+    // per-language analyzer presets (the reference XXAnalyzer stacks):
+    // ten representative languages over fixed sentences
+    "ta_analyzers" -> ((s, d) => {
+      import s.implicits._
+      val chains = AnalyzerPresetLangs.map(graft.analysis.Analyzers.forLanguage)
+      rd(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val outs = chains.zip(AnalyzerSentences).map { case (c, ws) =>
+            c.terms(ws((id % ws.size).toInt)).mkString(" ")
+          }
+          (id, outs(0), outs(1), outs(2), outs(3), outs(4), outs(5),
+            outs(6), outs(7), outs(8), outs(9))
+        }
+        .toDF("doc_id" +: AnalyzerPresetLangs.map(l => s"an_$l"): _*)
+    }),
+
     "ta_fingerprint" -> ((s, d) => TextOps.fingerprint(rd(s, d, "documents"),
       "doc_id", "text")),
 
@@ -2719,6 +2735,7 @@ object SparkEntry {
       "ta_lightstem2" -> lightstem2Sql,
       "ta_phonetic" -> phoneticSql,
       "ta_misc_filters" -> miscFiltersSql,
+      "ta_analyzers" -> analyzersSql,
       "ta_cjk" -> cjkSql,
       "ta_fold" -> foldSql,
       "ta_fingerprint" ->
@@ -3463,6 +3480,44 @@ object SparkEntry {
         s"WHEN $i THEN '${chain.terms(w).mkString(" ")}'"
       }.mkString(" ")
       s"CASE CAST(doc_id % ${inputs.size} AS INT) $arms END AS mf_$name"
+    }
+    s"SELECT doc_id,\n ${cols.mkString(",\n ")}\n FROM documents"
+  }
+
+  private val AnalyzerPresetLangs = Seq("fr", "en", "de", "es", "ru", "it",
+    "pt", "hi", "ar", "cjk")
+
+  private val AnalyzerSentences: Seq[Seq[String]] = Seq(
+    Seq("l'avion et les châteaux", "c'est une belle journée",
+      "les possibilités nationales", "jusqu'au bout de la nuit"),
+    Seq("the dog's bones are running", "a quick brown fox jumps",
+      "national agreements were signed", "the happiness of crying children"),
+    Seq("die Häuser und Bücher", "eine schöne Übung mit Größe",
+      "der Wissenschaft und Entwicklung", "die Möglichkeiten der Universität"),
+    Seq("las casas y los niños", "una universidad de canciones",
+      "la felicidad de trabajar", "los españoles corriendo rápidamente"),
+    Seq("книга и перо лежали", "работающий человек читает книги",
+      "возможности великого государства", "прекрасная история понимания"),
+    Seq("l'abbandonata città e i giocatori", "una organizzazione nazionale",
+      "la felicità di cantare", "le possibilità tradizionali"),
+    Seq("a comunicação e a felicidade", "os jogadores tradicionais",
+      "o desenvolvimento nacional", "as possibilidades de trabalhar"),
+    Seq("लडका और लडकों की किताबें", "दोस्तों के साथ खाता",
+      "बच्चे स्कूल जाते हैं", "यह एक अच्छी किताब है"),
+    Seq("الحسن والاولاد في المدرسة", "يستعملون الكتاب كل يوم",
+      "بالحسن وللاخر ساهدان", "مكتبات المدرسة كبيرة"),
+    Seq("多くの学生が勉強する", "ﾃﾞｰﾀベース検索", "中国語の文章",
+      "한국어 텍스트 분석"))
+
+  /** The ta_analyzers oracle: derived CASE arms from the SAME presets
+    * (every constituent filter golden- or vocabulary-validated). */
+  private def analyzersSql: String = {
+    val cols = AnalyzerPresetLangs.zip(AnalyzerSentences).map { case (lang, ws) =>
+      val chain = graft.analysis.Analyzers.forLanguage(lang)
+      val arms = ws.zipWithIndex.map { case (w, i) =>
+        s"WHEN $i THEN '${chain.terms(w).mkString(" ")}'"
+      }.mkString(" ")
+      s"CASE CAST(doc_id % ${ws.size} AS INT) $arms END AS an_$lang"
     }
     s"SELECT doc_id,\n ${cols.mkString(",\n ")}\n FROM documents"
   }

@@ -1,0 +1,141 @@
+package graft.analysis
+
+/**
+ * Per-language analyzer presets mirroring the reference's XXAnalyzer
+ * compositions (lucene/analysis/common/.../XX/XXAnalyzer.java
+ * createComponents): tokenizer → (elision) → lowercase → stopwords →
+ * (normalizer) → stemmer — all built from the chain's validated filters
+ * and the reference's own stopword lists (re-encoded word-per-line under
+ * resources/graft/stopwords).
+ *
+ * Documented divergences from the reference stacks (each minor and
+ * inherent to the single-tokenizer chain): the tokenizer lowercases with
+ * Character.toLowerCase before filters run, so Turkish dotted/dotless I
+ * and Irish nEisce-style pre-lowercase rules fold the standard way; the
+ * ckb and el presets run their stop list against raw lowercased tokens
+ * because normalization and stemming are fused in their filters (the
+ * shipped stop lists are already in normalized lowercase form).
+ */
+object Analyzers {
+
+  /** The reference's per-language default stop set. */
+  def stopwords(lang: String): Set[String] = {
+    val in = getClass.getResourceAsStream(s"/graft/stopwords/$lang.txt")
+    require(in != null, s"no stopword list for language: $lang")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).toSet finally src.close()
+  }
+
+  val languages: Seq[String] = Seq("ar", "bg", "bn", "ca", "cjk", "ckb",
+    "cz", "da", "de", "el", "en", "es", "et", "eu", "fa", "fi", "fr", "ga",
+    "gl", "hi", "hu", "hy", "id", "it", "lt", "lv", "nl", "no", "pt", "ro",
+    "ru", "sv", "tr")
+
+  /** The reference XXAnalyzer stack for a language code. */
+  def forLanguage(lang: String): AnalyzerChain = {
+    val stop = StopFilter(stopwords(lang))
+    lang match {
+      case "ar" => AnalyzerChain(Seq(stop, LightStemFilter("ar_light")))
+      case "bg" => AnalyzerChain(Seq(stop, LightStemFilter("bg")))
+      case "bn" => AnalyzerChain(Seq(stop, LightStemFilter("bn")))
+      case "ca" => AnalyzerChain(Seq(ElisionFilter(ElisionFilter.catalan),
+        stop, SnowballStemFilter("catalan")))
+      case "cjk" => AnalyzerChain(Seq(CJKWidthFilter, CJKBigramFilter(), stop))
+      case "ckb" => AnalyzerChain(Seq(stop, LightStemFilter("ckb")))
+      case "cz" => AnalyzerChain(Seq(stop, LightStemFilter("cz")))
+      case "da" => AnalyzerChain(Seq(stop, SnowballStemFilter("danish")))
+      case "de" => AnalyzerChain(Seq(stop, GermanNormalizationFilter,
+        LightStemFilter("de_light")))
+      case "el" => AnalyzerChain(Seq(stop, LightStemFilter("el")))
+      case "en" => AnalyzerChain(Seq(EnglishPossessiveFilter, stop,
+        PorterStemFilter))
+      case "es" => AnalyzerChain(Seq(stop, SnowballStemFilter("spanish")))
+      case "et" => AnalyzerChain(Seq(stop, SnowballStemFilter("estonian")))
+      case "eu" => AnalyzerChain(Seq(stop, SnowballStemFilter("basque")))
+      case "fa" => AnalyzerChain(Seq(ArabicNormFilter, PersianNormFilter, stop))
+      case "fi" => AnalyzerChain(Seq(stop, SnowballStemFilter("finnish")))
+      case "fr" => AnalyzerChain(Seq(ElisionFilter(), stop,
+        SnowballStemFilter("french")))
+      case "ga" => AnalyzerChain(Seq(ElisionFilter(ElisionFilter.irish),
+        stop, SnowballStemFilter("irish")))
+      case "gl" => AnalyzerChain(Seq(stop, LightStemFilter("gl")))
+      case "hi" => AnalyzerChain(Seq(stop, LightStemFilter("hi")))
+      case "hu" => AnalyzerChain(Seq(stop, SnowballStemFilter("hungarian")))
+      case "hy" => AnalyzerChain(Seq(stop, SnowballStemFilter("armenian")))
+      case "id" => AnalyzerChain(Seq(stop, LightStemFilter("id")))
+      case "it" => AnalyzerChain(Seq(ElisionFilter(ElisionFilter.italian),
+        stop, SnowballStemFilter("italian")))
+      case "lt" => AnalyzerChain(Seq(stop, SnowballStemFilter("lithuanian")))
+      case "lv" => AnalyzerChain(Seq(stop, LightStemFilter("lv")))
+      case "nl" => AnalyzerChain(Seq(stop, SnowballStemFilter("dutch")))
+      case "no" => AnalyzerChain(Seq(stop, SnowballStemFilter("norwegian")))
+      case "pt" => AnalyzerChain(Seq(stop, LightStemFilter("pt_rslp")))
+      case "ro" => AnalyzerChain(Seq(stop, SnowballStemFilter("romanian")))
+      case "ru" => AnalyzerChain(Seq(stop, SnowballStemFilter("russian")))
+      case "sv" => AnalyzerChain(Seq(stop, SnowballStemFilter("swedish")))
+      case "tr" => AnalyzerChain(Seq(stop, SnowballStemFilter("turkish")))
+      case other => throw new IllegalArgumentException(s"no analyzer preset: $other")
+    }
+  }
+}
+
+/** German umlaut/e-deletion normalization (de/GermanNormalizationFilter
+  * .java FSM: ä/ö/ü fold; 'e' after an umlaut-state vowel deletes;
+  * ß becomes ss). Runs before GermanLightStemmer in the de preset. */
+case object GermanNormalizationFilter extends TokenFilter {
+  private final val N = 0; private final val V = 1; private final val U = 2
+  private[analysis] def normalize(w: String): String = {
+    val sb = new StringBuilder(w.length + 4)
+    var state = N
+    var i = 0
+    while (i < w.length) {
+      val c = w.charAt(i)
+      c match {
+        case 'a' | 'o' => sb += c; state = U
+        case 'u' => sb += c; state = if (state == N) U else V
+        case 'e' =>
+          if (state != U) sb += c // e after umlaut-state deletes
+          state = V
+        case 'i' | 'q' | 'y' => sb += c; state = V
+        case 'ä' => sb += 'a'; state = V
+        case 'ö' => sb += 'o'; state = V
+        case 'ü' => sb += 'u'; state = V
+        case 'ß' => sb ++= "ss"; state = N
+        case other => sb += other; state = N
+      }
+      i += 1
+    }
+    sb.toString
+  }
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) =
+    (tokens.map(t => t.copy(term = normalize(t.term))), overlaps)
+}
+
+/** Trailing 's (en/EnglishPossessiveFilter.java — apostrophe or its
+  * typographic variants + s). */
+case object EnglishPossessiveFilter extends TokenFilter {
+  private def strip(w: String): String = {
+    val n = w.length
+    if (n >= 2 && (w.charAt(n - 1) == 's' || w.charAt(n - 1) == 'S') &&
+      (w.charAt(n - 2) == '\'' || w.charAt(n - 2) == '’' ||
+        w.charAt(n - 2) == '‘')) w.substring(0, n - 2)
+    else w
+  }
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) =
+    (tokens.map(t => t.copy(term = strip(t.term))), overlaps)
+}
+
+/** Arabic normalization as a standalone chain filter (the fa/ar preset
+  * stage; delegates to [[IndicStemmers.ArabicNormalizer]]). */
+case object ArabicNormFilter extends TokenFilter {
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) =
+    (tokens.map(t => t.copy(term = IndicStemmers.ArabicNormalizer.normalize(t.term))),
+      overlaps)
+}
+
+/** Persian normalization as a standalone chain filter. */
+case object PersianNormFilter extends TokenFilter {
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) =
+    (tokens.map(t => t.copy(term = IndicStemmers.PersianNormalizer.normalize(t.term))),
+      overlaps)
+}

@@ -142,3 +142,13 @@ case object HtmlStripCharFilter extends CharFilter {
     if (close < 0) text.length else close + 1
   }
 }
+
+/** Re-join words hyphenated across line breaks (the capability of
+  * miscellaneous/HyphenatedWordsFilter.java, lifted to the char-filter
+  * stage where this tokenizer can still see the hyphen): "hyphen-\n ated"
+  * becomes "hyphenated". Only a hyphen directly followed by a newline
+  * (plus surrounding spaces) joins — real compound hyphens stay. */
+case object HyphenJoinCharFilter extends CharFilter {
+  private val re = java.util.regex.Pattern.compile("""(\p{L})-[ \t]*\r?\n[ \t]*(\p{L})""")
+  def apply(text: String): String = re.matcher(text).replaceAll("$1$2")
+}

@@ -45,6 +45,7 @@ case object PorterStemFilter extends TokenFilter {
   * re-derived [[Snowball]] algorithms, vocabulary-validated). Positions
   * unchanged. */
 final case class SnowballStemFilter(lang: String) extends TokenFilter {
+  private[analysis] def stemmerFn: String => String = stemmer
   private val stemmer: String => String = lang match {
     case "german"     => Snowball.German.stem
     case "german2"    => Snowball.German2.stem
@@ -180,7 +181,7 @@ final case class SynonymFilter(synonyms: Map[String, Seq[String]]) extends Token
   * decomposition + combining-mark strip subset, plus the common
   * non-decomposable ligatures/letters; positions unchanged). */
 case object AsciiFoldingFilter extends TokenFilter {
-  private val special = Map(
+  private[analysis] val special = Map(
     'ß' -> "ss", 'æ' -> "ae", 'œ' -> "oe", 'ø' -> "o", 'đ' -> "d",
     'þ' -> "th", 'ð' -> "d", 'ł' -> "l", 'ħ' -> "h", 'ı' -> "i")
   private[analysis] def fold(s: String): String = {
@@ -684,6 +685,76 @@ final case class PatternReplaceFilter(pattern: String, replacement: String,
   }
 }
 
+/** Unicode folding (the capability of the reference's icu module
+  * ICUFoldingFilter, approximated with the JDK: NFKC compatibility
+  * normalization, combining-mark removal via NFD, and full lowercasing —
+  * accents, width forms, ligatures, and case fold across scripts in one
+  * filter). A documented subset: ICU's custom foldings beyond NFKC+strip
+  * (e.g. Hangul jamo conflation) are out of scope. */
+case object UnicodeFoldingFilter extends TokenFilter {
+  private[analysis] def fold(s: String): String = {
+    var ascii = true
+    var i = 0
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) return s // already-lowercase ASCII fast path (chain lowercases)
+    // ICU's case-fold maps the non-decomposable ligature letters (ß -> ss,
+    // æ -> ae, ...) that NFKC leaves alone — the AsciiFolding special set
+    val pre = s.flatMap(c => AsciiFoldingFilter.special.getOrElse(c, c.toString))
+    val kc = java.text.Normalizer.normalize(pre, java.text.Normalizer.Form.NFKC)
+    val d = java.text.Normalizer.normalize(kc, java.text.Normalizer.Form.NFD)
+      .filterNot(c => Character.getType(c) == Character.NON_SPACING_MARK)
+    java.text.Normalizer.normalize(d, java.text.Normalizer.Form.NFC).toLowerCase
+  }
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) =
+    (tokens.map(t => t.copy(term = fold(t.term))), overlaps)
+}
+
+/** KeywordRepeat + stemmer + RemoveDuplicates as one fused filter (the
+  * reference stack miscellaneous/KeywordRepeatFilter -> stem ->
+  * RemoveDuplicatesTokenFilter): every token is emitted stemmed, with the
+  * ORIGINAL stacked at the same position as an overlap when the stem
+  * changed it — exact-form and stemmed-form queries both match. */
+final case class RepeatStemFilter(kind: String, lang: String = "") extends TokenFilter {
+  private val stem: String => String = kind match {
+    case "porter"   => Porter.stem
+    case "snowball" => SnowballStemFilter(lang).stemmerFn
+    case "light"    => LightStemFilter.stemmer(lang)
+    case other => throw new IllegalArgumentException(s"unsupported repeat-stem kind: $other")
+  }
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) = {
+    val outT = Vector.newBuilder[Token] // Vector: downstream filters index into the stream
+    val outO = Vector.newBuilder[Boolean]
+    tokens.indices.foreach { i =>
+      val t = tokens(i)
+      val st = stem(t.term)
+      outT += t.copy(term = st); outO += overlaps(i)
+      if (st != t.term) { outT += t; outO += true }
+    }
+    (outT.result(), outO.result())
+  }
+}
+
+/** Keep only the first N stream tokens (miscellaneous/
+  * LimitTokenCountFilter.java — index-size guard for huge docs). */
+final case class LimitTokenCountFilter(maxTokens: Int) extends TokenFilter {
+  require(maxTokens >= 1, "maxTokens must be >= 1")
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) =
+    (tokens.take(maxTokens), overlaps.take(maxTokens))
+}
+
+/** Codepoint-count bounds (miscellaneous/CodepointCountFilter.java —
+  * LengthFilter for supplementary-plane text). */
+final case class CodepointCountFilter(min: Int, max: Int) extends TokenFilter {
+  require(min >= 1 && max >= min, s"bad codepoint bounds [$min,$max]")
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) = {
+    val keep = tokens.indices.filter { i =>
+      val n = tokens(i).term.codePointCount(0, tokens(i).term.length)
+      n >= min && n <= max
+    }
+    (keep.map(tokens), keep.map(overlaps))
+  }
+}
+
 /**
  * The analysis chain: the standard tokenizer ([[Analyzer]]: UAX#29 subset
  * + lowercase) followed by the configured filters. `AnalyzerChain(Nil)`
@@ -800,9 +871,20 @@ object AnalyzerChain {
         // base64 dodges regex metachars in the json-lite encoding
         s"""{"type":"patreplace","pattern":${word(b64e(p))},""" +
           s""""replacement":${word(b64e(r))},"all":$all}"""
+      case UnicodeFoldingFilter => """{"type":"ufold"}"""
+      case GermanNormalizationFilter => """{"type":"denorm"}"""
+      case EnglishPossessiveFilter => """{"type":"enposs"}"""
+      case ArabicNormFilter => """{"type":"arnorm"}"""
+      case PersianNormFilter => """{"type":"fanorm"}"""
+      case RepeatStemFilter(kind, lang) =>
+        s"""{"type":"repeatstem","kind":${word(kind)},"lang":${word(lang)}}"""
+      case LimitTokenCountFilter(n) => s"""{"type":"limitcount","max":$n}"""
+      case CodepointCountFilter(mn, mx) =>
+        s"""{"type":"cpcount","min":$mn,"max":$mx}"""
     }
     val cfs = chain.charFilters.map {
       case HtmlStripCharFilter => """{"type":"htmlstrip"}"""
+      case HyphenJoinCharFilter => """{"type":"hyphenjoin"}"""
       case MappingCharFilter(m) =>
         val entries = m.toSeq.sortBy(_._1).map { case (k, v) =>
           s"${word(b64e(k))}:${word(b64e(v))}"
@@ -828,7 +910,7 @@ object AnalyzerChain {
       if (cfStart < 0) (json0, "")
       else (json0.substring(0, cfStart), json0.substring(cfStart))
     val filterRe =
-      """\{"type":"(stop|porter|snowball|lightstem|synonym|ascii|length|shingle|edgengram|phonetic|worddelim|kwstem|cjkwidth|cjkbigram|elision|commongrams|compound|keepword|truncate|reverse|patreplace)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
+      """\{"type":"(stop|porter|snowball|lightstem|synonym|ascii|length|shingle|edgengram|phonetic|worddelim|kwstem|cjkwidth|cjkbigram|elision|commongrams|compound|keepword|truncate|reverse|patreplace|ufold|denorm|enposs|arnorm|fanorm|repeatstem|limitcount|cpcount)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
     val wordsRe = """"([^"]+)"""".r
     def intField(body: String, k: String): Int =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
@@ -878,6 +960,17 @@ object AnalyzerChain {
             intField(body, "maxsub"), boolField(body, "longest"))
         case "truncate" => TruncateFilter(intField(body, "len"))
         case "reverse" => ReverseStringFilter
+        case "ufold" => UnicodeFoldingFilter
+        case "denorm" => GermanNormalizationFilter
+        case "enposs" => EnglishPossessiveFilter
+        case "arnorm" => ArabicNormFilter
+        case "fanorm" => PersianNormFilter
+        case "repeatstem" =>
+          def strField(k: String): String =
+            s""""$k":"([^"]*)"""".r.findFirstMatchIn(body).get.group(1)
+          RepeatStemFilter(strField("kind"), strField("lang"))
+        case "limitcount" => LimitTokenCountFilter(intField(body, "max"))
+        case "cpcount" => CodepointCountFilter(intField(body, "min"), intField(body, "max"))
         case "patreplace" =>
           def strField(k: String): String =
             s""""$k":"([^"]*)"""".r.findFirstMatchIn(body).get.group(1)
@@ -900,10 +993,11 @@ object AnalyzerChain {
     }.toSeq
     // worddelim routes to its dedicated pre-lowercase slot, not the list
     val (wds, rest) = filters.partition(_.isInstanceOf[WordDelimiterFilter])
-    val cfRe = """\{"type":"(htmlstrip|mapping)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
+    val cfRe = """\{"type":"(htmlstrip|hyphenjoin|mapping)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
     val charFilters: Seq[CharFilter] = cfRe.findAllMatchIn(cfJson).map { m =>
       m.group(1) match {
         case "htmlstrip" => HtmlStripCharFilter
+        case "hyphenjoin" => HyphenJoinCharFilter
         case "mapping" =>
           val mapBody = m.matched.substring(
             m.matched.indexOf("\"map\":{") + 7, m.matched.lastIndexOf('}'))

@@ -65,7 +65,14 @@ object IndexCli {
                   case Some(enc) if !enc.startsWith("--") =>
                     graft.analysis.AnalyzerChain(
                       Seq(graft.analysis.PhoneticFilter(inject = true, encoder = enc)))
-                  case _ => graft.analysis.AnalyzerChain.standard
+                  case _ =>
+                    // --lang <ar|de|fr|...>: the reference XXAnalyzer stack
+                    // (elision/normalizer/stopwords/stemmer) for a language
+                    rest.dropWhile(_ != "--lang").drop(1).headOption match {
+                      case Some(code) if !code.startsWith("--") =>
+                        graft.analysis.Analyzers.forLanguage(code)
+                      case _ => graft.analysis.AnalyzerChain.standard
+                    }
                 }
             }
         }

@@ -91,6 +91,43 @@ class MiscFiltersSpec extends AnyFunSuite {
     assert(chain.terms("phase quit") === Seq("fase", "kwit"))
   }
 
+  test("unicode folding: NFKC + mark strip + case fold across scripts") {
+    val chain = AnalyzerChain(Seq(UnicodeFoldingFilter))
+    assert(chain.terms("café ﬁre ＡＢＣ Straße") ===
+      Seq("cafe", "fire", "abc", "strasse"))
+    // greek tonos and cyrillic pass folded
+    assert(UnicodeFoldingFilter.fold("άλφα") === "αλφα")
+  }
+
+  test("repeat-stem emits stem plus original at one position") {
+    val chain = AnalyzerChain(Seq(RepeatStemFilter("porter")))
+    val (toks, overlaps) = chain.analyzeWithOverlaps("running dogs fast")
+    assert(toks.map(_.term) === Seq("run", "running", "dog", "dogs", "fast"))
+    assert(overlaps === Seq(false, true, false, true, false))
+    assert(toks(0).pos === toks(1).pos)
+    // unchanged stems do not duplicate (RemoveDuplicates behavior)
+    assert(chain.terms("fast") === Seq("fast"))
+    val sn = AnalyzerChain(Seq(RepeatStemFilter("snowball", "german")))
+    assert(sn.terms("häuser") === Seq("haus", "häuser"))
+  }
+
+  test("limit-count and codepoint-count filters") {
+    assert(AnalyzerChain(Seq(LimitTokenCountFilter(2)))
+      .terms("a b c d") === Seq("a", "b"))
+    // astral-plane char counts one codepoint (length 2 in UTF-16)
+    val cp = AnalyzerChain(Seq(CodepointCountFilter(1, 2)))
+    assert(cp.terms("ab abc 𝐀𝐁") ===
+      Seq("ab", "𝐀𝐁"))
+  }
+
+  test("hyphen-join char filter repairs line-broken words only") {
+    assert(HyphenJoinCharFilter("hyphen-\nated word") === "hyphenated word")
+    assert(HyphenJoinCharFilter("state-of-the-art stays") === "state-of-the-art stays")
+    assert(HyphenJoinCharFilter("trail- \n  ing") === "trailing")
+    val chain = AnalyzerChain(Nil, None, Seq(HyphenJoinCharFilter))
+    assert(chain.terms("hy-\nphen") === Seq("hyphen"))
+  }
+
   test("new filters and char filters round-trip through chain json") {
     val chains = Seq(
       AnalyzerChain(Seq(ElisionFilter())),
@@ -104,7 +141,10 @@ class MiscFiltersSpec extends AnyFunSuite {
       AnalyzerChain(Nil, None, Seq(HtmlStripCharFilter,
         MappingCharFilter(Map("ph" -> "f", "\"x\"" -> "\\y")))),
       AnalyzerChain(Seq(StopFilter(Set("the")), ElisionFilter()), None,
-        Seq(HtmlStripCharFilter)))
+        Seq(HtmlStripCharFilter)),
+      AnalyzerChain(Seq(UnicodeFoldingFilter, LimitTokenCountFilter(9),
+        CodepointCountFilter(1, 64), RepeatStemFilter("snowball", "french")),
+        None, Seq(HyphenJoinCharFilter)))
     chains.foreach { c =>
       assert(AnalyzerChain.fromJson(AnalyzerChain.toJson(c)) === c,
         AnalyzerChain.toJson(c))
