@@ -1187,7 +1187,7 @@ object SparkEntry {
             c.terms(ws((id % ws.size).toInt)).mkString(" ")
           }
           (id, stems(0), stems(1), stems(2), stems(3), stems(4), stems(5),
-            stems(6), stems(7), stems(8))
+            stems(6), stems(7), stems(8), stems(9))
         }
         .toDF("doc_id" +: LightStemLangs2.map(l => s"ls_$l"): _*)
     }),
@@ -3543,7 +3543,9 @@ object SparkEntry {
       "میخواهیم", "ایرانی")
     val el = Seq("άνθρωπος", "άνθρωπο", "ανθρώπων", "πελάτης",
       "πελατών", "ελέφαντες", "μπαμπά", "μπακάλης")
-    Seq(lv, cz, bg, id, hi, bn, ar, fa, el)
+    val br = Seq("bobagens", "chilenas", "quimioterápicos", "cantarão",
+      "felicidade", "importantíssimo", "interessantes", "lindíssima")
+    Seq(lv, cz, bg, id, hi, bn, ar, fa, el, br)
   }
 
   /** The ta_lightstem2 oracle: same derivation as ta_lightstem over the

@@ -26,7 +26,7 @@ object Analyzers {
     try src.getLines().filter(_.nonEmpty).toSet finally src.close()
   }
 
-  val languages: Seq[String] = Seq("ar", "bg", "bn", "ca", "cjk", "ckb",
+  val languages: Seq[String] = Seq("ar", "bg", "bn", "br", "ca", "cjk", "ckb",
     "cz", "da", "de", "el", "en", "es", "et", "eu", "fa", "fi", "fr", "ga",
     "gl", "hi", "hu", "hy", "id", "it", "lt", "lv", "nl", "no", "pt", "ro",
     "ru", "sv", "tr")
@@ -38,6 +38,7 @@ object Analyzers {
       case "ar" => AnalyzerChain(Seq(stop, LightStemFilter("ar_light")))
       case "bg" => AnalyzerChain(Seq(stop, LightStemFilter("bg")))
       case "bn" => AnalyzerChain(Seq(stop, LightStemFilter("bn")))
+      case "br" => AnalyzerChain(Seq(stop, LightStemFilter("br")))
       case "ca" => AnalyzerChain(Seq(ElisionFilter(ElisionFilter.catalan),
         stop, SnowballStemFilter("catalan")))
       case "cjk" => AnalyzerChain(Seq(CJKWidthFilter, CJKBigramFilter(), stop))

@@ -101,7 +101,7 @@ object LightStemFilter {
   /** Second wave: the reference's per-language stemmers/normalizers with
     * inline golden tests instead of vocabulary archives. */
   val languages2: Seq[String] = Seq("lv", "cz", "bg", "id", "hi", "bn",
-    "ar_light", "fa_norm", "el")
+    "ar_light", "fa_norm", "el", "br")
   def stemmer(lang: String): String => String = lang match {
     case "de_light"   => LightStemmers.GermanLight.stem
     case "de_minimal" => LightStemmers.GermanMinimal.stem
@@ -132,6 +132,7 @@ object LightStemFilter {
     case "ar_light"   => IndicStemmers.ArabicLight.stemNormalized
     case "fa_norm"    => IndicStemmers.PersianNormalizer.normalize
     case "el"         => GreekStemmers.stemLowercased
+    case "br"         => Brazilian.stem
     case other => throw new IllegalArgumentException(s"unsupported light-stem language: $other")
   }
 }

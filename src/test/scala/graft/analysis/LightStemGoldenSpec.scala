@@ -74,6 +74,9 @@ class LightStemGoldenSpec extends AnyFunSuite {
   test("persian normalizer golden cases") {
     check("fa_norm_golden.tsv", IndicStemmers.PersianNormalizer.normalize)
   }
+  test("brazilian: all reference golden cases stem exactly") {
+    check("br_golden.tsv", Brazilian.stem)
+  }
 
   test("wave-2 light-stem filters round-trip through chain json") {
     LightStemFilter.languages2.foreach { lang =>
