@@ -1240,6 +1240,19 @@ object SparkEntry {
         .toDF("doc_id" +: AnalyzerPresetLangs.map(l => s"an_$l"): _*)
     }),
 
+    // Krovetz stemmer over the corpus' own tokens: the real distributed
+    // path (dictionary broadcast with the serialized filter), oracled by
+    // the golden-validated scalar
+    "ta_kstem" -> ((s, d) => {
+      import s.implicits._
+      val chain = graft.analysis.AnalyzerChain(Seq(graft.analysis.KStemFilter))
+      rd(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, chain.terms(KStemWords((id % KStemWords.size).toInt)).mkString(" "))
+        }
+        .toDF("doc_id", "kstem_terms")
+    }),
+
     "ta_fingerprint" -> ((s, d) => TextOps.fingerprint(rd(s, d, "documents"),
       "doc_id", "text")),
 
@@ -2736,6 +2749,7 @@ object SparkEntry {
       "ta_phonetic" -> phoneticSql,
       "ta_misc_filters" -> miscFiltersSql,
       "ta_analyzers" -> analyzersSql,
+      "ta_kstem" -> kstemSql,
       "ta_cjk" -> cjkSql,
       "ta_fold" -> foldSql,
       "ta_fingerprint" ->
@@ -3520,6 +3534,22 @@ object SparkEntry {
       s"CASE CAST(doc_id % ${ws.size} AS INT) $arms END AS an_$lang"
     }
     s"SELECT doc_id,\n ${cols.mkString(",\n ")}\n FROM documents"
+  }
+
+  private val KStemWords = Seq(
+    "the memorials of crying children", "appearances can be deceiving",
+    "flying pigs amazed onlookers", "indices of abilities and capacities",
+    "she is running happily", "discoveries in immunity research",
+    "classification of amplification", "determinative adjudications")
+
+  private def kstemSql: String = {
+    val chain = graft.analysis.AnalyzerChain(Seq(graft.analysis.KStemFilter))
+    val arms = KStemWords.zipWithIndex.map { case (w, i) =>
+      s"WHEN $i THEN '${chain.terms(w).mkString(" ")}'"
+    }.mkString(" ")
+    s"""SELECT doc_id,
+       | CASE CAST(doc_id % ${KStemWords.size} AS INT) $arms END AS kstem_terms
+       | FROM documents""".stripMargin
   }
 
   private val LightStemLangs2 = graft.analysis.LightStemFilter.languages2

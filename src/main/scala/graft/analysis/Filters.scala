@@ -80,6 +80,13 @@ final case class SnowballStemFilter(lang: String) extends TokenFilter {
     (tokens.map(t => t.copy(term = stemmer(t.term))), overlaps)
 }
 
+/** Krovetz dictionary-validated stemming (en/KStemFilter.java over the
+  * re-derived [[KStem]]); positions unchanged. */
+case object KStemFilter extends TokenFilter {
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) =
+    (tokens.map(t => t.copy(term = KStem.stem(t.term))), overlaps)
+}
+
 /** CLEF light/minimal stemming for a configured language (the reference's
   * *LightStemFilter / *MinimalStemFilter family over the published Savoy /
   * UniNE / RSLP / Sorani rule sets — here the re-derived [[LightStemmers]]
@@ -836,6 +843,7 @@ object AnalyzerChain {
       case StopFilter(sw) =>
         s"""{"type":"stop","words":[${sw.toSeq.sorted.map(word).mkString(",")}]}"""
       case PorterStemFilter => """{"type":"porter"}"""
+      case KStemFilter => """{"type":"kstem"}"""
       case SnowballStemFilter(lang) => s"""{"type":"snowball","lang":${word(lang)}}"""
       case LightStemFilter(lang) => s"""{"type":"lightstem","lang":${word(lang)}}"""
       case SynonymFilter(m) =>
@@ -911,7 +919,7 @@ object AnalyzerChain {
       if (cfStart < 0) (json0, "")
       else (json0.substring(0, cfStart), json0.substring(cfStart))
     val filterRe =
-      """\{"type":"(stop|porter|snowball|lightstem|synonym|ascii|length|shingle|edgengram|phonetic|worddelim|kwstem|cjkwidth|cjkbigram|elision|commongrams|compound|keepword|truncate|reverse|patreplace|ufold|denorm|enposs|arnorm|fanorm|repeatstem|limitcount|cpcount)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
+      """\{"type":"(stop|porter|kstem|snowball|lightstem|synonym|ascii|length|shingle|edgengram|phonetic|worddelim|kwstem|cjkwidth|cjkbigram|elision|commongrams|compound|keepword|truncate|reverse|patreplace|ufold|denorm|enposs|arnorm|fanorm|repeatstem|limitcount|cpcount)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
     val wordsRe = """"([^"]+)"""".r
     def intField(body: String, k: String): Int =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
@@ -921,6 +929,7 @@ object AnalyzerChain {
       val body = m.matched
       m.group(1) match {
         case "porter" => PorterStemFilter
+        case "kstem" => KStemFilter
         case "snowball" =>
           SnowballStemFilter(""""lang":"([^"]+)"""".r.findFirstMatchIn(body).get.group(1))
         case "lightstem" =>

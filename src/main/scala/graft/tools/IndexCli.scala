@@ -46,7 +46,10 @@ object IndexCli {
       // with preserveOriginal) — the source-code analyzer
       // --snowball <german|spanish|french|english>: Snowball-stemmed chain
       val base =
-        if (rest.contains("--english"))
+        if (rest.contains("--kstem"))
+          // Krovetz dictionary-validated stemming (KStemFilter)
+          graft.analysis.AnalyzerChain(Seq(graft.analysis.KStemFilter))
+        else if (rest.contains("--english"))
           graft.analysis.AnalyzerChain.english(Set("the", "a", "of", "and"))
         else rest.dropWhile(_ != "--snowball").drop(1).headOption match {
           case Some(lang) if !lang.startsWith("--") =>

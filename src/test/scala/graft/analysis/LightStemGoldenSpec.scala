@@ -77,6 +77,16 @@ class LightStemGoldenSpec extends AnyFunSuite {
   test("brazilian: all reference golden cases stem exactly") {
     check("br_golden.tsv", Brazilian.stem)
   }
+  test("kstem: all 12k reference golden pairs stem exactly") {
+    check("kstem.tsv", KStem.stem)
+    // filter + json round-trip
+    val chain = AnalyzerChain(Seq(KStemFilter))
+    // "running" is itself a lexicon entry and therefore NOT conflated —
+    // the dictionary-validation property that distinguishes KStem
+    assert(chain.terms("the memorials slowly running") ===
+      Seq("the", "memorial", "slow", "running"))
+    assert(AnalyzerChain.fromJson(AnalyzerChain.toJson(chain)) === chain)
+  }
 
   test("wave-2 light-stem filters round-trip through chain json") {
     LightStemFilter.languages2.foreach { lang =>
