@@ -112,7 +112,14 @@ object Analyzer extends Serializable {
   @inline private def scriptBreak(prev: Int, next: Int): Boolean =
     isWordChar(prev) && isWordChar(next) && (isKatakana(prev) != isKatakana(next))
 
-  @inline private def isExtend(cp: Int): Boolean = cp == '_'
+  /** UAX#29 Extend: ExtendNumLet '_' plus combining marks (Mn/Mc/Me) —
+    * Thai vowel/tone signs, Indic matras, and stacked diacritics continue
+    * the word they attach to instead of breaking it. */
+  @inline private def isExtend(cp: Int): Boolean = cp == '_' || {
+    val t = Character.getType(cp)
+    t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK ||
+      t == Character.ENCLOSING_MARK
+  }
 
   /** MidLetter/MidNumLet for letters; MidNum/MidNumLet for digits.
     * Per UAX#29: ':' is MidLetter (letters ONLY — "12:30" must split,

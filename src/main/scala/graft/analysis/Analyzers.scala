@@ -29,7 +29,7 @@ object Analyzers {
   val languages: Seq[String] = Seq("ar", "bg", "bn", "br", "ca", "cjk", "ckb",
     "cz", "da", "de", "el", "en", "es", "et", "eu", "fa", "fi", "fr", "ga",
     "gl", "hi", "hu", "hy", "id", "it", "lt", "lv", "nl", "no", "pt", "ro",
-    "ru", "sv", "tr")
+    "ru", "sv", "th", "tr")
 
   /** The reference XXAnalyzer stack for a language code. */
   def forLanguage(lang: String): AnalyzerChain = {
@@ -74,9 +74,57 @@ object Analyzers {
       case "ro" => AnalyzerChain(Seq(stop, SnowballStemFilter("romanian")))
       case "ru" => AnalyzerChain(Seq(stop, SnowballStemFilter("russian")))
       case "sv" => AnalyzerChain(Seq(stop, SnowballStemFilter("swedish")))
+      case "th" => AnalyzerChain(Seq(ThaiWordFilter, stop))
       case "tr" => AnalyzerChain(Seq(stop, SnowballStemFilter("turkish")))
       case other => throw new IllegalArgumentException(s"no analyzer preset: $other")
     }
+  }
+}
+
+/** Thai word segmentation (the capability of th/ThaiTokenizer.java, which
+  * delegates to a Thai-aware BreakIterator — the JDK ships the same
+  * dictionary-driven Thai break data): the standard tokenizer emits Thai
+  * letter RUNS as single tokens; this filter re-segments each run into
+  * dictionary words at consecutive positions (downstream tokens shift,
+  * like WordDelimiterFilter). Validated against the reference
+  * TestThaiAnalyzer golden segmentations. */
+case object ThaiWordFilter extends TokenFilter {
+  @inline private def isThai(c: Char): Boolean = c >= '฀' && c <= '๿'
+
+  private[analysis] def segment(term: String): Seq[String] = {
+    val bi = java.text.BreakIterator.getWordInstance(new java.util.Locale("th"))
+    bi.setText(term)
+    val out = Seq.newBuilder[String]
+    var start = bi.first()
+    var end = bi.next()
+    while (end != java.text.BreakIterator.DONE) {
+      val w = term.substring(start, end).trim
+      if (w.nonEmpty) out += w
+      start = end; end = bi.next()
+    }
+    out.result()
+  }
+
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) = {
+    val outT = Vector.newBuilder[Token] // Vector: downstream filters index into the stream
+    val outO = Vector.newBuilder[Boolean]
+    var shift = 0
+    tokens.indices.foreach { i =>
+      val t = tokens(i)
+      if (t.term.exists(isThai) && !overlaps(i)) {
+        val parts = segment(t.term)
+        if (parts.length <= 1) { outT += t.copy(pos = t.pos + shift); outO += false }
+        else {
+          parts.indices.foreach { p =>
+            outT += Token(parts(p), t.pos + shift + p); outO += false
+          }
+          shift += parts.length - 1
+        }
+      } else {
+        outT += t.copy(pos = t.pos + shift); outO += overlaps(i)
+      }
+    }
+    (outT.result(), outO.result())
   }
 }
 

@@ -885,6 +885,7 @@ object AnalyzerChain {
       case EnglishPossessiveFilter => """{"type":"enposs"}"""
       case ArabicNormFilter => """{"type":"arnorm"}"""
       case PersianNormFilter => """{"type":"fanorm"}"""
+      case ThaiWordFilter => """{"type":"thai"}"""
       case RepeatStemFilter(kind, lang) =>
         s"""{"type":"repeatstem","kind":${word(kind)},"lang":${word(lang)}}"""
       case LimitTokenCountFilter(n) => s"""{"type":"limitcount","max":$n}"""
@@ -919,7 +920,7 @@ object AnalyzerChain {
       if (cfStart < 0) (json0, "")
       else (json0.substring(0, cfStart), json0.substring(cfStart))
     val filterRe =
-      """\{"type":"(stop|porter|kstem|snowball|lightstem|synonym|ascii|length|shingle|edgengram|phonetic|worddelim|kwstem|cjkwidth|cjkbigram|elision|commongrams|compound|keepword|truncate|reverse|patreplace|ufold|denorm|enposs|arnorm|fanorm|repeatstem|limitcount|cpcount)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
+      """\{"type":"(stop|porter|kstem|snowball|lightstem|synonym|ascii|length|shingle|edgengram|phonetic|worddelim|kwstem|cjkwidth|cjkbigram|elision|commongrams|compound|keepword|truncate|reverse|patreplace|ufold|denorm|enposs|arnorm|fanorm|thai|repeatstem|limitcount|cpcount)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
     val wordsRe = """"([^"]+)"""".r
     def intField(body: String, k: String): Int =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
@@ -975,6 +976,7 @@ object AnalyzerChain {
         case "enposs" => EnglishPossessiveFilter
         case "arnorm" => ArabicNormFilter
         case "fanorm" => PersianNormFilter
+        case "thai" => ThaiWordFilter
         case "repeatstem" =>
           def strField(k: String): String =
             s""""$k":"([^"]*)"""".r.findFirstMatchIn(body).get.group(1)

@@ -44,6 +44,21 @@ class LangAnalyzersSpec extends AnyFunSuite {
     assert(!ru.terms("книга и перо").contains("и"))
   }
 
+  test("thai: dictionary word segmentation matches the reference goldens") {
+    // TestThaiAnalyzer.java:44-47 / 67-71 expectations
+    val chain = AnalyzerChain(Seq(ThaiWordFilter))
+    assert(chain.terms("การที่ได้ต้องแสดงว่างานดี") ===
+      Seq("การ", "ที่", "ได้", "ต้อง", "แสดง", "ว่า", "งาน", "ดี"))
+    val mixed = chain.analyze("การที่ได้ต้อง the แสดงว่างานดี")
+    assert(mixed.map(_.term) ===
+      Seq("การ", "ที่", "ได้", "ต้อง", "the", "แสดง", "ว่า", "งาน", "ดี"))
+    // positions stay consecutive across the re-segmented runs
+    assert(mixed.map(_.pos) === (0 until 9))
+    val th = Analyzers.forLanguage("th")
+    assert(th.terms("การที่ได้ต้องแสดงว่างานดี") ===
+      Seq("แสดง", "งาน", "ดี")) // stopwords removed, per reference test
+  }
+
   test("german normalization FSM examples") {
     assert(GermanNormalizationFilter.normalize("schön") === "schon")
     assert(GermanNormalizationFilter.normalize("weißbier") === "weissbier")
