@@ -104,7 +104,8 @@ object Soundex {
 final case class PhoneticFilter(inject: Boolean = true,
                                 encoder: String = "soundex") extends TokenFilter {
   import org.apache.commons.codec.language.{Metaphone, DoubleMetaphone,
-    RefinedSoundex, Caverphone2, ColognePhonetic, Nysiis, DaitchMokotoffSoundex}
+    RefinedSoundex, Caverphone2, ColognePhonetic, Nysiis,
+    DaitchMokotoffSoundex, MatchRatingApproachEncoder}
 
   /** term -> phonetic codes (empty = pass through). */
   @transient private lazy val codesOf: String => Seq[String] = encoder match {
@@ -136,6 +137,9 @@ final case class PhoneticFilter(inject: Boolean = true,
     case "dmsoundex" =>
       val m = new DaitchMokotoffSoundex
       t => m.soundex(t).split('|').toSeq.filter(_.nonEmpty)
+    case "matchrating" =>
+      val m = new MatchRatingApproachEncoder
+      t => Seq(m.encode(t)).filter(c => c.nonEmpty && c != t)
     case other =>
       throw new IllegalArgumentException(s"unsupported phonetic encoder: $other")
   }

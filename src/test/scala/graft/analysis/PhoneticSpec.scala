@@ -114,9 +114,15 @@ class PhoneticSpec extends SparkSpec {
     val chain = AnalyzerChain(Seq(PhoneticFilter(inject = true, "cologne")))
     assert(AnalyzerChain.fromJson(AnalyzerChain.toJson(chain)) === chain)
   }
+  test("match rating approach encodes names") {
+    // published MRA examples: Byrne -> BYRN, Smith -> SMTH
+    assert(emitted("matchrating", false, "byrne smith catherine") ===
+      Seq("BYRN", "SMTH", "CTHRN"))
+  }
+
   test("all phonetic encoders round-trip through chain json") {
     Seq("soundex", "metaphone", "dmetaphone", "rsoundex", "caverphone",
-      "cologne", "nysiis", "dmsoundex").foreach { enc =>
+      "cologne", "nysiis", "dmsoundex", "matchrating").foreach { enc =>
       val chain = AnalyzerChain(Seq(PhoneticFilter(inject = false, enc)))
       assert(AnalyzerChain.fromJson(AnalyzerChain.toJson(chain)) === chain, enc)
     }
