@@ -1235,7 +1235,7 @@ object SparkEntry {
             c.terms(ws((id % ws.size).toInt)).mkString(" ")
           }
           (id, outs(0), outs(1), outs(2), outs(3), outs(4), outs(5),
-            outs(6), outs(7), outs(8), outs(9))
+            outs(6), outs(7), outs(8), outs(9), outs(10))
         }
         .toDF("doc_id" +: AnalyzerPresetLangs.map(l => s"an_$l"): _*)
     }),
@@ -3499,7 +3499,7 @@ object SparkEntry {
   }
 
   private val AnalyzerPresetLangs = Seq("fr", "en", "de", "es", "ru", "it",
-    "pt", "hi", "ar", "cjk")
+    "pt", "hi", "ar", "cjk", "th")
 
   private val AnalyzerSentences: Seq[Seq[String]] = Seq(
     Seq("l'avion et les châteaux", "c'est une belle journée",
@@ -3521,7 +3521,9 @@ object SparkEntry {
     Seq("الحسن والاولاد في المدرسة", "يستعملون الكتاب كل يوم",
       "بالحسن وللاخر ساهدان", "مكتبات المدرسة كبيرة"),
     Seq("多くの学生が勉強する", "ﾃﾞｰﾀベース検索", "中国語の文章",
-      "한국어 텍스트 분석"))
+      "한국어 텍스트 분석"),
+    Seq("การที่ได้ต้องแสดงว่างานดี", "บริษัทชื่อใหญ่",
+      "ภาษาไทยสวยงาม", "เด็กอ่านหนังสือ"))
 
   /** The ta_analyzers oracle: derived CASE arms from the SAME presets
     * (every constituent filter golden- or vocabulary-validated). */

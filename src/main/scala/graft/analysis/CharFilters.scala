@@ -92,11 +92,9 @@ case object HtmlStripCharFilter extends CharFilter {
           sb.append(text, i + 9, stop)
           i = if (end < 0) n else end + 3
         } else if (text.regionMatches(true, i, "<script", 0, 7)) {
-          val end = text.toLowerCase.indexOf("</script", i)
-          i = skipTagEnd(text, if (end < 0) n else end)
+          i = skipTagEnd(text, indexOfIgnoreCase(text, "</script", i))
         } else if (text.regionMatches(true, i, "<style", 0, 6)) {
-          val end = text.toLowerCase.indexOf("</style", i)
-          i = skipTagEnd(text, if (end < 0) n else end)
+          i = skipTagEnd(text, indexOfIgnoreCase(text, "</style", i))
         } else {
           // a real tag needs </, <!, <? or <letter
           val nameStart = if (i + 1 < n && (text.charAt(i + 1) == '/' ||
@@ -140,6 +138,19 @@ case object HtmlStripCharFilter extends CharFilter {
   private def skipTagEnd(text: String, from: Int): Int = {
     val close = text.indexOf('>', from)
     if (close < 0) text.length else close + 1
+  }
+
+  /** Case-insensitive indexOf without materializing a lowercased copy
+    * (script-heavy documents would otherwise re-lowercase the whole text
+    * per element). Returns text.length when absent. */
+  private def indexOfIgnoreCase(text: String, needle: String, from: Int): Int = {
+    var i = from
+    val limit = text.length - needle.length
+    while (i <= limit) {
+      if (text.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    text.length
   }
 }
 

@@ -40,8 +40,15 @@ object KStem {
 
   /** Stem a lowercase term (unchanged when not stemmable / not changed). */
   def stem(term: String): String = {
-    val s = new Stemmer
+    val s = session.get()
     if (s.run(term)) s.asString(term) else term
+  }
+
+  // run() fully resets the state, so one Stemmer per thread avoids a
+  // buffer allocation per token on the index-build hot path (the
+  // reference KStemFilter reuses its KStemmer the same way)
+  private val session = new ThreadLocal[Stemmer] {
+    override def initialValue(): Stemmer = new Stemmer
   }
 
   /** Per-call mutable state mirroring the reference's (word, j, k). */
