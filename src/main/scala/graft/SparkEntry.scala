@@ -1253,6 +1253,23 @@ object SparkEntry {
         .toDF("doc_id", "kstem_terms")
     }),
 
+    // Hunspell affix-dictionary stemming over the distributed chain (the
+    // dictionary text broadcast with the serialized filter, parsed lazily
+    // per executor); oracled by the golden-validated engine — deep
+    // semantics carried by HunspellSpec's 30 reference fixture suites
+    "ta_hunspell" -> ((s, d) => {
+      import s.implicits._
+      val chain = graft.analysis.AnalyzerChain(Seq(
+        graft.analysis.HunspellStemFilter(
+          graft.analysis.Hunspell.sampleEnglishAff,
+          graft.analysis.Hunspell.sampleEnglishDic)))
+      rd(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, chain.terms(HunspellWords((id % HunspellWords.size).toInt)).mkString(" "))
+        }
+        .toDF("doc_id", "hunspell_terms")
+    }),
+
     "ta_fingerprint" -> ((s, d) => TextOps.fingerprint(rd(s, d, "documents"),
       "doc_id", "text")),
 
@@ -2750,6 +2767,7 @@ object SparkEntry {
       "ta_misc_filters" -> miscFiltersSql,
       "ta_analyzers" -> analyzersSql,
       "ta_kstem" -> kstemSql,
+      "ta_hunspell" -> hunspellSql,
       "ta_cjk" -> cjkSql,
       "ta_fold" -> foldSql,
       "ta_fingerprint" ->
@@ -3543,6 +3561,29 @@ object SparkEntry {
     "flying pigs amazed onlookers", "indices of abilities and capacities",
     "she is running happily", "discoveries in immunity research",
     "classification of amplification", "determinative adjudications")
+
+  private val HunspellWords = Seq(
+    "searching reworked indexes and merged caches",
+    "the parser queries shards while scoring ranked tokens",
+    "rebuild filters then reparse cached results",
+    "reworking rescored searches with rebuilt shards",
+    "stemming merges worked as reranked scores",
+    "she queried merging stems and parsed workers",
+    "tokens indexed queries and scored builds",
+    "the unknown zebra jumped over indexes quickly")
+
+  private def hunspellSql: String = {
+    val chain = graft.analysis.AnalyzerChain(Seq(
+      graft.analysis.HunspellStemFilter(
+        graft.analysis.Hunspell.sampleEnglishAff,
+        graft.analysis.Hunspell.sampleEnglishDic)))
+    val arms = HunspellWords.zipWithIndex.map { case (w, i) =>
+      s"WHEN $i THEN '${chain.terms(w).mkString(" ")}'"
+    }.mkString(" ")
+    s"""SELECT doc_id,
+       | CASE CAST(doc_id % ${HunspellWords.size} AS INT) $arms END AS hunspell_terms
+       | FROM documents""".stripMargin
+  }
 
   private def kstemSql: String = {
     val chain = graft.analysis.AnalyzerChain(Seq(graft.analysis.KStemFilter))

@@ -87,6 +87,48 @@ case object KStemFilter extends TokenFilter {
     (tokens.map(t => t.copy(term = KStem.stem(t.term))), overlaps)
 }
 
+/** Hunspell affix-dictionary stemming (hunspell/HunspellStemFilter.java:49
+  * over the re-derived [[Hunspell]] engine). Every dictionary stem of a
+  * token is emitted: the first replaces the token and the rest are
+  * injected at the same position (posIncrement 0, matching the
+  * reference's buffered-stem emission); words the dictionary doesn't
+  * know pass through unchanged. `dedup` keeps unique stems only (and is
+  * ignored under `longestOnly`, like the reference ctor); `longestOnly`
+  * keeps just the longest stem (reference lengthComparator: length
+  * descending, ties broken reverse-lexicographically). The aff/dic file
+  * text rides inside the filter — it is broadcast once with the
+  * serialized chain and the parsed dictionary is built lazily per
+  * executor, so the hot path stays pure per-token CPU with no driver
+  * round-trips; a cluster deploy of a many-MB national dictionary would
+  * swap the inline text for a shared artifact path. */
+final case class HunspellStemFilter(aff: String, dic: String,
+    ignoreCase: Boolean = false, dedup: Boolean = true,
+    longestOnly: Boolean = false) extends TokenFilter {
+  @transient private lazy val stemmer =
+    new Hunspell.Stemmer(Hunspell.load(aff, dic, ignoreCase))
+  def apply(tokens: Seq[Token], overlaps: Seq[Boolean]): (Seq[Token], Seq[Boolean]) = {
+    val outT = Seq.newBuilder[Token]
+    val outO = Seq.newBuilder[Boolean]
+    tokens.indices.foreach { i =>
+      val t = tokens(i)
+      val stems0 =
+        if (dedup && !longestOnly) stemmer.uniqueStems(t.term)
+        else stemmer.stem(t.term)
+      if (stems0.isEmpty) { outT += t; outO += overlaps(i) }
+      else {
+        val stems =
+          if (longestOnly && stems0.length > 1)
+            Seq(stems0.sortWith((a, b) =>
+              if (a.length != b.length) a.length > b.length else a > b).head)
+          else stems0
+        outT += t.copy(term = stems.head); outO += overlaps(i)
+        stems.tail.foreach { s => outT += t.copy(term = s); outO += true }
+      }
+    }
+    (outT.result(), outO.result())
+  }
+}
+
 /** CLEF light/minimal stemming for a configured language (the reference's
   * *LightStemFilter / *MinimalStemFilter family over the published Savoy /
   * UniNE / RSLP / Sorani rule sets — here the re-derived [[LightStemmers]]
@@ -844,6 +886,10 @@ object AnalyzerChain {
         s"""{"type":"stop","words":[${sw.toSeq.sorted.map(word).mkString(",")}]}"""
       case PorterStemFilter => """{"type":"porter"}"""
       case KStemFilter => """{"type":"kstem"}"""
+      case HunspellStemFilter(aff, dic, ic, dd, lo) =>
+        // aff/dic ride base64 so arbitrary dictionary text stays json-lite
+        s"""{"type":"hunspell","ignorecase":$ic,"dedup":$dd,"longest":$lo,""" +
+          s""""aff":${word(b64e(aff))},"dic":${word(b64e(dic))}}"""
       case SnowballStemFilter(lang) => s"""{"type":"snowball","lang":${word(lang)}}"""
       case LightStemFilter(lang) => s"""{"type":"lightstem","lang":${word(lang)}}"""
       case SynonymFilter(m) =>
@@ -920,7 +966,7 @@ object AnalyzerChain {
       if (cfStart < 0) (json0, "")
       else (json0.substring(0, cfStart), json0.substring(cfStart))
     val filterRe =
-      """\{"type":"(stop|porter|kstem|snowball|lightstem|synonym|ascii|length|shingle|edgengram|phonetic|worddelim|kwstem|cjkwidth|cjkbigram|elision|commongrams|compound|keepword|truncate|reverse|patreplace|ufold|denorm|enposs|arnorm|fanorm|thai|repeatstem|limitcount|cpcount)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
+      """\{"type":"(stop|porter|kstem|hunspell|snowball|lightstem|synonym|ascii|length|shingle|edgengram|phonetic|worddelim|kwstem|cjkwidth|cjkbigram|elision|commongrams|compound|keepword|truncate|reverse|patreplace|ufold|denorm|enposs|arnorm|fanorm|thai|repeatstem|limitcount|cpcount)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
     val wordsRe = """"([^"]+)"""".r
     def intField(body: String, k: String): Int =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
@@ -931,6 +977,12 @@ object AnalyzerChain {
       m.group(1) match {
         case "porter" => PorterStemFilter
         case "kstem" => KStemFilter
+        case "hunspell" =>
+          HunspellStemFilter(
+            b64d(""""aff":"([^"]+)"""".r.findFirstMatchIn(body).get.group(1)),
+            b64d(""""dic":"([^"]+)"""".r.findFirstMatchIn(body).get.group(1)),
+            boolField(body, "ignorecase"), boolField(body, "dedup"),
+            boolField(body, "longest"))
         case "snowball" =>
           SnowballStemFilter(""""lang":"([^"]+)"""".r.findFirstMatchIn(body).get.group(1))
         case "lightstem" =>

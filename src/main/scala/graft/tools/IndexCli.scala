@@ -49,6 +49,21 @@ object IndexCli {
         if (rest.contains("--kstem"))
           // Krovetz dictionary-validated stemming (KStemFilter)
           graft.analysis.AnalyzerChain(Seq(graft.analysis.KStemFilter))
+        else if (rest.contains("--hunspell"))
+          // Hunspell affix-dictionary stemming; --hunspell-dict <aff>,<dic>
+          // points at an on-disk dictionary pair, else the built-in sample
+          graft.analysis.AnalyzerChain(Seq(
+            rest.dropWhile(_ != "--hunspell-dict").drop(1).headOption match {
+              case Some(paths) if !paths.startsWith("--") && paths.contains(",") =>
+                val Array(aff, dic) = paths.split(",", 2)
+                graft.analysis.HunspellStemFilter(
+                  new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(aff)), "UTF-8"),
+                  new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dic)), "UTF-8"))
+              case _ =>
+                graft.analysis.HunspellStemFilter(
+                  graft.analysis.Hunspell.sampleEnglishAff,
+                  graft.analysis.Hunspell.sampleEnglishDic)
+            }))
         else if (rest.contains("--english"))
           graft.analysis.AnalyzerChain.english(Set("the", "a", "of", "and"))
         else rest.dropWhile(_ != "--snowball").drop(1).headOption match {
