@@ -3,7 +3,7 @@ package graft
 import graft.corpus.CorpusGen
 import graft.index.{IndexBuilder, IndexStore}
 import graft.codec.PostingsCodec
-import graft.operators.{Classify, Dedup, Ltr, Monitor, Multimodal, Pipeline => P, Relational => R, ResultClustering, Similarity, Spans, TextOps}
+import graft.operators.{Classify, Dedup, Ltr, MathEval => M, Monitor, Multimodal, Pipeline => P, Relational => R, ResultClustering, Similarity, Spans, TextOps}
 import graft.query.QueryEngine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1761,6 +1761,249 @@ object SparkEntry {
           "_score * 0.001 + log10(n_chars + 1) * 3", 100)
         .select(col("doc_id"), round(col("score"), 5).as("score"),
           round(col("first_pass"), 5).as("first_pass"))
+    }),
+
+    // ---- Solr math-expression evaluators (solrj io/eval family, the
+    // VERDICT-r3 "missing #6" surface) — Spark-first: series kernels as
+    // narrow array transforms, hypothesis tests as distributed
+    // sufficient-statistic aggregations, matrices as COO join+agg
+    // (operators/MathEval.scala) ----
+
+    // MovingAverage + MovingMedian evaluators over the per-type event
+    // series: ONE groupBy assembles each series, the kernels are narrow
+    // per-row transforms, posexplode restores a relational shape
+    "me_moving" -> ((s, d) => {
+      val ser = M.series(rd(s, d, "events"), "event_type", "event_id", "value")
+      ser.select(col("event_type"), posexplode(M.movingAvgUdf(col("xs"), lit(7))))
+        .withColumnRenamed("pos", "idx").withColumnRenamed("col", "ma")
+        .join(
+          ser.select(col("event_type"), posexplode(M.movingMedianUdf(col("xs"), lit(7))))
+            .withColumnRenamed("pos", "idx").withColumnRenamed("col", "mm"),
+          Seq("event_type", "idx"))
+        .select(col("event_type"), col("idx"), round(col("ma"), 5).as("ma"),
+          round(col("mm"), 5).as("mm"))
+    }),
+
+    // MovingMADEvaluator: window mean-absolute-deviation, same series
+    "me_movingmad" -> ((s, d) =>
+      M.series(rd(s, d, "events"), "event_type", "event_id", "value")
+        .select(col("event_type"), posexplode(M.movingMadUdf(col("xs"), lit(7))))
+        .select(col("event_type"), col("pos").as("idx"),
+          round(col("col"), 5).as("mad"))),
+
+    // FindDelayEvaluator: planted shift — the filter is the series' own
+    // slice [11..42], so the |xcorr| peak is sharp and the recovered
+    // delay is exactly 10
+    "me_finddelay" -> ((s, d) =>
+      M.series(rd(s, d, "events"), "event_type", "event_id", "value")
+        .select(col("event_type"),
+          M.findDelayUdf(col("xs"), slice(col("xs"), 11, 32)).as("delay"))),
+
+    // EarthMoversEvaluator over consecutive embedding pairs: 1-D EMD as a
+    // running-flow struct aggregate (codegen, no UDF)
+    "me_emd" -> ((s, d) => {
+      val e = rd(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      e.join(e.select((col("vec_id") - 1).as("vec_id"), col("v").as("v2")), "vec_id")
+        .select(col("vec_id"), round(M.earthMovers(col("v"), col("v2")), 5).as("emd"))
+    }),
+
+    // FrequencyTableEvaluator over the language column
+    "me_freqtable" -> ((s, d) => M.frequencyTable(rd(s, d, "documents"), "lang")
+      .select(col("value"), col("cnt"), round(col("pct"), 6).as("pct"))),
+
+    // ModeEvaluator (ties -> smallest value)
+    "me_mode" -> ((s, d) => M.mode(rd(s, d, "documents"), "n_chars")),
+
+    // HistogramEvaluator: 10 equal-width bins over n_chars
+    "me_histogram" -> ((s, d) => M.histogram(rd(s, d, "documents"), "n_chars", 10)),
+
+    // OutliersEvaluator: tails of Uniform(0,100) under the cdf thresholds
+    "me_outliers" -> ((s, d) => M.outliers(rd(s, d, "events"), "value",
+        M.uniformCdf(_, 0.0, 100.0), 0.05, 0.95)
+      .select(col("event_id"), round(col("cdf"), 6).as("cdf"))),
+
+    // TimeDifferencingEvaluator: lag-3 differenced series
+    "me_timediff" -> ((s, d) =>
+      M.series(rd(s, d, "events"), "event_type", "event_id", "value")
+        .select(col("event_type"), posexplode(M.timeDiffUdf(col("xs"), lit(3))))
+        .select(col("event_type"), col("pos").as("idx"),
+          round(col("col"), 5).as("dif"))),
+
+    // ConvolutionEvaluator: per-language n_chars series (doc_id<64) ⊛ a
+    // fixed [1, 1/2, 1/4] kernel (dyadic ⇒ exact float arithmetic)
+    "me_convolve" -> ((s, d) => {
+      val docs = rd(s, d, "documents").filter(col("doc_id") < 64)
+        .withColumn("v", (col("n_chars") % 10).cast("double"))
+      M.series(docs, "lang", "doc_id", "v")
+        .select(col("lang"), posexplode(M.convolveUdf(col("xs"),
+          array(lit(1.0), lit(0.5), lit(0.25)))))
+        .select(col("lang"), col("pos").as("k"), round(col("col"), 5).as("c"))
+    }),
+
+    // FFTEvaluator: per-type 16-point series → magnitude spectrum. The
+    // oracle recomputes the same spectrum as a naive DFT (cos/sin sums) —
+    // butterfly-vs-naive agree far below the round-5 comparison
+    "me_fft" -> ((s, d) => {
+      val first16 = rd(s, d, "events")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+            .orderBy("event_id")))
+        .filter(col("rn") <= 16)
+      M.series(first16, "event_type", "event_id", "value")
+        .select(col("event_type"), posexplode(M.fftMagUdf(col("xs"))))
+        .select(col("event_type"), col("pos").as("k"),
+          round(col("col"), 5).as("mag"))
+    }),
+
+    // Distribution-evaluator battery (Poisson/Binomial/Uniform/Exponential/
+    // Weibull/Triangular/ZipF pmf+cdf) — closed-form Column arithmetic,
+    // fully codegen, over k = doc_id % 16
+    "me_dist" -> ((s, d) => rd(s, d, "documents")
+      .select((col("doc_id") % 16).as("k")).distinct()
+      .select(col("k"),
+        round(M.poissonPmf(col("k"), 4.0), 6).as("pois"),
+        round(M.poissonCdf(col("k"), 4.0), 6).as("pois_cdf"),
+        round(M.binomialPmf(col("k"), 16, 0.3), 6).as("binom"),
+        round(M.uniformCdf(col("k"), 2.0, 12.0), 6).as("unif"),
+        round(M.exponentialCdf(col("k"), 5.0), 6).as("expo"),
+        round(M.weibullCdf(col("k"), 1.5, 5.0), 6).as("weib"),
+        round(M.triangularCdf(col("k"), 0.0, 6.0, 16.0), 6).as("tri"),
+        round(M.zipfPmf(col("k") + 1, 16, 1.1), 6).as("zipf"))),
+
+    // EmpiricalDistributionEvaluator as a distributed ecdf (rank window)
+    "me_ecdf" -> ((s, d) => M.empiricalCdf(
+        rd(s, d, "documents").select(col("doc_id"), col("n_chars")), "n_chars")
+      .select(col("doc_id"), round(col("ecdf"), 6).as("ecdf"))),
+
+    // TTestEvaluator (Welch): sufficient stats in one distributed agg;
+    // the t→p step is spec-tested vs commons-math3 (no erf in DuckDB)
+    "me_ttest" -> ((s, d) => M.tTestWelch(rd(s, d, "events"), "value",
+        "event_type", "click", "view")
+      .select(round(col("t_stat"), 5).as("t_stat"),
+        round(col("t_df"), 3).as("t_df"))),
+
+    // PairedTTestEvaluator: t over per-row differences, one agg pass
+    "me_ttest_paired" -> ((s, d) => M.pairedTTest(
+        rd(s, d, "lineitem").select(col("l_quantity").as("a"),
+          (col("l_discount") * 100).as("b")), "a", "b")
+      .select(round(col("t_stat"), 5).as("t_stat"),
+        round(col("t_df"), 2).as("t_df"))),
+
+    // KolmogorovSmirnovEvaluator vs Uniform(0,100): D from the distributed
+    // cumCounts run-endpoint form (p-value spec-tested vs commons-math3)
+    "me_ks" -> ((s, d) => M.ksUniform(rd(s, d, "events"), "value", 0.0, 100.0)
+      .select(round(col("d_stat"), 6).as("d_stat"))),
+
+    // AnovaEvaluator: F across all five event types from one grouped pass
+    "me_anova" -> ((s, d) => M.anova(rd(s, d, "events"), "value", "event_type")
+      .select(round(col("f_ratio"), 4).as("f_ratio"))),
+
+    // MannWhitneyUEvaluator: tie-averaged ranks via a distributed window
+    "me_mannwhitney" -> ((s, d) => M.mannWhitneyU(rd(s, d, "events"), "value",
+        "event_type", "click", "view")
+      .select(round(col("u1"), 2).as("u1"), round(col("u2"), 2).as("u2"))),
+
+    // ChiSquareDataSetEvaluator between the two event_id parities
+    "me_chisq" -> ((s, d) => {
+      val ev = rd(s, d, "events")
+      val c1 = ev.filter(col("event_id") % 2 === 0).groupBy("event_type").count()
+      val c2 = ev.filter(col("event_id") % 2 === 1).groupBy("event_type").count()
+      M.chiSquareDataSets(c1, c2, "event_type", "count")
+        .select(round(col("chi2"), 5).as("chi2"))
+    }),
+
+    // TemporalEvaluator* family (year/month/day/dayOfYear/hour/minute/
+    // second/week/quarter/epoch) — Spark built-ins by design; the battery
+    // pins their semantics against DuckDB's date-part functions
+    "me_temporal" -> ((s, d) => rd(s, d, "events")
+      .select(col("event_id"),
+        year(col("ts")).as("y"), month(col("ts")).as("mo"),
+        dayofmonth(col("ts")).as("dom"), dayofyear(col("ts")).as("doy"),
+        hour(col("ts")).as("h"), minute(col("ts")).as("mi"),
+        second(col("ts")).as("sec"), weekofyear(col("ts")).as("wk"),
+        quarter(col("ts")).as("q"),
+        unix_timestamp(col("ts")).as("epoch_s"))),
+
+    // GTestDataSetEvaluator between the two event_id parities (statistic;
+    // the G→p step is spec-tested — no chi² CDF in DuckDB)
+    "me_gtest" -> ((s, d) => {
+      val ev = rd(s, d, "events")
+      val c1 = ev.filter(col("event_id") % 2 === 0).groupBy("event_type").count()
+      val c2 = ev.filter(col("event_id") % 2 === 1).groupBy("event_type").count()
+      M.gTestDataSets(c1, c2, "event_type", "count")
+        .select(round(col("g_stat"), 5).as("g_stat"))
+    }),
+
+    // DbscanEvaluator, distributed (eps-grid + core counts + CC): planted
+    // well-separated blobs ⇒ every point core, cluster = min blob id
+    "me_dbscan" -> ((s, d) => {
+      val pts = rd(s, d, "documents").select(col("doc_id").as("id"),
+        array((col("doc_id") % 4) * 10 + (col("doc_id") % 7) * 0.01,
+          (col("doc_id") % 4) * 10 + (col("doc_id") % 5) * 0.01).as("vec"))
+      M.dbscan(pts, "id", "vec", eps = 0.5, minPts = 3)
+    }),
+
+    // MatrixMultiplyEvaluator over COO frames: C = A·B is a keyed join on
+    // the contraction index + grouped sum (distributed sparse matmul)
+    "me_matmul" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+      val a = docs.groupBy((col("doc_id") % 7).as("i"), (col("doc_id") % 5).as("j"))
+        .agg(sum(lit(1.0)).as("v"))
+      val b = docs.groupBy((col("doc_id") % 5).as("i"), (col("doc_id") % 3).as("j"))
+        .agg(sum((col("doc_id") % 4 + 1).cast("double")).as("v"))
+      M.matMul(a, b).select(col("i"), col("j"), round(col("v"), 2).as("v"))
+    }),
+
+    // CorrelationEvaluator (matrix mode): all pairwise Pearson in ONE pass
+    "me_corr" -> ((s, d) => M.corrMatrix(rd(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .select(col("c1"), col("c2"), round(col("corr"), 6).as("r"))),
+
+    // OLSRegressionEvaluator: distributed normal equations (X'X in one
+    // agg), k×k solve on the driver
+    "me_ols" -> ((s, d) => {
+      val coefs = M.olsRegress(rd(s, d, "lineitem"), "l_extendedprice",
+        Seq("l_quantity"))
+      s.createDataFrame(coefs.toSeq.zipWithIndex.map { case (c, i) => (i, c) })
+        .toDF("term", "coef")
+        .select(col("term"), round(col("coef"), 4).as("coef"))
+    }),
+
+    // KnnRegressionEvaluator: broadcast test points, per-point rank window
+    "me_knn" -> ((s, d) => {
+      val test = s.createDataFrame(Seq(Tuple1(5.0), Tuple1(17.0), Tuple1(29.0),
+        Tuple1(41.0))).toDF("l_quantity")
+      M.knnRegress(rd(s, d, "lineitem"), test, "l_quantity", "l_extendedprice",
+          10, Seq("l_orderkey", "l_linenumber"))
+        .select(col("q"), round(col("pred"), 4).as("pred"))
+    }),
+
+    // KmeansEvaluator: Lloyd's over a typed mean-vector aggregation with
+    // deterministic farthest-point init; planted well-separated clusters
+    // force the assignment, canonicalized by min-id representative
+    "me_kmeans" -> ((s, d) => {
+      val pts = rd(s, d, "documents").select(col("doc_id").as("id"),
+        array(((col("doc_id") % 3) * 100 + col("doc_id") % 5).cast("double"),
+          ((col("doc_id") % 3) * 100).cast("double")).as("vec"))
+      val (assign, _) = M.kmeans(pts, "id", "vec", 3, 5)
+      assign.select(col("id"), expr("min(id) OVER (PARTITION BY cluster)").as("rep"))
+    }),
+
+    // Distance-evaluator family (Manhattan/Euclidean/Chebyshev/Canberra/
+    // L1/L∞) over consecutive embedding pairs — pure higher-order-function
+    // Column arithmetic, codegen, no UDF
+    "me_distances" -> ((s, d) => {
+      val e = rd(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      e.join(e.select((col("vec_id") - 1).as("vec_id"), col("v").as("v2")), "vec_id")
+        .select(col("vec_id"),
+          round(M.manhattan(col("v"), col("v2")), 5).as("man"),
+          round(M.euclidean(col("v"), col("v2")), 5).as("euc"),
+          round(M.chebyshev(col("v"), col("v2")), 5).as("cheb"),
+          round(M.canberra(col("v"), col("v2")), 5).as("canb"),
+          round(M.l1Norm(col("v")), 5).as("l1"),
+          round(M.lInfNorm(col("v")), 5).as("linf"))
     })
   )
 
@@ -3227,13 +3470,240 @@ object SparkEntry {
           |   round(h.fp, 5) AS first_pass
           | FROM hits h JOIN documents d USING (doc_id)""".stripMargin
     )
+    // ---- MathEval (solrj io/eval) oracles: each mirrors the Spark-side
+    // arithmetic term for term; float outputs rounded on both sides ----
+    val me = Map(
+      "me_moving" ->
+        """WITH s AS (SELECT event_type, value AS v,
+          |   row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn FROM events),
+          | w AS (SELECT event_type, rn,
+          |   avg(v) OVER (PARTITION BY event_type ORDER BY rn ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma,
+          |   median(v) OVER (PARTITION BY event_type ORDER BY rn ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mm
+          |  FROM s)
+          | SELECT event_type, CAST(rn - 7 AS INT) AS idx, round(ma, 5) AS ma, round(mm, 5) AS mm
+          | FROM w WHERE rn >= 7""".stripMargin,
+      "me_movingmad" ->
+        """WITH s AS (SELECT event_type, value AS v,
+          |   row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn FROM events),
+          | m AS (SELECT event_type, rn,
+          |   avg(v) OVER (PARTITION BY event_type ORDER BY rn ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mean
+          |  FROM s),
+          | j AS (SELECT e.event_type, e.rn AS endrn, abs(x.v - e.mean) AS ad
+          |   FROM m e JOIN s x ON x.event_type = e.event_type
+          |     AND x.rn BETWEEN e.rn - 6 AND e.rn
+          |  WHERE e.rn >= 7)
+          | SELECT event_type, CAST(endrn - 7 AS INT) AS idx, round(sum(ad) / 7, 5) AS mad
+          | FROM j GROUP BY event_type, endrn""".stripMargin,
+      "me_finddelay" ->
+        """WITH s AS (SELECT event_type, value AS v,
+          |   row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS i FROM events),
+          | b AS (SELECT event_type, i - 10 AS j, v FROM s WHERE i BETWEEN 10 AND 41),
+          | lb AS (SELECT event_type, count(*) AS lb FROM b GROUP BY 1),
+          | c AS (SELECT s.event_type, s.i + (lb.lb - 1 - b.j) AS k, sum(s.v * b.v) AS cv
+          |   FROM s JOIN b ON s.event_type = b.event_type
+          |     JOIN lb ON lb.event_type = s.event_type
+          |  GROUP BY s.event_type, s.i + (lb.lb - 1 - b.j)),
+          | r AS (SELECT c.event_type, c.k,
+          |   row_number() OVER (PARTITION BY c.event_type ORDER BY abs(cv) DESC, c.k) AS rn FROM c)
+          | SELECT r.event_type, CAST(r.k + 1 - lb.lb AS DOUBLE) AS delay
+          | FROM r JOIN lb ON lb.event_type = r.event_type WHERE rn = 1""".stripMargin,
+      "me_emd" ->
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          | p AS (SELECT a.vec_id, a.embedding AS va, b.embedding AS vb
+          |   FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+          | u AS (SELECT vec_id, r.range AS pos,
+          |   CAST(va[CAST(r.range AS INT)] AS DOUBLE) - CAST(vb[CAST(r.range AS INT)] AS DOUBLE) AS d
+          |  FROM p, range(1, 65) r),
+          | f AS (SELECT vec_id, sum(d) OVER (PARTITION BY vec_id ORDER BY pos) AS flow FROM u)
+          | SELECT vec_id, round(sum(abs(flow)), 5) AS emd FROM f GROUP BY vec_id""".stripMargin,
+      "me_freqtable" ->
+        """WITH c AS (SELECT lang AS value, count(*) AS cnt FROM documents GROUP BY 1),
+          | t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c)
+          | SELECT value, cnt, round(cnt / t.total, 6) AS pct FROM c, t""".stripMargin,
+      "me_mode" ->
+        """SELECT CAST(n_chars AS DOUBLE) AS mode FROM documents
+          | GROUP BY n_chars ORDER BY count(*) DESC, CAST(n_chars AS DOUBLE) LIMIT 1""".stripMargin,
+      "me_histogram" ->
+        """WITH mm AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+          |   CAST(max(n_chars) AS DOUBLE) AS hi FROM documents)
+          | SELECT CAST(least(floor((n_chars - mm.lo) / ((mm.hi - mm.lo) / 10)), 9) AS INT) AS bin,
+          |  count(*) AS cnt FROM documents, mm GROUP BY 1""".stripMargin,
+      "me_outliers" ->
+        """WITH o AS (SELECT event_id,
+          |   least(1.0, greatest(0.0, (value - 0.0) / 100.0)) AS cdf FROM events)
+          | SELECT event_id, round(cdf, 6) AS cdf FROM o
+          | WHERE cdf < 0.05 OR cdf > 0.95""".stripMargin,
+      "me_timediff" ->
+        """WITH s AS (SELECT event_type, value AS v,
+          |   row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn FROM events),
+          | d AS (SELECT event_type, rn,
+          |   v - lag(v, 3) OVER (PARTITION BY event_type ORDER BY rn) AS dif FROM s)
+          | SELECT event_type, CAST(rn - 4 AS INT) AS idx, round(dif, 5) AS dif
+          | FROM d WHERE rn >= 4""".stripMargin,
+      "me_convolve" ->
+        """WITH a AS (SELECT lang, row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS i,
+          |   CAST(n_chars % 10 AS DOUBLE) AS v FROM documents WHERE doc_id < 64),
+          | b AS (SELECT * FROM (VALUES (0, 1.0), (1, 0.5), (2, 0.25)) AS t(j, w))
+          | SELECT lang, CAST(a.i + b.j AS INT) AS k, round(sum(a.v * b.w), 5) AS c
+          | FROM a, b GROUP BY lang, a.i + b.j""".stripMargin,
+      "me_fft" ->
+        """WITH s AS (SELECT event_type, value AS v,
+          |   row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS j FROM events),
+          | f AS (SELECT * FROM s WHERE j < 16),
+          | k AS (SELECT CAST(r.range AS INT) AS k FROM range(0, 16) r)
+          | SELECT f.event_type, k.k,
+          |  round(sqrt(pow(sum(f.v * cos(2 * pi() * f.j * k.k / 16)), 2) +
+          |             pow(sum(f.v * sin(2 * pi() * f.j * k.k / 16)), 2)), 5) AS mag
+          | FROM f, k GROUP BY f.event_type, k.k""".stripMargin,
+      "me_dist" ->
+        """WITH ks AS (SELECT DISTINCT doc_id % 16 AS k FROM documents),
+          | pc AS (SELECT ks.k, sum(exp(-4.0) * pow(4.0, i.range) /
+          |          CAST(factorial(CAST(i.range AS INT)) AS DOUBLE)) AS pcdf
+          |        FROM ks, range(0, 16) i WHERE i.range <= ks.k GROUP BY ks.k),
+          | h AS (SELECT sum(pow(CAST(r.range AS DOUBLE), -1.1)) AS hh FROM range(1, 17) r)
+          | SELECT ks.k,
+          |  round(exp(-4.0) * pow(4.0, ks.k) / CAST(factorial(CAST(ks.k AS INT)) AS DOUBLE), 6) AS pois,
+          |  round(pc.pcdf, 6) AS pois_cdf,
+          |  round(CAST(factorial(16) AS DOUBLE) / (CAST(factorial(CAST(ks.k AS INT)) AS DOUBLE) *
+          |    CAST(factorial(CAST(16 - ks.k AS INT)) AS DOUBLE)) * pow(0.3, ks.k) * pow(1 - 0.3, 16 - ks.k), 6) AS binom,
+          |  round(least(1.0, greatest(0.0, (ks.k - 2.0) / 10.0)), 6) AS unif,
+          |  round(CASE WHEN ks.k <= 0 THEN 0.0 ELSE 1.0 - exp(-ks.k / 5.0) END, 6) AS expo,
+          |  round(CASE WHEN ks.k <= 0 THEN 0.0 ELSE 1.0 - exp(-pow(ks.k / 5.0, 1.5)) END, 6) AS weib,
+          |  round(CASE WHEN ks.k <= 0 THEN 0.0 WHEN ks.k <= 6 THEN pow(ks.k - 0.0, 2.0) / (16.0 * 6.0)
+          |    WHEN ks.k < 16 THEN 1.0 - pow(16.0 - ks.k, 2.0) / (16.0 * 10.0) ELSE 1.0 END, 6) AS tri,
+          |  round(pow(CAST(ks.k + 1 AS DOUBLE), -1.1) / h.hh, 6) AS zipf
+          | FROM ks JOIN pc ON ks.k = pc.k, h""".stripMargin,
+      "me_ecdf" ->
+        "SELECT doc_id, round(cume_dist() OVER (ORDER BY n_chars), 6) AS ecdf FROM documents",
+      "me_ttest" ->
+        """WITH g AS (SELECT event_type, avg(value) AS m, var_samp(value) AS v,
+          |   CAST(count(*) AS DOUBLE) AS n FROM events
+          |  WHERE event_type IN ('click','view') GROUP BY event_type),
+          | a AS (SELECT m, v, n FROM g WHERE event_type = 'click'),
+          | b AS (SELECT m, v, n FROM g WHERE event_type = 'view')
+          | SELECT round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 5) AS t_stat,
+          |  round(pow(a.v / a.n + b.v / b.n, 2) /
+          |    (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1)), 3) AS t_df
+          | FROM a, b""".stripMargin,
+      "me_ttest_paired" ->
+        """WITH s AS (SELECT avg(l_quantity - l_discount * 100) AS md,
+          |   var_samp(l_quantity - l_discount * 100) AS vd,
+          |   CAST(count(*) AS DOUBLE) AS n FROM lineitem)
+          | SELECT round(md / sqrt(vd / n), 5) AS t_stat, round(n - 1, 2) AS t_df FROM s""".stripMargin,
+      "me_ks" ->
+        """WITH cc AS (SELECT value AS v, count(*) AS ct FROM events GROUP BY 1),
+          | c2 AS (SELECT v, ct, sum(ct) OVER (ORDER BY v) AS cum FROM cc),
+          | n AS (SELECT CAST(sum(ct) AS DOUBLE) AS nn FROM cc)
+          | SELECT round(max(greatest(
+          |   abs(cum / n.nn - least(1.0, greatest(0.0, (v - 0.0) / 100.0))),
+          |   abs((cum - ct) / n.nn - least(1.0, greatest(0.0, (v - 0.0) / 100.0))))), 6) AS d_stat
+          | FROM c2, n""".stripMargin,
+      "me_anova" ->
+        """WITH g AS (SELECT event_type, sum(value) AS s, sum(value * value) AS ss,
+          |   CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY event_type),
+          | t AS (SELECT sum(s) AS ts, sum(ss) AS tss, sum(n) AS tn,
+          |   sum(s * s / n) AS sgm, CAST(count(*) AS DOUBLE) AS k FROM g)
+          | SELECT round(((sgm - ts * ts / tn) / (k - 1)) / ((tss - sgm) / (tn - k)), 4) AS f_ratio
+          | FROM t""".stripMargin,
+      "me_mannwhitney" ->
+        """WITH two AS (SELECT event_type AS g, value AS v FROM events
+          |   WHERE event_type IN ('click','view')),
+          | rk AS (SELECT g, v, rank() OVER (ORDER BY v) AS r,
+          |   count(*) OVER (PARTITION BY v) AS ct FROM two),
+          | ag AS (SELECT g, sum(r + (ct - 1) / 2.0) AS rs, CAST(count(*) AS DOUBLE) AS n
+          |   FROM rk GROUP BY g),
+          | a AS (SELECT rs, n FROM ag WHERE g = 'click'),
+          | b AS (SELECT n FROM ag WHERE g = 'view')
+          | SELECT round(a.rs - a.n * (a.n + 1) / 2, 2) AS u1,
+          |  round(a.n * b.n - (a.rs - a.n * (a.n + 1) / 2), 2) AS u2 FROM a, b""".stripMargin,
+      "me_chisq" ->
+        """WITH c1 AS (SELECT event_type AS cat, CAST(count(*) AS DOUBLE) AS o1 FROM events
+          |   WHERE event_id % 2 = 0 GROUP BY 1),
+          | c2 AS (SELECT event_type AS cat, CAST(count(*) AS DOUBLE) AS o2 FROM events
+          |   WHERE event_id % 2 = 1 GROUP BY 1),
+          | j AS (SELECT coalesce(c1.cat, c2.cat) AS cat, coalesce(o1, 0) AS o1,
+          |   coalesce(o2, 0) AS o2 FROM c1 FULL OUTER JOIN c2 ON c1.cat = c2.cat),
+          | t AS (SELECT sum(o1) AS t1, sum(o2) AS t2 FROM j)
+          | SELECT round(sum(pow(sqrt(t.t2 / t.t1) * o1 - sqrt(t.t1 / t.t2) * o2, 2) / (o1 + o2)), 5) AS chi2
+          | FROM j, t WHERE o1 + o2 > 0""".stripMargin,
+      "me_temporal" ->
+        """SELECT event_id, CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS mo,
+          | CAST(day(ts) AS INT) AS dom, CAST(dayofyear(ts) AS INT) AS doy,
+          | CAST(hour(ts) AS INT) AS h, CAST(minute(ts) AS INT) AS mi,
+          | CAST(second(ts) AS INT) AS sec, CAST(weekofyear(ts) AS INT) AS wk,
+          | CAST(quarter(ts) AS INT) AS q, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+          | FROM events""".stripMargin,
+      "me_gtest" ->
+        """WITH c1 AS (SELECT event_type AS cat, CAST(count(*) AS DOUBLE) AS o1 FROM events
+          |   WHERE event_id % 2 = 0 GROUP BY 1),
+          | c2 AS (SELECT event_type AS cat, CAST(count(*) AS DOUBLE) AS o2 FROM events
+          |   WHERE event_id % 2 = 1 GROUP BY 1),
+          | j AS (SELECT coalesce(c1.cat, c2.cat) AS cat, coalesce(o1, 0) AS o1,
+          |   coalesce(o2, 0) AS o2 FROM c1 FULL OUTER JOIN c2 ON c1.cat = c2.cat),
+          | t AS (SELECT sum(o1) AS t1, sum(o2) AS t2 FROM j)
+          | SELECT round(2 * sum(
+          |   (CASE WHEN o1 > 0 THEN o1 * ln(o1 / ((o1 + o2) * (t.t1 / (t.t1 + t.t2)))) ELSE 0 END) +
+          |   (CASE WHEN o2 > 0 THEN o2 * ln(o2 / ((o1 + o2) * (t.t2 / (t.t1 + t.t2)))) ELSE 0 END)), 5) AS g_stat
+          | FROM j, t WHERE o1 + o2 > 0""".stripMargin,
+      "me_dbscan" ->
+        "SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY doc_id % 4) AS cluster FROM documents",
+      "me_matmul" ->
+        """WITH a AS (SELECT doc_id % 7 AS i, doc_id % 5 AS j, CAST(count(*) AS DOUBLE) AS v
+          |   FROM documents GROUP BY 1, 2),
+          | b AS (SELECT doc_id % 5 AS i, doc_id % 3 AS j, CAST(sum(doc_id % 4 + 1) AS DOUBLE) AS v
+          |   FROM documents GROUP BY 1, 2)
+          | SELECT a.i, b.j, round(sum(a.v * b.v), 2) AS v
+          | FROM a JOIN b ON a.j = b.i GROUP BY a.i, b.j""".stripMargin,
+      "me_corr" ->
+        """WITH s AS (SELECT corr(l_quantity, l_quantity) AS qq,
+          |   corr(l_quantity, l_extendedprice) AS qe, corr(l_quantity, l_discount) AS qd,
+          |   corr(l_extendedprice, l_extendedprice) AS ee, corr(l_extendedprice, l_discount) AS ed,
+          |   corr(l_discount, l_discount) AS dd FROM lineitem)
+          | SELECT 'l_quantity' AS c1, 'l_quantity' AS c2, round(qq, 6) AS r FROM s
+          | UNION ALL SELECT 'l_quantity', 'l_extendedprice', round(qe, 6) FROM s
+          | UNION ALL SELECT 'l_quantity', 'l_discount', round(qd, 6) FROM s
+          | UNION ALL SELECT 'l_extendedprice', 'l_quantity', round(qe, 6) FROM s
+          | UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', round(ee, 6) FROM s
+          | UNION ALL SELECT 'l_extendedprice', 'l_discount', round(ed, 6) FROM s
+          | UNION ALL SELECT 'l_discount', 'l_quantity', round(qd, 6) FROM s
+          | UNION ALL SELECT 'l_discount', 'l_extendedprice', round(ed, 6) FROM s
+          | UNION ALL SELECT 'l_discount', 'l_discount', round(dd, 6) FROM s""".stripMargin,
+      "me_ols" ->
+        """SELECT 0 AS term, round(regr_intercept(l_extendedprice, l_quantity), 4) AS coef FROM lineitem
+          | UNION ALL
+          | SELECT 1 AS term, round(regr_slope(l_extendedprice, l_quantity), 4) AS coef FROM lineitem""".stripMargin,
+      "me_knn" ->
+        """WITH q AS (SELECT unnest([5.0, 17.0, 29.0, 41.0]) AS q),
+          | r AS (SELECT q.q, l_extendedprice AS y,
+          |   row_number() OVER (PARTITION BY q.q
+          |     ORDER BY abs(l_quantity - q.q), l_orderkey, l_linenumber) AS rn
+          |  FROM lineitem, q)
+          | SELECT q, round(avg(y), 4) AS pred FROM r WHERE rn <= 10 GROUP BY q""".stripMargin,
+      "me_kmeans" ->
+        "SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY doc_id % 3) AS rep FROM documents",
+      "me_distances" ->
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          | p AS (SELECT a.vec_id, a.embedding AS va, b.embedding AS vb
+          |   FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+          | u AS (SELECT vec_id, CAST(unnest(va) AS DOUBLE) AS x,
+          |   CAST(unnest(vb) AS DOUBLE) AS y FROM p),
+          | g AS (SELECT vec_id, sum(abs(x - y)) AS man,
+          |   sqrt(sum((x - y) * (x - y))) AS euc, max(abs(x - y)) AS cheb,
+          |   sum(CASE WHEN abs(x) + abs(y) = 0 THEN 0.0
+          |       ELSE abs(x - y) / (abs(x) + abs(y)) END) AS canb,
+          |   sum(abs(x)) AS l1, max(abs(x)) AS linf
+          |  FROM u GROUP BY vec_id)
+          | SELECT vec_id, round(man, 5) AS man, round(euc, 5) AS euc,
+          |  round(cheb, 5) AS cheb, round(canb, 5) AS canb,
+          |  round(l1, 5) AS l1, round(linf, 5) AS linf FROM g""".stripMargin)
+
     // q66 = q63's tree with the bf/boost wrapper applied to its rounded
     // output — derive the SQL from q63's so the two can never drift
     val q63 = base("q63_edismax")
     val q63Final = """ SELECT m.doc_id, round(m.ms + coalesce(p.pb, 0), 5) AS score
                       | FROM mainq m LEFT JOIN pbagg p USING (doc_id)""".stripMargin
     require(q63.contains(q63Final), "q63 oracle changed; update q66 derivation")
-    base + ("q66_edismax_bf" -> q63.replace(q63Final,
+    (base ++ me) + ("q66_edismax_bf" -> q63.replace(q63Final,
       """, base AS (SELECT m.doc_id, round(m.ms + coalesce(p.pb, 0), 5) AS s
         |          FROM mainq m LEFT JOIN pbagg p USING (doc_id))
         | SELECT b.doc_id,
