@@ -1936,11 +1936,14 @@ object SparkEntry {
     }),
 
     // DbscanEvaluator, distributed (eps-grid + core counts + CC): planted
-    // well-separated blobs ⇒ every point core, cluster = min blob id
+    // well-separated blobs ⇒ every point core, cluster = min blob id.
+    // doc_id < 800 caps the blob size so the (intentionally) fully-dense
+    // planted blobs stay O(1) work across SFs
     "me_dbscan" -> ((s, d) => {
-      val pts = rd(s, d, "documents").select(col("doc_id").as("id"),
-        array((col("doc_id") % 4) * 10 + (col("doc_id") % 7) * 0.01,
-          (col("doc_id") % 4) * 10 + (col("doc_id") % 5) * 0.01).as("vec"))
+      val pts = rd(s, d, "documents").filter(col("doc_id") < 800)
+        .select(col("doc_id").as("id"),
+          array((col("doc_id") % 4) * 10 + (col("doc_id") % 7) * 0.01,
+            (col("doc_id") % 4) * 10 + (col("doc_id") % 5) * 0.01).as("vec"))
       M.dbscan(pts, "id", "vec", eps = 0.5, minPts = 3)
     }),
 
@@ -1988,6 +1991,41 @@ object SparkEntry {
           ((col("doc_id") % 3) * 100).cast("double")).as("vec"))
       val (assign, _) = M.kmeans(pts, "id", "vec", 3, 5)
       assign.select(col("id"), expr("min(id) OVER (PARTITION BY cluster)").as("rep"))
+    }),
+
+    // FuzzyKmeansEvaluator: u^m-weighted Lloyd's, deterministic init —
+    // planted separation forces hard labels; canonical min-id relabel
+    "me_fuzzykmeans" -> ((s, d) => {
+      val pts = rd(s, d, "documents").select(col("doc_id").as("id"),
+        array(((col("doc_id") % 3) * 100 + col("doc_id") % 7).cast("double"),
+          ((col("doc_id") % 3) * 100 + col("doc_id") % 5).cast("double")).as("vec"))
+      val (assign, _) = M.fuzzyKmeans(pts, "id", "vec", 3, m = 2.0, iters = 6)
+      assign.select(col("id"), expr("min(id) OVER (PARTITION BY cluster)").as("rep"))
+    }),
+
+    // GaussFitEvaluator: fit of an exact planted gaussian reproduces the
+    // generating curve (fitted values oracle against the closed form)
+    "me_gaussfit" -> ((s, d) => {
+      val base = rd(s, d, "documents").filter(col("doc_id") < 32)
+        .select(lit(1).as("g"), col("doc_id").as("i"),
+          col("doc_id").cast("double").as("x"),
+          (lit(4.0) * exp(-pow(col("doc_id") - lit(16.0), 2) / lit(50.0))).as("y"))
+      M.series(base, "g", "i", "x")
+        .join(M.series(base, "g", "i", "y").withColumnRenamed("xs", "ys"), "g")
+        .select(posexplode(M.gaussFitUdf(col("xs"), col("ys"))))
+        .select(col("pos").as("i"), round(col("col"), 5).as("fit"))
+    }),
+
+    // HarmonicFitEvaluator: planted sinusoid, same derived-oracle shape
+    "me_harmonicfit" -> ((s, d) => {
+      val base = rd(s, d, "documents").filter(col("doc_id") < 64)
+        .select(lit(1).as("g"), col("doc_id").as("i"),
+          col("doc_id").cast("double").as("x"),
+          (lit(2.5) * sin(col("doc_id") * lit(0.7) + lit(0.3))).as("y"))
+      M.series(base, "g", "i", "x")
+        .join(M.series(base, "g", "i", "y").withColumnRenamed("xs", "ys"), "g")
+        .select(posexplode(M.harmonicFitUdf(col("xs"), col("ys"))))
+        .select(col("pos").as("i"), round(col("col"), 5).as("fit"))
     }),
 
     // Distance-evaluator family (Manhattan/Euclidean/Chebyshev/Canberra/
@@ -3646,7 +3684,8 @@ object SparkEntry {
           |   (CASE WHEN o2 > 0 THEN o2 * ln(o2 / ((o1 + o2) * (t.t2 / (t.t1 + t.t2)))) ELSE 0 END)), 5) AS g_stat
           | FROM j, t WHERE o1 + o2 > 0""".stripMargin,
       "me_dbscan" ->
-        "SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY doc_id % 4) AS cluster FROM documents",
+        """SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY doc_id % 4) AS cluster
+          | FROM documents WHERE doc_id < 800""".stripMargin,
       "me_matmul" ->
         """WITH a AS (SELECT doc_id % 7 AS i, doc_id % 5 AS j, CAST(count(*) AS DOUBLE) AS v
           |   FROM documents GROUP BY 1, 2),
@@ -3681,6 +3720,16 @@ object SparkEntry {
           | SELECT q, round(avg(y), 4) AS pred FROM r WHERE rn <= 10 GROUP BY q""".stripMargin,
       "me_kmeans" ->
         "SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY doc_id % 3) AS rep FROM documents",
+      "me_fuzzykmeans" ->
+        "SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY doc_id % 3) AS rep FROM documents",
+      "me_gaussfit" ->
+        """SELECT CAST(doc_id AS INT) AS i,
+          | round(4.0 * exp(-pow(doc_id - 16.0, 2) / 50.0), 5) AS fit
+          | FROM documents WHERE doc_id < 32""".stripMargin,
+      "me_harmonicfit" ->
+        """SELECT CAST(doc_id AS INT) AS i,
+          | round(2.5 * sin(0.7 * doc_id + 0.3), 5) AS fit
+          | FROM documents WHERE doc_id < 64""".stripMargin,
       "me_distances" ->
         """WITH e AS (SELECT vec_id, embedding FROM embeddings),
           | p AS (SELECT a.vec_id, a.embedding AS va, b.embedding AS vb

@@ -222,6 +222,33 @@ object MathEval {
     at.map(f.value)
   }
 
+  /** GaussFitEvaluator: commons-math3 GaussianCurveFitter seeded by its
+    * ParameterGuesser (the reference's exact recipe), returning the fitted
+    * curve sampled at x. Deterministic: LM from a deterministic start. */
+  def gaussFit(x: Array[Double], y: Array[Double]): (Array[Double], Array[Double]) = {
+    import org.apache.commons.math3.fitting._
+    val pts = new WeightedObservedPoints
+    x.indices.foreach(i => pts.add(x(i), y(i)))
+    val list = pts.toList
+    val guess = new GaussianCurveFitter.ParameterGuesser(list).guess()
+    val coef = GaussianCurveFitter.create().withStartPoint(guess).fit(list)
+    val g = new org.apache.commons.math3.analysis.function.Gaussian(
+      coef(0), coef(1), coef(2))
+    (coef, x.map(g.value))
+  }
+
+  /** HarmonicFitEvaluator: commons-math3 HarmonicCurveFitter → (amplitude,
+    * angularFrequency, phase) + the fitted sinusoid sampled at x. */
+  def harmonicFit(x: Array[Double], y: Array[Double]): (Array[Double], Array[Double]) = {
+    import org.apache.commons.math3.fitting._
+    val pts = new WeightedObservedPoints
+    x.indices.foreach(i => pts.add(x(i), y(i)))
+    val coef = HarmonicCurveFitter.create().fit(pts.toList)
+    val h = new org.apache.commons.math3.analysis.function.HarmonicOscillator(
+      coef(0), coef(1), coef(2))
+    (coef, x.map(h.value))
+  }
+
   /** LoessEvaluator: commons-math3 LoessInterpolator.smooth with the
     * reference's default bandwidth 0.25 unless overridden. */
   def loess(x: Array[Double], y: Array[Double], bandwidth: Double = 0.25): Array[Double] =
@@ -437,8 +464,12 @@ object MathEval {
         abs(col("cum") / lit(nf) - cdf),
         abs((col("cum") - col("ct")) / lit(nf) - cdf)).as("dev"))
       .agg(max("dev")).head().getDouble(0)
-    val p = 1.0 - new org.apache.commons.math3.distribution.KolmogorovSmirnovDistribution(
-      n.toInt).cdf(d)
+    // the reference evaluator's p: KolmogorovSmirnovTest.kolmogorovSmirnovTest
+    // = 1 − cdf(d, n) — the fast double-precision cdf (exact-BigFraction
+    // KolmogorovSmirnovDistribution is O(n·k³) big-rational work: minutes
+    // at n=10k, unusable at scale)
+    val p = 1.0 - new org.apache.commons.math3.stat.inference.KolmogorovSmirnovTest()
+      .cdf(d, n.toInt)
     df.sparkSession.createDataFrame(Seq((d, p))).toDF("d_stat", "p_value")
   }
 
@@ -696,25 +727,13 @@ object MathEval {
     * reaches the driver. Farthest-point init: c0 = vector of the smallest
     * id; c_{i+1} = argmax over rows of min distance to chosen centroids
     * (one agg per seed — k is small). */
-  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): (DataFrame, Array[Array[Double]]) = {
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
+             initRank: Int = 0): (DataFrame, Array[Array[Double]]) = {
     val spark = df.sparkSession
     import spark.implicits._
     val pts = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("vec")).cache()
-    def dist2(a: Column, cent: Array[Double]): Column = {
-      val c = array(cent.toIndexedSeq.map(lit): _*)
-      aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)), lit(0.0), (s, e) => s + e)
-    }
-    // ---- init: farthest-point (deterministic)
-    val first = pts.orderBy(col("id")).select("vec").head().getSeq[Double](0).toArray
-    val cents = scala.collection.mutable.ArrayBuffer[Array[Double]](first)
-    while (cents.size < k) {
-      val minD = cents.map(c => dist2(col("vec"), c)).reduce(least(_, _))
-      val far = pts.withColumn("md", minD)
-        .orderBy(col("md").desc, col("id")).select("vec").head().getSeq[Double](0).toArray
-      cents += far
-    }
-    var centroids = cents.toArray
+    var centroids = farthestInit(pts, k, initRank)
     // ---- Lloyd's
     var it = 0
     var assign: DataFrame = null
@@ -738,6 +757,151 @@ object MathEval {
       .select(col("id"), col("cluster"))
     pts.unpersist(blocking = false)
     (out, centroids)
+  }
+
+  /** Squared euclidean distance of an array column to a constant centroid
+    * — pure codegen aggregate (shared by the clustering family). */
+  private def dist2(a: Column, cent: Array[Double]): Column = {
+    val c = array(cent.toIndexedSeq.map(lit): _*)
+    aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)), lit(0.0), (s, e) => s + e)
+  }
+
+  /** Deterministic farthest-point init: c0 = vector of the `initRank`-th
+    * smallest id; c_{i+1} = argmax of min distance to chosen centroids
+    * (ties -> smaller id). No RNG — replayable/resumable; `initRank`
+    * varies the start for [[multiKmeans]] restarts. */
+  private def farthestInit(pts: DataFrame, k: Int, initRank: Int): Array[Array[Double]] = {
+    val first = pts.orderBy(col("id")).limit(initRank + 1)
+      .collect().last.getSeq[Double](1).toArray
+    val cents = scala.collection.mutable.ArrayBuffer[Array[Double]](first)
+    while (cents.size < k) {
+      val minD = cents.map(c => dist2(col("vec"), c)).reduce(least(_, _))
+      val far = pts.withColumn("md", minD)
+        .orderBy(col("md").desc, col("id")).select("vec").head().getSeq[Double](0).toArray
+      cents += far
+    }
+    cents.toArray
+  }
+
+  /** MultiKmeansEvaluator: `restarts` kmeans runs from different
+    * deterministic starts, keeping the lowest within-cluster sum of
+    * squares (the reference re-rolls its RNG per trial; rotating the
+    * farthest-point anchor is the replayable analogue). */
+  def multiKmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                  iters: Int, restarts: Int): (DataFrame, Array[Array[Double]], Double) = {
+    require(restarts >= 1)
+    val runs = (0 until restarts).map { r =>
+      val (assign, cents) = kmeans(df, idCol, vecCol, k, iters, initRank = r)
+      val pts = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      val wcss = pts.select(least(cents.toIndexedSeq.map(c =>
+          dist2(col("vec"), c)): _*).as("d2"))
+        .agg(sum("d2")).head().getDouble(0)
+      (assign, cents, wcss)
+    }
+    runs.minBy(_._3)
+  }
+
+  /** Fuzzy c-means memberships of one point against fixed centroids:
+    * u_c = d_c^(−2/(m−1)) / Σ_k d_k^(−2/(m−1)); a zero distance gets
+    * membership 1 (commons-math3 FuzzyKMeansClusterer's rule). */
+  private[operators] def memberships(cents: Array[Array[Double]], m: Double,
+                                     v: Seq[Double]): Array[Double] = {
+    val k = cents.length
+    val d = new Array[Double](k)
+    var zero = -1
+    var c = 0
+    while (c < k) {
+      var s = 0.0; var i = 0
+      while (i < cents(c).length) { val t = v(i) - cents(c)(i); s += t * t; i += 1 }
+      d(c) = math.sqrt(s)
+      if (d(c) == 0.0 && zero < 0) zero = c
+      c += 1
+    }
+    val u = new Array[Double](k)
+    if (zero >= 0) { u(zero) = 1.0; u }
+    else {
+      val e = 2.0 / (m - 1.0)
+      var tot = 0.0
+      c = 0
+      while (c < k) { u(c) = math.pow(d(c), -e); tot += u(c); c += 1 }
+      c = 0
+      while (c < k) { u(c) /= tot; c += 1 }
+      u
+    }
+  }
+
+  /** FuzzyKmeansEvaluator (commons-math3 FuzzyKMeansClusterer semantics,
+    * fuzziness m > 1): centroids are the u^m-weighted means; each round is
+    * ONE typed aggregation producing k×(d+1) doubles on the driver.
+    * Deterministic farthest-point init replaces the reference's RNG seed
+    * (same fixed point on separated data, replayable). Returns
+    * (id, cluster = argmax membership, membership) + centroids. */
+  def fuzzyKmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                  m: Double, iters: Int): (DataFrame, Array[Array[Double]]) = {
+    require(m > 1.0, "fuzziness must be > 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec")).cache()
+    var centroids = farthestInit(pts, k, 0)
+    val dims = centroids(0).length
+    var it = 0
+    while (it < iters) {
+      val sums = pts.select(col("vec")).as[Seq[Double]]
+        .select(new FuzzyAgg(centroids, m).toColumn)
+        .head()
+      centroids = Array.tabulate(k) { c =>
+        val off = c * (dims + 1)
+        val w = math.max(sums(off + dims), Double.MinPositiveValue)
+        Array.tabulate(dims)(i => sums(off + i) / w)
+      }
+      it += 1
+    }
+    val centsFinal = centroids
+    val mFinal = m
+    val assignUdf = udf((v: Seq[Double]) => {
+      val u = memberships(centsFinal, mFinal, v)
+      val c = u.indices.maxBy(u) // first max -> deterministic
+      (c, u(c))
+    })
+    val out = pts.withColumn("__a", assignUdf(col("vec")))
+      .select(col("id"), col("__a._1").as("cluster"), col("__a._2").as("membership"))
+    pts.unpersist(blocking = false)
+    (out, centroids)
+  }
+
+  /** Typed u^m-weighted sum aggregator for [[fuzzyKmeans]]: buffer =
+    * k×(sums ++ weight) — constant plan size at any (k, dim). */
+  private final class FuzzyAgg(cents: Array[Array[Double]], m: Double)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[Double], Array[Double], Seq[Double]] {
+    private val k = cents.length
+    private val dims = cents(0).length
+    def zero: Array[Double] = new Array[Double](k * (dims + 1))
+    def reduce(b: Array[Double], v: Seq[Double]): Array[Double] = {
+      val u = memberships(cents, m, v)
+      var c = 0
+      while (c < k) {
+        val w = math.pow(u(c), m)
+        val off = c * (dims + 1)
+        var i = 0
+        while (i < dims) { b(off + i) += w * v(i); i += 1 }
+        b(off + dims) += w
+        c += 1
+      }
+      b
+    }
+    def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    def finish(r: Array[Double]): Seq[Double] = r.toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
   /** Typed mean-vector aggregator: buffer = sums ++ count (the
@@ -876,4 +1040,8 @@ object MathEval {
     integrateSpline(x.toArray, y.toArray, lo, hi))
   val loessUdf = udf((x: Seq[Double], y: Seq[Double], bw: Double) =>
     loess(x.toArray, y.toArray, bw).toSeq)
+  val gaussFitUdf = udf((x: Seq[Double], y: Seq[Double]) =>
+    gaussFit(x.toArray, y.toArray)._2.toSeq)
+  val harmonicFitUdf = udf((x: Seq[Double], y: Seq[Double]) =>
+    harmonicFit(x.toArray, y.toArray)._2.toSeq)
 }

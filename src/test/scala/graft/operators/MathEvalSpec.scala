@@ -383,6 +383,53 @@ class MathEvalSpec extends SparkSpec {
     dim0.zip(expected).foreach { case (a, b) => assert(approx(a, b, 1e-9)) }
   }
 
+  test("gaussFit/harmonicFit recover planted curves (commons-math3 fitters)") {
+    val x = (0 until 32).map(_.toDouble).toArray
+    val gy = x.map(v => 4.0 * math.exp(-math.pow(v - 16, 2) / 50.0))
+    val (gc, gfit) = MathEval.gaussFit(x, gy)
+    assert(approx(gc(0), 4.0, 1e-6) && approx(gc(1), 16.0, 1e-6))
+    assert(gfit.zip(gy).forall { case (a, b) => approx(a, b, 1e-6) })
+    val hy = x.map(v => 2.5 * math.sin(0.7 * v + 0.3))
+    val (hc, hfit) = MathEval.harmonicFit(x, hy)
+    assert(approx(math.abs(hc(0)), 2.5, 1e-6))
+    assert(hfit.zip(hy).forall { case (a, b) => approx(a, b, 1e-6) })
+  }
+
+  test("fuzzyKmeans converges to the planted means; hard labels = planted") {
+    val pts = (0L until 60L).map { i =>
+      val g = (i % 3).toInt
+      (i, Seq(g * 100.0 + (i % 7) * 0.1, g * 100.0 + (i % 5) * 0.1))
+    }
+    val (assign, cents) = MathEval.fuzzyKmeans(pts.toDF("id", "vec"), "id", "vec",
+      k = 3, m = 2.0, iters = 8)
+    val got = assign.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2)))
+    // same planted group -> same cluster; memberships ~1 on separated data
+    val byGroup = got.groupBy(_._1 % 3).view.mapValues(_.map(_._2._1).toSet).toMap
+    assert(byGroup.values.forall(_.size == 1) && byGroup.values.flatten.toSet.size == 3)
+    assert(got.forall(_._2._2 > 0.99))
+    // centroids sit at the (fuzzy-weighted ~= plain) group means
+    val means = pts.groupBy(_._1 % 3).values.map { g =>
+      val vs = g.map(_._2)
+      Seq(vs.map(_.head).sum / vs.size, vs.map(_(1)).sum / vs.size)
+    }.toSet
+    assert(cents.forall(c => means.exists(m =>
+      approx(c(0), m.head, 1e-3) && approx(c(1), m(1), 1e-3))))
+  }
+
+  test("multiKmeans picks the lowest-WCSS restart") {
+    val pts = (0L until 60L).map { i =>
+      val g = (i % 3).toInt
+      (i, Seq(g * 100.0 + (i % 7) * 0.1, g * 100.0))
+    }
+    val (_, _, wcssMulti) = MathEval.multiKmeans(pts.toDF("id", "vec"), "id", "vec",
+      k = 3, iters = 5, restarts = 3)
+    val (_, cents1) = MathEval.kmeans(pts.toDF("id", "vec"), "id", "vec", 3, 5)
+    val wcss1 = pts.map { case (_, v) =>
+      cents1.map(c => math.pow(v.head - c(0), 2) + math.pow(v(1) - c(1), 2)).min
+    }.sum
+    assert(wcssMulti <= wcss1 + 1e-9)
+  }
+
   test("distance/norm/scale columns match commons-math3 distance classes") {
     val df = Seq((Seq(1.0, -2.0, 3.0), Seq(0.5, 1.0, -1.0))).toDF("a", "b")
     val r = df.select(
