@@ -1958,6 +1958,24 @@ object SparkEntry {
       M.matMul(a, b).select(col("i"), col("j"), round(col("v"), 2).as("v"))
     }),
 
+    // ConvexHullEvaluator, distributed (hull of per-partition hulls): the
+    // planted 25×20 lattice's hull is its four corners — SF-invariant
+    // because both coordinates are modular
+    "me_convexhull" -> ((s, d) => M.convexHull(
+      rd(s, d, "documents").select(
+        (col("doc_id") % 25).cast("double").as("x"),
+        ((col("doc_id") / 25).cast("long") % 20).cast("double").as("y")),
+      "x", "y")),
+
+    // EnclosingDiskEvaluator: Welzl over the same lattice hull — the
+    // rectangle's circumcircle in closed form
+    "me_enclosingdisk" -> ((s, d) => M.enclosingDisk(
+        rd(s, d, "documents").select(
+          (col("doc_id") % 25).cast("double").as("x"),
+          ((col("doc_id") / 25).cast("long") % 20).cast("double").as("y")),
+        "x", "y")
+      .select(col("center_x"), col("center_y"), round(col("radius"), 6).as("radius"))),
+
     // CorrelationEvaluator (matrix mode): all pairwise Pearson in ONE pass
     "me_corr" -> ((s, d) => M.corrMatrix(rd(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))
@@ -3693,6 +3711,11 @@ object SparkEntry {
           |   FROM documents GROUP BY 1, 2)
           | SELECT a.i, b.j, round(sum(a.v * b.v), 2) AS v
           | FROM a JOIN b ON a.j = b.i GROUP BY a.i, b.j""".stripMargin,
+      "me_convexhull" ->
+        "SELECT * FROM (VALUES (0.0, 0.0), (24.0, 0.0), (24.0, 19.0), (0.0, 19.0)) AS t(x, y)",
+      "me_enclosingdisk" ->
+        """SELECT 12.0 AS center_x, 9.5 AS center_y,
+          | round(sqrt(12.0 * 12.0 + 9.5 * 9.5), 6) AS radius""".stripMargin,
       "me_corr" ->
         """WITH s AS (SELECT corr(l_quantity, l_quantity) AS qq,
           |   corr(l_quantity, l_extendedprice) AS qe, corr(l_quantity, l_discount) AS qd,

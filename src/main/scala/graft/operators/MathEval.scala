@@ -615,6 +615,54 @@ object MathEval {
   }
 
   // ---------------------------------------------------------------------
+  // Geometry (ConvexHullEvaluator / EnclosingDiskEvaluator — commons-math3
+  // MonotoneChain / WelzlEncloser), distributed: hull(∪ points) =
+  // hull(∪ per-partition hulls), so each partition reduces to its own
+  // (tiny) hull and only hull vertices reach the driver. The enclosing
+  // disk is determined by hull points alone, so it reuses the same
+  // reduction. Worst case (all points ON a circle) degenerates to
+  // collecting every point — same caveat as the reference's driver-side
+  // evaluator, but here only for adversarial inputs.
+  // ---------------------------------------------------------------------
+
+  /** ConvexHullEvaluator: hull vertices (x, y), counter-clockwise as
+    * MonotoneChain emits them. */
+  def convexHull(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.commons.math3.geometry.euclidean.twod.Vector2D
+    import org.apache.commons.math3.geometry.euclidean.twod.hull.MonotoneChain
+    import scala.jdk.CollectionConverters._
+    def hullOf(pts: Iterable[(Double, Double)]): Seq[(Double, Double)] = {
+      val vs = pts.map { case (x, y) => new Vector2D(x, y) }.toSeq
+      if (vs.size < 3) vs.map(v => (v.getX, v.getY))
+      else new MonotoneChain().generate(vs.asJava).getVertices
+        .map(v => (v.getX, v.getY)).toSeq
+    }
+    val partial = df.select(col(xCol).cast("double"), col(yCol).cast("double"))
+      .as[(Double, Double)]
+      .mapPartitions(it => hullOf(it.toSeq).iterator)
+      .collect()
+    val finalHull = hullOf(partial.distinct.toSeq)
+    spark.createDataFrame(finalHull).toDF("x", "y")
+  }
+
+  /** EnclosingDiskEvaluator: minimal enclosing disk via WelzlEncloser
+    * over the distributed hull's vertices → (center_x, center_y, radius). */
+  def enclosingDisk(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.commons.math3.geometry.euclidean.twod.{DiskGenerator, Vector2D}
+    import org.apache.commons.math3.geometry.enclosing.WelzlEncloser
+    import scala.jdk.CollectionConverters._
+    val hull = convexHull(df, xCol, yCol).collect()
+      .map(r => new Vector2D(r.getDouble(0), r.getDouble(1))).toSeq
+    val ball = new WelzlEncloser[org.apache.commons.math3.geometry.euclidean.twod.Euclidean2D, Vector2D](
+      1e-10, new DiskGenerator()).enclose(hull.asJava)
+    df.sparkSession.createDataFrame(Seq(
+      (ball.getCenter.getX, ball.getCenter.getY, ball.getRadius)))
+      .toDF("center_x", "center_y", "radius")
+  }
+
+  // ---------------------------------------------------------------------
   // Matrix ops over COO (row, col, value) frames — the distributed form of
   // Matrix.java / MatrixMultiplyEvaluator / TransposeEvaluator /
   // CorrelationEvaluator(matrix mode) / CovarianceEvaluator.

@@ -269,6 +269,24 @@ class MathEvalSpec extends SparkSpec {
     assert(out.toSeq == Seq(1.0, 9.0, 100.0))
   }
 
+  test("convexHull/enclosingDisk match the driver-side commons-math3 forms") {
+    import org.apache.commons.math3.geometry.euclidean.twod.Vector2D
+    import org.apache.commons.math3.geometry.euclidean.twod.hull.MonotoneChain
+    import scala.jdk.CollectionConverters._
+    val pts = for (i <- 0 until 15; j <- 0 until 7) yield (i.toDouble, j.toDouble)
+    val df = pts.toDF("x", "y").repartition(5)
+    val hull = MathEval.convexHull(df, "x", "y").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val ref = new MonotoneChain().generate(
+      pts.map { case (x, y) => new Vector2D(x, y) }.asJava)
+      .getVertices.map(v => (v.getX, v.getY)).toSet
+    assert(hull == ref)
+    assert(hull == Set((0.0, 0.0), (14.0, 0.0), (14.0, 6.0), (0.0, 6.0)))
+    val disk = MathEval.enclosingDisk(df, "x", "y").head()
+    assert(approx(disk.getDouble(0), 7.0) && approx(disk.getDouble(1), 3.0))
+    assert(approx(disk.getDouble(2), math.sqrt(49.0 + 9.0)))
+  }
+
   test("gTestDataSets matches commons-math3 gDataSetsComparison") {
     val o1 = Seq(("a", 10L), ("b", 20L), ("c", 30L), ("d", 5L))
     val o2 = Seq(("a", 15L), ("b", 12L), ("c", 28L), ("d", 9L))
