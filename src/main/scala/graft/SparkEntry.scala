@@ -1869,7 +1869,10 @@ object SparkEntry {
         round(M.exponentialCdf(col("k"), 5.0), 6).as("expo"),
         round(M.weibullCdf(col("k"), 1.5, 5.0), 6).as("weib"),
         round(M.triangularCdf(col("k"), 0.0, 6.0, 16.0), 6).as("tri"),
-        round(M.zipfPmf(col("k") + 1, 16, 1.1), 6).as("zipf"))),
+        round(M.zipfPmf(col("k") + 1, 16, 1.1), 6).as("zipf"),
+        round(M.geometricPmf(col("k"), 0.25), 6).as("geom"),
+        round(M.geometricCdf(col("k"), 0.25), 6).as("geom_cdf"),
+        round(M.uniformIntegerCdf(col("k"), 2, 13), 6).as("uint"))),
 
     // EmpiricalDistributionEvaluator as a distributed ecdf (rank window)
     "me_ecdf" -> ((s, d) => M.empiricalCdf(
@@ -3627,7 +3630,10 @@ object SparkEntry {
           |  round(CASE WHEN ks.k <= 0 THEN 0.0 ELSE 1.0 - exp(-pow(ks.k / 5.0, 1.5)) END, 6) AS weib,
           |  round(CASE WHEN ks.k <= 0 THEN 0.0 WHEN ks.k <= 6 THEN pow(ks.k - 0.0, 2.0) / (16.0 * 6.0)
           |    WHEN ks.k < 16 THEN 1.0 - pow(16.0 - ks.k, 2.0) / (16.0 * 10.0) ELSE 1.0 END, 6) AS tri,
-          |  round(pow(CAST(ks.k + 1 AS DOUBLE), -1.1) / h.hh, 6) AS zipf
+          |  round(pow(CAST(ks.k + 1 AS DOUBLE), -1.1) / h.hh, 6) AS zipf,
+          |  round(pow(1 - 0.25, ks.k) * 0.25, 6) AS geom,
+          |  round(1.0 - pow(1 - 0.25, ks.k + 1), 6) AS geom_cdf,
+          |  round(least(1.0, greatest(0.0, (floor(CAST(ks.k AS DOUBLE)) - 2 + 1) / 12.0)), 6) AS uint
           | FROM ks JOIN pc ON ks.k = pc.k, h""".stripMargin,
       "me_ecdf" ->
         "SELECT doc_id, round(cume_dist() OVER (ORDER BY n_chars), 6) AS ecdf FROM documents",

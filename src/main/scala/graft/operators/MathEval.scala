@@ -323,6 +323,19 @@ object MathEval {
       .when(x < b, lit(1.0) - pow(lit(b) - x, lit(2.0)) / lit((b - a) * (b - c)))
       .otherwise(lit(1.0))
 
+  /** GeometricDistributionEvaluator pmf(k; p) = (1-p)^k·p, cdf =
+    * 1-(1-p)^(k+1) (commons-math3 support k ≥ 0 = failures before the
+    * first success). */
+  def geometricPmf(k: Column, p: Double): Column =
+    pow(lit(1 - p), k.cast("double")) * lit(p)
+  def geometricCdf(k: Column, p: Double): Column =
+    lit(1.0) - pow(lit(1 - p), k.cast("double") + 1)
+
+  /** UniformIntegerDistributionEvaluator cdf on [lo, hi] inclusive. */
+  def uniformIntegerCdf(k: Column, lo: Int, hi: Int): Column =
+    least(lit(1.0), greatest(lit(0.0),
+      (floor(k.cast("double")) - lo + 1) / lit((hi - lo + 1).toDouble)))
+
   /** ZipFDistributionEvaluator pmf(k; n, s) = k^-s / H(n,s). */
   def zipfPmf(k: Column, n: Int, s: Double): Column = {
     val h = (1 to n).map(i => math.pow(i, -s)).sum

@@ -115,6 +115,9 @@ class MathEvalSpec extends SparkSpec {
       MathEval.normalCdfUdf(col("x"), lit(50.0), lit(25.0)).as("nc"),
       MathEval.logNormalCdfUdf(col("x") + 1.0, lit(3.0), lit(0.5)).as("lc"),
       MathEval.gammaCdfUdf(col("x") + 1.0, lit(2.0), lit(10.0)).as("gc"),
+      MathEval.geometricPmf(col("k"), 0.25).as("gp"),
+      MathEval.geometricCdf(col("k"), 0.25).as("gcd"),
+      MathEval.uniformIntegerCdf(col("k"), 1, 10).as("uic"),
       col("k"), col("x")).collect()
     import org.apache.commons.math3.distribution._
     val pois = new PoissonDistribution(5.0)
@@ -127,8 +130,13 @@ class MathEvalSpec extends SparkSpec {
     val norm = new NormalDistribution(50.0, 25.0)
     val logn = new LogNormalDistribution(3.0, 0.5)
     val gam = new GammaDistribution(2.0, 10.0)
+    val geom = new GeometricDistribution(0.25)
+    val uint = new UniformIntegerDistribution(1, 10)
     rows.foreach { r =>
-      val k = r.getInt(11); val x = r.getDouble(12)
+      val k = r.getInt(14); val x = r.getDouble(15)
+      assert(approx(r.getDouble(11), geom.probability(k), 1e-12))
+      assert(approx(r.getDouble(12), geom.cumulativeProbability(k), 1e-12))
+      assert(approx(r.getDouble(13), uint.cumulativeProbability(k), 1e-12))
       assert(approx(r.getDouble(0), pois.probability(k), 1e-12), s"poisson pmf k=$k")
       assert(approx(r.getDouble(1), pois.cumulativeProbability(k), 1e-12))
       assert(approx(r.getDouble(2), binom.probability(k), 1e-12))
@@ -471,6 +479,18 @@ class MathEvalSpec extends SparkSpec {
       new org.apache.commons.math3.ml.distance.CanberraDistance().compute(a, b)))
     assert(r.getSeq[Double](6) === Seq(0.6, 0.0, 1.0))
     assert(r.getSeq[Double](7) === Seq(1.0, 2.0, -2.0))
+  }
+
+  test("plan audit: dbscan joins are keyed (no cartesian product) and ecdf has no global window") {
+    val pts = (0L until 40L).map(i => (i, Seq((i % 4) * 10.0, (i % 4) * 10.0)))
+    val plan = MathEval.dbscan(pts.toDF("id", "vec"), "id", "vec", 0.5, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    val ecdfPlan = Seq(1.0, 2.0, 3.0).toDF("v")
+    val p2 = MathEval.empiricalCdf(ecdfPlan, "v").queryExecution.executedPlan.toString
+    // a global (unpartitioned) Window would serialize the table through
+    // one task; the cumCounts prefix-sum form must not contain one
+    assert(!p2.contains("Window"), p2.take(1500))
   }
 
   test("series assembly orders by the ord column deterministically") {
