@@ -1604,6 +1604,37 @@ object SparkEntry {
           col("n_frames"), round(col("duration_s"), 5).as("duration_s"))
     }),
 
+    // REAL audio decode: deterministic PCM WAV payloads synthesized by the
+    // JDK's WAVE writer, decoded back via javax.sound.sampled — the oracle
+    // predicts (rate, channels, frames, duration) from the same arithmetic
+    "mm_decode_wav" -> ((s, d) => {
+      import s.implicits._
+      val media = rd(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, "audio/wav", Multimodal.synthWav(id, 400 + (id % 256).toInt * 4))
+        })
+        .toDF("asset_id", "mime", "payload")
+      Multimodal.decodeMeta(media)
+        .select(col("asset_id"), col("width").as("sample_rate"),
+          col("height").as("channels"), col("n_frames"),
+          round(col("duration_s"), 5).as("duration_s"))
+    }),
+
+    // REAL image resize: decode-scale-reencode (nearest neighbour) halves
+    // the synthesized dimensions; the oracle predicts the scaled dims
+    "mm_resize_png" -> ((s, d) => {
+      import s.implicits._
+      val media = rd(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, "image/png",
+            Multimodal.synthPng(id, 16 + (id % 32).toInt, 16 + (id % 16).toInt))
+        })
+        .toDF("asset_id", "mime", "payload")
+      Multimodal.decodeMeta(Multimodal.resize(media, 2))
+        .select(col("asset_id"), col("width"), col("height"))
+    }),
+
     // ---- reverse search (monitor/percolator): registered queries matched
     // against the document stream in one broadcast-anchored narrow pass ----
     "mon_percolate" -> ((s, d) => Monitor.matches(rd(s, d, "documents"),
@@ -3234,6 +3265,17 @@ object SparkEntry {
           | CAST(16 + doc_id % 16 AS INT) AS height,
           | CAST(1 AS INT) AS n_frames, CAST(0.0 AS DOUBLE) AS duration_s
           | FROM documents""".stripMargin,
+      "mm_decode_wav" ->
+        """SELECT doc_id AS asset_id, CAST(8000 AS INT) AS sample_rate,
+          | CAST(1 AS INT) AS channels,
+          | CAST(400 + (doc_id % 256) * 4 AS INT) AS n_frames,
+          | round((400 + (doc_id % 256) * 4) / 8000.0, 5) AS duration_s
+          | FROM documents""".stripMargin,
+      "mm_resize_png" ->
+        """SELECT doc_id AS asset_id,
+          | CAST((16 + doc_id % 32) // 2 AS INT) AS width,
+          | CAST((16 + doc_id % 16) // 2 AS INT) AS height
+          | FROM documents WHERE doc_id < 200""".stripMargin,
 
       // reverse search: the four registered monitor queries, each as its
       // own set-select (term / AND / OR / adjacent-position phrase)

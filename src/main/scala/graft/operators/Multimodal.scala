@@ -7,10 +7,12 @@ import org.apache.spark.sql.types._
 /**
  * Multimodal column plumbing for training-data pipelines: image/audio/video
  * payloads ride as opaque BINARY columns with a typed metadata struct; the
- * Spark-side schema / partitioning / batch shape is real and tested, while
- * the actual media decode is a clearly-marked deterministic STUB (the
- * sandbox has no media libraries — at deploy time the stub body is replaced
- * by a real decoder with the same signature).
+ * Spark-side schema / partitioning / batch shape is real and tested.
+ * Raster images (PNG/JPEG/BMP/GIF via javax.imageio) and PCM audio
+ * (WAV/AIFF/AU via javax.sound.sampled) decode AND resize for REAL with
+ * the JDK's own codecs; only video keeps a clearly-marked deterministic
+ * STUB (no video codec ships with the JDK — at deploy time the stub body
+ * is replaced by a real decoder with the same signature).
  *
  * Batch shape: decode/feature-extract run as typed mapPartitions over
  * Iterator[Row] — per-partition batching, constant memory, the Scala
@@ -54,10 +56,48 @@ object Multimodal {
     (img.getWidth, img.getHeight, 1, 0.0)
   }
 
-  /** MIME routing: raster images decode for real; audio/video (absent
-    * codec libraries in this sandbox) keep the deterministic stub. */
+  /** REAL audio decode via javax.sound.sampled (the JDK ships WAV/AIFF/AU
+    * readers): metadata mapping is (width = sample rate, height = channel
+    * count, n_frames = PCM frame count, duration_s = frames / frame rate). */
+  def decodeAudio(payload: Array[Byte]): (Int, Int, Int, Double) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = in.getFormat
+      val frames = in.getFrameLength
+      (fmt.getSampleRate.toInt, fmt.getChannels, frames.toInt,
+        frames / fmt.getFrameRate.toDouble)
+    } finally in.close()
+  }
+
+  /** MIME routing: raster images and PCM audio decode for real via the
+    * JDK codecs; video (absent codec libraries in this sandbox) keeps the
+    * deterministic stub. */
   def decodeMedia(mime: String, payload: Array[Byte]): (Int, Int, Int, Double) =
-    if (mime.startsWith("image/")) decodeImage(payload) else decodeStub(payload)
+    if (mime.startsWith("image/")) decodeImage(payload)
+    else if (mime.startsWith("audio/")) decodeAudio(payload)
+    else decodeStub(payload)
+
+  /** Deterministic WAV synthesis: `frames` mono 16-bit PCM samples at
+    * `rate` Hz, sample i = pure function of (seed, i). The test payload
+    * generator for the real audio-decode path. */
+  def synthWav(seed: Long, frames: Int, rate: Float = 8000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val data = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val s = (((seed * 31 + i.toLong * 7) % 65536) - 32768).toShort
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
 
   /** Deterministic PNG synthesis: a w×h RGB raster whose pixels are a pure
     * function of (seed, x, y), encoded by the JDK's PNG writer. The test
@@ -118,14 +158,40 @@ object Multimodal {
     out
   }
 
-  /** Resize every asset's payload (mapPartitions batch shape); downstream
-    * decodeMeta over the result reflects the smaller payloads. */
+  /** REAL image resize: decode, nearest-neighbor scale to
+    * (max(1, w/factor), max(1, h/factor)), re-encode PNG — deterministic
+    * pixel arithmetic via Graphics2D with NEAREST_NEIGHBOUR interpolation. */
+  def resizeImage(payload: Array[Byte], factor: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable raster image")
+    val w2 = math.max(1, img.getWidth / factor)
+    val h2 = math.max(1, img.getHeight / factor)
+    val out = new java.awt.image.BufferedImage(w2, h2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+    g.drawImage(img, 0, 0, w2, h2, null)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Resize every asset's payload (mapPartitions batch shape); raster
+    * mimes go through the REAL decode-scale-reencode path, others keep
+    * the byte-domain stub. Downstream decodeMeta over the result reflects
+    * the true scaled dimensions. */
   def resize(media: DataFrame, factor: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("asset_id"), col("mime"), col("payload"))
       .as[(Long, String, Array[Byte])]
-      .mapPartitions(_.map { case (id, mime, p) => (id, mime, resizeStub(p, factor)) })
+      .mapPartitions(_.map { case (id, mime, p) =>
+        val out = if (mime.startsWith("image/")) resizeImage(p, factor)
+                  else resizeStub(p, factor)
+        (id, mime, out)
+      })
       .toDF("asset_id", "mime", "payload")
   }
 

@@ -299,6 +299,22 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     intercept[org.apache.spark.SparkException](Multimodal.decodeMeta(bad).collect())
   }
 
+  test("multimodal: real WAV decode via javax.sound.sampled; real PNG resize") {
+    // audio: synthesized PCM WAV round-trips (rate, channels, frames, duration)
+    val wav = Multimodal.synthWav(seed = 7L, frames = 1234, rate = 8000f)
+    assert(Multimodal.decodeAudio(wav) === ((8000, 1, 1234, 1234 / 8000.0)))
+    assert(wav.toSeq === Multimodal.synthWav(7L, 1234).toSeq) // deterministic
+    val media = Seq((9L, "audio/wav", wav)).toDF("asset_id", "mime", "payload")
+    val r = Multimodal.decodeMeta(media).head()
+    assert(r.getAs[Int]("width") === 8000 && r.getAs[Int]("height") === 1)
+    assert(r.getAs[Int]("n_frames") === 1234)
+    // image resize: decode-scale-reencode halves the true dimensions
+    val png = Multimodal.synthPng(seed = 11L, w = 40, h = 22)
+    val imedia = Seq((10L, "image/png", png)).toDF("asset_id", "mime", "payload")
+    val rm = Multimodal.decodeMeta(Multimodal.resize(imedia, 2)).head()
+    assert(rm.getAs[Int]("width") === 20 && rm.getAs[Int]("height") === 11)
+  }
+
   test("approx_count_distinct (HLL parity) stays within 10% of exact") {
     val df = spark.range(0, 20000).select((col("id") % 1337).as("v"))
     val approx = df.agg(approx_count_distinct("v")).head().getLong(0)
