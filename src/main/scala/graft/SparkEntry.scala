@@ -3,7 +3,7 @@ package graft
 import graft.corpus.CorpusGen
 import graft.index.{IndexBuilder, IndexStore}
 import graft.codec.PostingsCodec
-import graft.operators.{Classify, Dedup, Ltr, MathEval => M, Monitor, Multimodal, Pipeline => P, Relational => R, ResultClustering, Similarity, Spans, TextOps}
+import graft.operators.{Analytics => A, Classify, Dedup, Ltr, MathEval => M, Monitor, Multimodal, Pipeline => P, Relational => R, ResultClustering, Similarity, Spans, TextOps}
 import graft.query.QueryEngine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -2094,7 +2094,70 @@ object SparkEntry {
           round(M.canberra(col("v"), col("v2")), 5).as("canb"),
           round(M.l1Norm(col("v")), 5).as("l1"),
           round(M.lInfNorm(col("v")), 5).as("linf"))
-    })
+    }),
+
+    // ---- Solr analytics contrib (solr/contrib/analytics): expression
+    // reductions + value/range/pivot/query facets (Analytics.scala) ----
+
+    // SortedListCollector order statistics — reference index rules
+    // (PercentileFunction.java:107 round(p*n-.5), OrdinalFunction.java:105-110
+    // 1-based / negative-from-top, MedianCalculator.java:34-42 even-average);
+    // all five stats share ONE rank shuffle (same value expression)
+    "an_orderstats" -> ((s, d) =>
+      A.orderStats(rd(s, d, "lineitem"), Seq("l_returnflag"), Seq(
+        A.OrderStat("p25", col("l_quantity"), A.Pct(0.25)),
+        A.OrderStat("p95", col("l_quantity"), A.Pct(0.95)),
+        A.OrderStat("med", col("l_quantity"), A.Med),
+        A.OrderStat("o3", col("l_quantity"), A.Ord(3)),
+        A.OrderStat("otop2", col("l_quantity"), A.Ord(-2))))
+      .select(col("l_returnflag"), round(col("p25"), 4).as("p25"),
+        round(col("p95"), 4).as("p95"), round(col("med"), 4).as("med"),
+        round(col("o3"), 4).as("o3"), round(col("otop2"), 4).as("otop2"))),
+
+    // RangeFacet: gap list [20000, 50000] (last repeats), soft end extends
+    // 150000 -> 171000, before/after/between rows (FacetRangeGenerator.java:154-196)
+    "an_rangefacet" -> ((s, d) => A.rangeFacet(rd(s, d, "orders"),
+      col("o_totalprice"), 1000, 150000, Seq(20000, 50000),
+      others = Set("before", "after", "between"),
+      metrics = Seq("tp" -> round(sum("o_totalprice"), 2)))),
+
+    // ValueFacet + SortableFacet: buckets sorted by metric desc with value
+    // tie-break, offset/limit paging (facet/ValueFacet.java, SortableFacet.java)
+    "an_valuefacet" -> ((s, d) => A.valueFacet(rd(s, d, "part"), "p_brand",
+      Seq("n" -> count(lit(1)), "rp" -> round(sum("p_retailprice"), 2)),
+      sortBy = "n", limit = 5, offset = 2)),
+
+    // Two-level PivotFacet: top parents by count, top children within each
+    // kept parent (facet/PivotFacet.java)
+    "an_pivotfacet" -> ((s, d) => A.pivotFacet2(rd(s, d, "orders"),
+      "o_orderpriority", "o_orderstatus", limit1 = 3, limit2 = 2,
+      metrics = Seq("tp" -> round(sum("o_totalprice"), 2)))),
+
+    // QueryFacet: named query domains, every metric a conditional aggregate
+    // — ONE pass over the table (facet/QueryFacet.java)
+    "an_queryfacet" -> ((s, d) => A.queryFacet(rd(s, d, "lineitem"),
+      queries = Seq("low" -> (col("l_quantity") <= 10),
+                    "high" -> (col("l_quantity") > 40)),
+      metrics = Seq(
+        "n" -> (q => count(when(q, 1))),
+        "rev" -> (q => round(sum(when(q, col("l_extendedprice"))), 2))))),
+
+    // Full analytics request: mapping function (filter -> missing) feeding
+    // simple reductions (count/docCount/missing/unique/mean) + a median,
+    // joined on the grouping (function/ReductionCollectionManager.java)
+    "an_request" -> ((s, d) => A.request(
+      rd(s, d, "lineitem").withColumn("dp",
+        A.filterF(col("l_extendedprice") * (lit(1) - col("l_discount")),
+          col("l_quantity") > 5)),
+      Seq("l_linestatus"),
+      simple = Seq("n" -> A.countValues(col("dp")),
+        "docs" -> A.docCount(col("dp")),
+        "miss" -> A.missingCount(col("dp")),
+        "uniq" -> A.uniqueCount(col("l_returnflag")),
+        "mean" -> round(A.meanF(col("dp")), 4)),
+      order = Seq(A.OrderStat("medq", col("l_quantity"), A.Med)))
+      .select(col("l_linestatus"), col("n"), col("docs"), col("miss"),
+        col("uniq"), col("mean"), round(col("medq"), 4).as("medq")))
   )
 
   /** Fixed monitor registry for `mon_percolate` (vocabulary terms of the
@@ -3817,13 +3880,94 @@ object SparkEntry {
           |  round(cheb, 5) AS cheb, round(canb, 5) AS canb,
           |  round(l1, 5) AS l1, round(linf, 5) AS linf FROM g""".stripMargin)
 
+    // ---- Solr analytics contrib oracles: each mirrors the Spark-side
+    // reference semantics term for term (index rules, boundary lists) ----
+    val an = Map(
+      "an_orderstats" ->
+        """WITH r AS (SELECT l_returnflag, l_quantity AS v,
+          |   row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+          |   count(*) OVER (PARTITION BY l_returnflag) AS n
+          |  FROM lineitem WHERE l_quantity IS NOT NULL)
+          | SELECT l_returnflag,
+          |  round(max(CASE WHEN rn = CAST(floor(0.25 * n) AS BIGINT) + 1 THEN v END), 4) AS p25,
+          |  round(max(CASE WHEN rn = CAST(floor(0.95 * n) AS BIGINT) + 1 THEN v END), 4) AS p95,
+          |  round((max(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT) THEN v END)
+          |       + max(CASE WHEN rn = CAST(floor(n / 2) AS BIGINT) + 1 THEN v END)) / 2.0, 4) AS med,
+          |  round(max(CASE WHEN rn = 3 THEN v END), 4) AS o3,
+          |  round(max(CASE WHEN rn = n - 1 THEN v END), 4) AS otop2
+          | FROM r GROUP BY l_returnflag""".stripMargin,
+      "an_rangefacet" ->
+        """WITH b AS (SELECT CASE
+          |    WHEN o_totalprice IS NULL THEN NULL
+          |    WHEN o_totalprice < 1000 THEN -1
+          |    WHEN o_totalprice >= 171000 THEN -2
+          |    WHEN o_totalprice < 21000 THEN 0
+          |    WHEN o_totalprice < 71000 THEN 1
+          |    WHEN o_totalprice < 121000 THEN 2
+          |    ELSE 3 END AS bucket, o_totalprice AS v FROM orders),
+          | agg AS (SELECT bucket, count(*) AS n, round(sum(v), 2) AS tp
+          |   FROM b WHERE bucket IS NOT NULL GROUP BY bucket),
+          | u AS (SELECT * FROM agg UNION ALL
+          |   SELECT -3, CAST(sum(n) AS BIGINT), sum(tp) FROM agg WHERE bucket >= 0)
+          | SELECT CAST(bucket AS INT) AS bucket,
+          |  CASE bucket WHEN 0 THEN 1000.0 WHEN 1 THEN 21000.0
+          |    WHEN 2 THEN 71000.0 WHEN 3 THEN 121000.0 END AS lo,
+          |  CASE bucket WHEN 0 THEN 21000.0 WHEN 1 THEN 71000.0
+          |    WHEN 2 THEN 121000.0 WHEN 3 THEN 171000.0 END AS hi,
+          |  n, tp FROM u""".stripMargin,
+      "an_valuefacet" ->
+        """WITH a AS (SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS rp
+          |   FROM part GROUP BY p_brand),
+          | r AS (SELECT *, row_number() OVER (ORDER BY n DESC, p_brand) AS rn FROM a)
+          | SELECT p_brand, n, rp FROM r WHERE rn > 2 AND rn <= 7""".stripMargin,
+      "an_pivotfacet" ->
+        """WITH l1 AS (SELECT o_orderpriority, count(*) AS n,
+          |    round(sum(o_totalprice), 2) AS tp FROM orders GROUP BY 1),
+          | k1 AS (SELECT * FROM (SELECT *, row_number() OVER
+          |    (ORDER BY n DESC, o_orderpriority) AS rn FROM l1) WHERE rn <= 3),
+          | l2 AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+          |    round(sum(o_totalprice), 2) AS tp FROM orders
+          |   WHERE o_orderpriority IN (SELECT o_orderpriority FROM k1) GROUP BY 1, 2),
+          | k2 AS (SELECT * FROM (SELECT *, row_number() OVER
+          |    (PARTITION BY o_orderpriority ORDER BY n DESC, o_orderstatus) AS rn FROM l2)
+          |   WHERE rn <= 2)
+          | SELECT o_orderpriority, CAST(NULL AS VARCHAR) AS o_orderstatus,
+          |   1 AS level, n, tp FROM k1
+          | UNION ALL SELECT o_orderpriority, o_orderstatus, 2 AS level, n, tp FROM k2""".stripMargin,
+      "an_queryfacet" ->
+        """SELECT 'low' AS facet, count(CASE WHEN l_quantity <= 10 THEN 1 END) AS n,
+          |  round(sum(CASE WHEN l_quantity <= 10 THEN l_extendedprice END), 2) AS rev
+          | FROM lineitem
+          | UNION ALL
+          | SELECT 'high', count(CASE WHEN l_quantity > 40 THEN 1 END),
+          |  round(sum(CASE WHEN l_quantity > 40 THEN l_extendedprice END), 2)
+          | FROM lineitem""".stripMargin,
+      "an_request" ->
+        """WITH l AS (SELECT l_linestatus, l_quantity, l_returnflag,
+          |   CASE WHEN l_quantity > 5 THEN l_extendedprice * (1 - l_discount) END AS dp
+          |  FROM lineitem),
+          | s AS (SELECT l_linestatus, count(dp) AS n, count(dp) AS docs,
+          |   count(CASE WHEN dp IS NULL THEN 1 END) AS miss,
+          |   count(DISTINCT l_returnflag) AS uniq, round(avg(dp), 4) AS mean
+          |  FROM l GROUP BY 1),
+          | r AS (SELECT l_linestatus, l_quantity AS v,
+          |   row_number() OVER (PARTITION BY l_linestatus ORDER BY l_quantity) AS rn,
+          |   count(*) OVER (PARTITION BY l_linestatus) AS nn
+          |  FROM l WHERE l_quantity IS NOT NULL),
+          | m AS (SELECT l_linestatus,
+          |   round((max(CASE WHEN rn = CAST(floor((nn + 1) / 2) AS BIGINT) THEN v END)
+          |        + max(CASE WHEN rn = CAST(floor(nn / 2) AS BIGINT) + 1 THEN v END)) / 2.0, 4) AS medq
+          |  FROM r GROUP BY 1)
+          | SELECT s.l_linestatus, n, docs, miss, uniq, mean, medq
+          | FROM s JOIN m USING (l_linestatus)""".stripMargin)
+
     // q66 = q63's tree with the bf/boost wrapper applied to its rounded
     // output — derive the SQL from q63's so the two can never drift
     val q63 = base("q63_edismax")
     val q63Final = """ SELECT m.doc_id, round(m.ms + coalesce(p.pb, 0), 5) AS score
                       | FROM mainq m LEFT JOIN pbagg p USING (doc_id)""".stripMargin
     require(q63.contains(q63Final), "q63 oracle changed; update q66 derivation")
-    (base ++ me) + ("q66_edismax_bf" -> q63.replace(q63Final,
+    (base ++ me ++ an) + ("q66_edismax_bf" -> q63.replace(q63Final,
       """, base AS (SELECT m.doc_id, round(m.ms + coalesce(p.pb, 0), 5) AS s
         |          FROM mainq m LEFT JOIN pbagg p USING (doc_id))
         | SELECT b.doc_id,
