@@ -3,7 +3,7 @@ package graft
 import graft.corpus.CorpusGen
 import graft.index.{IndexBuilder, IndexStore}
 import graft.codec.PostingsCodec
-import graft.operators.{Analytics => A, Classify, Dedup, Ltr, MathEval => M, Monitor, Multimodal, Pipeline => P, Relational => R, ResultClustering, Similarity, Spans, TextOps}
+import graft.operators.{Analytics => A, AtomicUpdate, Classify, Dedup, Ltr, MathEval => M, Monitor, Multimodal, Pipeline => P, Relational => R, ResultClustering, Similarity, Spans, TextOps}
 import graft.query.QueryEngine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1639,6 +1639,36 @@ object SparkEntry {
     // against the document stream in one broadcast-anchored narrow pass ----
     "mon_percolate" -> ((s, d) => Monitor.matches(rd(s, d, "documents"),
       MonitorRegistry)),
+
+    // ---- Solr atomic updates (AtomicUpdateDocumentMerger): a deterministic
+    // long-format command batch derived from the table itself, folded over
+    // the doc state in arrival order — one agg + one join, no per-doc get ----
+    "su_atomic" -> ((s, d) => {
+      val base = rd(s, d, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars"), array(col("source"), col("lang")).as("tags"),
+        col("source"))
+      def cmd(pred: org.apache.spark.sql.Column, seq: Int, field: String,
+              op: String, value: org.apache.spark.sql.Column) =
+        base.filter(pred).select(col("doc_id"), lit(seq).as("seq"),
+          lit(field).as("field"), lit(op).as("op"), value.as("value"))
+      val id = col("doc_id")
+      val updates = Seq(
+        cmd(id % 3 === 0, 1, "lang", "set", lit("xx")),
+        cmd(id % 9 === 0, 2, "lang", "set", lit(null).cast("string")),
+        cmd(id % 4 === 0, 1, "n_chars", "inc", lit("5")),
+        cmd(id % 4 === 0, 2, "n_chars", "inc", lit("-2")),
+        cmd(id % 2 === 0, 1, "tags", "add", lit("extra")),
+        cmd(id % 2 === 0, 2, "tags", "add-distinct", lit("extra")),
+        cmd(id % 2 === 0, 3, "tags", "add-distinct", lit("fresh")),
+        cmd(id % 2 === 0, 4, "tags", "remove", col("source")),
+        cmd(id % 5 === 0, 5, "tags", "removeregex", lit("ex.*"))
+      ).reduce(_ unionByName _)
+      AtomicUpdate.merge(base.drop("source"), "doc_id", updates,
+          stringFields = Seq("lang"), longFields = Seq("n_chars"),
+          arrayFields = Seq("tags"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          concat_ws(",", col("tags")).as("tags"))
+    }),
 
     // ---- classification (reference classification module) ----
     "cls_nb" -> ((s, d) => {
@@ -3361,6 +3391,18 @@ object SparkEntry {
           | UNION ALL
           | SELECT doc_id, 'mq_not' AS query_id FROM d WHERE tok = 'data'
           |  AND doc_id NOT IN (SELECT doc_id FROM d WHERE tok = 'slow')""".stripMargin,
+
+      // atomic updates: the command batch is deterministic in doc_id, so
+      // the folded end-state is closed-form per residue class
+      "su_atomic" ->
+        """SELECT doc_id,
+          | CASE WHEN doc_id % 9 = 0 THEN NULL
+          |      WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang,
+          | n_chars + CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 0 END AS n_chars,
+          | CASE WHEN doc_id % 10 = 0 THEN concat(lang, ',fresh')
+          |      WHEN doc_id % 2 = 0 THEN concat(lang, ',extra,fresh')
+          |      ELSE concat(source, ',', lang) END AS tags
+          |FROM documents""".stripMargin,
 
       // Naive Bayes: reference arithmetic (class-df likelihood, add-one
       // smoothing, avg-unique-terms denominator, tf-weighted, prior added),
