@@ -3,7 +3,7 @@ package graft
 import graft.corpus.CorpusGen
 import graft.index.{IndexBuilder, IndexStore}
 import graft.codec.PostingsCodec
-import graft.operators.{Analytics => A, AtomicUpdate, Classify, Dedup, Ltr, MathEval => M, Monitor, Multimodal, Pipeline => P, Relational => R, ResultClustering, Similarity, Spans, TextOps}
+import graft.operators.{Analytics => A, AtomicUpdate, Classify, Dedup, Ltr, MathEval => M, Monitor, Multimodal, Pipeline => P, Relational => R, ResultClustering, Signatures, Similarity, Spans, TextOps}
 import graft.query.QueryEngine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1669,6 +1669,28 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           concat_ws(",", col("tags")).as("tags"))
     }),
+
+    // ---- SignatureUpdateProcessor: index-time dedup signatures, all
+    // whole-stage codegen (native md5 over HOF-built content) ----
+    "su_signature" -> ((s, d) => rd(s, d, "documents").select(col("doc_id"),
+      Signatures.md5Signature(
+        Seq("lang" -> col("lang"), "source" -> col("source"))).as("sig_md5"),
+      Signatures.textProfileSignature(Seq("text" -> col("text")))
+        .as("sig_profile"))),
+
+    // lookup3ycs64 has no DuckDB twin: rows-only here, bit-exactness is
+    // pinned by SignaturesSpec's independent-port vectors
+    "su_signature_l3" -> ((s, d) => rd(s, d, "documents").select(col("doc_id"),
+      Signatures.lookup3Signature(
+        Seq("lang" -> col("lang"), "source" -> col("source"))).as("sig_l3"))),
+
+    // overwriteDupes=true: last write per signature wins — one max_by agg
+    "su_dedup_overwrite" -> ((s, d) => Signatures.overwriteDupes(
+        rd(s, d, "documents").select(col("doc_id"), col("lang"), col("source")),
+        Signatures.md5Signature(
+          Seq("lang" -> col("lang"), "source" -> col("source"))),
+        col("doc_id"))
+      .select(col("signature"), col("doc_id"), col("lang"), col("source"))),
 
     // ---- classification (reference classification module) ----
     "cls_nb" -> ((s, d) => {
@@ -3403,6 +3425,38 @@ object SparkEntry {
           |      WHEN doc_id % 2 = 0 THEN concat(lang, ',extra,fresh')
           |      ELSE concat(source, ',', lang) END AS tags
           |FROM documents""".stripMargin,
+
+      // dedup signatures: md5 of name+value concat; the text profile is
+      // reproduced with unnest + group by + ordered string_agg
+      "su_signature" ->
+        """WITH toks AS (
+          |  SELECT doc_id, t AS tok FROM (
+          |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+          |    FROM documents) WHERE length(t) > 2),
+          |counts AS (
+          |  SELECT doc_id, tok, count(*)::INT AS cnt FROM toks GROUP BY doc_id, tok),
+          |q AS (
+          |  SELECT doc_id,
+          |    CASE WHEN round(max(cnt) * 0.01) < 2
+          |         THEN (CASE WHEN max(cnt) > 1 THEN 2 ELSE 1 END)
+          |         ELSE round(max(cnt) * 0.01)::INT END AS quant
+          |  FROM counts GROUP BY doc_id),
+          |prof AS (
+          |  SELECT c.doc_id,
+          |    string_agg(c.tok || ' ' || ((c.cnt // q.quant) * q.quant),
+          |      chr(10) ORDER BY (c.cnt // q.quant) * q.quant DESC, c.tok ASC) AS profile
+          |  FROM counts c JOIN q USING (doc_id)
+          |  WHERE (c.cnt // q.quant) * q.quant >= q.quant
+          |  GROUP BY c.doc_id)
+          |SELECT d.doc_id,
+          |  md5('lang' || d.lang || 'source' || d.source) AS sig_md5,
+          |  md5('text 1' || coalesce(p.profile, '')) AS sig_profile
+          |FROM documents d LEFT JOIN prof p USING (doc_id)""".stripMargin,
+
+      "su_dedup_overwrite" ->
+        """SELECT md5('lang' || lang || 'source' || source) AS signature,
+          | max(doc_id) AS doc_id, lang, source
+          |FROM documents GROUP BY lang, source""".stripMargin,
 
       // Naive Bayes: reference arithmetic (class-df likelihood, add-one
       // smoothing, avg-unique-terms denominator, tf-weighted, prior added),
