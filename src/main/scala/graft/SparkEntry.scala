@@ -893,6 +893,25 @@ object SparkEntry {
     "q35_dismax_bm25" -> ((s, d) => TextOps.disjunctionMaxBm25(rd(s, d, "documents"),
       "doc_id", "text", Seq("spark", "query", "data"), 0.1)),
 
+    // MaxScoreQParser ({!maxscore tie=0.3}+spark query data): must clauses
+    // sum as usual, ALL should clauses collapse into one dismax — only the
+    // best optional term contributes fully (engine twin:
+    // Searcher.searchMaxScore; rewrite identity tested in SearcherSpec)
+    "qp_maxscore" -> ((s, d) => TextOps.maxScoreBm25(rd(s, d, "documents"),
+      "doc_id", "text", must = Seq("spark"), should = Seq("query", "data"),
+      tie = 0.3)),
+
+    // GraphTermsQParser: constant-score term-set that SKIPS super-node
+    // terms (df > maxDocFreq = docCount/2); 'spark'/'query' (df ~0.77·N)
+    // are dropped by the frontier cap, the planted rare term 'dup'
+    // (df = 25 absolute at every SF) survives
+    "ft_graphterms" -> ((s, d) => {
+      val idx = docIndex(s, d)
+      graft.query.Searcher.graphTerms(idx, Seq("dup", "spark", "query"),
+        idx.stats.docCount / 2)
+        .select(col("docId").as("doc_id"))
+    }),
+
     // MultiPhraseQuery: slot 0 matches 'spark' OR 'data', slot 1 'group'
     "q36_multiphrase" -> ((s, d) => TextOps.multiPhraseMatch(rd(s, d, "documents"),
       "doc_id", "text", Seq(Seq("spark", "data"), Seq("group")))),
@@ -3017,6 +3036,32 @@ object SparkEntry {
            |  FROM qt JOIN dfs ON qt.tok = dfs.tok JOIN dl ON qt.doc_id = dl.doc_id, st)
            | SELECT doc_id, round(max(s) + 0.1 * (sum(s) - max(s)), 5) AS score
            | FROM sc GROUP BY doc_id""".stripMargin,
+      "qp_maxscore" ->
+        s"""WITH tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+           | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),
+           | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+           | st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+           |               (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+           | qt AS (SELECT * FROM tf WHERE tok IN ('spark','query','data')),
+           | dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM qt GROUP BY tok),
+           | sc AS (SELECT qt.doc_id, qt.tok,
+           |   ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * qt.tf /
+           |   (qt.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+           |  FROM qt JOIN dfs ON qt.tok = dfs.tok JOIN dl ON qt.doc_id = dl.doc_id, st)
+           | SELECT doc_id, round(
+           |   coalesce(sum(CASE WHEN tok = 'spark' THEN s END), 0) +
+           |   coalesce(max(CASE WHEN tok IN ('query','data') THEN s END)
+           |     + 0.3 * (sum(CASE WHEN tok IN ('query','data') THEN s END)
+           |            - max(CASE WHEN tok IN ('query','data') THEN s END)), 0), 5) AS score
+           | FROM sc GROUP BY doc_id
+           | HAVING sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) = 1""".stripMargin,
+      "ft_graphterms" ->
+        """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+          | dfs AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t
+          |          WHERE tok IN ('dup','spark','query') GROUP BY tok)
+          | SELECT DISTINCT doc_id FROM t
+          | WHERE tok IN (SELECT tok FROM dfs
+          |               WHERE df <= (SELECT count(*) // 2 FROM documents))""".stripMargin,
       "q36_multiphrase" ->
         """WITH t AS (SELECT doc_id,
           |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,

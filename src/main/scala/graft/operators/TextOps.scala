@@ -353,6 +353,29 @@ object TextOps {
       .groupBy(idCol)
       .agg(round(max("s") + lit(tiebreak) * (sum("s") - max("s")), 5).as("score"))
 
+  /** MaxScoreQParser combine (reference solr/core/src/java/org/apache/solr/
+    * search/MaxScoreQParser.java:34-78): required terms gate matching and
+    * score as a plain boolean sum; ALL optional terms collapse into one
+    * DisjunctionMaxQuery, contributing max + tie·(sum − max). Declarative
+    * oracle-parity twin of [[graft.query.Searcher.maxScoreRewrite]]. */
+  def maxScoreBm25(docs: DataFrame, idCol: String, textCol: String,
+                   must: Seq[String], should: Seq[String], tie: Double,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val all = (must ++ should).distinct
+    scoredTerms(docs, idCol, textCol, all, k1, b)
+      .groupBy(idCol)
+      .agg(
+        sum(when(col("tok").isin(must: _*), col("s"))).as("ms"),
+        sum(when(col("tok").isin(must: _*), 1).otherwise(0)).as("nm"),
+        max(when(col("tok").isin(should: _*), col("s"))).as("mx"),
+        sum(when(col("tok").isin(should: _*), col("s"))).as("ss"))
+      .filter(col("nm") === must.distinct.size)
+      .select(col(idCol), round(
+        coalesce(col("ms"), lit(0.0)) +
+          coalesce(col("mx") + lit(tie) * (col("ss") - col("mx")), lit(0.0)),
+        5).as("score"))
+  }
+
   /**
    * Solr's mm spec grammar (reference solr/core .../util/SolrPluginUtils
    * .java:671-708 calculateMinShouldMatch): absolute ("3"), negative

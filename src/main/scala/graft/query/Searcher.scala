@@ -50,6 +50,42 @@ object Searcher {
     live.orderBy(desc("score"), asc("docId")).limit(k)
   }
 
+  /** MaxScoreQParser rewrite (reference solr/core/src/java/org/apache/solr/
+    * search/MaxScoreQParser.java:34-78): parse exactly like the classic
+    * parser, then delegate all top-level SHOULD clauses to ONE
+    * DisjunctionMaxQuery with the given tie — only the best optional clause
+    * contributes fully, the rest scaled by `tie`. MUST / MUST_NOT clauses
+    * pass through as separate boolean clauses (always contribute), and a
+    * top-level boost re-wraps the rewritten query. Non-boolean queries are
+    * returned unchanged. */
+  def maxScoreRewrite(q: Query, tie: Float): Query = q match {
+    case BoostQ(b, inner) => BoostQ(b, maxScoreRewrite(inner, tie))
+    case BoolQ(must, should, mustNot) if should.nonEmpty =>
+      BoolQ(must, Seq(DisMaxQ(should, tie)), mustNot)
+    case other => other
+  }
+
+  /** Parse + rank under the MaxScore rewrite (Solr `{!maxscore tie=...}`). */
+  def searchMaxScore(idx: OpenIndex, query: String, k: Int, tie: Float = 0f): DataFrame = {
+    val scored = eval(idx, maxScoreRewrite(QueryParser.parse(query), tie))
+    val live = idx.deletes.fold(scored)(d => scored.join(d, Seq("docId"), "left_anti"))
+    live.orderBy(desc("score"), asc("docId")).limit(k)
+  }
+
+  /** GraphTermsQParser (reference solr/core/src/java/org/apache/solr/search/
+    * GraphTermsQParserPlugin.java:73-155): constant-score disjunction over
+    * the given terms, SKIPPING every term whose document frequency exceeds
+    * `maxDocFreq` — the graph-traversal frontier query that refuses to
+    * expand through super-nodes. The df probe is a cached termstats lookup
+    * (O(#terms), no corpus pass); the surviving terms ride the same pushed
+    * dictionary-predicate scan as every multi-term query. */
+  def graphTerms(idx: OpenIndex, terms: Seq[String], maxDocFreq: Long): DataFrame = {
+    val dfs = QueryEngine.lookupDfs(idx.termstats, terms, Some(idx.dfCache))
+    val keep = terms.distinct.filter(t => dfs.get(t).exists(_ <= maxDocFreq))
+    if (keep.isEmpty) emptyScored(idx.spark)
+    else constScore(idx, col("term").isin(keep: _*))
+  }
+
   /** XML query (CoreParser dialect) search: parse via [[XmlParser]] and
     * rank like [[search]]. Span-rooted documents are rejected here — they
     * evaluate over a text column via [[graft.operators.Spans]]. */

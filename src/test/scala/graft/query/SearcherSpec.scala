@@ -115,6 +115,57 @@ class SearcherSpec extends SparkSpec {
     }
   }
 
+  test("maxScore: rewrite shape and dismax score arithmetic over should clauses") {
+    import Searcher.maxScoreRewrite
+    // reference MaxScoreQParser.parse: SHOULD clauses -> one dismax; must/
+    // mustNot pass through; boost re-wraps; non-boolean unchanged
+    assert(maxScoreRewrite(parse("+a b c -d"), 0.3f) ===
+      BoolQ(Seq(TermQ("a")), Seq(DisMaxQ(Seq(TermQ("b"), TermQ("c")), 0.3f)), Seq(TermQ("d"))))
+    assert(maxScoreRewrite(parse("(a b)^2"), 0f) ===
+      BoostQ(2f, BoolQ(Nil, Seq(DisMaxQ(Seq(TermQ("a"), TermQ("b")), 0f)), Nil)))
+    assert(maxScoreRewrite(parse("spark"), 0.5f) === TermQ("spark"))
+    assert(maxScoreRewrite(parse("+a +b"), 0.5f) ===
+      BoolQ(Seq(TermQ("a"), TermQ("b")), Nil, Nil))
+
+    // score: must sum + (max + tie*(sum-max)) over the should terms
+    val tie = 0.25f
+    val got = hits(Searcher.searchMaxScore(idx, "+handler3 public import", 100000))
+    val h3 = hits(idx.topK(Seq("handler3"), 100000)).toMap
+    val pub = hits(idx.topK(Seq("public"), 100000)).toMap
+    val imp = hits(idx.topK(Seq("import"), 100000)).toMap
+    val got2 = hits(Searcher.searchMaxScore(idx, "+handler3 public import", 100000, tie))
+    assert(got.map(_._1).toSet === h3.keySet)
+    got2.foreach { case (id, s) =>
+      val ss = Seq(pub.get(id), imp.get(id)).flatten.map(_.toDouble)
+      val dismax =
+        if (ss.isEmpty) 0.0
+        else (ss.max + tie.toDouble * (ss.sum - ss.max)).toFloat.toDouble
+      val want = (h3(id).toDouble + dismax).toFloat
+      assert(s === want, s"doc $id")
+    }
+    // tie=0: strictly the best optional clause
+    got.foreach { case (id, s) =>
+      val best = Seq(pub.getOrElse(id, 0f), imp.getOrElse(id, 0f)).max
+      assert(s === (h3(id).toDouble + best.toDouble).toFloat, s"doc $id")
+    }
+  }
+
+  test("graphTerms: super-node terms dropped by the df cap") {
+    // 'public' appears in ~every doc; 'handler3' in ~1/8 of docs
+    val dfs = QueryEngine.lookupDfs(idx.termstats, Seq("public", "handler3"), None)
+    val cap = (dfs("handler3") + dfs("public")) / 2
+    val got = hits(Searcher.graphTerms(idx, Seq("public", "handler3"), cap))
+    val h3 = idx.topK(Seq("handler3"), 100000).collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet === h3)
+    assert(got.forall(_._2 === 1f)) // constant score
+    // cap above every df: plain term-set union
+    val all = hits(Searcher.graphTerms(idx, Seq("public", "handler3"), Long.MaxValue))
+    val union = idx.topK(Seq("public", "handler3"), 100000).collect().map(_.getLong(0)).toSet
+    assert(all.map(_._1).toSet === union)
+    // every term over the cap: empty
+    assert(Searcher.graphTerms(idx, Seq("public"), 1).isEmpty)
+  }
+
   test("commonTerms: df split makes high-df terms optional, low-df required") {
     // 'public' is the mega term (df ~ every doc); 'uniq_5_0' is a singleton.
     // cutoff 0.5: public -> high/optional, uniq_5_0 -> low/required
