@@ -84,8 +84,12 @@ object SparkEntry {
       graft.util.Fs.rmTree(idxDir)
       val corpus = rd(s, dir, "documents")
         .select(col("doc_id").as("docId"), col("text"), col("lang"))
+        // derived short "title" field (first 5 tokens) — the BM25F demo
+        // field; deterministic so the DuckDB oracle can mirror it
+        .withColumn("title", array_join(slice(TextOps.tokensOf("text"), 1, 5), " "))
       graft.index.FieldedIndex.build(s, corpus, idxDir,
-        fields = Seq("text" -> "text", "lang" -> "lang"), numSegments = 1,
+        fields = Seq("text" -> "text", "lang" -> "lang", "title" -> "title"),
+        numSegments = 1,
         shufflePartitions = s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       graft.index.FieldedIndex.open(s, idxDir)
     })
@@ -449,6 +453,22 @@ object SparkEntry {
 
     "ft_engine_phrase" -> ((s, d) => docIndex(s, d)
       .phrase(Seq("data", "group")).select(col("docId").as("doc_id"))),
+
+    // BM25F combined-field top-k (sandbox BM25FQuery): title (first 5
+    // tokens, weight 2) + body (weight 1) blend into ONE pseudo-term —
+    // engine ranks over the per-field indexes (float-exact, Bm25FSpec),
+    // output scores from the quantized declarative twin so the driver
+    // hash-checks set AND scores (the ft_engine_topk pattern)
+    "ft_bm25f" -> ((s, d) => {
+      val idxs = docFieldedIndex(s, d)
+      val hits = graft.query.Bm25F.topK(
+        Seq(idxs("title") -> 2f, idxs("text") -> 1f), Seq("spark", "query"), 20)
+        .select(col("docId").as("doc_id"))
+      val docs = rd(s, d, "documents")
+        .withColumn("title", array_join(slice(TextOps.tokensOf("text"), 1, 5), " "))
+      hits.join(TextOps.bm25fQuantized(docs, "doc_id",
+        Seq("title" -> 2.0, "text" -> 1.0), Seq("spark", "query")), "doc_id")
+    }),
 
     "ft_engine_prefix" -> ((s, d) => docIndex(s, d)
       .multiTermTopK(col("term").startsWith("s"), 1000000)
@@ -2873,6 +2893,7 @@ object SparkEntry {
       "ft_bm25_or" -> bm25Sql(Seq("spark", "query", "join"), "or", Nil),
       "ft_engine_topk" -> engineTopKSql(Seq("spark", "query", "join"), 20),
       "ft_engine_wand" -> engineTopKSql(Seq("spark", "query", "join"), 20),
+      "ft_bm25f" -> bm25fSql(Seq("spark", "query"), 20),
       "ft_bm25_and" -> bm25Sql(Seq("spark", "data"), "and", Nil),
       "ft_bm25_not" -> bm25Sql(Seq("spark", "query"), "or", Seq("slow")),
       "ft_phrase" ->
@@ -4596,6 +4617,45 @@ object SparkEntry {
        |   (qt.tf + 1.2 * (1 - 0.75 + 0.75 * qd.qdl / st.avgdl)) AS s
        |  FROM qt JOIN dfs ON qt.tok = dfs.tok JOIN qd ON qt.doc_id = qd.doc_id, st)
        | SELECT doc_id, round(sum(s), 5) AS score FROM sc GROUP BY doc_id
+       | ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** Derived oracle for [[graft.query.Bm25F]] / ft_bm25f: mirrors
+    * [[TextOps.bm25fQuantized]] term-for-term — title = first 5 tokens
+    * (weight 2), body = text (weight 1); SmallFloat buckets applied at
+    * BOTH norm levels (per-field and re-encoded combined). */
+  private def bm25fSql(terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(",")
+    val values = graft.operators.TextOps.normQuantBuckets
+      .map { case (lo, hi, q) => s"($lo,$hi,$q)" }.mkString(",")
+    s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tl FROM documents),
+       | tokb AS (SELECT doc_id, unnest(tl) AS tok FROM toks),
+       | tokt AS (SELECT doc_id, unnest(tl[1:5]) AS tok FROM toks),
+       | tfb AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokb GROUP BY doc_id, tok),
+       | tft AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tokt GROUP BY doc_id, tok),
+       | dlb AS (SELECT doc_id, sum(tf) AS dl FROM tfb GROUP BY doc_id),
+       | dlt AS (SELECT doc_id, sum(tf) AS dl FROM tft GROUP BY doc_id),
+       | nb AS (SELECT * FROM (VALUES $values) AS t(lo, hi, qdl)),
+       | ndl AS (SELECT doc_id, round(sum(wqdl)) AS ndl FROM (
+       |    SELECT dlt.doc_id, 2.0 * nb.qdl AS wqdl FROM dlt JOIN nb ON dlt.dl BETWEEN nb.lo AND nb.hi
+       |    UNION ALL
+       |    SELECT dlb.doc_id, 1.0 * nb.qdl FROM dlb JOIN nb ON dlb.dl BETWEEN nb.lo AND nb.hi)
+       |  GROUP BY doc_id),
+       | cq AS (SELECT doc_id, CAST(nb.qdl AS DOUBLE) AS cqdl FROM ndl JOIN nb ON ndl.ndl BETWEEN nb.lo AND nb.hi),
+       | fr AS (SELECT doc_id, sum(wtf) AS freq FROM (
+       |    SELECT doc_id, 2.0 * tf AS wtf FROM tft WHERE tok IN ($inList)
+       |    UNION ALL SELECT doc_id, 1.0 * tf FROM tfb WHERE tok IN ($inList))
+       |  GROUP BY doc_id),
+       | dfx AS (SELECT CAST(max(df) AS DOUBLE) AS df FROM (
+       |    SELECT count(*) AS df FROM tft WHERE tok IN ($inList) GROUP BY tok
+       |    UNION ALL SELECT count(*) FROM tfb WHERE tok IN ($inList) GROUP BY tok)),
+       | st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+       |        ((SELECT 2.0 * sum(dl) FROM dlt) + (SELECT 1.0 * sum(dl) FROM dlb)) /
+       |          (SELECT count(*) FROM documents) AS avgdl)
+       | SELECT fr.doc_id AS doc_id, round(
+       |   ln(1 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5)) * fr.freq /
+       |   (fr.freq + 1.2 * (1 - 0.75 + 0.75 * cq.cqdl / st.avgdl)), 5) AS score
+       | FROM fr JOIN cq ON fr.doc_id = cq.doc_id, st, dfx
        | ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 

@@ -272,6 +272,65 @@ object TextOps {
       .groupBy(idCol).agg(round(sum("s"), 5).as("score"))
   }
 
+  /** BM25F combined-field scoring, declarative quantized twin of
+    * [[graft.query.Bm25F.topK]] (reference lucene/sandbox BM25FQuery.java:
+    * 279-311 + MultiNormsLeafSimScorer.java:55-133): all (field, term)
+    * postings blend into ONE pseudo-term scored once per doc —
+    *   freq  = Σ_f Σ_t w_f · tf(f,t,d)
+    *   dl    = byte4 round-trip of round(Σ_f w_f · byte4dl(dl_f))  (re-encoded!)
+    *   df    = max over (field, term) docFreq
+    *   avgdl = (Σ_f w_f · sumTTF_f) / docCount                     (exact)
+    * Double arithmetic rounded to 5; norm quantization applied at BOTH
+    * levels through [[normQuantBuckets]] so the derived DuckDB oracle
+    * cannot drift from the engine's norm bytes. Weights should be
+    * integral (the reference requires ≥ 1) so the float/double rounding
+    * paths agree exactly. */
+  def bm25fQuantized(docs: DataFrame, idCol: String,
+                     fields: Seq[(String, Double)], terms: Seq[String],
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qs = terms.distinct
+    val buckets = broadcast(normQuantBuckets.toDF("lo", "hi", "qdl"))
+    val perField = fields.map { case (c, w) =>
+      val tf = termFreqs(docs, idCol, c)
+      val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+      (w, tf, dl)
+    }
+    // combined quantized dl: per-field byte4 bucket, weighted sum, round,
+    // bucket AGAIN (the MultiFieldNormValues re-encode)
+    val wqdl = perField.map { case (w, _, dl) =>
+      dl.join(buckets, col("dl") >= col("lo") && col("dl") <= col("hi"))
+        .select(col(idCol), (col("qdl") * w).as("wqdl"))
+    }.reduce(_.unionByName(_))
+      .groupBy(idCol).agg(round(sum("wqdl")).cast("long").as("ndl"))
+    val cqdl = wqdl.join(buckets, col("ndl") >= col("lo") && col("ndl") <= col("hi"))
+      .select(col(idCol), col("qdl").cast("double").as("cqdl"))
+    // pseudo stats: df = max over (field, term); avgdl exact
+    val dfMax = perField.map { case (_, tf, _) =>
+      tf.filter(col("tok").isin(qs: _*)).groupBy("tok").agg(count("*").as("df"))
+    }.reduce(_.unionByName(_)).agg(max("df").cast("double").as("df"))
+    val sumTtf = perField.map { case (w, _, dl) =>
+      dl.agg((sum("dl") * w).as("wttf"))
+    }.reduce(_.unionByName(_)).agg(sum("wttf").as("sttf"))
+    val stats = docs.agg(count("*").cast("double").as("n"))
+      .crossJoin(sumTtf).crossJoin(dfMax)
+      .withColumn("avgdl", col("sttf") / col("n"))
+    // blended frequency over matching (field, term) rows
+    val freq = perField.map { case (w, tf, _) =>
+      tf.filter(col("tok").isin(qs: _*))
+        .select(col(idCol), (col("tf") * w).as("wtf"))
+    }.reduce(_.unionByName(_))
+      .groupBy(idCol).agg(sum("wtf").as("freq"))
+    freq.join(cqdl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), round(
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("freq") /
+          (col("freq") + lit(k1) * (lit(1.0) - b + lit(b) * col("cqdl") / col("avgdl"))),
+        5).as("score"))
+  }
+
   /** req-opt scoring (ReqOptSumScorer, Boolean2ScorerSupplier.java:107-114):
     * docs must match ALL `required` terms; `optional` terms add to the score
     * when present but never gate matching. */
