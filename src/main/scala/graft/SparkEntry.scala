@@ -1504,6 +1504,29 @@ object SparkEntry {
     "dd_simhash" -> ((s, d) => Dedup.simHashCandidates(
       Dedup.simHash(rd(s, d, "documents"), "doc_id", "text"), "doc_id", maxHamming = 3)),
 
+    // MinHashQParser fingerprint query (query-time similarity search):
+    // banded LSH probe of doc 3's text against the corpus — hash-family-
+    // dependent, so rows-only here; the driver-checked twin is
+    // qp_minhash_planted below (MinHashSpec covers band/msm semantics)
+    "qp_minhash" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+      val qtext = docs.filter(col("doc_id") === 3).select("text").head.getString(0)
+      Dedup.minHashQuery(docs, "doc_id", "text", qtext,
+        numHashes = 64, sim = 0.5, tp = 0.9)
+    }),
+
+    // planted twin: querying a document's own text with sim=1/tp=1 gives
+    // 64 single-hash bands; only a doc with the identical shingle set can
+    // match ALL of them — structurally, the query doc itself (and exact
+    // text copies, of which this corpus has none)
+    "qp_minhash_planted" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+      val qtext = docs.filter(col("doc_id") === 0).select("text").head.getString(0)
+      Dedup.minHashQuery(docs, "doc_id", "text", qtext)
+        .filter(col("matched_bands") === 64)
+        .select(col("doc_id"))
+    }),
+
     // planted-duplicate oracle-checked variants of the approximate dedup
     // paths (the dd_embedding pattern): an exact copy of every document
     // under doc_id+1000000 has an IDENTICAL signature, so signature →
@@ -3385,6 +3408,12 @@ object SparkEntry {
       // the all-sentinel minhash signature, so they pair too)
       "dd_minhash_planted" ->
         "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents",
+      // only a doc with doc 0's exact shingle set survives all 64
+      // single-hash bands of its own fingerprint — the corpus has no
+      // exact text copies, so the match set is doc 0 alone
+      "qp_minhash_planted" ->
+        """SELECT doc_id FROM documents
+          | WHERE text = (SELECT text FROM documents WHERE doc_id = 0)""".stripMargin,
       // simhash emits no row for token-less docs (no tf rows to sign-sum)
       "dd_simhash_planted" ->
         """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents

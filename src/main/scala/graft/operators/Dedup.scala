@@ -216,6 +216,71 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Band-size search of Solr's MinHashQParser (reference solr/core/src/
+    * java/org/apache/solr/search/MinHashQParser.java:130-139): smallest
+    * rows-per-band whose banded-LSH true-positive probability at the given
+    * Jaccard similarity exceeds `expectedTruePositive`. */
+  def computeBandSize(numHash: Int, similarity: Double,
+                      expectedTruePositive: Double): Int = {
+    var bands = 1
+    while (bands <= numHash) {
+      val rowsInBand = numHash / bands
+      val tp = 1 - math.pow(1 - math.pow(similarity, rowsInBand), bands)
+      if (tp > expectedTruePositive) return rowsInBand
+      bands += 1
+    }
+    1
+  }
+
+  /**
+   * Query-time MinHash fingerprint query — Solr's MinHashQParser
+   * (reference solr/core/src/java/org/apache/solr/search/MinHashQParser.java:
+   * 44-128): the query text is fingerprinted with the SAME minhash
+   * "analyzer" as the corpus ([[minHashSignatures]]), the query hashes are
+   * banded (band size from `sim`/`tp` when tp < 1, else 1), each band is a
+   * conjunction of constant-score term probes against the doc's hash SET,
+   * and bands combine as SHOULD clauses — score = number of matching
+   * bands. A remainder band wraps around and pads from the head of the
+   * hash list, and `tp >= 1 && sim < 1` sets minimumNumberShouldMatch =
+   * ceil(numHashes·sim), both exactly as the reference builds the query.
+   *
+   * Plan shape: doc signatures are ONE narrow pass; the band membership
+   * table is a broadcast of ≤ numHashes rows; matching is one
+   * groupBy(doc, band) + one groupBy(doc) — only signature components
+   * shuffle, never text. Returns (idCol, matched_bands LONG).
+   */
+  def minHashQuery(docs: DataFrame, idCol: String, textCol: String,
+                   queryText: String, numHashes: Int = 64, shingleWidth: Int = 3,
+                   sim: Double = 1.0, tp: Double = 1.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qsig: Array[Long] = {
+      val one = Seq((0L, queryText)).toDF(idCol, textCol)
+      minHashSignatures(one, idCol, textCol, numHashes, shingleWidth)
+        .head.getSeq[Long](1).toArray
+    }
+    val bandSize = if (tp < 1.0) computeBandSize(numHashes, sim, tp) else 1
+    val full = qsig.grouped(bandSize).toArray
+    val bands: Array[Array[Long]] =
+      if (full.last.length == bandSize) full
+      else full.dropRight(1) :+
+        (full.last ++ qsig.take(bandSize - full.last.length))
+    val msm: Long =
+      if (tp >= 1.0 && sim < 1.0) math.ceil(numHashes * sim).toLong else 1L
+    val bandRows = bands.zipWithIndex.flatMap { case (hs, bi) =>
+      val d = hs.distinct
+      d.map(h => (h, bi, d.length))
+    }.toSeq.toDF("h", "band", "need")
+    val docHashes = minHashSignatures(docs, idCol, textCol, numHashes, shingleWidth)
+      .select(col(idCol), explode(array_distinct(col("minhash"))).as("h"))
+    docHashes.join(broadcast(bandRows), "h")
+      .groupBy(col(idCol), col("band"), col("need"))
+      .agg(countDistinct("h").as("got"))
+      .filter(col("got") === col("need"))
+      .groupBy(idCol).agg(count("*").as("matched_bands"))
+      .filter(col("matched_bands") >= msm)
+  }
+
   /**
    * SimHash (64-bit) over tokens weighted by tf: sign-sum of per-token
    * xxhash64 bits. Near-dups = pairs within `maxHamming` — candidates found
