@@ -913,6 +913,13 @@ object SparkEntry {
     "q35_dismax_bm25" -> ((s, d) => TextOps.disjunctionMaxBm25(rd(s, d, "documents"),
       "doc_id", "text", Seq("spark", "query", "data"), 0.1)),
 
+    // PhrasesIdentificationComponent: every contiguous window of the query
+    // (len <= 3) scored by the component's bayesian shingle model over
+    // corpus stats (term ttf, bigram ttf/df, conjunction doc counts) —
+    // selection/summary are deterministic driver steps (PhrasesSpec)
+    "ph_scores" -> ((s, d) => graft.operators.Phrases.scoresDf(
+      s, rd(s, d, "documents"), "text", "spark query join data")),
+
     // MaxScoreQParser ({!maxscore tie=0.3}+spark query data): must clauses
     // sum as usual, ALL should clauses collapse into one dismax — only the
     // best optional term contributes fully (engine twin:
@@ -2917,6 +2924,7 @@ object SparkEntry {
       "ft_engine_topk" -> engineTopKSql(Seq("spark", "query", "join"), 20),
       "ft_engine_wand" -> engineTopKSql(Seq("spark", "query", "join"), 20),
       "ft_bm25f" -> bm25fSql(Seq("spark", "query"), 20),
+      "ph_scores" -> phrasesSql(Seq("spark", "query", "join", "data")),
       "ft_bm25_and" -> bm25Sql(Seq("spark", "data"), "and", Nil),
       "ft_bm25_not" -> bm25Sql(Seq("spark", "query"), "or", Seq("slow")),
       "ft_phrase" ->
@@ -4647,6 +4655,67 @@ object SparkEntry {
        |  FROM qt JOIN dfs ON qt.tok = dfs.tok JOIN qd ON qt.doc_id = qd.doc_id, st)
        | SELECT doc_id, round(sum(s), 5) AS score FROM sc GROUP BY doc_id
        | ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** Derived oracle for [[graft.operators.Phrases]] / ph_scores: the
+    * component's bayesian scoring formula written independently in SQL for
+    * a fixed distinct-token query at maxIndexed=2 / maxQuery=3 — term ttf,
+    * bigram ttf, and conjunction doc counts as scalar subqueries, the
+    * score arithmetic mirrored expression-for-expression
+    * (PhrasesIdentificationComponent.computeFieldScore). */
+  private def phrasesSql(toks: Seq[String]): String = {
+    require(toks.distinct.size == toks.size, "oracle assumes distinct tokens")
+    def ttf(t: String) =
+      s"(SELECT CAST(count(*) AS DOUBLE) FROM tok WHERE tok = '$t')"
+    def bttf(a: String, b: String) =
+      s"""(SELECT CAST(count(*) AS DOUBLE) FROM tok x JOIN tok y
+         |   ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+         |   AND x.tok = '$a' AND y.tok = '$b')""".stripMargin
+    def conj(ts: Seq[String]) = {
+      val in = ts.map(t => s"'$t'").mkString(",")
+      s"""(SELECT CAST(count(*) AS DOUBLE) FROM (
+         |   SELECT doc_id FROM tok WHERE tok IN ($in)
+         |   GROUP BY doc_id HAVING count(DISTINCT tok) = ${ts.size}))""".stripMargin
+    }
+    val rows = scala.collection.mutable.ArrayBuffer[String]()
+    // len-1 windows: 0 when the term occurs, -1 when it doesn't
+    toks.indices.foreach { i =>
+      rows += s"""SELECT $i AS position_start, ${i + 1} AS position_end,
+                 | '${toks(i)}' AS phrase,
+                 | CASE WHEN ${conj(Seq(toks(i)))} <= 0 THEN -1.0 ELSE 0.0 END AS score""".stripMargin
+    }
+    // len-2 windows: words = itself, no wrappers at maxIndexed=2 ->
+    // score = (bttf/min_ttf) * 1 - (bttf/max_ttf) * 0, scaled by 1/2
+    (0 until toks.size - 1).foreach { i =>
+      val (a, b) = (toks(i), toks(i + 1))
+      val c2 = conj(Seq(a, b))
+      rows += s"""SELECT $i, ${i + 2}, '$a $b',
+                 | CASE WHEN $c2 <= 0 THEN -1.0 ELSE round(
+                 |  ((${bttf(a, b)} / least(${ttf(a)}, ${ttf(b)})) * ($c2 / $c2)
+                 |   - (${bttf(a, b)} / greatest(${ttf(a)}, ${ttf(b)})) * (1 - ($c2 / $c2)))
+                 |  * (1.0 / 2) * ($c2 / $c2), 5) END""".stripMargin
+    }
+    // len-3 windows: words = the two bigrams; wrappers of a bigram at
+    // maxIndexed=2 don't exist; p_w = conj3/conj_w
+    (0 until toks.size - 2).foreach { i =>
+      val (a, b, c) = (toks(i), toks(i + 1), toks(i + 2))
+      val c3 = conj(Seq(a, b, c))
+      def wordScore(x: String, y: String) = {
+        val cw = conj(Seq(x, y))
+        s"""((${bttf(x, y)} / least(${ttf(x)}, ${ttf(y)})) * ($c3 / $cw)
+           | - (${bttf(x, y)} / greatest(${ttf(x)}, ${ttf(y)})) * (1 - ($c3 / $cw)))""".stripMargin
+      }
+      rows += s"""SELECT $i, ${i + 3}, '$a $b $c',
+                 | CASE WHEN $c3 <= 0 THEN -1.0 ELSE round(
+                 |  (${wordScore(a, b)} + ${wordScore(b, c)})
+                 |  * (1.0 / 2)
+                 |  * ($c3 / greatest($c3, ${conj(Seq(a, b))}, ${conj(Seq(b, c))})), 5) END""".stripMargin
+    }
+    s"""WITH tok AS (SELECT doc_id,
+       |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+       |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+       |  FROM documents)
+       | ${rows.mkString("\n UNION ALL\n")}""".stripMargin
   }
 
   /** Derived oracle for [[graft.query.Bm25F]] / ft_bm25f: mirrors
