@@ -495,6 +495,36 @@ object SparkEntry {
       .multiPhrase(Seq(Seq("spark", "data"), Seq("group")))
       .select(col("docId").as("doc_id"))),
 
+    // TermAutomatonQuery (sandbox graph phrase): data → (group | hash) —
+    // freq counts accept events of the intersected automaton, integer-exact
+    // (float score spec-tested in TermAutomatonSpec)
+    "ft_automaton_syn" -> ((s, d) => {
+      val b = new graft.query.TermAutomaton.Builder
+      val q0 = b.createState(); val q1 = b.createState(); val q2 = b.createState()
+      b.setAccept(q2, true)
+      b.addTransition(q0, q1, "data")
+      b.addTransition(q1, q2, "group")
+      b.addTransition(q1, q2, "hash")
+      graft.query.TermAutomaton.matches(docIndex(s, d), b.finish())
+        .select(col("docId").as("doc_id"), col("freq"))
+    }),
+
+    // graph phrase with an ANY gap (data · ? · group): thread counting
+    // follows the reference scorer exactly (incl. its double-count when
+    // the gap holds a query term — TermAutomatonSpec pins that contract),
+    // so the row is rows-only; the ANY-free twin above is the hard oracle
+    "ft_automaton_any" -> ((s, d) => {
+      val b = new graft.query.TermAutomaton.Builder
+      val q0 = b.createState(); val q1 = b.createState()
+      val q2 = b.createState(); val q3 = b.createState()
+      b.setAccept(q3, true)
+      b.addTransition(q0, q1, "data")
+      b.addAnyTransition(q1, q2)
+      b.addTransition(q2, q3, "group")
+      graft.query.TermAutomaton.matches(docIndex(s, d), b.finish())
+        .select(col("docId").as("doc_id"), col("freq"))
+    }),
+
     // ComplexPhraseQueryParser: group + wildcard slots inside a phrase
     "ft_engine_cphrase" -> ((s, d) => docIndex(s, d)
       .complexPhrase("(spark hash) jo*")
@@ -2925,6 +2955,15 @@ object SparkEntry {
       "ft_engine_wand" -> engineTopKSql(Seq("spark", "query", "join"), 20),
       "ft_bm25f" -> bm25fSql(Seq("spark", "query"), 20),
       "ph_scores" -> phrasesSql(Seq("spark", "query", "join", "data")),
+      "ft_automaton_syn" ->
+        """WITH t AS (SELECT doc_id,
+          |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          |  FROM documents)
+          | SELECT a.doc_id, CAST(count(*) AS INT) AS freq
+          | FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          | WHERE a.tok = 'data' AND b.tok IN ('group','hash')
+          | GROUP BY a.doc_id""".stripMargin,
       "ft_bm25_and" -> bm25Sql(Seq("spark", "data"), "and", Nil),
       "ft_bm25_not" -> bm25Sql(Seq("spark", "query"), "or", Seq("slow")),
       "ft_phrase" ->
