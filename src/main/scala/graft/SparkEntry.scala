@@ -943,6 +943,43 @@ object SparkEntry {
     "q35_dismax_bm25" -> ((s, d) => TextOps.disjunctionMaxBm25(rd(s, d, "documents"),
       "doc_id", "text", Seq("spark", "query", "data"), 0.1)),
 
+    // Update-request-processor chain (Solr field-mutating URPs): clone →
+    // uniq → count → concat → regexReplace → truncate → trim →
+    // fieldLength → defaultValue → ignoreField, one codegen'd projection
+    "urp_chain" -> ((s, d) => {
+      import graft.operators.UpdateChain._
+      chain(
+        cloneField("lang", "tags"),
+        cloneField("source", "tags"),
+        cloneField("lang", "tags"),
+        uniqFieldValues("tags"),
+        countFieldValues("tags", "n_tags"),
+        concatField("tags"),
+        regexReplace("text", "dup", "marked"),
+        truncateField("text", 30),
+        trimField("text"),
+        fieldLength("source"),
+        defaultValue("origin", "none"),
+        ignoreField("n_chars")
+      )(rd(s, d, "documents"))
+        .select(col("doc_id"), col("text"), col("tags"), col("n_tags"),
+          col("source"), col("origin"))
+    }),
+
+    // DocBasedVersionConstraints upsert: strictly-newer versions replace,
+    // equal/older lose (isVersionNewEnough), absent ids insert
+    "urp_versioned" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+        .select(col("doc_id"), col("source"), lit(1L).as("version"))
+      val ups = rd(s, d, "documents").filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), concat(col("source"), lit("_v2")).as("source"),
+          lit(2L).as("version"))
+        .unionByName(rd(s, d, "documents").filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), concat(col("source"), lit("_stale")).as("source"),
+            lit(1L).as("version")))
+      graft.operators.UpdateChain.versionConstrainedUpsert(docs, ups, "doc_id", "version")
+    }),
+
     // PhrasesIdentificationComponent: every contiguous window of the query
     // (len <= 3) scored by the component's bayesian shingle model over
     // corpus stats (term ttf, bigram ttf/df, conjunction doc counts) —
@@ -2955,6 +2992,19 @@ object SparkEntry {
       "ft_engine_wand" -> engineTopKSql(Seq("spark", "query", "join"), 20),
       "ft_bm25f" -> bm25fSql(Seq("spark", "query"), 20),
       "ph_scores" -> phrasesSql(Seq("spark", "query", "join", "data")),
+      "urp_chain" ->
+        """SELECT doc_id,
+          | trim(substring(regexp_replace(text, 'dup', 'marked', 'g'), 1, 30)) AS text,
+          | lang || '; ' || source AS tags,
+          | 2 AS n_tags,
+          | CAST(length(source) AS INT) AS source,
+          | 'none' AS origin
+          | FROM documents""".stripMargin,
+      "urp_versioned" ->
+        """SELECT doc_id,
+          | CASE WHEN doc_id % 3 = 0 THEN source || '_v2' ELSE source END AS source,
+          | CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version
+          | FROM documents""".stripMargin,
       "ft_automaton_syn" ->
         """WITH t AS (SELECT doc_id,
           |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
