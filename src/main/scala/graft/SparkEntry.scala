@@ -555,6 +555,29 @@ object SparkEntry {
     "ft_engine_facet" -> ((s, d) => docIndex(s, d)
       .facetByField(Seq("spark"), "lang")),
 
+    // DocValuesTermsQuery as an fq over a term query: 'spark' docs whose
+    // lang doc-value is en/de — dv IN-set scan, no postings for the filter
+    "ft_dv_terms" -> ((s, d) => {
+      val idx = docIndex(s, d)
+      idx.topK(Seq("spark"), 1000000)
+        .join(idx.dvInSet("lang", Seq("en", "de")).select("docId"), "docId")
+        .select(col("docId").as("doc_id"))
+    }),
+
+    // norm() function query (Solr NormValueSourceParser / Lucene norm
+    // value source): the SmallFloat-decoded length the scorer actually
+    // uses, straight from the engine's norm byte
+    "ft_func_norm" -> ((s, d) => {
+      import s.implicits._
+      docIndex(s, d).docstats
+        .select(col("docId").cast("long"), col("normByte").cast("int"))
+        .as[(Long, Int)]
+        .map { case (id, nb) =>
+          (id, graft.codec.SmallFloat.byte4ToInt(nb.toByte).toLong)
+        }
+        .toDF("doc_id", "norm_dl")
+    }),
+
     // engine field-sorted top-k over the doc-values tier (SortField /
     // TopFieldCollector): docs containing 'spark', sorted by lang
     "ft_engine_sortfield" -> ((s, d) => docIndex(s, d)
@@ -2992,6 +3015,21 @@ object SparkEntry {
       "ft_engine_wand" -> engineTopKSql(Seq("spark", "query", "join"), 20),
       "ft_bm25f" -> bm25fSql(Seq("spark", "query"), 20),
       "ph_scores" -> phrasesSql(Seq("spark", "query", "join", "data")),
+      "ft_dv_terms" ->
+        """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
+          | SELECT DISTINCT doc_id FROM t
+          | WHERE tok = 'spark'
+          |   AND doc_id IN (SELECT doc_id FROM documents WHERE lang IN ('en','de'))""".stripMargin,
+      "ft_func_norm" -> {
+        val values = graft.operators.TextOps.normQuantBuckets
+          .map { case (lo, hi, q) => s"($lo,$hi,$q)" }.mkString(",")
+        s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+           | dl AS (SELECT d.doc_id, count(t.tok) AS dl FROM documents d
+           |         LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+           | nb AS (SELECT * FROM (VALUES $values) AS v(lo, hi, qdl))
+           | SELECT dl.doc_id, CAST(nb.qdl AS BIGINT) AS norm_dl
+           | FROM dl JOIN nb ON dl.dl BETWEEN nb.lo AND nb.hi""".stripMargin
+      },
       "urp_chain" ->
         """SELECT doc_id,
           | trim(substring(regexp_replace(text, 'dup', 'marked', 'g'), 1, 30)) AS text,

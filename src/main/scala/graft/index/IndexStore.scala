@@ -1379,6 +1379,18 @@ object IndexStore {
      * k. Spark executes this as a bounded per-partition heap + driver merge
      * (TakeOrderedAndProject) over ONLY the narrow docvalues columns.
      */
+    /** DocValuesTermsQuery / DocValuesNumbersQuery (reference lucene/
+      * sandbox/src/java/org/apache/lucene/search/DocValuesTermsQuery.java:48
+      * and DocValuesNumbersQuery.java): docs whose doc-values field holds
+      * one of the given values — the post-filter / fq shape for fields
+      * that are stored columnar but not inverted. Constant score; the dv
+      * scan is a pushed IN-set parquet read, no postings touched. */
+    def dvInSet(field: String, values: Seq[Any]): DataFrame = {
+      val m = docvalues.filter(col(field).isin(values: _*))
+        .select(col("docId")).withColumn("score", lit(1f))
+      deletes.fold(m)(d => m.join(d, Seq("docId"), "left_anti"))
+    }
+
     def topKByField(terms: Seq[String], sortBys: Seq[(String, Boolean)], k: Int,
                     mode: QueryEngine.Mode = QueryEngine.And): DataFrame = {
       require(sortBys.nonEmpty)

@@ -35,6 +35,24 @@ class DocValuesSpec extends SparkSpec {
     }.map { case (id, lang, path, _) => (id, lang, path) }
       .sortBy { case (id, lang, _) => (lang, id) }.take(k)
 
+  test("exportSorted: FULL match set, globally ordered across partitions; dvInSet filters") {
+    val (_, idx) = buildIdx()
+    val got = idx.exportSorted(Seq("public", "import"), Seq(("lang", true)))
+      .select("docId", "lang", "path")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // full set (no window) in (lang, docId) order, even across the range
+    // repartition boundary
+    assert(got === brute(Seq("public", "import"), Int.MaxValue))
+    assert(got.size > 25)
+    // DocValuesTermsQuery: dv IN-set, constant score
+    val langs = localDocs.map(_._2).distinct.sorted.take(2)
+    val dv = idx.dvInSet("lang", langs)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(dv.map(_._1).toSet ===
+      localDocs.filter(d => langs.contains(d._2)).map(_._1).toSet)
+    assert(dv.forall(_._2 === 1f))
+  }
+
   test("topKByField: field sort over doc values matches brute force; deletes excluded pre-limit") {
     val (dir, idx) = buildIdx()
     val terms = Seq("public", "import")
