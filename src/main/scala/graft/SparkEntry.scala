@@ -908,6 +908,21 @@ object SparkEntry {
         docFieldedIndex(s, d), "text", "+lang:en +spark query", 1000000)
       .select(col("docId").as("doc_id"))),
 
+    // Solr local-params dispatch: {!bool} with a nested {!term} should
+    // clause, a FILTER (non-scoring must), a $deref'd switch — the
+    // request-routing surface every Solr query string carries
+    "qp_localparams" -> ((s, d) => graft.query.LocalParams.search(
+        docFieldedIndex(s, d), "text",
+        "{!bool must='spark' filter='{!term f=lang v=en}' must_not='slow'}",
+        1000000)
+      .select(col("docId").as("doc_id"))),
+
+    "qp_localparams_switch" -> ((s, d) => graft.query.LocalParams.search(
+        docFieldedIndex(s, d), "text",
+        "{!switch case.fr='{!term f=lang v=fr}' default='{!prefix f=text}quer' v=$route}",
+        1000000, request = Map("route" -> "xx"))
+      .select(col("docId").as("doc_id"))),
+
     // grouped search (lucene/grouping two-pass): top-2 docs per lang for a
     // term query, ranked by tf (integer-exact) with docId tie-break; the
     // engine provides postings, the metadata join provides the group field
@@ -3015,6 +3030,14 @@ object SparkEntry {
       "ft_engine_wand" -> engineTopKSql(Seq("spark", "query", "join"), 20),
       "ft_bm25f" -> bm25fSql(Seq("spark", "query"), 20),
       "ph_scores" -> phrasesSql(Seq("spark", "query", "join", "data")),
+      "qp_localparams" ->
+        s"""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
+           | SELECT DISTINCT doc_id FROM t WHERE tok = 'spark'
+           |  AND doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+           |  AND doc_id NOT IN (SELECT doc_id FROM t WHERE tok = 'slow')""".stripMargin,
+      "qp_localparams_switch" ->
+        s"""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
+           | SELECT DISTINCT doc_id FROM t WHERE tok LIKE 'quer%'""".stripMargin,
       "ft_dv_terms" ->
         """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
           | SELECT DISTINCT doc_id FROM t
@@ -4234,7 +4257,7 @@ object SparkEntry {
           | agg AS (SELECT bucket, count(*) AS n, round(sum(v), 2) AS tp
           |   FROM b WHERE bucket IS NOT NULL GROUP BY bucket),
           | u AS (SELECT * FROM agg UNION ALL
-          |   SELECT -3, CAST(sum(n) AS BIGINT), sum(tp) FROM agg WHERE bucket >= 0)
+          |   SELECT -3, CAST(sum(n) AS BIGINT), round(sum(tp), 5) FROM agg WHERE bucket >= 0)
           | SELECT CAST(bucket AS INT) AS bucket,
           |  CASE bucket WHEN 0 THEN 1000.0 WHEN 1 THEN 21000.0
           |    WHEN 2 THEN 71000.0 WHEN 3 THEN 121000.0 END AS lo,

@@ -242,11 +242,16 @@ object Analytics {
     val agg = df.withColumn("__b", bucket).where(col("__b").isNotNull)
       .groupBy("__b")
       .agg(count(lit(1)).as("n"), mcols: _*)
+    // between-row metric sums are rounded to 5 decimals: they add a
+    // handful of already-aggregated doubles, and bare double addition is
+    // partition-order-sensitive in its last ulp (the per-bucket metrics
+    // themselves are whatever the caller's metric column produced)
     val withBetween =
       if (!others("between")) agg
       else agg.union(
         agg.where(col("__b") >= 0).groupBy(lit(-3).as("__b"))
-           .agg(sum("n").as("n"), metrics.map { case (nm, _) => sum(nm).as(nm) }: _*))
+           .agg(sum("n").as("n"),
+             metrics.map { case (nm, _) => round(sum(nm), 5).as(nm) }: _*))
     val loArr = typedLit(bounds.init.toSeq)
     val hiArr = typedLit(bounds.tail.toSeq)
     withBetween.select(

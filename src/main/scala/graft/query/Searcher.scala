@@ -114,7 +114,13 @@ object Searcher {
    * scoring work unchanged.
    */
   def searchFielded(idxs: Map[String, OpenIndex], defaultField: String,
-                    query: String, k: Int): DataFrame = {
+                    query: String, k: Int): DataFrame =
+    searchFieldedAst(idxs, defaultField, QueryParser.parse(query), k)
+
+  /** [[searchFielded]] over an already-built AST (the local-params
+    * dispatcher resolves its own syntax before ranking). */
+  def searchFieldedAst(idxs: Map[String, OpenIndex], defaultField: String,
+                       ast: Query, k: Int): DataFrame = {
     val default = idxs.getOrElse(defaultField,
       throw new IllegalArgumentException(s"no index for default field '$defaultField'"))
     def ev(q: Query): DataFrame = q match {
@@ -128,7 +134,7 @@ object Searcher {
         ev(inner).select(col("docId")).distinct().withColumn("score", lit(1f))
       case leaf => eval(default, leaf)
     }
-    val scored = ev(QueryParser.parse(query))
+    val scored = ev(ast)
     val live = default.deletes.fold(scored)(d => scored.join(d, Seq("docId"), "left_anti"))
     live.orderBy(desc("score"), asc("docId")).limit(k)
   }
