@@ -555,6 +555,29 @@ object SparkEntry {
     "ft_engine_facet" -> ((s, d) => docIndex(s, d)
       .facetByField(Seq("spark"), "lang")),
 
+    // PreAnalyzedField ingestion: the corpus re-ships as the reference's
+    // pre-analyzed JSON wire format and builds WITHOUT any chain; the
+    // term query over that externally-analyzed index must recover the
+    // exact match set (bit-identity of scores is PreAnalyzedSpec)
+    "ft_preanalyzed" -> ((s, d) => {
+      import s.implicits._
+      val pre = rd(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val toks = graft.analysis.Analyzer.analyze(text).map(t =>
+            graft.analysis.PreAnalyzed.PreToken(t.term, t.pos, 0, 0, overlap = false))
+          (id, graft.analysis.PreAnalyzed.toJson(None, toks))
+        }.toDF("docId", "content")
+      val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = s"target/preidx/$safe-${java.lang.System.identityHashCode(s)}"
+      graft.util.Fs.rmTree(dir)
+      IndexStore.build(s, pre, dir, numSegments = 1,
+        shufflePartitions = s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        preAnalyzed = true)
+      IndexStore.OpenIndex(s, dir).topK(Seq("spark"), 1000000)
+        .select(col("docId").as("doc_id"))
+    }),
+
     // DocValuesTermsQuery as an fq over a term query: 'spark' docs whose
     // lang doc-value is en/de — dv IN-set scan, no postings for the filter
     "ft_dv_terms" -> ((s, d) => {
@@ -3038,6 +3061,9 @@ object SparkEntry {
       "qp_localparams_switch" ->
         s"""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
            | SELECT DISTINCT doc_id FROM t WHERE tok LIKE 'quer%'""".stripMargin,
+      "ft_preanalyzed" ->
+        """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
+          | SELECT DISTINCT doc_id FROM t WHERE tok = 'spark'""".stripMargin,
       "ft_dv_terms" ->
         """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
           | SELECT DISTINCT doc_id FROM t

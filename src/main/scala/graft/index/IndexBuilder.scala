@@ -75,6 +75,50 @@ object IndexBuilder {
       }
   }
 
+  /** Pre-analyzed ingestion (reference PreAnalyzedField, solr/core/src/
+    * java/org/apache/solr/schema/PreAnalyzedField.java): the content
+    * column holds the `{"v":"1","tokens":[...]}` wire format; the token
+    * stream is taken as-is — no chain runs. dl discounts posInc-0 overlap
+    * tokens exactly like the configured-chain path, so norms (and thus
+    * scores) of an externally-analyzed index match a locally-analyzed one
+    * that produced the same stream. */
+  def invertDocsPre(spark: SparkSession, corpus: DataFrame,
+                    idCol: String = "docId", contentCol: String = "content"): Dataset[DocInverted] = {
+    import spark.implicits._
+    corpus.select(col(idCol).cast("long"), col(contentCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (docId, json) =>
+        val parsed = graft.analysis.PreAnalyzed.parse(json)
+        val m = new java.util.HashMap[String, Int](64)
+        parsed.tokens.foreach(t => m.merge(t.term, 1, (a, b) => a + b))
+        val terms = new Array[String](m.size)
+        val freqs = new Array[Int](m.size)
+        var i = 0
+        scala.jdk.CollectionConverters.MapHasAsScala(m).asScala.foreach {
+          case (t, f) => terms(i) = t; freqs(i) = f; i += 1
+        }
+        val dl = parsed.dl
+        DocInverted(docId, dl, SmallFloat.intToByte4(dl),
+          graft.util.Digest.sha256Hex(json), terms, freqs)
+      }
+  }
+
+  /** Positions tier from pre-analyzed token streams (posInc accumulation
+    * already applied by the parser). */
+  def invertPositionsPre(spark: SparkSession, corpus: DataFrame,
+                         idCol: String = "docId", contentCol: String = "content"): DataFrame = {
+    import spark.implicits._
+    corpus.select(col(idCol).cast("long"), col(contentCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (docId, json) =>
+        val m = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+        graft.analysis.PreAnalyzed.parse(json).tokens.foreach(t =>
+          m.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer[Int]()) += t.pos)
+        m.iterator.map { case (t, ps) => (docId, t, ps.sorted.toArray) }
+      }
+      .toDF(idCol, "term", "poss")
+  }
+
   def postingsOf(inv: Dataset[DocInverted]): Dataset[PostingRow] = {
     import inv.sparkSession.implicits._
     inv.flatMap { d =>

@@ -134,7 +134,11 @@ object IndexStore {
             withPositions: Boolean = false, segmentConcurrency: Int = 1,
             docValueCols: Seq[String] = Nil,
             analyzer: graft.analysis.AnalyzerChain = graft.analysis.AnalyzerChain.standard,
-            withOffsets: Boolean = false): Unit = {
+            withOffsets: Boolean = false,
+            preAnalyzed: Boolean = false): Unit = {
+    require(!(preAnalyzed && withOffsets),
+      "pre-analyzed builds keep offsets in the wire format; the offsets " +
+        "tier re-tokenizes raw text and would disagree — not supported")
     import spark.implicits._
     val chk = corpusWithIds.agg(max("docId"), count("*"), countDistinct("docId"), min("docId")).head()
     require(!chk.isNullAt(0), "cannot build an index over an empty corpus")
@@ -155,7 +159,8 @@ object IndexStore {
         // ONE analysis pass per segment: postings and doc stats both derive
         // from the cached inverted form (content already dropped — the
         // persisted intermediate is term/tf arrays, far smaller than input)
-        val inv = IndexBuilder.invertDocs(spark, slice, analyzer = analyzer)
+        val inv = (if (preAnalyzed) IndexBuilder.invertDocsPre(spark, slice)
+                   else IndexBuilder.invertDocs(spark, slice, analyzer = analyzer))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ds = IndexBuilder.statsOf(inv)
         val blocks = IndexBuilder.packBlocks(spark, IndexBuilder.postingsOf(inv), shufflePartitions)
@@ -165,7 +170,8 @@ object IndexStore {
         // optional .pos analogue (phrase queries): (docId, term, poss ASC),
         // term-bucketed so phrase term lookups prune files
         if (withPositions)
-          IndexBuilder.invertPositions(spark, slice, analyzer = analyzer)
+          (if (preAnalyzed) IndexBuilder.invertPositionsPre(spark, slice)
+           else IndexBuilder.invertPositions(spark, slice, analyzer = analyzer))
             .repartitionByRange(shufflePartitions, $"term")
             .sortWithinPartitions($"term", $"docId")
             .write.mode("overwrite").parquet(s"$segDir/positions")
