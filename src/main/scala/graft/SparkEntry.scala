@@ -1867,6 +1867,37 @@ object SparkEntry {
           concat_ws(",", col("tags")).as("tags"))
     }),
 
+    // RealTimeGetComponent: by-id fetch that sees the PENDING atomic
+    // batch (the update-log-before-searcher contract); id filter pushes
+    // below the merge
+    "su_rtg" -> ((s, d) => {
+      val base = rd(s, d, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars"), array(col("source"), col("lang")).as("tags"),
+        col("source"))
+      def cmd(pred: org.apache.spark.sql.Column, seq: Int, field: String,
+              op: String, value: org.apache.spark.sql.Column) =
+        base.filter(pred).select(col("doc_id"), lit(seq).as("seq"),
+          lit(field).as("field"), lit(op).as("op"), value.as("value"))
+      val id = col("doc_id")
+      val updates = Seq(
+        cmd(id % 3 === 0, 1, "lang", "set", lit("xx")),
+        cmd(id % 9 === 0, 2, "lang", "set", lit(null).cast("string")),
+        cmd(id % 4 === 0, 1, "n_chars", "inc", lit("5")),
+        cmd(id % 4 === 0, 2, "n_chars", "inc", lit("-2")),
+        cmd(id % 2 === 0, 1, "tags", "add", lit("extra")),
+        cmd(id % 2 === 0, 2, "tags", "add-distinct", lit("extra")),
+        cmd(id % 2 === 0, 3, "tags", "add-distinct", lit("fresh")),
+        cmd(id % 2 === 0, 4, "tags", "remove", col("source")),
+        cmd(id % 5 === 0, 5, "tags", "removeregex", lit("ex.*"))
+      ).reduce(_ unionByName _)
+      AtomicUpdate.realTimeGet(base.drop("source"), "doc_id", updates,
+          ids = Seq(0L, 4L, 6L, 7L, 9L),
+          stringFields = Seq("lang"), longFields = Seq("n_chars"),
+          arrayFields = Seq("tags"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          concat_ws(",", col("tags")).as("tags"))
+    }),
+
     // ---- SignatureUpdateProcessor: index-time dedup signatures, all
     // whole-stage codegen (native md5 over HOF-built content) ----
     "su_signature" -> ((s, d) => rd(s, d, "documents").select(col("doc_id"),
@@ -4347,7 +4378,10 @@ object SparkEntry {
         |          FROM mainq m LEFT JOIN pbagg p USING (doc_id))
         | SELECT b.doc_id,
         |   round((b.s + d.n_chars / 1000.0) * (1 + b.doc_id % 2), 5) AS score
-        | FROM base b JOIN documents d ON b.doc_id = d.doc_id""".stripMargin))
+        | FROM base b JOIN documents d ON b.doc_id = d.doc_id""".stripMargin)) +
+      // real-time get = the committed view + pending update log, id-gated:
+      // the same fold as su_atomic restricted to the requested ids
+      ("su_rtg" -> s"SELECT * FROM (${base("su_atomic")}) WHERE doc_id IN (0,4,6,7,9)")
   }
 
   /** Geo bounding-box oracle: the box bounds are computed HERE with the

@@ -103,4 +103,22 @@ object AtomicUpdate {
     }
     joined.select(outCols.toSeq: _*)
   }
+
+  /** RealTimeGetComponent (reference solr/core/src/java/org/apache/solr/
+    * handler/component/RealTimeGetComponent.java:131-210): fetch documents
+    * by id seeing UNCOMMITTED updates — the update log consulted before
+    * the searcher's committed view. Here the committed view is `docs` and
+    * the pending atomic-update batch is the update log; the result is the
+    * doc state a subsequent commit would produce, restricted to the
+    * requested ids (the id filter pushes below the merge, so only the
+    * requested docs' command lists are ever folded). */
+  def realTimeGet(docs: DataFrame, id: String, pendingUpdates: DataFrame,
+                  ids: Seq[Any],
+                  stringFields: Seq[String] = Nil,
+                  longFields: Seq[String] = Nil,
+                  doubleFields: Seq[String] = Nil,
+                  arrayFields: Seq[String] = Nil): DataFrame =
+    merge(docs.filter(col(id).isin(ids: _*)), id,
+      pendingUpdates.filter(col(id).isin(ids: _*)),
+      stringFields, longFields, doubleFields, arrayFields)
 }

@@ -165,6 +165,25 @@ object UpdateChain {
     else df
   }
 
+  /** RegexpBoostProcessor (reference solr/core/src/java/org/apache/solr/
+    * update/processor/RegexpBoostProcessor.java:107-134): boost starts at
+    * 1.0 and each rule whose pattern FULLY matches the input value folds
+    * in as `(b·1000)·(boost·1000)/1000000` (the reference's arithmetic,
+    * kept verbatim); the product overwrites `boostField`. Docs with a
+    * null input keep their existing boost untouched. */
+  def regexpBoost(inputField: String, boostField: String,
+                  rules: Seq[(String, Double)]): Step = df => {
+    val boost = rules.foldLeft(lit(1.0): Column) { case (acc, (re, b)) =>
+      when(col(inputField).rlike("^(?:" + re + ")$"),
+        (lit(b * 1000) * (acc * 1000)) / 1000000).otherwise(acc)
+    }
+    val existing: Column =
+      if (df.columns.contains(boostField)) col(boostField)
+      else lit(null).cast("double")
+    df.withColumn(boostField,
+      when(col(inputField).isNotNull, boost).otherwise(existing))
+  }
+
   /** IgnoreFieldUpdateProcessorFactory: remove the field entirely. */
   def ignoreField(field: String): Step = df => df.drop(field)
 

@@ -122,6 +122,36 @@ class UpdateChainSpec extends SparkSpec {
     assert(merged.toSeq === Seq((1L, "a", 5L), (2L, "b2", 6L), (3L, "c", 1L)))
   }
 
+  test("regexpBoost: full-match product with the reference's scaled arithmetic") {
+    val df = Seq((1L, "http://www.example.com/"), (2L, "https://other.org"),
+      (3L, null.asInstanceOf[String])).toDF("id", "url")
+    val rules = Seq("https?://www\\..*" -> 2.0, ".*\\.com/?" -> 3.0)
+    val out = regexpBoost("url", "boost", rules)(df).orderBy("id").collect()
+    // doc 1 matches both rules: ((2*1000)*(1*1000))/1e6 = 2, then
+    // ((3*1000)*(2*1000))/1e6 = 6
+    assert(out(0).getDouble(2) === 6.0)
+    assert(out(1).getDouble(2) === 1.0) // no rule fully matches
+    assert(out(2).isNullAt(2))          // null input leaves boost absent
+    // partial matches do NOT boost (matcher.matches, not find)
+    val partial = regexpBoost("url", "boost", Seq("www" -> 9.0))(df)
+      .orderBy("id").collect()
+    assert(partial(0).getDouble(2) === 1.0)
+  }
+
+  test("realTimeGet applies pending updates to only the requested ids") {
+    val docs = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "v", "n")
+    val pending = Seq(
+      (1L, 1, "v", "set", "a2"),
+      (2L, 1, "n", "inc", "5"),
+      (3L, 1, "v", "set", "c2"))
+      .toDF("id", "seq", "field", "op", "value")
+    val got = AtomicUpdate.realTimeGet(docs, "id", pending, ids = Seq(1L, 2L),
+        stringFields = Seq("v"), longFields = Seq("n"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, "a2", 10L), (2L, "b", 25L))) // 3 absent
+  }
+
   test("timestamp stamps only missing values") {
     val now = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
     val df = Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00")),
