@@ -256,6 +256,17 @@ object SparkEntry {
 
     // block-join ScoreMode.Avg: parent score = mean matching-child score
     // (round 5 — double partial-sum order differs across engines)
+    // [child] doc transformer: parents carry their first-3 matching
+    // children (child-id order) + the unlimited numFound
+    "tr_child" -> ((s, d) => R.childDocTransformer(
+        rd(s, d, "orders").select("o_orderkey", "o_orderstatus"),
+        rd(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        "o_orderkey", "l_orderkey", "l_linenumber",
+        childFilter = Some(col("l_quantity") >= 25), limit = 3)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        concat_ws(",", col("child_ids")).as("child_ids"),
+        col("child_numfound"))),
+
     "q49_blockjoin_avg" -> ((s, d) => R.parentBlockJoin(
         rd(s, d, "orders").select("o_orderkey"),
         rd(s, d, "lineitem").filter(col("l_quantity") >= 45),
@@ -2574,6 +2585,18 @@ object SparkEntry {
           |   CAST(o.o_totalprice AS DOUBLE) AS parent_score
           | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
           | WHERE o.o_totalprice > 300000""".stripMargin,
+      "tr_child" ->
+        """WITH ch AS (SELECT l_orderkey, l_linenumber,
+          |   row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rk
+          |  FROM lineitem WHERE l_quantity >= 25),
+          | agg AS (SELECT l_orderkey AS o_orderkey,
+          |   string_agg(CASE WHEN rk <= 3 THEN CAST(l_linenumber AS VARCHAR) END, ','
+          |     ORDER BY l_linenumber) AS child_ids,
+          |   count(*) AS child_numfound FROM ch GROUP BY l_orderkey)
+          | SELECT o.o_orderkey, o.o_orderstatus,
+          |  coalesce(agg.child_ids, '') AS child_ids,
+          |  coalesce(agg.child_numfound, 0) AS child_numfound
+          | FROM orders o LEFT JOIN agg USING (o_orderkey)""".stripMargin,
       "q48_blockjoin_max" ->
         """WITH ch AS (SELECT l_orderkey AS o_orderkey, max(l_extendedprice) AS score,
           |  count(*) AS n_matching_children

@@ -52,6 +52,36 @@ object Relational {
     parents.join(ch, Seq(parentKey))
   }
 
+  /** ChildDocTransformer — Solr's `[child]` response transformer
+    * (reference solr/core/src/java/org/apache/solr/response/transform/
+    * ChildDocTransformerFactory.java:52-88): each matching parent carries
+    * its first `limit` children (in child-id order, the reference's
+    * segment docId order), optionally gated by a childFilter query. One
+    * keyed window + one aggregation — children shuffle once on the parent
+    * key; parents join on that same key, so a filtered parent set
+    * broadcasts and the child table never moves twice. Children ride
+    * along as an ordered id array plus the TOTAL matching-child count
+    * (numFound, which ignores the limit like the reference). */
+  def childDocTransformer(parents: DataFrame, children: DataFrame,
+                          parentKey: String, childKey: String, childIdCol: String,
+                          childFilter: Option[org.apache.spark.sql.Column] = None,
+                          limit: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val filtered = childFilter.fold(children)(children.filter)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(childKey)).orderBy(col(childIdCol).asc)
+    val kept = filtered
+      .withColumn("__rk", row_number().over(w))
+      .groupBy(col(childKey).as(parentKey))
+      .agg(
+        sort_array(collect_list(when(col("__rk") <= limit, col(childIdCol))))
+          .as("child_ids"),
+        count("*").as("child_numfound"))
+    parents.join(kept, Seq(parentKey), "left")
+      .withColumn("child_ids", coalesce(col("child_ids"), array()))
+      .withColumn("child_numfound", coalesce(col("child_numfound"), lit(0L)))
+  }
+
   /** ToChildBlockJoinQuery (reference lucene/join/src/java/org/apache/
     * lucene/search/join/ToChildBlockJoinQuery.java:37-47,
     * ToChildBlockJoinScorer.score :180-184): the mirror of
