@@ -289,6 +289,53 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
   }
 
+  test("BM25F: term filter pushed into EVERY field's postings scan; bounded top-k") {
+    val d2 = Files.createTempDirectory("graft-plan-bm25f").toString
+    val withIds = DocIds.assign(CorpusGen.corpus(spark, 120, 2).toDF(),
+      Seq("repo", "path", "commit"), 2)
+    FieldedIndex.build(spark, withIds, d2,
+      fields = Seq("content" -> "content", "lang" -> "lang"),
+      numSegments = 1, shufflePartitions = 2)
+    val fidx = FieldedIndex.open(spark, d2)
+    val plan = planOf(graft.query.Bm25F.topK(
+      Seq(fidx("content") -> 1f, fidx("lang") -> 2f), Seq("public"), 10))
+    // one pushed term filter per field index
+    assert("PushedFilters: \\[.*term".r.findAllIn(plan).size >= 2, plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("minHash fingerprint query: broadcast band probe over ONE narrow signature pass") {
+    val docs = (0 until 200).map(i => (i.toLong,
+      s"alpha beta gamma delta w$i x${i % 7} y${i % 11} z${i % 13}"))
+      .toDF("doc_id", "text")
+    val plan = planOf(graft.operators.Dedup.minHashQuery(
+      docs, "doc_id", "text", "alpha beta gamma delta w3 x3 y3 z3",
+      numHashes = 16))
+    // the band membership table rides a broadcast join; doc text never
+    // shuffles (the only wide ops are the two small aggregations)
+    assert(plan.contains("BroadcastExchange"), plan.take(2500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2500))
+  }
+
+  test("term automaton: positions scan pushes the member-term filter; one doc aggregation") {
+    val b = new graft.query.TermAutomaton.Builder
+    val s0 = b.createState(); val s1 = b.createState(); val s2 = b.createState()
+    b.setAccept(s2, true)
+    b.addTransition(s0, s1, "public")
+    b.addTransition(s1, s2, "import")
+    val plan = planOf(graft.query.TermAutomaton.matches(idx, b.finish()))
+    assert(plan.contains("PushedFilters") && plan.contains("term"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+  }
+
+  test("exportSorted: distributed range-partitioned sort, no driver-side collect shape") {
+    val plan = planOf(idx.exportSorted(Seq("public"), Seq(("lang", true))))
+    assert(plan.contains("rangepartitioning"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("shape relations: ONE scan + ONE aggregation exchange, no joins") {
     val shapes = spark.range(500).select($"id".as("shape_id"),
       expr("array(named_struct('lat', CAST(id % 50 AS DOUBLE), 'lon', CAST(id % 70 AS DOUBLE))," +
