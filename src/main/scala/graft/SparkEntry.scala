@@ -957,6 +957,118 @@ object SparkEntry {
         1000000, request = Map("route" -> "xx"))
       .select(col("docId").as("doc_id"))),
 
+    // ---- Solr named function queries (ValueSourceParser registry ->
+    //      query/FuncParser.scala): the fl/sort/bf/boost value-source
+    //      dialect compiled to codegen'd Columns, never per-doc callbacks ----
+
+    // arithmetic core: recip/linear/map composed (all IEEE ops, exact parity)
+    "fn_math" -> ((s, d) => {
+      val c = graft.query.FuncParser.compile(rd(s, d, "events"),
+        "sum(recip(value,2,100,5),linear(value,0.5,1),map(value,0,10,0,-1))")
+      c.df.select(col("event_id"), round(c.value, 5).as("v"))
+    }),
+
+    // scale(): global min/max bounds via a broadcast 1-row aggregate
+    "fn_scale" -> ((s, d) => {
+      val c = graft.query.FuncParser.compile(rd(s, d, "events"),
+        "scale(value,0,100)")
+      c.df.select(col("event_id"), round(c.value, 5).as("v"))
+    }),
+
+    // strdist edit = 1 - levenshtein/maxlen (jw/ngram are spec-tested —
+    // their reference kernels have no SQL twin)
+    "fn_strdist" -> ((s, d) => {
+      val c = graft.query.FuncParser.compile(rd(s, d, "documents"),
+        "strdist(source,'src1',edit)")
+      c.df.select(col("doc_id"), round(c.value, 5).as("sim"))
+    }),
+
+    // ms() date variants: vd (field minus constant) in integer millis
+    "fn_ms" -> ((s, d) => {
+      val c = graft.query.FuncParser.compile(rd(s, d, "events"),
+        "ms(ts,2024-01-01T00:00:00Z)")
+      c.df.select(col("event_id"), c.value.cast("long").as("ms_diff"))
+    }),
+
+    // ord/rord: global value ordinals (OrdFieldSource semantics)
+    "fn_ord" -> ((s, d) => {
+      val FP = graft.query.FuncParser
+      val ev = rd(s, d, "events")
+      val env = FP.Env(idCol = "event_id")
+      val c1 = FP.compile(ev, "ord(event_type)", env)
+      val c2 = FP.compile(c1.df, "rord(event_type)", env)
+      c2.df.select(col("event_id"), c1.value.as("ordv"), c2.value.as("rordv"))
+    }),
+
+    // exists/if/def over a genuinely nullable derivation
+    "fn_cond" -> ((s, d) => {
+      val ev = rd(s, d, "events")
+        .withColumn("v2", when(col("value") > 50, col("value")))
+      val c = graft.query.FuncParser.compile(ev,
+        "if(exists(v2),linear(v2,2,0),def(v2,-1))")
+      c.df.select(col("event_id"), round(c.value, 5).as("v"))
+    }),
+
+    // geodist (km): bucketed to 100 km so libm trig ulps can't flip the
+    // hash (the same reason q46's oracle folds its bounds to constants)
+    "fn_geodist" -> ((s, d) => {
+      val ev = rd(s, d, "events").select(col("event_id"),
+        ((col("event_id") * 37 % 12000) / 100.0 - 60.0).as("lat"),
+        ((col("event_id") * 73 % 30000) / 100.0 - 150.0).as("lon"))
+      val c = graft.query.FuncParser.compile(ev,
+        "geodist(lat,lon,48.8566,2.3522)")
+      c.df.select(floor(c.value / 100.0).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count("*").as("n"))
+    }),
+
+    // engine-stat functions in the named dialect: termfreq/tf/docfreq/idf
+    // (ClassicSimilarity arithmetic) against the committed index stats
+    "fn_tfstats" -> ((s, d) => {
+      val FP = graft.query.FuncParser
+      val env = FP.Env(index = Some(docIndex(s, d)))
+      val docs = rd(s, d, "documents")
+      val c1 = FP.compile(docs, "termfreq(text,'spark')", env)
+      val c2 = FP.compile(c1.df, "sum(tf(text,'spark'),idf(text,'spark'),docfreq(text,'spark'))", env)
+      c2.df.select(col("doc_id"), c1.value.cast("long").as("tf_spark"),
+        round(c2.value, 5).as("combo"))
+    }),
+
+    // query(...) as a value source: sub-query score with a default for
+    // non-matches, composed with a field-derived boost
+    "fn_query_boost" -> ((s, d) => {
+      val FP = graft.query.FuncParser
+      val docs = rd(s, d, "documents")
+      val env = FP.Env(
+        request = Map("qq" -> "spark query"),
+        scorer = Some(q => TextOps.bm25All(docs, "doc_id", "text",
+          q.split(" ").toSeq)))
+      val c = FP.compile(docs, "sum(query($qq,0.1),linear(n_chars,0.001,0))", env)
+      c.df.select(col("doc_id"), round(c.value, 5).as("v"))
+    }),
+
+    // sort-by-function: Solr's classic recency boost recip(ms(NOW,date),..)
+    // — monotone in ms, so order parity is integer-exact; the value itself
+    // is pure IEEE arithmetic
+    "fn_sort" -> ((s, d) => {
+      val FP = graft.query.FuncParser
+      val c = FP.compile(rd(s, d, "events"),
+        "recip(ms(2024-02-01T00:00:00Z,ts),3.16e-11,1,1)",
+        FP.Env(idCol = "event_id"))
+      c.df.select(col("event_id"), round(c.value, 7).as("v"))
+        .orderBy(desc("v"), asc("event_id")).limit(30)
+    }),
+
+    // {!func} local-params dispatch: rank every doc by the value
+    "qp_func" -> ((s, d) => graft.query.FuncParser.localParamsSearch(
+        rd(s, d, "events"), "{!func}recip(value,1,1000,1000)", 50,
+        env = graft.query.FuncParser.Env(idCol = "event_id"))
+      .select(col("event_id"), round(col("score"), 5).as("score"))),
+
+    // {!frange} local-params dispatch: function-range filter
+    "qp_frange" -> ((s, d) => graft.query.FuncParser.localParamsSearch(
+        rd(s, d, "events"), "{!frange l=100 u=200}linear(value,2,0)", 1000000,
+        env = graft.query.FuncParser.Env(idCol = "event_id"))),
+
     // grouped search (lucene/grouping two-pass): top-2 docs per lang for a
     // term query, ranked by tf (integer-exact) with docId tie-break; the
     // engine provides postings, the metadata join provides the group field
@@ -3115,6 +3227,78 @@ object SparkEntry {
       "qp_localparams_switch" ->
         s"""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
            | SELECT DISTINCT doc_id FROM t WHERE tok LIKE 'quer%'""".stripMargin,
+      "fn_math" ->
+        """SELECT event_id,
+          | round((100/(2*value+5) + (0.5*value+1))
+          |   + (CASE WHEN value >= 0 AND value <= 10 THEN 0 ELSE -1 END), 5) AS v
+          | FROM events""".stripMargin,
+      "fn_scale" ->
+        """WITH st AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+          | SELECT event_id,
+          |  round((value - st.lo) * (CASE WHEN st.hi = st.lo THEN 0
+          |    ELSE 100.0/(st.hi - st.lo) END) + 0, 5) AS v
+          | FROM events, st""".stripMargin,
+      "fn_strdist" ->
+        """SELECT doc_id,
+          | round(1 - levenshtein(source,'src1') /
+          |   CAST(greatest(length(source), 4) AS DOUBLE), 5) AS sim
+          | FROM documents""".stripMargin,
+      "fn_ms" ->
+        """SELECT event_id,
+          | epoch_ms(ts) - epoch_ms(TIMESTAMP '2024-01-01 00:00:00') AS ms_diff
+          | FROM events""".stripMargin,
+      "fn_ord" ->
+        """WITH n AS (SELECT count(DISTINCT event_type) AS c FROM events)
+          | SELECT event_id,
+          |  CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS ordv,
+          |  CAST(n.c - dense_rank() OVER (ORDER BY event_type) AS BIGINT) AS rordv
+          | FROM events, n""".stripMargin,
+      "fn_cond" ->
+        """SELECT event_id,
+          | round(CASE WHEN value > 50 THEN 2*value ELSE -1 END, 5) AS v
+          | FROM events""".stripMargin,
+      "fn_geodist" ->
+        """WITH ev AS (SELECT event_id,
+          |  (event_id * 37 % 12000) / 100.0 - 60.0 AS lat,
+          |  (event_id * 73 % 30000) / 100.0 - 150.0 AS lon FROM events),
+          | dist AS (SELECT event_id,
+          |  2 * 6371.0088 * asin(least(1.0, sqrt(
+          |    pow(sin(radians(48.8566 - lat)/2), 2) +
+          |    cos(radians(lat)) * cos(radians(48.8566)) *
+          |    pow(sin(radians(2.3522 - lon)/2), 2)))) AS km FROM ev)
+          | SELECT CAST(floor(km/100.0) AS BIGINT) AS bucket, count(*) AS n
+          | FROM dist GROUP BY 1""".stripMargin,
+      "fn_tfstats" ->
+        """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+          | tf AS (SELECT d.doc_id,
+          |   (SELECT count(*) FROM t WHERE t.doc_id = d.doc_id AND t.tok = 'spark') AS tfv
+          |  FROM documents d),
+          | st AS (SELECT (SELECT count(*) FROM documents) AS n,
+          |   (SELECT count(DISTINCT doc_id) FROM t WHERE tok = 'spark') AS dfv)
+          | SELECT tf.doc_id, tf.tfv AS tf_spark,
+          |  round(sqrt(CAST(tf.tfv AS DOUBLE))
+          |   + (ln(CAST(st.n + 1 AS DOUBLE) / (st.dfv + 1)) + 1)
+          |   + st.dfv, 5) AS combo
+          | FROM tf, st""".stripMargin,
+      "fn_query_boost" -> {
+        val inner = bm25Sql(Seq("spark", "query"), "or", Nil)
+        s"""SELECT d.doc_id,
+           | round(coalesce(b.score, 0.1) + 0.001 * d.n_chars, 5) AS v
+           | FROM documents d LEFT JOIN ($inner) b ON d.doc_id = b.doc_id""".stripMargin
+      },
+      "fn_sort" ->
+        """SELECT event_id,
+          | round(1/(3.16e-11 * (epoch_ms(TIMESTAMP '2024-02-01 00:00:00') - epoch_ms(ts)) + 1), 7) AS v
+          | FROM events
+          | ORDER BY v DESC, event_id LIMIT 30""".stripMargin,
+      "qp_func" ->
+        """SELECT event_id, round(1000/(value+1000), 5) AS score
+          | FROM events
+          | ORDER BY 1000/(value+1000) DESC, event_id LIMIT 50""".stripMargin,
+      "qp_frange" ->
+        """SELECT event_id FROM events
+          | WHERE 2*value >= 100 AND 2*value <= 200
+          | ORDER BY event_id""".stripMargin,
       "ft_preanalyzed" ->
         """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
           | SELECT DISTINCT doc_id FROM t WHERE tok = 'spark'""".stripMargin,
