@@ -267,6 +267,21 @@ object SparkEntry {
         concat_ws(",", col("child_ids")).as("child_ids"),
         col("child_numfound"))),
 
+    // [subquery] response transformer: per result doc, a named ordered doc
+    // list from a parameterized sub-query ({!terms f=s_nationkey
+    // v=$row.c_nationkey} with its own sort/rows/fq) — one equi-join, no
+    // per-doc loop
+    "tr_subquery" -> ((s, d) => R.subqueryTransformer(
+        rd(s, d, "customer").select("c_custkey", "c_nationkey"),
+        "c_custkey", "c_nationkey",
+        rd(s, d, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal"),
+        "s_nationkey", "s_suppkey",
+        sortBy = Seq(col("s_acctbal").desc, col("s_suppkey").asc), rows = 3,
+        subFilter = Some(col("s_acctbal") >= 0), name = "sup")
+      .select(col("c_custkey"), col("c_nationkey"),
+        concat_ws(",", col("sup_ids")).as("sup_ids"),
+        col("sup_numfound"))),
+
     "q49_blockjoin_avg" -> ((s, d) => R.parentBlockJoin(
         rd(s, d, "orders").select("o_orderkey"),
         rd(s, d, "lineitem").filter(col("l_quantity") >= 45),
@@ -2709,6 +2724,19 @@ object SparkEntry {
           |  coalesce(agg.child_ids, '') AS child_ids,
           |  coalesce(agg.child_numfound, 0) AS child_numfound
           | FROM orders o LEFT JOIN agg USING (o_orderkey)""".stripMargin,
+      "tr_subquery" ->
+        """WITH sub AS (SELECT s_nationkey, s_suppkey,
+          |   row_number() OVER (PARTITION BY s_nationkey
+          |     ORDER BY s_acctbal DESC, s_suppkey) AS rk
+          |  FROM supplier WHERE s_acctbal >= 0),
+          | agg AS (SELECT s_nationkey AS c_nationkey,
+          |   string_agg(CASE WHEN rk <= 3 THEN CAST(s_suppkey AS VARCHAR) END, ','
+          |     ORDER BY rk) AS sup_ids,
+          |   count(*) AS sup_numfound FROM sub GROUP BY s_nationkey)
+          | SELECT c.c_custkey, c.c_nationkey,
+          |  coalesce(agg.sup_ids, '') AS sup_ids,
+          |  coalesce(agg.sup_numfound, 0) AS sup_numfound
+          | FROM customer c LEFT JOIN agg USING (c_nationkey)""".stripMargin,
       "q48_blockjoin_max" ->
         """WITH ch AS (SELECT l_orderkey AS o_orderkey, max(l_extendedprice) AS score,
           |  count(*) AS n_matching_children

@@ -82,6 +82,56 @@ object Relational {
       .withColumn("child_numfound", coalesce(col("child_numfound"), lit(0L)))
   }
 
+  /** `[subquery]` response transformer (reference solr/core/src/java/org/
+    * apache/solr/response/transform/SubQueryAugmenterFactory.java:46-88):
+    * every result doc grows a named field holding the docs of a
+    * parameterized sub-query — the canonical shape being
+    * `foo.q={!terms f=<subField> v=$row.<rowField>}` with its own
+    * `foo.sort`/`foo.rows`/`foo.fq`, i.e. SQL `JOIN ON emp.dept_id =
+    * dept.id` per the reference's own docs.
+    *
+    * Spark-first: the per-result-doc sub-query loop collapses into ONE
+    * equi-join. A multi-valued `rowField` (array column) explodes first —
+    * the reference concatenates values into a terms query, which matches
+    * any of them. Matches dedup per (parent, sub doc), rank under the
+    * sub-query's sort, keep `rows`, and ride along as an ordered id array
+    * plus the TOTAL match count (numFound ignores the limit, like the
+    * reference's DocSlice). When `parents` is a top-k page it broadcasts,
+    * so the sub table never shuffles; the only exchange is the bounded
+    * matched set keyed by parent for the rank window. */
+  def subqueryTransformer(parents: DataFrame, parentIdCol: String, rowField: String,
+                          sub: DataFrame, subField: String, subIdCol: String,
+                          sortBy: Seq[org.apache.spark.sql.Column], rows: Int = 10,
+                          subFilter: Option[org.apache.spark.sql.Column] = None,
+                          name: String = "subdocs"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val filtered = subFilter.fold(sub)(sub.filter)
+    val isMulti = parents.schema(rowField).dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    val keyed =
+      if (isMulti) parents.select(col(parentIdCol), explode(col(rowField)).as("__sq_k"))
+      else parents.select(col(parentIdCol), col(rowField).as("__sq_k"))
+    val matched = keyed
+      .join(filtered.withColumn("__sq_k", col(subField)), Seq("__sq_k"))
+      .select(col(parentIdCol), col(subIdCol))
+      .distinct() // a sub doc matched via two parent values counts once
+      .join(filtered, Seq(subIdCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(parentIdCol)).orderBy(sortBy: _*)
+    val kept = matched
+      .withColumn("__sq_rk", row_number().over(w))
+      .groupBy(col(parentIdCol))
+      .agg(
+        transform(
+          sort_array(collect_list(when(col("__sq_rk") <= rows,
+            struct(col("__sq_rk").as("rk"), col(subIdCol).as("id"))))),
+          x => x.getField("id")).as(s"${name}_ids"),
+        count("*").as(s"${name}_numfound"))
+    parents.join(kept, Seq(parentIdCol), "left")
+      .withColumn(s"${name}_ids", coalesce(col(s"${name}_ids"), array()))
+      .withColumn(s"${name}_numfound", coalesce(col(s"${name}_numfound"), lit(0L)))
+  }
+
   /** ToChildBlockJoinQuery (reference lucene/join/src/java/org/apache/
     * lucene/search/join/ToChildBlockJoinQuery.java:37-47,
     * ToChildBlockJoinScorer.score :180-184): the mirror of
