@@ -1084,6 +1084,18 @@ object SparkEntry {
         rd(s, d, "events"), "{!frange l=100 u=200}linear(value,2,0)", 1000000,
         env = graft.query.FuncParser.Env(idCol = "event_id"))),
 
+    // CollationField sorted page: locale-aware order via binary collation
+    // keys (accents planted deterministically; at PRIMARY strength the fr
+    // collator's order over this vocabulary is provably the fold order the
+    // oracle sorts by — accent variants tie and fall to the doc_id break)
+    "ft_collation_sort" -> ((s, d) => {
+      val docs = rd(s, d, "documents").select(col("doc_id"),
+        translate(col("source"), "0123456789", "àbçdéfghïj").as("name"))
+      docs.orderBy(graft.functions.CollationKey(col("name"), "fr", "primary"),
+          col("doc_id"))
+        .limit(100).select("doc_id", "name")
+    }),
+
     // grouped search (lucene/grouping two-pass): top-2 docs per lang for a
     // term query, ranked by tf (integer-exact) with docId tie-break; the
     // engine provides postings, the metadata join provides the group field
@@ -3327,6 +3339,11 @@ object SparkEntry {
         """SELECT event_id FROM events
           | WHERE 2*value >= 100 AND 2*value <= 200
           | ORDER BY event_id""".stripMargin,
+      "ft_collation_sort" ->
+        """SELECT doc_id, translate(source,'0123456789','àbçdéfghïj') AS name
+          | FROM documents
+          | ORDER BY translate(source,'0123456789','abcdefghij'), doc_id
+          | LIMIT 100""".stripMargin,
       "ft_preanalyzed" ->
         """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
           | SELECT DISTINCT doc_id FROM t WHERE tok = 'spark'""".stripMargin,
