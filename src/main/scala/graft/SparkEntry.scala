@@ -2017,6 +2017,37 @@ object SparkEntry {
           concat_ws(",", col("tags")).as("tags"))
     }),
 
+    // DataImportHandler full+delta import lifecycle (contrib/
+    // dataimporthandler DocBuilder): full-import clean=true, then a
+    // delta-import whose changed rows (mtime > last_index_time) gain a
+    // planted term and whose deletedPkQuery set (every 21st doc, a subset
+    // of the changed docs) must NOT be re-created — the final search over
+    // the planted term proves exactly (changed minus deleted) re-indexed
+    "su_dataimport" -> ((s, d) => {
+      import graft.sources.DataImport
+      val docs = rd(s, d, "documents")
+      val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = s"target/dih/$safe-${java.lang.System.identityHashCode(s)}"
+      graft.util.Fs.rmTree(dir)
+      val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      DataImport.fullImport(s, docs.select(col("doc_id").as("pk"), col("text")),
+        "pk", "text", dir, "2024-01-01T00:00:00", shufflePartitions = parts)
+      val delta = docs
+        .withColumn("mtime", when(col("doc_id") % 7 === 0,
+          lit("2024-01-05T00:00:00")).otherwise(lit("2023-12-01T00:00:00")))
+        .withColumn("text2", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" deltamark"))).otherwise(col("text")))
+      val deleted = docs.filter(col("doc_id") % 21 === 0)
+        .select(col("doc_id").cast("string")).collect().map(_.getString(0)).toSeq
+      DataImport.deltaImport(s,
+        delta.select(col("doc_id").as("pk"), col("text2"), col("mtime")),
+        "pk", "text2", "mtime", dir, "2024-01-06T00:00:00",
+        deletedPks = deleted, shufflePartitions = parts)
+      IndexStore.OpenIndex(s, dir).topK(Seq("deltamark"), 1000000)
+        .join(DataImport.pkMap(s, dir), "docId")
+        .select(col("pk").cast("long").as("doc_id"))
+    }),
+
     // RealTimeGetComponent: by-id fetch that sees the PENDING atomic
     // batch (the update-log-before-searcher contract); id filter pushes
     // below the merge
@@ -4633,7 +4664,10 @@ object SparkEntry {
         | FROM base b JOIN documents d ON b.doc_id = d.doc_id""".stripMargin)) +
       // real-time get = the committed view + pending update log, id-gated:
       // the same fold as su_atomic restricted to the requested ids
-      ("su_rtg" -> s"SELECT * FROM (${base("su_atomic")}) WHERE doc_id IN (0,4,6,7,9)")
+      ("su_rtg" -> s"SELECT * FROM (${base("su_atomic")}) WHERE doc_id IN (0,4,6,7,9)") +
+      // DIH delta: changed (every 7th) minus deletedPkQuery (every 21st)
+      ("su_dataimport" ->
+        "SELECT doc_id FROM documents WHERE doc_id % 7 = 0 AND doc_id % 21 <> 0")
   }
 
   /** Geo bounding-box oracle: the box bounds are computed HERE with the
