@@ -1084,6 +1084,33 @@ object SparkEntry {
         rd(s, d, "events"), "{!frange l=100 u=200}linear(value,2,0)", 1000000,
         env = graft.query.FuncParser.Env(idCol = "event_id"))),
 
+    // group.func (Solr grouping by a function-query value — reference
+    // solr/core search/Grouping.java group-by-valuesource mode): buckets
+    // come from the compiled function, top-N per bucket by a field sort
+    "qp_group_func" -> ((s, d) => {
+      val FP = graft.query.FuncParser
+      val c = FP.compile(rd(s, d, "events"),
+        "if(lt(value,50),0,if(lt(value,200),1,2))", FP.Env(idCol = "event_id"))
+      val keyed = c.df.withColumn("grp", c.value.cast("int"))
+      R.topPerGroup(keyed, Seq("grp"), Seq(desc("value"), asc("event_id")), 2)
+        .select(col("grp"), col("event_id"), round(col("value"), 5).as("value"),
+          col("rn"))
+    }),
+
+    // JSON-facet aggregate over a function query (json.facet
+    // {x:"min(div(..))"} — FacetRequest agg on a value source): the facet
+    // metrics evaluate the compiled function per bucket; min/max/count are
+    // order-independent, so the oracle is exact by construction
+    "fn_facet_agg" -> ((s, d) => {
+      val FP = graft.query.FuncParser
+      val c = FP.compile(rd(s, d, "events"), "recip(value,1,100,10)",
+        FP.Env(idCol = "event_id"))
+      c.df.groupBy("event_type").agg(
+        round(min(c.value), 5).as("mn"),
+        round(max(c.value), 5).as("mx"),
+        count("*").as("n"))
+    }),
+
     // CollationField sorted page: locale-aware order via binary collation
     // keys (accents planted deterministically; at PRIMARY strength the fr
     // collator's order over this vocabulary is provably the fold order the
@@ -2185,6 +2212,39 @@ object SparkEntry {
       TextOps.payloadScore(pt, "doc_id", "spark", "avg")
         .select(col("doc_id"), round(col("payload_score"), 5).as("payload_score"),
           col("n_payloads"))
+    }),
+
+    // MoreLikeThisHandler interestingTerms=details: the tf·idf-ranked
+    // term list MLT would query with, straight from the index's stats
+    "ft_mlt_terms" -> ((s, d) => docIndex(s, d)
+      .mltInterestingTerms("spark spark query join data handler7")
+      .select(col("term"), col("tf").cast("int").as("tf"),
+        col("df").cast("long").as("df"),
+        round(col("weight"), 5).as("weight"))),
+
+    // GeoPath corridor (lucene/spatial3d GeoStandardPath): distance-to-
+    // polyline via exact spherical vector arithmetic, bucketed to 200 km
+    // so libm trig ulps can't flip the hash (the fn_geodist pattern)
+    "geo_path" -> ((s, d) => {
+      val ev = rd(s, d, "events").select(col("event_id"),
+        ((col("event_id") * 37 % 12000) / 100.0 - 60.0).as("lat"),
+        ((col("event_id") * 73 % 30000) / 100.0 - 150.0).as("lon"))
+      ev.select(floor(graft.operators.Geo.pathDistanceMeters(
+            col("lat"), col("lon"), GeoPathRef) / 200000.0)
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count("*").as("n"))
+    }),
+
+    // {!payload_check}: phrase match gated on per-position payload
+    // equality (None = the reference's null wildcard slot)
+    "qp_payload_check" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+      val delimited = docs.select(col("doc_id"),
+        concat_ws(" ", transform(TextOps.tokensOf("text"),
+          (t, i) => concat(t, lit("|"), (i % 7).cast("string")))).as("ptext"))
+      val pt = TextOps.payloadTable(delimited, "doc_id", "ptext")
+      TextOps.payloadCheck(pt, "doc_id", Seq("spark", "query"),
+        Seq(None, Some(2f)))
     }),
 
     // Sampled facet with amortized counts (RandomSamplingFacetsCollector)
@@ -3375,6 +3435,40 @@ object SparkEntry {
           | FROM documents
           | ORDER BY translate(source,'0123456789','abcdefghij'), doc_id
           | LIMIT 100""".stripMargin,
+      "qp_group_func" ->
+        """WITH g AS (SELECT event_id, value,
+          |   CAST(CASE WHEN value < 50 THEN 0 WHEN value < 200 THEN 1 ELSE 2 END AS INT) AS grp
+          |  FROM events),
+          | r AS (SELECT grp, event_id, value,
+          |   row_number() OVER (PARTITION BY grp ORDER BY value DESC, event_id) AS rn
+          |  FROM g)
+          | SELECT grp, event_id, round(value, 5) AS value, CAST(rn AS INT) AS rn
+          | FROM r WHERE rn <= 2""".stripMargin,
+      "fn_facet_agg" ->
+        """SELECT event_type,
+          | round(min(100/(value+10)), 5) AS mn,
+          | round(max(100/(value+10)), 5) AS mx,
+          | count(*) AS n
+          | FROM events GROUP BY event_type""".stripMargin,
+      "ft_mlt_terms" ->
+        """WITH q(term, tf) AS (SELECT * FROM (VALUES
+          |   ('spark', 2), ('query', 1), ('join', 1), ('data', 1), ('handler7', 1))),
+          | tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+          | dfs AS (SELECT tok AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          |  FROM tok WHERE tok IN ('spark','query','join','data','handler7') GROUP BY tok),
+          | n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM documents)
+          | SELECT q.term, q.tf, dfs.df,
+          |  round(q.tf * ln(1 + (n.c - dfs.df + 0.5) / (dfs.df + 0.5)), 5) AS weight
+          | FROM q JOIN dfs USING (term), n""".stripMargin,
+      "qp_payload_check" ->
+        """WITH t AS (SELECT doc_id,
+          |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          |  FROM documents)
+          | SELECT a.doc_id, count(*) AS n_matches
+          | FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          | WHERE a.tok = 'spark' AND b.tok = 'query' AND (b.pos - 1) % 7 = 2
+          | GROUP BY a.doc_id""".stripMargin,
       "ft_preanalyzed" ->
         """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
           | SELECT DISTINCT doc_id FROM t WHERE tok = 'spark'""".stripMargin,
@@ -3747,6 +3841,7 @@ object SparkEntry {
           |  AND list_contains(regexp_extract_all(lower(event_type || ' ' || props), '[a-z0-9]+'), 'error')""".stripMargin,
       "q46_geo" -> geoBoxSql,
       "ft_geo_polygon" -> geoPolygonSql,
+      "geo_path" -> geoPathSql,
       "ta_quality" ->
         """SELECT doc_id, length(text) AS n_chars,
           | len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
@@ -4673,6 +4768,49 @@ object SparkEntry {
   /** Geo bounding-box oracle: the box bounds are computed HERE with the
     * same driver-side double arithmetic Geo.boundingBox folds into the
     * plan, then embedded verbatim (Double round-trips through toString). */
+  /** Reference polyline for the geo_path corridor oracle. */
+  private val GeoPathRef: Seq[(Double, Double)] =
+    Seq((-40.0, -120.0), (0.0, 0.0), (40.0, 120.0))
+
+  /** geo_path oracle: the SAME spherical-vector arithmetic as
+    * Geo.pathDistanceMeters with the SAME plan-time segment constants
+    * (Double.toString round-trips exactly), re-emitted as SQL. */
+  private def geoPathSql: String = {
+    def v(la: Double, lo: Double): (Double, Double, Double) = {
+      val (a, o) = (math.toRadians(la), math.toRadians(lo))
+      (math.cos(a) * math.cos(o), math.cos(a) * math.sin(o), math.sin(a))
+    }
+    val segs = GeoPathRef.sliding(2).map { case Seq(a, b) =>
+      val (ax, ay, az) = v(a._1, a._2)
+      val (bx, by, bz) = v(b._1, b._2)
+      val (cx, cy, cz) = (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+      val nl = math.sqrt(cx * cx + cy * cy + cz * cz)
+      val (nx, ny, nz) = (cx / nl, cy / nl, cz / nl)
+      val dot = s"(px*($nx) + py*($ny) + pz*($nz))"
+      val fx = s"(px - $dot*($nx))"
+      val fy = s"(py - $dot*($ny))"
+      val fz = s"(pz - $dot*($nz))"
+      val pastA = s"((($ay)*$fz - ($az)*$fy)*($nx) + (($az)*$fx - ($ax)*$fz)*($ny) + (($ax)*$fy - ($ay)*$fx)*($nz)) >= 0"
+      val beforeB = s"(($fy*($bz) - $fz*($by))*($nx) + ($fz*($bx) - $fx*($bz))*($ny) + ($fx*($by) - $fy*($bx))*($nz)) >= 0"
+      val cross = s"asin(greatest(-1.0, least(1.0, abs($dot))))"
+      val toA = s"acos(greatest(-1.0, least(1.0, px*($ax)+py*($ay)+pz*($az))))"
+      val toB = s"acos(greatest(-1.0, least(1.0, px*($bx)+py*($by)+pz*($bz))))"
+      s"(CASE WHEN $pastA AND $beforeB THEN $cross ELSE least($toA, $toB) END)"
+    }.toSeq
+    s"""WITH ev AS (SELECT event_id,
+       |  (event_id * 37 % 12000) / 100.0 - 60.0 AS lat,
+       |  (event_id * 73 % 30000) / 100.0 - 150.0 AS lon FROM events),
+       | p AS (SELECT event_id,
+       |  cos(radians(lat))*cos(radians(lon)) AS px,
+       |  cos(radians(lat))*sin(radians(lon)) AS py,
+       |  sin(radians(lat)) AS pz FROM ev),
+       | s AS (SELECT event_id,
+       |  least(${segs.mkString(", ")}) * ${graft.operators.Geo.EarthRadiusMeters} AS m
+       |  FROM p)
+       | SELECT CAST(floor(m / 200000.0) AS BIGINT) AS bucket, count(*) AS n
+       | FROM s GROUP BY 1""".stripMargin
+  }
+
   private def geoBoxSql: String = {
     val (lat, lon, r) = (-84.0, -179.0, 60000.0)
     // the SAME bounds Geo.boundingBox folds into the plan (Double round-trips

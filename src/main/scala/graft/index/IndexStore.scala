@@ -959,6 +959,32 @@ object IndexStore {
         .orderBy(desc("score"), asc("docId")).limit(k)
     }
 
+    /** MoreLikeThisHandler `interestingTerms=details` (reference solr/core/
+      * src/java/org/apache/solr/handler/MoreLikeThisHandler.java:267-300
+      * InterestingTerm list): the terms [[moreLikeThis]] would query with,
+      * with their source tf, corpus df, and tf·idf interestingness —
+      * ranked (weight DESC, term ASC), capped at `maxQueryTerms`. Weight
+      * is computed in double (same ln-idf the scorer uses); stats come
+      * from the cached df lookups, so the frame is a bounded local list. */
+    def mltInterestingTerms(text: String, maxQueryTerms: Int = 25,
+                            minTermFreq: Int = 1): DataFrame = {
+      import spark.implicits._
+      val (tfs, _) = graft.analysis.Analyzer.termFreqs(text)
+      val candidates = tfs.filter(_._2 >= minTermFreq).keys.toSeq
+      val dfs =
+        if (candidates.isEmpty) Map.empty[String, Long]
+        else QueryEngine.lookupDfs(termstats, candidates, Some(dfCache))
+      candidates.filter(dfs.contains)
+        .map { t =>
+          val w = tfs(t) * math.log(
+            1.0 + (stats.docCount - dfs(t) + 0.5) / (dfs(t) + 0.5))
+          (t, tfs(t), dfs(t), w)
+        }
+        .sortBy { case (t, _, _, w) => (-w, t) }
+        .take(maxQueryTerms)
+        .toDF("term", "tf", "df", "weight")
+    }
+
     /** Offsets tier (.pay analogue): (docId, term, poss, starts, ends) —
       * only from segments that have it (mixed-index robustness, same rule
       * as the positions tier). */

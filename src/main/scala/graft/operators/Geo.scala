@@ -309,4 +309,67 @@ object Geo {
       (!intersects).cast("int").as("disjoint"),
       (allCornersIn && col("any_e") === 0).cast("int").as("contains"))
   }
+
+  // ---- GeoPath / corridor (lucene/spatial3d GeoStandardPath) ----
+
+  /** Exact spherical distance (meters) from a point column to a polyline
+    * path — the geo3d corridor shape (reference lucene/spatial3d/src/java/
+    * org/apache/lucene/spatial3d/geom/GeoStandardPath.java:30-45: a path
+    * with a half-width; membership = distance-to-path ≤ width).
+    *
+    * Same 3D-unit-vector geometry the reference uses, folded into codegen
+    * arithmetic: per segment the constant plane normal n̂ = Â×B̂ is computed
+    * at PLAN TIME; per row the cross-track angle is asin(P·n̂), taken when
+    * the perpendicular foot falls inside the segment's lune
+    * ((A×F)·n̂ ≥ 0 ∧ (F×B)·n̂ ≥ 0 for the projected foot F), otherwise the
+    * distance to the nearer endpoint. The path distance is the least over
+    * segments — one pure expression, no UDF, no join. */
+  def pathDistanceMeters(lat: Column, lon: Column,
+                         path: Seq[(Double, Double)]): Column = {
+    require(path.size >= 2, "path needs at least two points")
+    def vec(latD: Double, lonD: Double): (Double, Double, Double) = {
+      val (la, lo) = (math.toRadians(latD), math.toRadians(lonD))
+      (math.cos(la) * math.cos(lo), math.cos(la) * math.sin(lo), math.sin(la))
+    }
+    val laR = radians(lat)
+    val loR = radians(lon)
+    val px = cos(laR) * cos(loR)
+    val py = cos(laR) * sin(loR)
+    val pz = sin(laR)
+    def clamp(c: Column): Column = greatest(lit(-1.0), least(lit(1.0), c))
+    val segDists = path.sliding(2).map { case Seq(a, b) =>
+      val (ax, ay, az) = vec(a._1, a._2)
+      val (bx, by, bz) = vec(b._1, b._2)
+      // plane normal (normalized at plan time)
+      val (cx, cy, cz) = (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+      val nl = math.sqrt(cx * cx + cy * cy + cz * cz)
+      require(nl > 1e-12, s"degenerate path segment $a -> $b")
+      val (nx, ny, nz) = (cx / nl, cy / nl, cz / nl)
+      val dotPn = px * nx + py * ny + pz * nz
+      // perpendicular foot F = P - (P·n̂)n̂ (unnormalized — only signs used)
+      val fx = px - dotPn * nx
+      val fy = py - dotPn * ny
+      val fz = pz - dotPn * nz
+      // (A×F)·n̂ ≥ 0: foot is past A going toward B; (F×B)·n̂ ≥ 0: before B
+      val pastA = ((lit(ay) * fz - lit(az) * fy) * nx +
+        (lit(az) * fx - lit(ax) * fz) * ny +
+        (lit(ax) * fy - lit(ay) * fx) * nz) >= 0
+      val beforeB = ((fy * bz - fz * by) * nx +
+        (fz * bx - fx * bz) * ny +
+        (fx * by - fy * bx) * nz) >= 0
+      val crossTrack = asin(clamp(abs(dotPn)))
+      val toA = acos(clamp(px * ax + py * ay + pz * az))
+      val toB = acos(clamp(px * bx + py * by + pz * bz))
+      when(pastA && beforeB, crossTrack).otherwise(least(toA, toB))
+    }.toSeq
+    segDists.reduce(least(_, _)) * EarthRadiusMeters
+  }
+
+  /** Corridor filter: rows within `widthM` of the path (GeoStandardPath
+    * membership). The distance expression is pure codegen, so the filter
+    * rides the scan — compose with [[boundingBox]] over the path's
+    * vertices (+width) when a pushed pre-filter is wanted. */
+  def nearPath(df: DataFrame, latCol: String, lonCol: String,
+               path: Seq[(Double, Double)], widthM: Double): DataFrame =
+    df.filter(pathDistanceMeters(col(latCol), col(lonCol), path) <= widthM)
 }

@@ -1157,4 +1157,27 @@ object TextOps {
       .agg(agg.cast("double").as("payload_score"),
         count(col("payload")).as("n_payloads"))
   }
+
+  /** SpanPayloadCheckQuery / Solr `{!payload_check}` (reference
+    * lucene/queries/src/java/org/apache/lucene/queries/payloads/
+    * SpanPayloadCheckQuery.java:50-170 PayloadChecker, solr/core
+    * search/PayloadCheckQParserPlugin.java:34-100): a phrase whose
+    * positions match only when each position's payload equals the given
+    * value, compared in order — a `None` check accepts any payload at its
+    * slot (the reference's null entry, :159-161). One pre-gated slot
+    * frame per phrase position joined on (doc, start) — the bounded
+    * phrase-join shape, never a full positions product; payload equality
+    * pushes into each slot's scan. Returns (idCol, n_matches). */
+  def payloadCheck(payloads: DataFrame, idCol: String, terms: Seq[String],
+                   checks: Seq[Option[Float]]): DataFrame = {
+    require(terms.nonEmpty && terms.size == checks.size,
+      "payloadCheck: one check per phrase slot (None = wildcard)")
+    val slots = terms.zip(checks).zipWithIndex.map { case ((t, chk), i) =>
+      val base = payloads.filter(col("term") === t)
+      val gated = chk.fold(base)(p => base.filter(col("payload") === p))
+      gated.select(col(idCol), (col("pos") - i).as("__p0"))
+    }
+    slots.reduce((a, b) => a.join(b, Seq(idCol, "__p0")))
+      .groupBy(idCol).agg(count("*").as("n_matches"))
+  }
 }

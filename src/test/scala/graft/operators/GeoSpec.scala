@@ -211,4 +211,46 @@ class GeoSpec extends SparkSpec {
     assert(lrel(13L) === ((1, 0, 0)))
     assert(lrel(14L) === ((0, 0, 1)), "open-chain ray parity must not fake containment")
   }
+
+  test("pathDistanceMeters == dense-slerp ground truth; nearPath membership") {
+    import spark.implicits._
+    val path = Seq((48.0, 2.0), (50.0, 8.0), (52.0, 13.0))
+    // independent ground truth: min haversine to 20k slerp samples/segment
+    def slerpMin(lat: Double, lon: Double): Double = {
+      def v(la: Double, lo: Double) = {
+        val (a, o) = (math.toRadians(la), math.toRadians(lo))
+        (math.cos(a) * math.cos(o), math.cos(a) * math.sin(o), math.sin(a))
+      }
+      path.sliding(2).flatMap { case Seq(a, b) =>
+        val (ax, ay, az) = v(a._1, a._2); val (bx, by, bz) = v(b._1, b._2)
+        val omega = math.acos(math.max(-1.0, math.min(1.0, ax * bx + ay * by + az * bz)))
+        (0 to 20000).iterator.map { i =>
+          val t = i / 20000.0
+          val (s1, s2) = (math.sin((1 - t) * omega) / math.sin(omega),
+            math.sin(t * omega) / math.sin(omega))
+          val (x, y, z) = (s1 * ax + s2 * bx, s1 * ay + s2 * by, s1 * az + s2 * bz)
+          havLocal(lat, lon, math.toDegrees(math.asin(z / math.sqrt(x * x + y * y + z * z))),
+            math.toDegrees(math.atan2(y, x)))
+        }
+      }.min
+    }
+    val pts = Seq(
+      (1L, 49.0, 5.0),    // off to the side of segment 1
+      (2L, 48.0, 2.0),    // exactly the start vertex
+      (3L, 45.0, -5.0),   // before the start: endpoint distance
+      (4L, 51.0, 10.5),   // near segment 2
+      (5L, 55.0, 20.0))   // past the end
+    val got = pts.toDF("id", "lat", "lon")
+      .select(col("id"), Geo.pathDistanceMeters(col("lat"), col("lon"), path).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pts.foreach { case (id, la, lo) =>
+      val truth = slerpMin(la, lo)
+      assert(math.abs(got(id) - truth) < 150.0,
+        s"point $id: got ${got(id)} truth $truth") // slerp grid ~60m resolution
+    }
+    assert(got(2L) < 1.0) // on-path point is (numerically) zero
+    val near = Geo.nearPath(pts.toDF("id", "lat", "lon"), "lat", "lon", path,
+      widthM = 120000.0).select("id").collect().map(_.getLong(0)).toSet
+    assert(near == pts.filter(p => slerpMin(p._2, p._3) <= 120000.0).map(_._1).toSet)
+  }
 }

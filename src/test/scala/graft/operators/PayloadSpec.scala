@@ -39,4 +39,22 @@ class PayloadSpec extends SparkSpec {
     assert(score("sum") == Map(1L -> (9.0, 3L), 2L -> (4.0, 1L)))
     intercept[IllegalArgumentException](TextOps.payloadScore(pt, "id", "x", "median"))
   }
+
+  test("payload_check: per-slot equality with None wildcard (SpanPayloadCheckQuery)") {
+    val docs = Seq(
+      (1L, "a|1 b|2 c|3"),   // phrase a b with payloads (1,2)
+      (2L, "a|1 b|9"),       // b payload mismatches
+      (3L, "a|5 b|2 a|1 b|2"), // two a-b starts; one passes the strict check
+      (4L, "b|2 a|1")        // wrong order
+    ).toDF("id", "text")
+    val pt = TextOps.payloadTable(docs, "id", "text")
+    def check(cs: Seq[Option[Float]]): Map[Long, Long] =
+      TextOps.payloadCheck(pt, "id", Seq("a", "b"), cs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(check(Seq(Some(1f), Some(2f))) == Map(1L -> 1L, 3L -> 1L))
+    assert(check(Seq(None, Some(2f))) == Map(1L -> 1L, 3L -> 2L))
+    assert(check(Seq(None, None)) == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+    intercept[IllegalArgumentException](
+      TextOps.payloadCheck(pt, "id", Seq("a", "b"), Seq(None)))
+  }
 }

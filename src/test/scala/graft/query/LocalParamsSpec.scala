@@ -63,6 +63,13 @@ class LocalParamsSpec extends SparkSpec {
     assert(ast("{!switch case.yes='public' default='import' v=$go}",
       Map("go" -> "other")) === TermQ("import"))
     intercept[IllegalArgumentException](ast("{!switch case.a=x}b"))
+    // {!raw} takes the body verbatim like term; {!query} (nested) parses
+    // the (deref'd) body as a complete query
+    assert(ast("{!raw f=lang}scala") === FieldQ("lang", TermQ("scala")))
+    assert(ast("{!query v=$qq}", Map("qq" -> "{!term f=lang v=scala}")) ===
+      FieldQ("lang", TermQ("scala")))
+    assert(ast("{!query v=$qq}", Map("qq" -> "+public static")) ===
+      QueryParser.parse("+public static"))
   }
 
   test("dispatch ranks like the equivalent fielded query; graphTerms routes directly") {
