@@ -2214,6 +2214,19 @@ object SparkEntry {
           col("n_payloads"))
     }),
 
+    // RangeField (DoubleRange/DateRangeField) relations: 2-D doc ranges
+    // vs a query box — interval predicates in pure codegen, pushed scans
+    "rf_relations" -> ((s, d) => {
+      val ev = rd(s, d, "events").select(col("event_id"),
+        col("value").as("lo1"), (col("value") + col("event_id") % 50).as("hi1"),
+        (col("event_id") % 100).cast("double").as("lo2"),
+        (col("event_id") % 100 + 20).cast("double").as("hi2"))
+      graft.operators.RangeField.relations(ev,
+          Seq((col("lo1"), col("hi1")), (col("lo2"), col("hi2"))),
+          qMin = Seq(50.0, 30.0), qMax = Seq(150.0, 80.0))
+        .select("event_id", "intersects", "within", "contains", "crosses")
+    }),
+
     // MoreLikeThisHandler interestingTerms=details: the tf·idf-ranked
     // term list MLT would query with, straight from the index's stats
     "ft_mlt_terms" -> ((s, d) => docIndex(s, d)
@@ -3450,6 +3463,19 @@ object SparkEntry {
           | round(max(100/(value+10)), 5) AS mx,
           | count(*) AS n
           | FROM events GROUP BY event_type""".stripMargin,
+      "rf_relations" ->
+        """WITH r AS (SELECT event_id,
+          |  value AS lo1, value + event_id % 50 AS hi1,
+          |  CAST(event_id % 100 AS DOUBLE) AS lo2,
+          |  CAST(event_id % 100 + 20 AS DOUBLE) AS hi2 FROM events),
+          | f AS (SELECT event_id,
+          |  CASE WHEN lo1 <= 150 AND hi1 >= 50 AND lo2 <= 80 AND hi2 >= 30 THEN 1 ELSE 0 END AS intersects,
+          |  CASE WHEN lo1 >= 50 AND hi1 <= 150 AND lo2 >= 30 AND hi2 <= 80 THEN 1 ELSE 0 END AS within,
+          |  CASE WHEN lo1 <= 50 AND hi1 >= 150 AND lo2 <= 30 AND hi2 >= 80 THEN 1 ELSE 0 END AS contains
+          |  FROM r)
+          | SELECT event_id, intersects, within, contains,
+          |  CASE WHEN intersects = 1 AND within = 0 THEN 1 ELSE 0 END AS crosses
+          | FROM f""".stripMargin,
       "ft_mlt_terms" ->
         """WITH q(term, tf) AS (SELECT * FROM (VALUES
           |   ('spark', 2), ('query', 1), ('join', 1), ('data', 1), ('handler7', 1))),
