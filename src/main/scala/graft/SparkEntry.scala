@@ -972,6 +972,19 @@ object SparkEntry {
         1000000, request = Map("route" -> "xx"))
       .select(col("docId").as("doc_id"))),
 
+    // JSON Query DSL (JSON Request API): the same bool/term dispatch as
+    // qp_localparams expressed in the JSON dialect — must/filter/must_not
+    // with a nested term parser object
+    "qp_json" -> ((s, d) => graft.query.JsonDsl.search(
+        docFieldedIndex(s, d), "text",
+        """{"bool": {
+          |  "must": ["spark"],
+          |  "filter": {"term": {"f": "lang", "query": "en"}},
+          |  "must_not": ["slow"]
+          |}}""".stripMargin,
+        1000000)
+      .select(col("docId").as("doc_id"))),
+
     // ---- Solr named function queries (ValueSourceParser registry ->
     //      query/FuncParser.scala): the fl/sort/bf/boost value-source
     //      dialect compiled to codegen'd Columns, never per-doc callbacks ----
@@ -3371,6 +3384,11 @@ object SparkEntry {
       "qp_localparams_switch" ->
         s"""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
            | SELECT DISTINCT doc_id FROM t WHERE tok LIKE 'quer%'""".stripMargin,
+      "qp_json" ->
+        s"""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
+           | SELECT DISTINCT doc_id FROM t WHERE tok = 'spark'
+           |  AND doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+           |  AND doc_id NOT IN (SELECT doc_id FROM t WHERE tok = 'slow')""".stripMargin,
       "fn_math" ->
         """SELECT event_id,
           | round((100/(2*value+5) + (0.5*value+1))
