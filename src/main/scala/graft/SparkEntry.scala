@@ -2261,6 +2261,20 @@ object SparkEntry {
         .groupBy("bucket").agg(count("*").as("n"))
     }),
 
+    // payload() named function: per-doc payload fold with a default for
+    // docs lacking the term (FloatPayloadValueSource)
+    "fn_payload" -> ((s, d) => {
+      val FP = graft.query.FuncParser
+      val docs = rd(s, d, "documents")
+      val delimited = docs.select(col("doc_id"),
+        concat_ws(" ", transform(TextOps.tokensOf("text"),
+          (t, i) => concat(t, lit("|"), (i % 7).cast("string")))).as("ptext"))
+      val pt = TextOps.payloadTable(delimited, "doc_id", "ptext")
+      val c = FP.compile(docs, "payload(ptext,'spark',0.5,average)",
+        FP.Env(payloads = Some(pt)))
+      c.df.select(col("doc_id"), round(c.value, 5).as("v"))
+    }),
+
     // {!payload_check}: phrase match gated on per-position payload
     // equality (None = the reference's null wildcard slot)
     "qp_payload_check" -> ((s, d) => {
@@ -3504,6 +3518,15 @@ object SparkEntry {
           | SELECT q.term, q.tf, dfs.df,
           |  round(q.tf * ln(1 + (n.c - dfs.df + 0.5) / (dfs.df + 0.5)), 5) AS weight
           | FROM q JOIN dfs USING (term), n""".stripMargin,
+      "fn_payload" ->
+        """WITH t AS (SELECT doc_id,
+          |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          |  FROM documents),
+          | p AS (SELECT doc_id, avg(CAST((pos - 1) % 7 AS DOUBLE)) AS v
+          |  FROM t WHERE tok = 'spark' GROUP BY doc_id)
+          | SELECT d.doc_id, round(coalesce(p.v, 0.5), 5) AS v
+          | FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin,
       "qp_payload_check" ->
         """WITH t AS (SELECT doc_id,
           |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,

@@ -134,7 +134,8 @@ object FuncParser {
       now: Column = current_timestamp(),
       idCol: String = "doc_id",
       index: Option[OpenIndex] = None,
-      scorer: Option[String => DataFrame] = None)
+      scorer: Option[String => DataFrame] = None,
+      payloads: Option[DataFrame] = None)
 
   /** A compiled function: the (possibly join-augmented) frame plus the
     * value column. Downstream code selects/sorts/filters on `value`
@@ -430,6 +431,30 @@ object FuncParser {
           col("normByte").cast("int").as(nName))
         df = df.join(norms, Seq(env.idCol), "left")
         element_at(lut, col(nName))
+
+      // ---- payload(field,value[,default[,min|max|average|first]])
+      //      (FloatPayloadValueSource via ValueSourceParser "payload":
+      //      per-doc fold of the term's payloads, default 0.0/average;
+      //      "first" takes the earliest position's payload)
+      case ("payload", fieldArg :: value :: rest) if rest.size <= 2 =>
+        val pt = env.payloads.getOrElse(throw new IllegalArgumentException(
+          "payload(...) needs an Env.payloads table (TextOps.payloadTable)"))
+        val term = str(value)
+        val default = rest.headOption.map(num).getOrElse(0.0)
+        val fn = rest.lift(1).map(str).getOrElse("average")
+        val vName = fresh("payload")
+        val base = pt.filter(col("term") === term && col("payload").isNotNull)
+        val agg = fn match {
+          case "average" => avg(col("payload"))
+          case "min" => min(col("payload"))
+          case "max" => max(col("payload"))
+          case "first" => min_by(col("payload"), col("pos"))
+          case other => throw new IllegalArgumentException(
+            s"Invalid payload function: $other") // reference error text
+        }
+        val scores = base.groupBy(col(env.idCol)).agg(agg.cast("double").as(vName))
+        df = df.join(scores, Seq(env.idCol), "left")
+        coalesce(col(vName), lit(default))
 
       // ---- query(...) (QueryValueSource: sub-query score, default for
       //      non-matching docs)

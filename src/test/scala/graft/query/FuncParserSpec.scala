@@ -258,6 +258,23 @@ class FuncParserSpec extends SparkSpec {
     intercept[IllegalArgumentException](evalOne("query('x')")) // no scorer
   }
 
+  test("payload(): per-doc fold with default; first takes earliest position") {
+    import spark.implicits._
+    val pdocs = Seq((1L, "x|4 y|9 x|2"), (2L, "y|1"), (3L, "x")).toDF("doc_id", "text")
+    val pt = graft.operators.TextOps.payloadTable(pdocs, "doc_id", "text")
+    val env = Env(payloads = Some(pt))
+    def run(src: String): Map[Long, Double] = {
+      val Compiled(aug, v) = FuncParser.compile(pdocs, src, env)
+      aug.select(col("doc_id"), v.cast("double").as("v")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    assert(run("payload(text,'x',0.5,average)") == Map(1L -> 3.0, 2L -> 0.5, 3L -> 0.5))
+    assert(run("payload(text,'x',0.5,min)") == Map(1L -> 2.0, 2L -> 0.5, 3L -> 0.5))
+    assert(run("payload(text,'x',0.5,first)") == Map(1L -> 4.0, 2L -> 0.5, 3L -> 0.5))
+    assert(run("payload(text,'x')") == Map(1L -> 3.0, 2L -> 0.0, 3L -> 0.0))
+    intercept[IllegalArgumentException](run("payload(text,'x',0,median)"))
+  }
+
   // --------------------------------------------------------- entrypoints
 
   test("topK ranks all docs by value desc with docId tiebreak") {
