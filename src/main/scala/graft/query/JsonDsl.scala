@@ -24,6 +24,10 @@ import org.apache.spark.sql.DataFrame
 object JsonDsl {
 
   private val mapper = new ObjectMapper()
+  // CLI ergonomics: sbt's command parsing strips double quotes, so the
+  // jsonsearch surface sends single-quoted JSON
+  mapper.configure(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_SINGLE_QUOTES, true)
+  mapper.configure(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_UNQUOTED_FIELD_NAMES, true)
 
   import QueryParser._
 

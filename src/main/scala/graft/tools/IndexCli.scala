@@ -190,6 +190,40 @@ object IndexCli {
       println(s"xmlsearch top-$k:")
       hits.foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)}"))
 
+    // jsonsearch <dir> <k> <json...> : JSON Request API query object
+    // (single-quoted JSON accepted — sbt strips double quotes)
+    case "jsonsearch" :: dir :: k :: jsonParts if jsonParts.nonEmpty =>
+      val idx = IndexStore.OpenIndex(spark, dir)
+      val hits = graft.query.JsonDsl.search(Map("content" -> idx), "content",
+        jsonParts.mkString(" "), k.toInt).collect()
+      println(s"jsonsearch top-$k:")
+      hits.foreach(r => println(s"  doc=${r.getLong(0)} score=${r.getFloat(1)}"))
+
+    // funcsearch <dir> <k> <func...> : {!func} ranking — function of the
+    // per-doc stats (dl) and index-stat functions (termfreq/norm/...)
+    case "funcsearch" :: dir :: k :: funcParts if funcParts.nonEmpty =>
+      import org.apache.spark.sql.functions.col
+      val idx = IndexStore.OpenIndex(spark, dir)
+      val env = graft.query.FuncParser.Env(idCol = "docId", index = Some(idx))
+      val top = graft.query.FuncParser.topK(
+        idx.docstats.select(col("docId"), col("dl")),
+        funcParts.mkString(" "), k.toInt, env).collect()
+      println(s"funcsearch top-$k:")
+      top.foreach(r => println(s"  doc=${r.getLong(0)} value=${r.getDouble(1)}"))
+
+    // dataimport <dir> full <parquet> <pkCol> <contentCol> <startTime>
+    // dataimport <dir> delta <parquet> <pkCol> <contentCol> <stampCol> <startTime> [deletedPks,csv]
+    case "dataimport" :: dir :: "full" :: parquet :: pkCol :: contentCol :: startTime :: Nil =>
+      val st = graft.sources.DataImport.fullImport(spark,
+        spark.read.parquet(parquet), pkCol, contentCol, dir, startTime)
+      println(s"dataimport ${st.mode}: imported=${st.imported} deleted=${st.deleted} last_index_time=${st.lastIndexTime}")
+    case "dataimport" :: dir :: "delta" :: parquet :: pkCol :: contentCol :: stampCol :: startTime :: rest =>
+      val deleted = rest.headOption.map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      val st = graft.sources.DataImport.deltaImport(spark,
+        spark.read.parquet(parquet), pkCol, contentCol, stampCol, dir,
+        startTime, deletedPks = deleted)
+      println(s"dataimport ${st.mode}: imported=${st.imported} deleted=${st.deleted} last_index_time=${st.lastIndexTime}")
+
     // addindexes <dstDir> <srcDir> : import srcDir's segments into dstDir
     // (doc ids rebased, merged stats — IndexWriter.addIndexes)
     case "addindexes" :: dst :: src :: Nil =>

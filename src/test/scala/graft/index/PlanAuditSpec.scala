@@ -350,4 +350,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan2.contains("Join"), plan2.take(1500))
     assert("Exchange".r.findAllIn(plan2).size <= 1, plan2.take(1500))
   }
+
+  test("FuncParser.topK: pure codegen expression, bounded TakeOrderedAndProject") {
+    val docs = spark.range(500).select($"id".as("doc_id"),
+      ($"id" % 97).cast("double").as("value"))
+    val plan = planOf(graft.query.FuncParser.topK(docs,
+      "sum(recip(value,1,100,10),linear(value,0.5,1))", 10))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(1200))
+    assert(!plan.contains("Sort ["), plan.take(1200))
+  }
+
+  test("FuncParser scale(): global bounds ride a BROADCAST 1-row aggregate") {
+    val docs = spark.range(500).select($"id".as("doc_id"),
+      ($"id" % 97).cast("double").as("value"))
+    val c = graft.query.FuncParser.compile(docs, "scale(value,0,100)")
+    val plan = planOf(c.df.select(col("doc_id"), c.value.as("v")))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
+  test("FuncParser termfreq(): the term filter pushes into the postings scan") {
+    val docs = spark.range(200).select($"id".as("doc_id"))
+    val env = graft.query.FuncParser.Env(index = Some(idx))
+    val c = graft.query.FuncParser.compile(docs, "termfreq(content,'public')", env)
+    val plan = planOf(c.df.select(col("doc_id"), c.value.as("v")))
+    assert(plan.contains("PushedFilters") && plan.contains("term"), plan.take(2000))
+  }
+
+  test("subqueryTransformer: a top-k parent page BROADCASTS against the sub table") {
+    val parents = spark.range(1000).select($"id".as("p_id"), ($"id" % 7).as("k"))
+      .limit(20)
+    val sub = spark.range(5000).select($"id".as("s_id"), ($"id" % 7).as("k"),
+      ($"id" % 13).cast("double").as("w"))
+    val plan = planOf(graft.operators.Relational.subqueryTransformer(
+      parents, "p_id", "k", sub, "k", "s_id",
+      sortBy = Seq(col("w").desc, col("s_id").asc), rows = 3, name = "d"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("collation-key sorted page: TakeOrderedAndProject over the codegen key") {
+    val docs = spark.range(500).select($"id".as("doc_id"),
+      concat(lit("w"), ($"id" % 50).cast("string")).as("name"))
+    val plan = planOf(docs.orderBy(
+        graft.functions.CollationKey(col("name"), "fr", "primary"), col("doc_id"))
+      .limit(25))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+    assert(!plan.contains("Sort ["), plan.take(1200))
+  }
 }
