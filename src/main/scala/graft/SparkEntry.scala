@@ -2227,6 +2227,13 @@ object SparkEntry {
           col("n_payloads"))
     }),
 
+    // SimpleFacets option set: facet.prefix + excludeTerms + sort=index +
+    // offset/limit paging on the engine's doc-values facet
+    "ft_facet_prefix" -> ((s, d) => docIndex(s, d)
+      .facetByFieldOpts(Seq("spark"), "source",
+        prefix = Some("src1"), excludeTerms = Set("src15"),
+        minCount = 1, limit = 5, offset = 1, sort = "index")),
+
     // RangeField (DoubleRange/DateRangeField) relations: 2-D doc ranges
     // vs a query box — interval predicates in pure codegen, pushed scans
     "rf_relations" -> ((s, d) => {
@@ -3495,6 +3502,14 @@ object SparkEntry {
           | round(max(100/(value+10)), 5) AS mx,
           | count(*) AS n
           | FROM events GROUP BY event_type""".stripMargin,
+      "ft_facet_prefix" ->
+        """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+          | m AS (SELECT DISTINCT doc_id FROM t WHERE tok = 'spark'),
+          | v AS (SELECT d.source, count(*) AS count
+          |  FROM m JOIN documents d USING (doc_id)
+          |  WHERE d.source LIKE 'src1%' AND d.source <> 'src15'
+          |  GROUP BY d.source HAVING count(*) >= 1)
+          | SELECT source, count FROM v ORDER BY source OFFSET 1 LIMIT 5""".stripMargin,
       "rf_relations" ->
         """WITH r AS (SELECT event_id,
           |  value AS lo1, value + event_id % 50 AS hi1,

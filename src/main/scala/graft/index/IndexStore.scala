@@ -1588,6 +1588,53 @@ object IndexStore {
         .orderBy(desc("count"), asc(field))
     }
 
+    /** Field facet with the SimpleFacets option set (reference solr/core/
+      * src/java/org/apache/solr/request/SimpleFacets.java getFacetTermEnumCounts
+      * / getFieldCacheCounts: facet.prefix, facet.contains
+      * [.ignoreCase], facet.excludeTerms, facet.mincount, facet.limit /
+      * facet.offset, facet.sort=count|index, facet.missing). Value
+      * filters push BELOW the aggregation (they gate dictionary terms in
+      * the reference, value rows here); `missing` appends the null-value
+      * doc count as a NULL bucket, like the reference's trailing missing
+      * entry. sort=count is (count DESC, value ASC); index is byte order.
+      * limit < 0 = unlimited after `offset`. */
+    def facetByFieldOpts(terms: Seq[String], field: String,
+                         mode: QueryEngine.Mode = QueryEngine.And,
+                         prefix: Option[String] = None,
+                         contains: Option[String] = None,
+                         containsIgnoreCase: Boolean = false,
+                         excludeTerms: Set[String] = Set.empty,
+                         minCount: Long = 1, limit: Int = 100, offset: Int = 0,
+                         sort: String = "count",
+                         missing: Boolean = false): DataFrame = {
+      val matched = QueryEngine.matchingDocs(spark, blocks, terms, mode)
+      val live = deletes.fold(matched)(d => matched.join(d, Seq("docId"), "left_anti"))
+      val joined = live.join(docvalues.select(col("docId"), col(field)), "docId")
+      var vals = joined.filter(col(field).isNotNull)
+      prefix.foreach(p => vals = vals.filter(col(field).startsWith(p)))
+      contains.foreach { c =>
+        vals =
+          if (containsIgnoreCase)
+            vals.filter(lower(col(field)).contains(c.toLowerCase))
+          else vals.filter(col(field).contains(c))
+      }
+      if (excludeTerms.nonEmpty)
+        vals = vals.filter(!col(field).isin(excludeTerms.toSeq: _*))
+      val counted = vals.groupBy(field).agg(count("*").as("count"))
+        .filter(col("count") >= minCount)
+      val ordered = sort match {
+        case "index" => counted.orderBy(asc(field))
+        case _ => counted.orderBy(desc("count"), asc(field))
+      }
+      val paged0 = if (offset > 0) ordered.offset(offset) else ordered
+      val paged = if (limit >= 0) paged0.limit(limit) else paged0
+      if (!missing) paged
+      else paged.unionByName(
+        joined.filter(col(field).isNull)
+          .agg(count("*").as("count"))
+          .select(lit(null).cast("string").as(field), col("count")))
+    }
+
     /** Multi-phrase (slot = any-of terms) docIds via positions. */
     /** Complex phrase (reference lucene/queryparser complexPhrase/
       * ComplexPhraseQueryParser.java): a quoted phrase whose slots may be

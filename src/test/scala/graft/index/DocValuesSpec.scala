@@ -119,4 +119,43 @@ class DocValuesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("doc-values"))
   }
+
+  test("facetByFieldOpts: SimpleFacets prefix/contains/exclude/mincount/sort/paging") {
+    val (_, idx) = buildIdx()
+    // brute: docs matching 'public', their lang counts
+    val matching = localDocs.filter(d =>
+      graft.analysis.Analyzer.terms(d._4).contains("public"))
+    val counts = matching.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    def facet(prefix: Option[String] = None, contains: Option[String] = None,
+              ic: Boolean = false, excl: Set[String] = Set.empty,
+              min: Long = 1, limit: Int = 100, off: Int = 0,
+              sort: String = "count", missing: Boolean = false) =
+      idx.facetByFieldOpts(Seq("public"), "lang", prefix = prefix,
+        contains = contains, containsIgnoreCase = ic, excludeTerms = excl,
+        minCount = min, limit = limit, offset = off, sort = sort,
+        missing = missing)
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSeq
+    // sort=count: (count DESC, value ASC)
+    val got = facet()
+    val want = counts.toSeq.sortBy { case (v, c) => (-c, v) }
+    assert(got.map { case (v, c) => (v.get, c) } == want)
+    // sort=index: value order
+    assert(facet(sort = "index").map(_._1.get) == counts.keys.toSeq.sorted)
+    // prefix + exclude filter values BEFORE paging
+    val langs = counts.keys.toSeq.sorted
+    val p0 = langs.head.take(1)
+    val prefixed = facet(prefix = Some(p0), sort = "index").map(_._1.get)
+    assert(prefixed == langs.filter(_.startsWith(p0)))
+    val excluded = facet(excl = Set(langs.head), sort = "index").map(_._1.get)
+    assert(!excluded.contains(langs.head))
+    // offset/limit page the sorted list
+    assert(facet(sort = "index", off = 1, limit = 2).map(_._1.get) ==
+      counts.keys.toSeq.sorted.slice(1, 3))
+    // mincount filters low buckets
+    val maxC = counts.values.max
+    assert(facet(min = maxC).forall(_._2 >= maxC))
+    // missing appends a null bucket (0 here: every doc has a lang)
+    val withMissing = facet(missing = true)
+    assert(withMissing.last._1.isEmpty && withMissing.last._2 == 0L)
+  }
 }
