@@ -2227,6 +2227,13 @@ object SparkEntry {
           col("n_payloads"))
     }),
 
+    // BlendedInfixSuggester: doc suggestions scored by the earliest
+    // matched-token position (linear blender), last token as prefix
+    "ft_suggest_blended" -> ((s, d) => docIndex(s, d)
+      .suggestBlendedInfix("query jo", 10)
+      .select(col("docId").as("doc_id"), col("position"),
+        round(col("score"), 5).as("score"))),
+
     // SimpleFacets option set: facet.prefix + excludeTerms + sort=index +
     // offset/limit paging on the engine's doc-values facet
     "ft_facet_prefix" -> ((s, d) => docIndex(s, d)
@@ -3502,6 +3509,20 @@ object SparkEntry {
           | round(max(100/(value+10)), 5) AS mx,
           | count(*) AS n
           | FROM events GROUP BY event_type""".stripMargin,
+      "ft_suggest_blended" ->
+        """WITH t AS (SELECT doc_id,
+          |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+          |   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) - 1 AS pos
+          |  FROM documents),
+          | f AS (SELECT doc_id, tok, CAST(min(pos) AS BIGINT) AS first_pos
+          |  FROM t WHERE tok = 'query' OR tok LIKE 'jo%' GROUP BY doc_id, tok),
+          | a AS (SELECT doc_id, min(first_pos) AS position,
+          |   count(CASE WHEN tok NOT LIKE 'jo%' THEN 1 END) AS n_nonpfx,
+          |   count(CASE WHEN tok LIKE 'jo%' THEN 1 END) AS n_pfx
+          |  FROM f GROUP BY doc_id)
+          | SELECT doc_id, position, round(1 - 0.10 * position, 5) AS score
+          | FROM a WHERE n_pfx >= 1 AND n_nonpfx >= 1
+          | ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
       "ft_facet_prefix" ->
         """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
           | m AS (SELECT DISTINCT doc_id FROM t WHERE tok = 'spark'),

@@ -1280,6 +1280,59 @@ object IndexStore {
         .orderBy(desc("df"), asc("term")).limit(k)
         .select(col("term"), col("df"))
 
+    /** BlendedInfixSuggester (reference lucene/suggest/src/java/org/
+      * apache/lucene/search/suggest/analyzing/BlendedInfixSuggester
+      * .java:62-93, 200-260): document suggestions where every query
+      * token must match (the last as a prefix — AnalyzingInfixSuggester's
+      * MUST clauses) and the score is weight × a coefficient of the
+      * EARLIEST first-occurrence position among matched tokens —
+      * `linear` 1 − 0.10·pos, `reciprocal` 1/(pos+1),
+      * `exponential_reciprocal` 1/(pos+1)^exponent. Weights default to 1
+      * (pass a (docId, weight) frame for dictionary weights). One pruned
+      * positions read + one bounded aggregation; TakeOrderedAndProject
+      * top-k. Returns (docId, position, score). */
+    def suggestBlendedInfix(q: String, k: Int, blender: String = "linear",
+                            exponent: Double = 2.0,
+                            weights: Option[DataFrame] = None): DataFrame = {
+      val toks = analyzeQuery(q)
+      require(toks.nonEmpty, "blended-infix: empty query after analysis")
+      val exact = toks.init
+      val prefix = toks.last
+      val matchPred =
+        if (exact.nonEmpty) col("term").isin(exact: _*) || col("term").startsWith(prefix)
+        else col("term").startsWith(prefix)
+      val rows = positions.filter(matchPred)
+        .select(col("docId"), col("term"),
+          element_at(col("poss"), 1).cast("long").as("first_pos"))
+      val agg = rows.groupBy("docId").agg(
+        min("first_pos").as("position"),
+        count(when(!col("term").startsWith(prefix), col("term"))).as("__n_nonpfx"),
+        sum(when(col("term").startsWith(prefix), 1L).otherwise(0L)).as("__n_pfx"))
+      // every non-last token exact + at least one prefix completion
+      val exactOnly = exact.filterNot(_.startsWith(prefix)).distinct
+      val eligible = agg.filter(col("__n_pfx") >= 1)
+        .filter(
+          if (exactOnly.isEmpty) lit(true)
+          else col("__n_nonpfx") >= exactOnly.size)
+      val coef = blender match {
+        case "linear" => lit(1.0) - lit(0.10) * col("position")
+        case "reciprocal" => lit(1.0) / (col("position") + 1)
+        case "exponential_reciprocal" =>
+          lit(1.0) / pow(col("position") + 1, exponent)
+        case other => throw new IllegalArgumentException(
+          s"blender '$other' (linear|reciprocal|exponential_reciprocal)")
+      }
+      val live = deletes.fold(eligible)(d => eligible.join(d, Seq("docId"), "left_anti"))
+      val weighted = weights match {
+        case Some(w) => live.join(w, Seq("docId"), "left")
+          .withColumn("__w", coalesce(col("weight").cast("double"), lit(1.0)))
+        case None => live.withColumn("__w", lit(1.0))
+      }
+      weighted.select(col("docId"), col("position"),
+          (col("__w") * coef).as("score"))
+        .orderBy(desc("score"), asc("docId")).limit(k)
+    }
+
     /** Word-break spell suggestions (reference
       * suggest/spell/WordBreakSpellChecker.java:90,255 —
       * generateBreakUpSuggestions): split `word` into up to `maxChanges`+1

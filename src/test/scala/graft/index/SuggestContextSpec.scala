@@ -72,4 +72,30 @@ class SuggestContextSpec extends SparkSpec {
     // tie on score (sun=2.0 sand=2.0 at equal boosts): term ASC wins
     assert(one.head.getString(0) == "sand")
   }
+
+  test("blended infix: position coefficient blenders + MUST eligibility") {
+    val dir = "target/test-blended-infix"
+    graft.util.Fs.rmTree(dir)
+    val docs = Seq(
+      (0L, "joke about query engines"),    // jo* at pos 0, query at 2
+      (1L, "the query is a joke"),         // query at 1, jo* at 4 -> min pos 1
+      (2L, "query without prefix match"),  // no jo* token: ineligible
+      (3L, "jolly words only")             // jo* but no 'query': ineligible
+    ).toDF("docId", "content")
+    IndexStore.build(spark, docs, dir, numSegments = 1, shufflePartitions = 4,
+      withPositions = true)
+    val idx2 = IndexStore.OpenIndex(spark, dir)
+    def got(blender: String, exp: Double = 2.0): Map[Long, (Long, Double)] =
+      idx2.suggestBlendedInfix("query jo", 10, blender, exp)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val lin = got("linear")
+    assert(lin.keySet == Set(0L, 1L))
+    assert(lin(0L) == ((0L, 1.0)))            // earliest matched pos 0
+    assert(lin(1L) == ((1L, 1.0 - 0.10)))     // 1 - 0.10*1
+    val rec = got("reciprocal")
+    assert(rec(1L)._2 == 0.5)                 // 1/(1+1)
+    val er = got("exponential_reciprocal", 3.0)
+    assert(math.abs(er(1L)._2 - 1.0 / 8) < 1e-12) // 1/(1+1)^3
+    intercept[IllegalArgumentException](got("nope"))
+  }
 }
