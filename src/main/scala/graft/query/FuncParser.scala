@@ -280,8 +280,18 @@ object FuncParser {
       case ("pow", List(a, bb)) => pow(d(a), d(bb))
       case ("hypot", List(a, bb)) => hypot(d(a), d(bb))
       case ("atan2", List(a, bb)) => atan2(d(a), d(bb))
-      case ("max", as) if as.size >= 2 => greatest(as.map(d): _*)
-      case ("min", as) if as.size >= 2 => least(as.map(d): _*)
+      // Solr max/min are Math.max/Math.min (Double2Parser): NaN PROPAGATES.
+      // Spark's greatest/least instead order NaN above everything, so a
+      // NaN argument must short-circuit explicitly (caught by fuzz:
+      // least(NaN, -12) would return -12, Math.min returns NaN)
+      case ("max", as) if as.size >= 2 =>
+        val cs = as.map(d)
+        when(cs.map(_.isNaN).reduce(_ || _), lit(Double.NaN))
+          .otherwise(greatest(cs: _*))
+      case ("min", as) if as.size >= 2 =>
+        val cs = as.map(d)
+        when(cs.map(_.isNaN).reduce(_ || _), lit(Double.NaN))
+          .otherwise(least(cs: _*))
 
       // ---- mapping (RangeMapFloatFunction.java:65-70, ScaleFloatFunction,
       //      ReciprocalFloatFunction.java:68, LinearFloatFunction)
