@@ -2732,7 +2732,14 @@ object SparkEntry {
         "mean" -> round(A.meanF(col("dp")), 4)),
       order = Seq(A.OrderStat("medq", col("l_quantity"), A.Med)))
       .select(col("l_linestatus"), col("n"), col("docs"), col("miss"),
-        col("uniq"), col("mean"), round(col("medq"), 4).as("medq")))
+        col("uniq"), col("mean"), round(col("medq"), 4).as("medq"))),
+
+    // RelatednessAgg: per-bucket fg-vs-bg semantic significance — z-score
+    // through the 5-sigmoid blend (search/facet/RelatednessAgg.java:473),
+    // fg/bg popularity normalized by BACKGROUND size (:356). One pass +
+    // broadcast set sizes.
+    "an_relatedness" -> ((s, d) => A.relatedness(rd(s, d, "documents"),
+      "source", col("text").contains("data")))
   )
 
   /** Fixed monitor registry for `mon_percolate` (vocabulary terms of the
@@ -4846,7 +4853,33 @@ object SparkEntry {
           |        + max(CASE WHEN rn = CAST(floor(nn / 2) AS BIGINT) + 1 THEN v END)) / 2.0, 4) AS medq
           |  FROM r GROUP BY 1)
           | SELECT s.l_linestatus, n, docs, miss, uniq, mean, medq
-          | FROM s JOIN m USING (l_linestatus)""".stripMargin)
+          | FROM s JOIN m USING (l_linestatus)""".stripMargin,
+      // RelatednessAgg: same double arithmetic ORDER as the Spark side so
+      // the IEEE results are bit-identical; rounding is spelled as
+      // floor(x*1e5+0.5)/1e5 (Java Math.round semantics — DuckDB's round()
+      // is half-away-from-zero and would differ on negative .5 boundaries)
+      "an_relatedness" ->
+        """WITH c AS (SELECT source,
+          |   count(CASE WHEN text LIKE '%data%' THEN 1 END) AS fg_count,
+          |   count(*) AS bg_count
+          |  FROM documents GROUP BY source),
+          | t AS (SELECT sum(fg_count)::DOUBLE AS fgs, sum(bg_count)::DOUBLE AS bgs FROM c),
+          | z AS (SELECT source, fg_count, bg_count, fgs, bgs,
+          |   (fg_count::DOUBLE - fgs * (bg_count::DOUBLE / bgs)) /
+          |   (CASE WHEN sqrt(fgs * (bg_count::DOUBLE / bgs) * (1.0 - bg_count::DOUBLE / bgs)) = 0
+          |         THEN 1e-10
+          |         ELSE sqrt(fgs * (bg_count::DOUBLE / bgs) * (1.0 - bg_count::DOUBLE / bgs)) END) AS zv
+          |  FROM c, t)
+          | SELECT source, fg_count, bg_count,
+          |   floor((0.2::DOUBLE * ((zv + -80.0) / (50.0 + abs(zv + -80.0)))
+          |        + 0.2::DOUBLE * ((zv + -30.0) / (30.0 + abs(zv + -30.0)))
+          |        + 0.2::DOUBLE * ((zv + 0.0) / (30.0 + abs(zv + 0.0)))
+          |        + 0.2::DOUBLE * ((zv + 30.0) / (30.0 + abs(zv + 30.0)))
+          |        + 0.2::DOUBLE * ((zv + 80.0) / (50.0 + abs(zv + 80.0)))) * 1e5 + 0.5) / 1e5
+          |     AS relatedness,
+          |   floor((fg_count::DOUBLE / bgs) * 1e5 + 0.5) / 1e5 AS foreground_popularity,
+          |   floor((bg_count::DOUBLE / bgs) * 1e5 + 0.5) / 1e5 AS background_popularity
+          | FROM z""".stripMargin)
 
     // q66 = q63's tree with the bf/boost wrapper applied to its rounded
     // output — derive the SQL from q63's so the two can never drift

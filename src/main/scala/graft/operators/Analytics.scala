@@ -307,4 +307,72 @@ object Analytics {
     }
     stacked.reduce(_ union _)
   }
+
+  /** Java's Math.round semantics to 5 decimal digits — floor(x*1e5+0.5)/1e5
+    * (half-up toward +inf, exactly RelatednessAgg.roundTo5Digits; DuckDB's
+    * round() is half-away-from-zero, so the oracle SQL spells this same
+    * floor form rather than using round()). */
+  private def round5(c: Column): Column = floor(c * 1e5 + 0.5) / 1e5
+
+  /** One scaled sigmoid term of the relatedness blend:
+    * (x+offset) / (scale + |x+offset|). */
+  private def sigmoidHelper(x: Column, offset: Double, scale: Double): Column =
+    (x + offset) / (lit(scale) + abs(x + offset))
+
+  /** The "relatedness" z-score → blended-sigmoid score of
+    * solr/core/src/java/org/apache/solr/search/facet/RelatednessAgg.java:473
+    * (computeRelatedness), as a set of derived Columns over per-bucket
+    * counts. Inputs are the four counts of a bucket: fg_count (bucket ∩
+    * foreground), fgSize (foreground set size), bg_count (bucket ∩
+    * background), bgSize (background set size). */
+  def relatednessScore(fgCount: Column, fgSize: Column,
+                       bgCount: Column, bgSize: Column): Column = {
+    val bgProb = bgCount.cast("double") / bgSize.cast("double")
+    val num = fgCount.cast("double") - fgSize.cast("double") * bgProb
+    val denom0 = sqrt(fgSize.cast("double") * bgProb * (lit(1.0) - bgProb))
+    val denom = when(denom0 === 0.0, lit(1e-10)).otherwise(denom0)
+    val z = num / denom
+    round5(lit(0.2) * sigmoidHelper(z, -80, 50)
+      + lit(0.2) * sigmoidHelper(z, -30, 30)
+      + lit(0.2) * sigmoidHelper(z, 0, 30)
+      + lit(0.2) * sigmoidHelper(z, 30, 30)
+      + lit(0.2) * sigmoidHelper(z, 80, 50))
+  }
+
+  /**
+   * RelatednessAgg (RelatednessAgg.java:56, the `relatedness($fg,$bg)`
+   * JSON-facet aggregate): per-bucket foreground-vs-background semantic
+   * significance. For each value of `bucketCol` the bucket's four counts
+   * feed [[relatednessScore]]; `foreground_popularity` = fg_count/bg_size
+   * (BACKGROUND size, intentionally — RelatednessAgg.java:356) and
+   * `background_popularity` = bg_count/bg_size, both rounded to 5 digits.
+   * With `minPop` > 0, buckets whose fg or bg popularity is below it get
+   * relatedness = -Infinity so they sort last (RelatednessAgg.java:359-365).
+   *
+   * ONE pass over the table: per-bucket conditional counts with map-side
+   * partial aggregation, set sizes re-derived as broadcast sums of the
+   * bucket counts (no second input scan). Buckets = non-null values of
+   * `bucketCol`; set sizes include null-bucket rows (the sets are
+   * bucket-independent in the reference).
+   */
+  def relatedness(df: DataFrame, bucketCol: String, fgFilter: Column,
+                  bgFilter: Column = lit(true), minPop: Double = 0.0): DataFrame = {
+    val counts = df.groupBy(col(bucketCol)).agg(
+      count(when(fgFilter && bgFilter, 1)).as("fg_count"),
+      count(when(bgFilter, 1)).as("bg_count"))
+    val sizes = counts.agg(sum("fg_count").as("__fgSize"), sum("bg_count").as("__bgSize"))
+    val rel = relatednessScore(col("fg_count"), col("__fgSize"),
+      col("bg_count"), col("__bgSize"))
+    val fgPop = round5(col("fg_count").cast("double") / col("__bgSize"))
+    val bgPop = round5(col("bg_count").cast("double") / col("__bgSize"))
+    counts.crossJoin(broadcast(sizes))
+      .filter(col(bucketCol).isNotNull)
+      .withColumn("relatedness",
+        if (minPop <= 0.0) rel
+        else when(fgPop < minPop || bgPop < minPop, lit(Double.NegativeInfinity))
+          .otherwise(rel))
+      .withColumn("foreground_popularity", fgPop)
+      .withColumn("background_popularity", bgPop)
+      .drop("__fgSize", "__bgSize")
+  }
 }

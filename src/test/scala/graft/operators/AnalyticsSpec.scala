@@ -181,4 +181,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("low") == ((3L, 6L)))
     assert(out("high") == ((3L, 27L)))
   }
+
+  // RelatednessAgg.java:473 computeRelatedness, pinned against hand-computed
+  // values of the published formula (z-score through the 5-sigmoid blend,
+  // Math.round-to-5-digits). Dataset: bucket a = 30 rows / 12 fg, bucket
+  // b = 70 rows / 8 fg → fgSize 20, bgSize 100.
+  private lazy val relRows =
+    (1 to 30).map(i => ("a", i <= 12)) ++ (1 to 70).map(i => ("b", i <= 8))
+
+  test("relatedness matches the reference formula on pinned buckets") {
+    val df = relRows.toDF("bucket", "fg")
+    val out = relatedness(df, "bucket", col("fg")).orderBy("bucket")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out(0) == (("a", 12L, 30L, 0.03103, 0.12, 0.3)))
+    assert(out(1) == (("b", 8L, 70L, -0.03103, 0.08, 0.7)))
+  }
+
+  test("relatedness min_popularity gates buckets to -Infinity") {
+    val df = relRows.toDF("bucket", "fg")
+    val out = relatedness(df, "bucket", col("fg"), minPop = 0.1)
+      .orderBy("bucket").collect()
+    assert(out(0).getDouble(3) == 0.03103) // a: fg_pop 0.12 >= 0.1
+    assert(out(1).getDouble(3).isNegInfinity) // b: fg_pop 0.08 < 0.1
+  }
+
+  test("relatedness z=0 and empty-foreground degenerate cases score 0") {
+    // fg == bucket scaled to the background: fg_count = fgSize * bg_prob
+    // exactly → z = 0 → all five sigmoids cancel pairwise + center 0
+    val uniform = (1 to 10).map(i => ("a", i <= 5)) ++ (1 to 10).map(i => ("b", i <= 5))
+    val u = relatedness(uniform.toDF("bucket", "fg"), "bucket", col("fg"))
+      .collect().map(_.getDouble(3)).toSeq
+    assert(u == Seq(0.0, 0.0))
+    // empty foreground: num = 0, denom guard 1e-10 (never divides by zero)
+    val e = relatedness(uniform.toDF("bucket", "fg"), "bucket", lit(false))
+      .collect().map(_.getDouble(3)).toSeq
+    assert(e == Seq(0.0, 0.0))
+  }
 }
