@@ -151,6 +151,23 @@ object SparkEntry {
       .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
         round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))),
 
+    // Mergeable-sketch percentile twin (the reference's PercentileAgg ships
+    // t-digest — the SCALE default; the exact sort-based `percentile` above
+    // stays as the oracle query only). Approximate by design, so the oracle
+    // checks a TOLERANCE BAND, not the value: the Spark side computes both
+    // the sketch and the exact percentile and emits whether the sketch is
+    // within 1% relative error; the oracle expects `true` for every group —
+    // sketch drift now hash-mismatches instead of hiding in a rows-only row.
+    "q67_percentile_sketch" -> ((s, d) => rd(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(2500)).as("__a50"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(2500)).as("__a90"),
+        expr("percentile(l_extendedprice, 0.5)").as("__e50"),
+        expr("percentile(l_extendedprice, 0.9)").as("__e90"))
+      .select(col("l_returnflag"),
+        (abs(col("__a50") - col("__e50")) <= col("__e50") * 0.01).as("p50_ok"),
+        (abs(col("__a90") - col("__e90")) <= col("__e90") * 0.01).as("p90_ok"))),
+
     // statistical evaluator family (Solr streaming-expression stats/regress
     // evaluators): correlation, covariance, higher moments, OLS line
     "q47_statfuncs" -> ((s, d) => rd(s, d, "lineitem")
@@ -1161,6 +1178,18 @@ object SparkEntry {
     "q30_hll" -> ((s, d) => rd(s, d, "events")
       .groupBy("event_type")
       .agg(approx_count_distinct("user_id").as("approx_users"))),
+
+    // HLL with numeric teeth: per-group check that the HLL++ estimate is
+    // within ±2% of the exact distinct count (default rsd 0.05 ⇒ near-exact
+    // at these cardinalities via the sparse/linear-counting regime). The
+    // oracle expects every group `true`, so a sketch regression fails the
+    // hash check — this closes q30_hll's permanent rows-only blind spot.
+    "q68_hll_bound" -> ((s, d) => rd(s, d, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("__a"),
+        countDistinct("user_id").as("__e"))
+      .select(col("event_type"),
+        (abs(col("__a") - col("__e")).cast("double") <= col("__e") * 0.02).as("hll_ok"))),
 
     // IVrixDB topValues field summary: top values with counts + percentages.
     // The total is a broadcast single-row agg INSIDE the plan (same pattern
@@ -2784,6 +2813,13 @@ object SparkEntry {
         """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5),4) AS p50,
           | round(quantile_cont(l_extendedprice, 0.9),4) AS p90
           | FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      // tolerance-band oracles for the approximate sketches: the Spark side
+      // emits in-band booleans, the oracle expects all-true (see q67/q68
+      // scaladoc in `queries`)
+      "q67_percentile_sketch" ->
+        "SELECT l_returnflag, true AS p50_ok, true AS p90_ok FROM lineitem GROUP BY l_returnflag",
+      "q68_hll_bound" ->
+        "SELECT event_type, true AS hll_ok FROM events GROUP BY event_type",
       // Spark's skewness/kurtosis are POPULATION moments (g1, excess g2);
       // DuckDB's builtins are sample-corrected — the oracle computes the
       // population definitions from explicit central moments
