@@ -403,31 +403,52 @@ object Relational {
       col(dstCol).cast("long").as("__dst"))
     val empty = Seq.empty[(String, Int)].toDF("path", "depth")
     if (from == to) return Seq((from.toString, 0)).toDF("path", "depth")
-    var frontier = Seq((from, Seq(from))).toDF("node", "path")
-    var visited = frontier.select("node")
+    // Search phase carries PARENT POINTERS, not paths: each level is the
+    // (node, parent) edge set between consecutive BFS layers, so frontier
+    // size is bounded by nodes+edges even when a dense graph has
+    // exponentially many shortest paths (the old path-array frontier
+    // fanned out by path multiplicity). Sound because in an unweighted
+    // graph every prefix of a shortest path is itself shortest, so every
+    // node on any shortest path is reached at its BFS depth.
+    var frontier = Seq(from).toDF("node")
+    var visited = frontier
     var depth = 0
-    var result: Option[DataFrame] = None
-    while (result.isEmpty && depth < maxDepth) {
+    var levels: List[DataFrame] = Nil // head = (node, parent) at current depth
+    var found = false
+    var exhausted = false
+    while (!found && !exhausted && depth < maxDepth) {
       depth += 1
-      val next = e.join(frontier, e("__src") === col("node"))
-        .select(col("__dst").as("node"),
-          concat(col("path"), array(col("__dst"))).as("path"))
+      val step = e.join(frontier, e("__src") === col("node"))
+        .select(col("__dst").as("node"), col("__src").as("parent"))
         .join(visited, Seq("node"), "left_anti")
         .localCheckpoint(true)
-      val hits = next.filter(col("node") === to)
-      if (hits.limit(1).count() > 0) result = Some(hits)
-      else if (next.limit(1).count() == 0) result = Some(next.limit(0))
+      levels ::= step
+      if (step.filter(col("node") === to).limit(1).count() > 0) found = true
       else {
-        frontier = next
-        visited = visited.union(next.select("node").distinct()).localCheckpoint(true)
+        val next = step.select("node").distinct().localCheckpoint(true)
+        if (next.limit(1).count() == 0) exhausted = true
+        else {
+          frontier = next
+          visited = visited.union(next).localCheckpoint(true)
+        }
       }
     }
-    result match {
-      case Some(hits) =>
-        hits.select(array_join(col("path"), "->").as("path"),
-          lit(depth).cast("int").as("depth"))
-      case None => empty
+    if (!found) return empty
+    // Reconstruction walks the per-depth parent tables backward from `to`;
+    // only here do path rows multiply, and only to the output's own size.
+    // Edge multiplicity is preserved (one row per parallel edge per step),
+    // matching the previous per-edge path expansion.
+    var paths = levels.head.filter(col("node") === to)
+      .select(col("parent").as("cur"), array(col("parent"), col("node")).as("path"))
+    for (level <- levels.tail) {
+      paths = level.join(paths, level("node") === paths("cur"))
+        .select(col("parent").as("cur"),
+          concat(array(col("parent")), col("path")).as("path"))
+        .localCheckpoint(true)
     }
+    paths.filter(col("cur") === from)
+      .select(array_join(col("path"), "->").as("path"),
+        lit(depth).cast("int").as("depth"))
   }
 
   /**

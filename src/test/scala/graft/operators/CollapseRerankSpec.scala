@@ -118,6 +118,29 @@ class CollapseRerankSpec extends SparkSpec {
       .as[(String, Int)].collect().toSeq === Seq(("2", 0)))
   }
 
+  test("shortestPaths: dense layered graph — parent-pointer search, full path set") {
+    // complete tripartite chain 0 -> {1..6} -> {11..16} -> {21..26} -> 99:
+    // 216 shortest paths of depth 4. The search phase only ever carries the
+    // per-level (node, parent) edge sets (<= 36 rows), never 216 paths —
+    // the path multiplication happens solely in output reconstruction.
+    val a = (1L to 6L); val b = (11L to 16L); val c = (21L to 26L)
+    val edges = (a.map((0L, _)) ++
+      (for (x <- a; y <- b) yield (x, y)) ++
+      (for (x <- b; y <- c) yield (x, y)) ++
+      c.map((_, 99L))).toDF("src", "dst")
+    val got = Relational.shortestPaths(edges, "src", "dst", 0L, 99L, maxDepth = 6)
+      .as[(String, Int)].collect()
+    assert(got.length === 216)
+    assert(got.forall(_._2 === 4))
+    assert(got.map(_._1).distinct.length === 216)
+    val parts = got.head._1.split("->").map(_.toLong)
+    assert(parts.length === 5 && parts.head === 0L && parts.last === 99L)
+    // a direct shortcut at depth 2 preempts the deep fan-out entirely
+    val cut = edges.union(Seq((0L, 50L), (50L, 99L)).toDF("src", "dst"))
+    assert(Relational.shortestPaths(cut, "src", "dst", 0L, 99L, 6)
+      .as[(String, Int)].collect().toSeq === Seq(("0->50->99", 2)))
+  }
+
   test("facetPivot nests top-B counts under top-A values with level totals") {
     val df = Seq(
       ("en", "web"), ("en", "web"), ("en", "book"), ("en", "wiki"),
