@@ -72,6 +72,41 @@ object Dedup {
 
   /** Cap via hash-aggregated min-k (no sort shuffle). `banded` must be
     * exactly (idCol, keyCols...); output column order matches. */
+  /** Memoized persist for candidate-generation intermediates (signature /
+    * chunk / sketch tables): repeated dedup calls over the same input reuse
+    * ONE cached copy instead of stacking a new orphaned RDD per call (the
+    * signIndex pattern from [[Similarity]]; on a cluster a written bucketed
+    * table plays this role). Keyed by the canonicalized analyzed plan, so
+    * parameters baked into the frame distinguish entries. */
+  private val persistMemo = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]
+
+  private def memoPersist(df: DataFrame): DataFrame =
+    persistMemo.getOrElseUpdate(df.queryExecution.analyzed.canonicalized,
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The typed signature kernels ([[minHashSignatures]], [[simHash]]) embed
+    * Scala closures, which canonicalized-plan equality treats as opaque —
+    * two calls with identical inputs would build UNEQUAL plans and defeat
+    * [[memoPersist]]. So the derivation itself is memoized on (input plan,
+    * parameter key): repeated identical calls return the SAME Dataset
+    * instance, whose plan then hits the persist memo. */
+  private val derivedMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), DataFrame]
+
+  private def memoDerived(src: DataFrame, key: String)(make: => DataFrame): DataFrame =
+    derivedMemo.getOrElseUpdate((src.queryExecution.analyzed.canonicalized, key), make)
+
+  /** Session-lifecycle hygiene: unpersist every memoized dedup intermediate.
+    * Callers running many dedup passes over DIFFERENT corpora should call
+    * this between corpora; within one corpus the memo is what prevents
+    * per-call cache growth. */
+  def clearCaches(): Unit = {
+    persistMemo.values.foreach(_.unpersist())
+    persistMemo.clear()
+    derivedMemo.clear()
+  }
+
   private def capBucketsAgg(banded: DataFrame, keyCols: Seq[String], idCol: String,
                             maxBucketSize: Int): DataFrame = {
     require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
@@ -142,7 +177,13 @@ object Dedup {
    * parallelism).
    */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int, shingleWidth: Int = 3): DataFrame = {
+                        numHashes: Int, shingleWidth: Int = 3): DataFrame =
+    memoDerived(docs, s"minhash:$idCol:$textCol:$numHashes:$shingleWidth") {
+      minHashSignaturesUncached(docs, idCol, textCol, numHashes, shingleWidth)
+    }
+
+  private def minHashSignaturesUncached(docs: DataFrame, idCol: String, textCol: String,
+                                        numHashes: Int, shingleWidth: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val w = shingleWidth
@@ -189,9 +230,10 @@ object Dedup {
   def minHashCandidates(sigs0: DataFrame, idCol: String, bands: Int,
                         rowsPerBand: Int, threshold: Double,
                         maxBucketSize: Int = 1024): DataFrame = {
-    // cached: the banded self-join and the two signature re-joins would
-    // otherwise recompute the full signature pipeline
-    val sigs = sigs0.cache()
+    // memo-persisted: the banded self-join and the two signature re-joins
+    // would otherwise recompute the full signature pipeline; the memo keeps
+    // repeated calls from stacking orphaned cache entries
+    val sigs = memoPersist(sigs0)
     // band table carries ONLY (id, band, bucket): the heavy signature array
     // stays out of the shuffle; candidate pairs dedup on bare id pairs
     val banded = capBucketsAgg(sigs.select(
@@ -296,7 +338,12 @@ object Dedup {
    * declarative form — asserted by OperatorsSpec's parity test. Docs with
    * no tokens yield no row (matching the aggregation form's semantics).
    */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    memoDerived(docs, s"simhash:$idCol:$textCol") {
+      simHashUncached(docs, idCol, textCol)
+    }
+
+  private def simHashUncached(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), lower(coalesce(col(textCol), lit(""))))
@@ -342,8 +389,9 @@ object Dedup {
       posexplode(array((0 until 4).map { c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)
       }: _*)).as(Seq("chunk", "ck"))),
-      Seq("chunk", "ck"), idCol, maxBucketSize).cache()
-    chunked.as("a").join(chunked.as("b"),
+      Seq("chunk", "ck"), idCol, maxBucketSize)
+    val chunkedP = memoPersist(chunked)
+    chunkedP.as("a").join(chunkedP.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
@@ -417,7 +465,7 @@ object Dedup {
     require(planes % bands == 0, s"bands ($bands) must divide planes ($planes)")
     val bandBits = planes / bands
     val mask = (1L << bandBits) - 1
-    val sketched = Similarity.withSignSketch(embs, vecCol, planes).cache()
+    val sketched = memoPersist(Similarity.withSignSketch(embs, vecCol, planes))
     val banded = capBucketsAgg(sketched.select(
         col(idCol),
         posexplode(array((0 until bands).map { b =>

@@ -94,4 +94,28 @@ class MinHashSpec extends SparkSpec {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("repeated candidate calls reuse ONE cached intermediate; clearCaches releases") {
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    Dedup.clearCaches()
+    val base = persisted
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", 16)
+    Dedup.minHashCandidates(sigs, "doc_id", bands = 4, rowsPerBand = 4,
+      threshold = 0.3).count()
+    val after1 = persisted
+    assert(after1 > base) // the signature table is persisted once
+    // second call over the same logical input: memo hit, NO new cache entry
+    Dedup.minHashCandidates(Dedup.minHashSignatures(docs, "doc_id", "text", 16),
+      "doc_id", bands = 4, rowsPerBand = 4, threshold = 0.3).count()
+    assert(persisted === after1)
+    // simhash path gets the same treatment
+    val hashes = Dedup.simHash(docs, "doc_id", "text")
+    Dedup.simHashCandidates(hashes, "doc_id", maxHamming = 3).count()
+    val after2 = persisted
+    Dedup.simHashCandidates(hashes, "doc_id", maxHamming = 3).count()
+    assert(persisted === after2)
+    // explicit lifecycle handle: everything the memo holds is released
+    Dedup.clearCaches()
+    assert(persisted === base)
+  }
 }
