@@ -747,9 +747,13 @@ case object UnicodeFoldingFilter extends TokenFilter {
     var i = 0
     while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
     if (ascii) return s // already-lowercase ASCII fast path (chain lowercases)
+    // case-fold FIRST so uppercase forms of the special ligature letters
+    // (ẞ -> ß -> ss) reach the special map — folding last would leave
+    // capital-ẞ as ß while ß itself folds to ss (non-idempotent)
+    val lower = s.toLowerCase
     // ICU's case-fold maps the non-decomposable ligature letters (ß -> ss,
     // æ -> ae, ...) that NFKC leaves alone — the AsciiFolding special set
-    val pre = s.flatMap(c => AsciiFoldingFilter.special.getOrElse(c, c.toString))
+    val pre = lower.flatMap(c => AsciiFoldingFilter.special.getOrElse(c, c.toString))
     val kc = java.text.Normalizer.normalize(pre, java.text.Normalizer.Form.NFKC)
     val d = java.text.Normalizer.normalize(kc, java.text.Normalizer.Form.NFD)
       .filterNot(c => Character.getType(c) == Character.NON_SPACING_MARK)

@@ -99,6 +99,50 @@ class MiscFiltersSpec extends AnyFunSuite {
     assert(UnicodeFoldingFilter.fold("άλφα") === "αλφα")
   }
 
+  // The ICUFoldingFilter approximation boundary, EXECUTABLE (the COVERAGE
+  // note in prose form): what JDK NFKC + mark-strip + case-fold does on the
+  // Unicode edge corpus, pinned so any drift (JDK Unicode-data update, chain
+  // reorder) surfaces here instead of silently changing index terms.
+  test("unicode folding boundary: hangul, arabic presentation forms, ligature case") {
+    import UnicodeFoldingFilter.fold
+    // Hangul COMPATIBILITY jamo normalize to conjoining jamo (NFKC), and a
+    // precomposed syllable round-trips unchanged (NFD -> strip none -> NFC).
+    // ICU's tailored folding instead conflates some jamo — documented gap.
+    assert(fold("ㄱㅏ") === "\uAC00")
+    assert(fold("한") === "한")
+    // Arabic presentation-form ligature: NFKC decomposes lam-alef-with-
+    // hamza, then the NON_SPACING_MARK strip REMOVES the hamza (U+0654) —
+    // stronger than ICU, which keeps hamza as part of the base letters.
+    assert(fold("ﻷ") === "لا")
+    // plain lam-alef presentation form folds without loss
+    assert(fold("ﻻ") === "لا")
+    // capital sharp-S folds all the way to ss (case-fold happens BEFORE the
+    // ligature-letter map; folding after would strand ẞ as ß)
+    assert(fold("ẞ") === "ss")
+    assert(fold("GROẞE") === "grosse")
+    // Turkish dotted capital İ: lowercase introduces combining dot above,
+    // which the mark strip then removes — matches ICU's diacritic folding
+    assert(fold("İ") === "i")
+  }
+
+  test("unicode folding properties: idempotent, mark-free, lowercase") {
+    import UnicodeFoldingFilter.fold
+    val edge = Seq("ＫＡＮＪＩ", "ﬁﬂﬃ", "Ǆǅǆ", "ΑΈΪ", "Ѐё", "ÅÄÖ", "ﻷﻹﻵ",
+      "ㄱㄴㄷㅏㅑ", "각낙닥", "ẞßÆæŒœ", "Ⅻⅻ", "½¾", "ｱｲｳｴｵ", "é́", "ẍy")
+    val rng = new scala.util.Random(42)
+    val samples = edge ++ (0 until 200).map { _ =>
+      val pool = edge.flatMap(_.toSeq)
+      (0 until 1 + rng.nextInt(8)).map(_ => pool(rng.nextInt(pool.size))).mkString
+    }
+    for (s <- samples) {
+      val f = fold(s)
+      assert(fold(f) === f, s"not idempotent on <$s>")
+      assert(!f.exists(c => Character.getType(c) == Character.NON_SPACING_MARK),
+        s"marks survive in <$s> -> <$f>")
+      assert(f === f.toLowerCase, s"uppercase survives in <$s> -> <$f>")
+    }
+  }
+
   test("repeat-stem emits stem plus original at one position") {
     val chain = AnalyzerChain(Seq(RepeatStemFilter("porter")))
     val (toks, overlaps) = chain.analyzeWithOverlaps("running dogs fast")
