@@ -3,7 +3,7 @@ package graft
 import graft.corpus.CorpusGen
 import graft.index.{IndexBuilder, IndexStore}
 import graft.codec.PostingsCodec
-import graft.operators.{Analytics => A, AtomicUpdate, Classify, Dedup, Ltr, MathEval => M, Monitor, Multimodal, Pipeline => P, Relational => R, ResultClustering, Signatures, Similarity, Spans, TextOps}
+import graft.operators.{Analytics => A, AtomicUpdate, Classify, Dedup, Ltr, MathEval => M, MediaContainers, Monitor, Multimodal, Pipeline => P, Relational => R, ResultClustering, Signatures, Similarity, Spans, TextOps}
 import graft.query.QueryEngine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -2034,6 +2034,43 @@ object SparkEntry {
         .select(col("asset_id"), col("width").as("sample_rate"),
           col("height").as("channels"), col("n_frames"),
           round(col("duration_s"), 5).as("duration_s"))
+    }),
+
+    // REAL video CONTAINER metadata: deterministic minimal MP4s (dims/
+    // frames pure functions of doc_id) parsed back through the ISO-BMFF box
+    // walker — width/height from stsd, n_frames from stsz, duration from
+    // mvhd. Frame pixels stay stubbed (no JDK video codec); the container
+    // layer is real.
+    "mm_decode_mp4" -> ((s, d) => {
+      import s.implicits._
+      val media = rd(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, "video/mp4", MediaContainers.synthMp4(
+            160 + 8 * (id % 20).toInt, 120 + 8 * (id % 10).toInt,
+            10 + (id % 50).toInt, fps = 25, timescale = 1000))
+        })
+        .toDF("asset_id", "mime", "payload")
+      Multimodal.decodeMeta(media)
+        .select(col("asset_id"), col("mime"), col("width"), col("height"),
+          col("n_frames"), round(col("duration_s"), 5).as("duration_s"))
+    }),
+
+    // Matroska/WebM via the EBML walker: dims from the video TrackEntry,
+    // duration from Info.Duration x TimestampScale, frames counted from
+    // Cluster SimpleBlocks
+    "mm_decode_mkv" -> ((s, d) => {
+      import s.implicits._
+      val media = rd(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val frames = 5 + (id % 40).toInt
+          (id, "video/webm", MediaContainers.synthMkv(
+            320 + 2 * (id % 33).toInt, 180 + 2 * (id % 21).toInt,
+            frames, durationMs = frames * 40.0))
+        })
+        .toDF("asset_id", "mime", "payload")
+      Multimodal.decodeMeta(media)
+        .select(col("asset_id"), col("mime"), col("width"), col("height"),
+          col("n_frames"), round(col("duration_s"), 5).as("duration_s"))
     }),
 
     // REAL image resize: decode-scale-reencode (nearest neighbour) halves
@@ -4225,6 +4262,23 @@ object SparkEntry {
           | CAST((16 + doc_id % 32) // 2 AS INT) AS width,
           | CAST((16 + doc_id % 16) // 2 AS INT) AS height
           | FROM documents WHERE doc_id < 200""".stripMargin,
+      // mp4 duration ticks = frames * timescale // fps (exact: 1000/25),
+      // then /timescale seconds — the same arithmetic the box walker reads
+      "mm_decode_mp4" ->
+        """SELECT doc_id AS asset_id, 'video/mp4' AS mime,
+          | CAST(160 + 8 * (doc_id % 20) AS INT) AS width,
+          | CAST(120 + 8 * (doc_id % 10) AS INT) AS height,
+          | CAST(10 + doc_id % 50 AS INT) AS n_frames,
+          | round(((10 + doc_id % 50) * 1000 // 25) / 1000.0, 5) AS duration_s
+          | FROM documents""".stripMargin,
+      // mkv duration_s = Duration(ms ticks, float8) x TimestampScale(1e6 ns) / 1e9
+      "mm_decode_mkv" ->
+        """SELECT doc_id AS asset_id, 'video/webm' AS mime,
+          | CAST(320 + 2 * (doc_id % 33) AS INT) AS width,
+          | CAST(180 + 2 * (doc_id % 21) AS INT) AS height,
+          | CAST(5 + doc_id % 40 AS INT) AS n_frames,
+          | round(((5 + doc_id % 40) * 40.0) * 1000000 / 1e9, 5) AS duration_s
+          | FROM documents""".stripMargin,
 
       // reverse search: the four registered monitor queries, each as its
       // own set-select (term / AND / OR / adjacent-position phrase)

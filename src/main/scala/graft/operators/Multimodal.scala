@@ -71,11 +71,17 @@ object Multimodal {
   }
 
   /** MIME routing: raster images and PCM audio decode for real via the
-    * JDK codecs; video (absent codec libraries in this sandbox) keeps the
-    * deterministic stub. */
+    * JDK codecs; MP4 and Matroska/WebM video gets REAL container-level
+    * metadata (width/height/frames/duration from the box/EBML structure,
+    * [[MediaContainers]]) with only the frame pixels stubbed; other video
+    * containers keep the deterministic stub. */
   def decodeMedia(mime: String, payload: Array[Byte]): (Int, Int, Int, Double) =
     if (mime.startsWith("image/")) decodeImage(payload)
     else if (mime.startsWith("audio/")) decodeAudio(payload)
+    else if (mime == "video/mp4" || mime == "video/quicktime")
+      MediaContainers.decodeMp4(payload)
+    else if (mime == "video/x-matroska" || mime == "video/webm")
+      MediaContainers.decodeMkv(payload)
     else decodeStub(payload)
 
   /** Deterministic WAV synthesis: `frames` mono 16-bit PCM samples at

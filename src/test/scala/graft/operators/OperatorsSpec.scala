@@ -315,6 +315,40 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(rm.getAs[Int]("width") === 20 && rm.getAs[Int]("height") === 11)
   }
 
+  test("multimodal: real MP4 container metadata via the ISO-BMFF box walker") {
+    val mp4 = MediaContainers.synthMp4(w = 640, h = 360, frames = 75, fps = 25)
+    // duration ticks = 75 * 1000 / 25 = 3000 at timescale 1000 -> 3.0 s
+    assert(MediaContainers.decodeMp4(mp4) === ((640, 360, 75, 3.0)))
+    assert(mp4.toSeq === MediaContainers.synthMp4(640, 360, 75, 25).toSeq)
+    // routed by mime through decodeMeta
+    val media = Seq((3L, "video/mp4", mp4)).toDF("asset_id", "mime", "payload")
+    val r = Multimodal.decodeMeta(media).head()
+    assert(r.getAs[Int]("width") === 640 && r.getAs[Int]("height") === 360)
+    assert(r.getAs[Int]("n_frames") === 75 && r.getAs[Double]("duration_s") === 3.0)
+    // malformed payloads fail loudly (box overrun), never a silent fake
+    intercept[IllegalArgumentException](
+      MediaContainers.decodeMp4(mp4.take(40) ++ Array[Byte](9, 9, 9, 9)))
+    // an audio-only mp4 (no 'vide' handler) refuses video metadata
+    val noVide = MediaContainers.synthMp4(0, 0, 1, 25)
+    assert(MediaContainers.decodeMp4(noVide)._3 === 1) // has a track, frames real
+  }
+
+  test("multimodal: real Matroska/WebM metadata via the EBML walker") {
+    val mkv = MediaContainers.synthMkv(w = 1280, h = 720, frames = 48, durationMs = 1920.0)
+    val (w, h, f, d) = MediaContainers.decodeMkv(mkv)
+    assert((w, h, f) === ((1280, 720, 48)))
+    assert(math.abs(d - 1.92) < 1e-12) // 1920 ms x 1e6 ns / 1e9
+    assert(mkv.toSeq === MediaContainers.synthMkv(1280, 720, 48, 1920.0).toSeq)
+    val media = Seq((4L, "video/webm", mkv)).toDF("asset_id", "mime", "payload")
+    val r = Multimodal.decodeMeta(media).head()
+    assert(r.getAs[Int]("width") === 1280 && r.getAs[Int]("height") === 720)
+    assert(r.getAs[Int]("n_frames") === 48)
+    // zero-frame file: metadata still real, no blocks counted
+    assert(MediaContainers.decodeMkv(
+      MediaContainers.synthMkv(16, 16, 0, 0.0)) === ((16, 16, 0, 0.0)))
+    intercept[IllegalArgumentException](MediaContainers.decodeMkv(mkv.take(25)))
+  }
+
   test("approx_count_distinct (HLL parity) stays within 10% of exact") {
     val df = spark.range(0, 20000).select((col("id") % 1337).as("v"))
     val approx = df.agg(approx_count_distinct("v")).head().getLong(0)
