@@ -1512,6 +1512,21 @@ object SparkEntry {
         .toDF("doc_id", "cjk_terms")
     }),
 
+    // Morphological Japanese through the REAL 'ja' preset (width fold ->
+    // Viterbi lattice segmentation over the bundled lexicon -> particle/aux
+    // stop list): fixed sentences exercising compound-vs-split, particle
+    // attachment, unknown-katakana grouping and mixed script; the oracle
+    // pins the expected segmentations as CASE arms (the ta_cjk pattern).
+    "ta_ja_morph" -> ((s, d) => {
+      import s.implicits._
+      val chain = graft.analysis.Analyzers.forLanguage("ja")
+      rd(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, chain.terms(JaMorphSentences((id % JaMorphSentences.size).toInt)).mkString(" "))
+        }
+        .toDF("doc_id", "ja_terms")
+    }),
+
     // Snowball stemming through the real analyzer-chain path: each doc_id
     // deterministically picks a word from the fixed per-language lists and
     // stems it through AnalyzerChain(SnowballStemFilter(lang)) — the same
@@ -4082,6 +4097,7 @@ object SparkEntry {
       "ta_kstem" -> kstemSql,
       "ta_hunspell" -> hunspellSql,
       "ta_cjk" -> cjkSql,
+      "ta_ja_morph" -> jaMorphSql,
       "ta_fold" -> foldSql,
       "ta_fingerprint" ->
         """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
@@ -5200,6 +5216,25 @@ object SparkEntry {
       .map { case (w, i) => s"WHEN $i THEN '$w'" }.mkString(" ")
     s"""SELECT doc_id,
        | CASE CAST(doc_id % ${CjkExpected.size} AS INT) $arms END AS cjk_terms
+       | FROM documents""".stripMargin
+  }
+
+  /** Fixed sentences for ta_ja_morph (compound, particles, unknown
+    * katakana, mixed script) and their expected 'ja'-preset outputs. */
+  private val JaMorphSentences = Seq(
+    "東京都に行きます", "私は水を飲む", "ソフトウェアを検索する",
+    "会社員は電車で会社に行きます", "日本語の本を読む", "犬が魚を食べる",
+    "データ分析と機械学習", "新しい本を買う", "spark処理を分散する")
+  private val JaMorphExpected = Seq(
+    "東京都 行き", "私 水 飲む", "ソフトウェア 検索",
+    "会社員 電車 会社 行き", "日本語 本 読む", "犬 魚 食べる",
+    "データ 分析 機械 学習", "新しい 本 買う", "spark 処理 分散")
+
+  private def jaMorphSql: String = {
+    val arms = JaMorphExpected.zipWithIndex
+      .map { case (w, i) => s"WHEN $i THEN '$w'" }.mkString(" ")
+    s"""SELECT doc_id,
+       | CASE CAST(doc_id % ${JaMorphExpected.size} AS INT) $arms END AS ja_terms
        | FROM documents""".stripMargin
   }
 

@@ -28,8 +28,8 @@ object Analyzers {
 
   val languages: Seq[String] = Seq("ar", "bg", "bn", "br", "ca", "cjk", "ckb",
     "cz", "da", "de", "el", "en", "es", "et", "eu", "fa", "fi", "fr", "ga",
-    "gl", "hi", "hu", "hy", "id", "it", "lt", "lv", "nl", "no", "pt", "ro",
-    "ru", "sv", "th", "tr")
+    "gl", "hi", "hu", "hy", "id", "it", "ja", "lt", "lv", "nl", "no", "pt",
+    "ro", "ru", "sv", "th", "tr")
 
   /** The reference XXAnalyzer stack for a language code. */
   def forLanguage(lang: String): AnalyzerChain = {
@@ -42,6 +42,9 @@ object Analyzers {
       case "ca" => AnalyzerChain(Seq(ElisionFilter(ElisionFilter.catalan),
         stop, SnowballStemFilter("catalan")))
       case "cjk" => AnalyzerChain(Seq(CJKWidthFilter, CJKBigramFilter(), stop))
+      // morphological Japanese (the kuromoji JapaneseAnalyzer position):
+      // width fold -> lattice word segmentation -> particle/aux stop list
+      case "ja" => AnalyzerChain(Seq(CJKWidthFilter, MorphSegmentFilter(), stop))
       case "ckb" => AnalyzerChain(Seq(stop, LightStemFilter("ckb")))
       case "cz" => AnalyzerChain(Seq(stop, LightStemFilter("cz")))
       case "da" => AnalyzerChain(Seq(stop, SnowballStemFilter("danish")))

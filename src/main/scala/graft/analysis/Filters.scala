@@ -938,6 +938,7 @@ object AnalyzerChain {
       case ThaiWordFilter => """{"type":"thai"}"""
       case RepeatStemFilter(kind, lang) =>
         s"""{"type":"repeatstem","kind":${word(kind)},"lang":${word(lang)}}"""
+      case MorphSegmentFilter(dict) => s"""{"type":"morph","dict":${word(dict)}}"""
       case LimitTokenCountFilter(n) => s"""{"type":"limitcount","max":$n}"""
       case CodepointCountFilter(mn, mx) =>
         s"""{"type":"cpcount","min":$mn,"max":$mx}"""
@@ -970,7 +971,7 @@ object AnalyzerChain {
       if (cfStart < 0) (json0, "")
       else (json0.substring(0, cfStart), json0.substring(cfStart))
     val filterRe =
-      """\{"type":"(stop|porter|kstem|hunspell|snowball|lightstem|synonym|ascii|length|shingle|edgengram|phonetic|worddelim|kwstem|cjkwidth|cjkbigram|elision|commongrams|compound|keepword|truncate|reverse|patreplace|ufold|denorm|enposs|arnorm|fanorm|thai|repeatstem|limitcount|cpcount)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
+      """\{"type":"(stop|porter|kstem|hunspell|snowball|lightstem|synonym|ascii|length|shingle|edgengram|phonetic|worddelim|kwstem|cjkwidth|cjkbigram|elision|commongrams|compound|keepword|truncate|reverse|patreplace|ufold|denorm|enposs|arnorm|fanorm|thai|repeatstem|limitcount|cpcount|morph)"[^}]*(?:\{[^}]*\})?[^}]*\}""".r
     val wordsRe = """"([^"]+)"""".r
     def intField(body: String, k: String): Int =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
@@ -1033,6 +1034,8 @@ object AnalyzerChain {
         case "arnorm" => ArabicNormFilter
         case "fanorm" => PersianNormFilter
         case "thai" => ThaiWordFilter
+        case "morph" =>
+          MorphSegmentFilter(""""dict":"([^"]+)"""".r.findFirstMatchIn(body).get.group(1))
         case "repeatstem" =>
           def strField(k: String): String =
             s""""$k":"([^"]*)"""".r.findFirstMatchIn(body).get.group(1)
