@@ -12,7 +12,9 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "target/verify-out"
 con = duckdb.connect()
 for t in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(t).replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
+    # Spark writes directory-shaped tables (ScaleGen output); DuckDB needs a glob
+    src = f"{t}/*.parquet" if os.path.isdir(t) else t
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 ok = fail = 0

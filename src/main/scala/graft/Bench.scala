@@ -160,11 +160,11 @@ object Bench {
         // with AQE off nothing coalesces them. newSession() shares the
         // SparkContext AND the cache (SharedState), only the conf differs.
         val qSpark = spark.newSession()
-        qSpark.conf.set("spark.sql.shuffle.partitions", "8")
+        qSpark.conf.set("spark.sql.shuffle.partitions", QueryShuffleParts.toString)
         // warm with a FIXED cached-partition count (data-sized, identical at
         // both levels): per-query tasks = cached partitions, and 64 build
         // output files would cost 64 task launches per tiny top-k query
-        val idx = IndexStore.OpenIndex(qSpark, dir).warm(numPartitions = 16)
+        val idx = IndexStore.OpenIndex(qSpark, dir).warm(numPartitions = QueryCacheParts)
         // warm the reader path, postings cache, DfCache (term stats memo)
         // and JIT BEFORE the measured window: one full untimed pass over the
         // query set — otherwise the first measured queries pay one-time
@@ -221,6 +221,15 @@ object Bench {
     * window is ~7-8 s — short windows sample scheduler noise and inflate
     * the drain-tail share (see the sub-window note in oneRound). */
   private val QueryReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_REPS", "20").toInt
+
+  /** Query-phase partition counts — IDENTICAL at both parallelism levels
+    * (the workload must not change with cores). Tasks per query job =
+    * cached partitions (+ shuffle partitions for the grouped stage); the
+    * driver's single-threaded scheduler is the Amdahl term the concurrent
+    * streams contend on, so these sizes trade per-task parallelism against
+    * scheduling overhead. */
+  private val QueryCacheParts = sys.env.getOrElse("SPARK_GRAFT_BENCH_QPARTS", "16").toInt
+  private val QueryShuffleParts = sys.env.getOrElse("SPARK_GRAFT_BENCH_QSHUFFLE", "8").toInt
 
   /** Host-capacity calibration: fixed TOTAL work (64 tasks x `HashIters`
     * sha256 of a 1 MiB buffer) timed at a parallelism level. Pure CPU, no
