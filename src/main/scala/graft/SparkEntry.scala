@@ -1527,6 +1527,36 @@ object SparkEntry {
         .toDF("doc_id", "ja_terms")
     }),
 
+    // Morphological Korean through the REAL 'ko' preset (width fold ->
+    // lattice segmentation with nori-style compound DECOMPOUND and POS-stop
+    // of particles/verbal-suffixes/copulas -> stop list): fixed sentences
+    // exercising decompounding, particle stripping, hada-suffix removal and
+    // eojeol-at-a-time segmentation; oracle pins expected outputs as CASE
+    // arms (the ta_cjk pattern).
+    "ta_ko_morph" -> ((s, d) => {
+      import s.implicits._
+      val chain = graft.analysis.Analyzers.forLanguage("ko")
+      rd(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, chain.terms(KoMorphSentences((id % KoMorphSentences.size).toInt)).mkString(" "))
+        }
+        .toDF("doc_id", "ko_terms")
+    }),
+
+    // Chinese word segmentation through the REAL 'zh' preset (width fold ->
+    // lattice max-matching segmentation -> function-word stop list): the
+    // smartcn capability over unspaced Han text; oracle pins expected
+    // segmentations as CASE arms.
+    "ta_zh_morph" -> ((s, d) => {
+      import s.implicits._
+      val chain = graft.analysis.Analyzers.forLanguage("zh")
+      rd(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, chain.terms(ZhMorphSentences((id % ZhMorphSentences.size).toInt)).mkString(" "))
+        }
+        .toDF("doc_id", "zh_terms")
+    }),
+
     // Snowball stemming through the real analyzer-chain path: each doc_id
     // deterministically picks a word from the fixed per-language lists and
     // stems it through AnalyzerChain(SnowballStemFilter(lang)) — the same
@@ -4098,6 +4128,8 @@ object SparkEntry {
       "ta_hunspell" -> hunspellSql,
       "ta_cjk" -> cjkSql,
       "ta_ja_morph" -> jaMorphSql,
+      "ta_ko_morph" -> koMorphSql,
+      "ta_zh_morph" -> zhMorphSql,
       "ta_fold" -> foldSql,
       "ta_fingerprint" ->
         """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
@@ -5235,6 +5267,44 @@ object SparkEntry {
       .map { case (w, i) => s"WHEN $i THEN '$w'" }.mkString(" ")
     s"""SELECT doc_id,
        | CASE CAST(doc_id % ${JaMorphExpected.size} AS INT) $arms END AS ja_terms
+       | FROM documents""".stripMargin
+  }
+
+  /** Fixed sentences for ta_ko_morph (compound decompounding, particle and
+    * hada-suffix POS-stop, mixed native/loanword nouns) and their expected
+    * 'ko'-preset outputs. */
+  private val KoMorphSentences = Seq(
+    "삼성전자는 한국의 회사이다", "데이터를 분석한다", "한국어 형태소 분석기",
+    "서울대학교에서 공부한다", "나는 학교에 간다", "기계학습과 데이터마이닝",
+    "인공지능 기술이 발전했다", "스파크로 빅데이터를 처리한다")
+  private val KoMorphExpected = Seq(
+    "삼성 전자 한국 회사", "데이터 분석", "한국어 형태소 분석기",
+    "서울 대학교 공부", "나 학교 간다", "기계 학습 데이터 마이닝",
+    "인공 지능 기술 발전", "스파크 빅 데이터 처리")
+
+  private def koMorphSql: String = {
+    val arms = KoMorphExpected.zipWithIndex
+      .map { case (w, i) => s"WHEN $i THEN '$w'" }.mkString(" ")
+    s"""SELECT doc_id,
+       | CASE CAST(doc_id % ${KoMorphExpected.size} AS INT) $arms END AS ko_terms
+       | FROM documents""".stripMargin
+  }
+
+  /** Fixed sentences for ta_zh_morph (unspaced Han text: longest-match vs
+    * single-char resolution, function-word stopping) and their expected
+    * 'zh'-preset outputs. */
+  private val ZhMorphSentences = Seq(
+    "我爱北京天安门", "机器学习和数据分析", "中文分词系统", "北京大学的学生",
+    "他在图书馆看书", "自然语言处理技术", "上海浦东开发区", "今天天气很好")
+  private val ZhMorphExpected = Seq(
+    "我 爱 北京 天安门", "机器 学习 数据 分析", "中文 分词 系统", "北京 大学 学生",
+    "他 图书馆 看书", "自然 语言 处理 技术", "上海 浦东 开发区", "今天 天气 很 好")
+
+  private def zhMorphSql: String = {
+    val arms = ZhMorphExpected.zipWithIndex
+      .map { case (w, i) => s"WHEN $i THEN '$w'" }.mkString(" ")
+    s"""SELECT doc_id,
+       | CASE CAST(doc_id % ${ZhMorphExpected.size} AS INT) $arms END AS zh_terms
        | FROM documents""".stripMargin
   }
 

@@ -28,8 +28,8 @@ object Analyzers {
 
   val languages: Seq[String] = Seq("ar", "bg", "bn", "br", "ca", "cjk", "ckb",
     "cz", "da", "de", "el", "en", "es", "et", "eu", "fa", "fi", "fr", "ga",
-    "gl", "hi", "hu", "hy", "id", "it", "ja", "lt", "lv", "nl", "no", "pt",
-    "ro", "ru", "sv", "th", "tr")
+    "gl", "hi", "hu", "hy", "id", "it", "ja", "ko", "lt", "lv", "nl", "no",
+    "pt", "ro", "ru", "sv", "th", "tr", "zh")
 
   /** The reference XXAnalyzer stack for a language code. */
   def forLanguage(lang: String): AnalyzerChain = {
@@ -45,6 +45,18 @@ object Analyzers {
       // morphological Japanese (the kuromoji JapaneseAnalyzer position):
       // width fold -> lattice word segmentation -> particle/aux stop list
       case "ja" => AnalyzerChain(Seq(CJKWidthFilter, MorphSegmentFilter(), stop))
+      // morphological Korean (the nori KoreanAnalyzer position): width fold
+      // -> lattice segmentation with compound DECOMPOUND (nori's default
+      // DISCARD mode) and POS-stop of particles/suffixes/copulas/endings
+      // (KoreanPartOfSpeechStopFilter) -> word stop list
+      case "ko" => AnalyzerChain(Seq(CJKWidthFilter,
+        MorphSegmentFilter("ko_demo", Set("J", "X", "C", "E"), "discard"), stop))
+      // Chinese word segmentation (the smartcn SmartChineseAnalyzer
+      // position): width fold -> lattice max-matching segmentation -> stop
+      // list of function words (smartcn ships the same shape: HHMM
+      // segmenter + bundled stopword list)
+      case "zh" => AnalyzerChain(Seq(CJKWidthFilter,
+        MorphSegmentFilter("zh_demo"), stop))
       case "ckb" => AnalyzerChain(Seq(stop, LightStemFilter("ckb")))
       case "cz" => AnalyzerChain(Seq(stop, LightStemFilter("cz")))
       case "da" => AnalyzerChain(Seq(stop, SnowballStemFilter("danish")))

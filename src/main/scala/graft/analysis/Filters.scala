@@ -938,7 +938,9 @@ object AnalyzerChain {
       case ThaiWordFilter => """{"type":"thai"}"""
       case RepeatStemFilter(kind, lang) =>
         s"""{"type":"repeatstem","kind":${word(kind)},"lang":${word(lang)}}"""
-      case MorphSegmentFilter(dict) => s"""{"type":"morph","dict":${word(dict)}}"""
+      case MorphSegmentFilter(dict, stop, dec) =>
+        val stopArr = stop.toSeq.sorted.map(word).mkString("[", ",", "]")
+        s"""{"type":"morph","dict":${word(dict)},"stop":$stopArr,"decomp":${word(dec)}}"""
       case LimitTokenCountFilter(n) => s"""{"type":"limitcount","max":$n}"""
       case CodepointCountFilter(mn, mx) =>
         s"""{"type":"cpcount","min":$mn,"max":$mx}"""
@@ -1035,7 +1037,14 @@ object AnalyzerChain {
         case "fanorm" => PersianNormFilter
         case "thai" => ThaiWordFilter
         case "morph" =>
-          MorphSegmentFilter(""""dict":"([^"]+)"""".r.findFirstMatchIn(body).get.group(1))
+          // pre-round-5 manifests carry only {"dict":...} — default the rest
+          val stop = """"stop":\[([^\]]*)\]""".r.findFirstMatchIn(body)
+            .map(m => wordsRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSet)
+            .getOrElse(Set.empty[String])
+          val dec = """"decomp":"([^"]+)"""".r.findFirstMatchIn(body)
+            .map(_.group(1)).getOrElse("none")
+          MorphSegmentFilter(
+            """"dict":"([^"]+)"""".r.findFirstMatchIn(body).get.group(1), stop, dec)
         case "repeatstem" =>
           def strField(k: String): String =
             s""""$k":"([^"]*)"""".r.findFirstMatchIn(body).get.group(1)

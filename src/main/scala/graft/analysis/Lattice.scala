@@ -20,9 +20,15 @@ package graft.analysis
  */
 object Lattice {
 
-  final case class Entry(surface: String, cost: Int, pos: String)
+  /** `parts` non-empty marks a compound entry (nori's compound-noun model,
+    * nori KoreanTokenizer.java decompound): the decompounded morpheme
+    * surfaces, emitted instead of (DISCARD) or alongside (MIXED) the
+    * compound by [[MorphSegmentFilter]]. */
+  final case class Entry(surface: String, cost: Int, pos: String,
+                         parts: Seq[String] = Nil)
 
-  final case class Node(start: Int, end: Int, surface: String, pos: String, cost: Int)
+  final case class Node(start: Int, end: Int, surface: String, pos: String,
+                        cost: Int, parts: Seq[String] = Nil)
 
   final class Dict(entries: Seq[Entry],
                    transitions: Map[(String, String), Int],
@@ -38,8 +44,10 @@ object Lattice {
       transitions.getOrElse((prevPos, pos), defaultTransition)
   }
 
-  /** Parse the dictionary TSV shape `surface<TAB>cost<TAB>pos` (the
-    * lexical fields of a mecab-ipadic CSV row; extra columns ignored). */
+  /** Parse the dictionary TSV shape `surface<TAB>cost<TAB>pos[<TAB>p1+p2]`
+    * (the lexical fields of a mecab-ipadic CSV row; the optional 4th
+    * column is the decompound split — nori's ipadic-neologd `+`-joined
+    * compound expression). Extra columns ignored. */
   def parseDict(lines: Iterator[String],
                 transitions: Map[(String, String), Int] = DemoTransitions,
                 defaultTransition: Int = 800,
@@ -48,7 +56,9 @@ object Lattice {
       .map { l =>
         val f = l.split('\t')
         require(f.length >= 3, s"bad dict line: $l")
-        Entry(f(0), f(1).toInt, f(2))
+        val parts = if (f.length >= 4 && f(3).nonEmpty)
+          f(3).split('+').toSeq else Nil
+        Entry(f(0), f(1).toInt, f(2), parts)
       }.toSeq
     new Dict(entries, transitions, defaultTransition, unkCost)
   }
@@ -82,6 +92,49 @@ object Lattice {
     finally in.close()
   }
 
+  /** Korean transition costs over a simplified nori tagset (N noun, PN
+    * pronoun, J particle, V verb final form, X verbal suffix — the 하다
+    * family, C copula, E ending, M adverb): particles/suffixes/copulas
+    * attach cheaply to nominals, noun-noun splits are discouraged so
+    * compound entries (which DECOMPOUND on emission) win their splits. */
+  val KoTransitions: Map[(String, String), Int] = Map(
+    ("BOS", "N") -> 300, ("BOS", "PN") -> 300, ("BOS", "M") -> 400,
+    ("BOS", "V") -> 600,
+    ("N", "J") -> 100, ("PN", "J") -> 100, ("N", "X") -> 150,
+    ("N", "C") -> 150, ("N", "N") -> 1200,
+    ("J", "N") -> 300, ("J", "PN") -> 400, ("J", "V") -> 300,
+    ("M", "V") -> 300, ("M", "N") -> 500,
+    ("J", "EOS") -> 150, ("N", "EOS") -> 300, ("V", "EOS") -> 100,
+    ("X", "EOS") -> 100, ("C", "EOS") -> 100, ("E", "EOS") -> 100)
+
+  /** Chinese transition costs (smartcn's HHMM bigram role, collapsed to a
+    * word/function-word grade): the per-entry costs carry the length
+    * preference (2-char words cheapest per char), transitions are nearly
+    * uniform — the published word-bigram model degenerates to this when
+    * the demo lexicon has no per-pair statistics. */
+  val ZhTransitions: Map[(String, String), Int] = Map(
+    ("BOS", "W") -> 300, ("BOS", "F") -> 400,
+    ("W", "W") -> 300, ("W", "F") -> 200, ("F", "W") -> 200,
+    ("F", "F") -> 500,
+    ("W", "EOS") -> 100, ("F", "EOS") -> 200)
+
+  /** Bundled demo Korean lexicon (nori-capability demo: compounds carry
+    * decompound parts; particles/suffixes tagged for POS-stop). */
+  lazy val demoKo: Dict = fromResource("/graft/ko_demo_dict.tsv", KoTransitions)
+
+  /** Bundled demo Chinese lexicon (smartcn-capability demo: max-matching
+    * via length-graded costs; function words tagged F). */
+  lazy val demoZh: Dict = fromResource("/graft/zh_demo_dict.tsv", ZhTransitions)
+
+  private def fromResource(path: String,
+                           transitions: Map[(String, String), Int]): Dict = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing dict resource: $path")
+    try parseDict(scala.io.Source.fromInputStream(in, "UTF-8").getLines(),
+      transitions)
+    finally in.close()
+  }
+
   @inline private def isKatakana(c: Char): Boolean =
     (c >= 0x30A1 && c <= 0x30FF) || (c >= 0x31F0 && c <= 0x31FF)
 
@@ -97,7 +150,7 @@ object Lattice {
       var len = 1
       while (len <= lim) {
         val s = text.substring(i, i + len)
-        dict.lookup(s).foreach(e => b += Node(i, i + len, s, e.pos, e.cost))
+        dict.lookup(s).foreach(e => b += Node(i, i + len, s, e.pos, e.cost, e.parts))
         len += 1
       }
       b += Node(i, i + 1, text.substring(i, i + 1), "UNK", dict.unkCost)
@@ -158,11 +211,17 @@ object Lattice {
  * pass through unchanged; positions stay dense (a run of n chars becomes
  * k word tokens occupying k positions; downstream tokens slide).
  */
-final case class MorphSegmentFilter(dictName: String = "ja_demo") extends TokenFilter {
+final case class MorphSegmentFilter(dictName: String = "ja_demo",
+                                    stopPos: Set[String] = Set.empty,
+                                    decompound: String = "none") extends TokenFilter {
+  require(Set("none", "discard", "mixed")(decompound),
+    s"decompound mode must be none|discard|mixed: $decompound")
   // dictionaries resolve by NAME so the filter stays serializable-by-value
   // and chain configs persist as strings (IndexStore chain manifests)
   @transient private lazy val dict: Lattice.Dict = dictName match {
     case "ja_demo" => Lattice.demoJa
+    case "ko_demo" => Lattice.demoKo
+    case "zh_demo" => Lattice.demoZh
     case other => throw new IllegalArgumentException(s"unknown morph dict: $other")
   }
 
@@ -205,15 +264,27 @@ final case class MorphSegmentFilter(dictName: String = "ja_demo") extends TokenF
           k += 1
           run.append(tokens(k).term)
         }
-        val words = Lattice.segment(run.toString, dict)
+        // POS-stop drops nodes by tag (nori KoreanPartOfSpeechStopFilter:
+        // particles/endings/suffixes removed AT the segmenter, positions
+        // compact densely); decompound expands compound entries into their
+        // morpheme parts (DISCARD replaces; MIXED also emits the compound
+        // as a synonym-style overlap on the first part)
+        val nodes = Lattice.segmentNodes(run.toString, dict)
+          .filterNot(nd => stopPos(nd.pos))
+        val emitted: Seq[(String, Boolean)] = nodes.flatMap { nd =>
+          if (decompound == "none" || nd.parts.isEmpty) Seq(nd.surface -> false)
+          else if (decompound == "discard") nd.parts.map(_ -> false)
+          else (nd.parts.head -> false) +: (nd.surface -> true) +:
+            nd.parts.tail.map(_ -> false)
+        }
         val base = t.pos + shift
         val consumed = tokens(k).pos - t.pos + 1
-        var w = 0
-        while (w < words.length) {
-          outT += Token(words(w), base + w); outO += false
-          w += 1
+        var p = base - 1
+        emitted.foreach { case (w, ov) =>
+          if (!ov) p += 1
+          outT += Token(w, p); outO += ov
         }
-        shift += words.length - consumed
+        shift += emitted.count(!_._2) - consumed
         i = k + 1
       }
     }
