@@ -10,6 +10,18 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "target/verify-out"
 
 con = duckdb.connect()
+# scale-rehearsal controls: at sf1 DuckDB needs bounded threads (so a
+# concurrent Spark job isn't starved), a big-disk temp dir (the knn
+# oracle's token self-join spills >79GB), and an explicit memory cap
+con.execute(f"SET threads={os.environ.get('DUCKDB_THREADS', '32')}")
+if os.environ.get("DUCKDB_TEMP"):
+    con.execute(f"SET temp_directory='{os.environ['DUCKDB_TEMP']}'")
+if os.environ.get("DUCKDB_MEM"):
+    con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
+# comma-separated oracle names whose DuckDB side is infeasible at the
+# current scale (quadratic SQL twins); the Spark side still ran — record
+# SKIP so the report distinguishes "oracle infeasible" from "mismatch"
+skip = set(filter(None, os.environ.get("ORACLE_SKIP", "").split(",")))
 for t in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(t).replace(".parquet", "")
     # Spark writes directory-shaped tables (ScaleGen output); DuckDB needs a glob
@@ -19,6 +31,9 @@ for t in glob.glob(f"{sf_dir}/*.parquet"):
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
+    if name in skip:
+        print(f"SKIP     {name}: oracle marked infeasible at this scale")
+        continue
     spark_path = f"{out_dir}/{name}"
     if not os.path.isdir(spark_path):
         print(f"MISSING  {name}: no spark output")
