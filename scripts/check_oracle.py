@@ -22,6 +22,8 @@ if os.environ.get("DUCKDB_MEM"):
 # current scale (quadratic SQL twins); the Spark side still ran — record
 # SKIP so the report distinguishes "oracle infeasible" from "mismatch"
 skip = set(filter(None, os.environ.get("ORACLE_SKIP", "").split(",")))
+# ORACLE_ONLY: comma-separated allowlist for targeted re-checks
+only = set(filter(None, os.environ.get("ORACLE_ONLY", "").split(",")))
 for t in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(t).replace(".parquet", "")
     # Spark writes directory-shaped tables (ScaleGen output); DuckDB needs a glob
@@ -31,6 +33,8 @@ for t in glob.glob(f"{sf_dir}/*.parquet"):
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
     if name in skip:
         print(f"SKIP     {name}: oracle marked infeasible at this scale")
         continue

@@ -1959,8 +1959,14 @@ object SparkEntry {
       val embs = rd(s, d, "embeddings").select("vec_id", "embedding")
       val planted = embs.select((col("vec_id") + 1000000).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.25f)).as("embedding"))
+      // occupancy-law band sizing (Dedup.signPlanesFor): at sf0.001-0.1
+      // this resolves to the historical planes=16; at sf1+ the band bits
+      // grow with log2(n) so bucket population stays ~constant instead of
+      // overflowing the skew cap (16 buckets/band at 40k vectors capped
+      // out and silently dropped planted pairs in the sf1 rehearsal)
+      val planes = Dedup.signPlanesFor(2 * embs.count(), bands = 4)
       Dedup.embeddingNearDup(embs.unionByName(planted), "vec_id", "embedding",
-        planes = 16, threshold = 0.999, bands = 4)
+        planes = planes, threshold = 0.999, bands = 4)
         .filter(col("id_b") === col("id_a") + 1000000)
         .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos"))
     }),

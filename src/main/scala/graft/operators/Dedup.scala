@@ -452,12 +452,33 @@ object Dedup {
   }
 
   /**
+   * Occupancy-law sizing for sign-LSH banding: a band with `b` bits has
+   * `2^b` buckets, so expected bucket population is `n / 2^b` — constant
+   * band bits mean occupancy (and the all-pairs candidate work, and the
+   * odds of tripping the skew cap) grow LINEARLY with the corpus. To hold
+   * occupancy at `targetBucket` the bits must grow with log2(n):
+   * `bits = ceil(log2(n / targetBucket))`, clamped to [4, 16]. Recall
+   * cost is bounded: at cosine 0.999 (angle 2.56°) a 16-bit band still
+   * collides with prob 0.986^16 ≈ 0.80, and identical-direction pairs
+   * collide with probability 1 at ANY width, so planted/exact-dup recall
+   * is width-independent. Callers at a fixed small scale can keep
+   * explicit planes; scale-varying callers (the sf-parameterized driver
+   * queries, a 100 TB pipeline) should size via this law.
+   */
+  def signPlanesFor(n: Long, bands: Int, targetBucket: Int = 256): Int = {
+    val bits = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+      math.log(2.0)).toInt
+    bands * math.min(16, math.max(4, bits))
+  }
+
+  /**
    * Embedding near-dup: pairs with exact cosine >= threshold among sign-LSH
    * candidates. The `planes`-bit sign sketch is split into `bands` chunks;
    * docs sharing ANY chunk are candidates (near-dups that differ in a few
    * sketch bits still collide on an unaffected band — single-whole-sketch
    * equality would miss them). Buckets are capped (see [[capBuckets]]).
-   * Returns (id_a, id_b, cos) with id_a < id_b.
+   * Size `planes` by the occupancy law ([[signPlanesFor]]) when the input
+   * scale varies. Returns (id_a, id_b, cos) with id_a < id_b.
    */
   def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
                        planes: Int, threshold: Double,

@@ -101,4 +101,38 @@ class DedupSkewSpec extends SparkSpec {
     assert(cappedPairs <= 4 * 16 * 15 / 2, s"got $cappedPairs pairs")
     assert(cappedPairs >= 1)
   }
+
+  test("occupancy law: band bits grow with log2(n), fixed at small scale") {
+    // the sf0.001-0.1 driver scales resolve to the historical planes=16
+    assert(Dedup.signPlanesFor(400, bands = 4) === 16)
+    assert(Dedup.signPlanesFor(4000, bands = 4) === 16)
+    // sf1 (40k vectors): 8 bits/band -> 256 buckets, occupancy ~156
+    assert(Dedup.signPlanesFor(40000, bands = 4) === 32)
+    // growth is logarithmic and clamps at the 64-bit sketch limit
+    assert(Dedup.signPlanesFor(400000, bands = 4) === 44)
+    assert(Dedup.signPlanesFor(Long.MaxValue, bands = 4) === 64)
+  }
+
+  test("occupancy-law sizing keeps exact-dup recall on a duplicate flood") {
+    import spark.implicits._
+    // the sf1 tiling shape: 10 identical copies of each base vector plus a
+    // same-direction planted copy of each — at fixed 16 planes the 16
+    // buckets/band overflow a small cap and drop planted pairs; the law
+    // widens the bands so occupancy stays under the cap
+    val dim = 8
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextFloat() * 2 - 1)
+    }
+    val flood = for (base <- 0 until 40; copy <- 0 until 10)
+      yield ((base * 10 + copy).toLong, vec(base))
+    val planted = flood.map { case (id, v) => (id + 1000000, v.map(_ * 1.25f)) }
+    val embs = (flood ++ planted).toDF("id", "vec")
+    val planes = Dedup.signPlanesFor(2L * flood.size, bands = 4, targetBucket = 8)
+    val found = Dedup.embeddingNearDup(embs, "id", "vec", planes = planes,
+      threshold = 0.999, bands = 4, maxBucketSize = 64)
+      .filter(col("id_b") === col("id_a") + 1000000).count()
+    assert(found === flood.size.toLong,
+      s"occupancy-law sizing missed planted pairs: $found of ${flood.size}")
+  }
 }
