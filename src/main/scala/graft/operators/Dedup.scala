@@ -384,7 +384,29 @@ object Dedup {
     * within uncapped buckets; oversized buckets — near-empty docs hash to
     * few distinct simhashes and collide heavily — are capped). */
   def simHashCandidates(hashes: DataFrame, idCol: String, maxHamming: Int,
-                        maxBucketSize: Int = 1024): DataFrame = {
+                        maxBucketSize: Int = 1024,
+                        maxExactGroup: Int = 4096): DataFrame = {
+    // Identical sketches need NO LSH: pairing within groupBy(full hash) is
+    // structural — immune to chunk-bucket heat. The 16-bit chunk buckets
+    // are a pigeonhole scheme whose width CANNOT grow with n (4 chunks of
+    // a 64-bit hash are what guarantee a hamming<=3 pair shares a chunk),
+    // so chunk-bucket occupancy grows linearly with the corpus and a hot
+    // bucket's min-id cap systematically evicts high ids: the sf1
+    // rehearsal (10x-tiled duplicate-heavy corpus) dropped 4 of 50k
+    // planted exact-dup pairs that way. Exact groups carry their own,
+    // higher cap: the OUTPUT of a g-member identical group is g(g-1)/2
+    // pairs, so an adversarial mega-group (1M bit-identical docs) must be
+    // bounded somewhere — cap at maxExactGroup members, i.e. the dedup
+    // semantics stay exact up to 4096-way duplication per sketch value.
+    val exact = memoPersist(capBuckets(
+      hashes.select(col(idCol), col("simhash")), Seq("simhash"), idCol,
+      maxExactGroup))
+    val exactPairs = exact.as("a").join(exact.as("b"),
+        col("a.simhash") === col("b.simhash") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        lit(0).as("hamming"))
+    if (maxHamming == 0) return exactPairs.distinct()
     val chunked = capBuckets(hashes.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map { c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)
@@ -396,8 +418,9 @@ object Dedup {
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .unionByName(exactPairs)
+      .distinct()
   }
 
   /**

@@ -56,11 +56,20 @@ class DedupSkewSpec extends SparkSpec {
     val docs = ((0 until 300).map(i => (i.toLong, boiler)) ++ Seq(
       (2000L, "completely different content about spark dataframes and shuffles"),
       (2001L, "completely different content about spark dataframes and shuffles"))).toDF("id", "text")
+    // adversarial mega-group: BOTH caps small — candidates stay bounded by
+    // chunk-cap pairs + exact-group-cap pairs, and the isolated exact pair
+    // is still found (the exact path pairs by full hash, not hot chunks)
     val capped = Dedup.simHashCandidates(Dedup.simHash(docs, "id", "text"), "id",
-      maxHamming = 3, maxBucketSize = 16)
+      maxHamming = 3, maxBucketSize = 16, maxExactGroup = 16)
     val pairs = capped.collect()
-    assert(pairs.length <= 4 * 16 * 15 / 2, s"got ${pairs.length} pairs")
+    assert(pairs.length <= 4 * 16 * 15 / 2 + 2 * 16 * 15 / 2,
+      s"got ${pairs.length} pairs")
     assert(pairs.exists(r => r.getLong(0) == 2000L && r.getLong(1) == 2001L))
+    // default exact-group cap: the identical group's pairs are COMPLETE
+    // (the sf1 regression: hot chunk buckets must not lose exact dups)
+    val full = Dedup.simHashCandidates(Dedup.simHash(docs, "id", "text"), "id",
+      maxHamming = 0)
+    assert(full.count() === 300L * 299 / 2 + 1)
   }
 
   test("embeddingNearDup: planted perturbed near-dups found via banding; buckets capped") {
