@@ -1184,9 +1184,12 @@ object SparkEntry {
     // at these cardinalities via the sparse/linear-counting regime). The
     // oracle expects every group `true`, so a sketch regression fails the
     // hash check — this closes q30_hll's permanent rows-only blind spot.
+    // rsd 0.005 (not the 0.05 default): the 2% oracle band must hold at
+    // ANY cardinality — the sf1 rehearsal showed the default sketch's 5%
+    // relative error exceeding the band once user_id cardinality grew 10x
     "q68_hll_bound" -> ((s, d) => rd(s, d, "events")
       .groupBy("event_type")
-      .agg(approx_count_distinct("user_id").as("__a"),
+      .agg(approx_count_distinct(col("user_id"), 0.005).as("__a"),
         countDistinct("user_id").as("__e"))
       .select(col("event_type"),
         (abs(col("__a") - col("__e")).cast("double") <= col("__e") * 0.02).as("hll_ok"))),
@@ -2018,7 +2021,13 @@ object SparkEntry {
     // surface exactly {query doc} ∪ {copies}, all at cos 1.0 — recall on
     // them is structural, and the full indexed pipelines run end-to-end
     "sim_ann_planted" -> ((s, d) => {
+      // canonicalize exact-duplicate vectors to their min id: the planted
+      // contract (top-k = self + the 10 planted copies) presumes DISTINCT
+      // corpus vectors — a tiled rehearsal corpus carries bit-identical
+      // twins that legitimately tie at cos 1.0 and win the id tie-break
       val embs = rd(s, d, "embeddings").select("vec_id", "embedding")
+        .groupBy("embedding").agg(min("vec_id").as("vec_id"))
+        .select("vec_id", "embedding")
       val q = embs.filter(col("vec_id") === 7)
         .select("embedding").head().getSeq[Float](0).toArray
       val qScaled = array(q.toIndexedSeq.map(v => lit(v * 2.0f)): _*)
@@ -2031,7 +2040,11 @@ object SparkEntry {
     }),
 
     "sim_ivf_planted" -> ((s, d) => {
+      // min-id canonicalization of exact-duplicate vectors (see
+      // sim_ann_planted)
       val embs = rd(s, d, "embeddings").select("vec_id", "embedding")
+        .groupBy("embedding").agg(min("vec_id").as("vec_id"))
+        .select("vec_id", "embedding")
       val q = embs.filter(col("vec_id") === 3)
         .select("embedding").head().getSeq[Float](0).toArray
       val qScaled = array(q.toIndexedSeq.map(v => lit(v * 2.0f)): _*)
@@ -3069,8 +3082,12 @@ object SparkEntry {
         """SELECT event_type, count(*) AS n,
           | CAST(sum(CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
           | FROM events GROUP BY event_type""".stripMargin,
+      // floor(epoch), not epoch::BIGINT: DuckDB's double->bigint cast
+      // ROUNDS half-up, bumping an event within 0.5s below a bucket
+      // boundary into the next bucket; the engine floors (timestamp->long
+      // truncation) — exposed by a boundary event present at sf>=0.1
       "q39_dyn_timeline" ->
-        """SELECT (epoch(ts)::BIGINT // 10800) * 10800 AS bucket_start,
+        """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 10800) * 10800 AS bucket_start,
           | count(*) AS cnt FROM events GROUP BY 1""".stripMargin,
       "q40_salted" ->
         """SELECT l_returnflag, round(sum(l_quantity),2) AS sum_qty, count(*) AS cnt
