@@ -74,4 +74,22 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     assert(sparkTf === Map(0L -> 2, 2L -> 1))
     assert(posts.filter(col("docId") === 1L).select("dl").head().getInt(0) === 3)
   }
+
+  test("dynamicTimeline FLOORS fractional seconds at bucket boundaries") {
+    // an event 0.4s BELOW a bucket boundary must stay in the lower bucket:
+    // the engine truncates timestamp->long (floor for positive epochs). The
+    // sf1 rehearsal caught the q39 oracle using DuckDB's epoch()::BIGINT,
+    // which ROUNDS half-up and bumped exactly such events — this pins the
+    // engine side of that boundary contract.
+    val gap = 60L // ~6000s span -> the ladder picks the 60s rung for 300
+    val base = 1700000000L - (1700000000L % gap)
+    val rows = Seq(
+      new Timestamp((base + gap) * 1000 - 400),  // boundary - 0.4s: LOWER bucket
+      new Timestamp(base * 1000),                // bucket start
+      new Timestamp((base + 5999) * 1000)        // span stretcher
+    ).toDF("ts")
+    val out = StreamOps.dynamicTimeline(rows, "ts", maxBuckets = 300)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(base -> 2L, (base + 5940) -> 1L))
+  }
 }
